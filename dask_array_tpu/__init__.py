@@ -1,0 +1,136 @@
+"""dask_array_tpu: a TPU-native chunked n-dimensional array framework.
+
+NumPy-compatible lazy arrays over a content-addressed expression tree
+(``simplify -> lower -> fuse`` with slice/rechunk/shuffle pushdown and
+blockwise fusion), executed by tracing the optimized tree into ONE jitted
+XLA computation over ``jax.Array``s — sharded on a ``jax.sharding.Mesh``
+for multi-chip runs (rechunk -> ICI all-to-all, reductions -> psum trees,
+halos -> ppermute).
+
+Capability parity target: ``mrocklin/dask-array`` (see SURVEY.md).
+"""
+
+from __future__ import annotations
+
+# numpy-compatible dtype semantics (f64 default, numpy promotion rules)
+import jax as _jax
+
+_jax.config.update("jax_enable_x64", True)
+
+import numpy as _np
+
+from dask_array_tpu import config
+from dask_array_tpu._chunks import PerformanceWarning, normalize_chunks
+from dask_array_tpu._collection import Array, new_collection
+from dask_array_tpu._blockwise import blockwise, elemwise
+from dask_array_tpu._rechunk import rechunk
+from dask_array_tpu._shuffle import shuffle
+from dask_array_tpu.ops._from_array import array, asanyarray, asarray, from_array
+from dask_array_tpu.ops.creation import (
+    arange,
+    empty,
+    empty_like,
+    eye,
+    full,
+    full_like,
+    linspace,
+    ones,
+    ones_like,
+    zeros,
+    zeros_like,
+)
+from dask_array_tpu.ops.manipulation import (
+    atleast_1d,
+    atleast_2d,
+    atleast_3d,
+    broadcast_to,
+    expand_dims,
+    flip,
+    fliplr,
+    flipud,
+    moveaxis,
+    roll,
+    rollaxis,
+    rot90,
+    squeeze,
+    swapaxes,
+    transpose,
+)
+from dask_array_tpu.ops.stacking import block, concatenate, dstack, hstack, stack, vstack
+from dask_array_tpu.ops.reductions import (
+    _tree_reduce,
+    all,
+    any,
+    argmax,
+    argmin,
+    cumprod,
+    cumreduction,
+    cumsum,
+    max,
+    mean,
+    median,
+    min,
+    moment,
+    nanargmax,
+    nanargmin,
+    nancumprod,
+    nancumsum,
+    nanmax,
+    nanmean,
+    nanmedian,
+    nanmin,
+    nanpercentile,
+    nanprod,
+    nanquantile,
+    nanstd,
+    nansum,
+    nanvar,
+    percentile,
+    prod,
+    quantile,
+    reduction,
+    std,
+    sum,
+    trace,
+    var,
+    arg_reduction,
+)
+from dask_array_tpu.ops._map_blocks import map_blocks
+
+# numpy constant / dtype re-exports (parity with the reference namespace)
+newaxis = None
+nan = _np.nan
+inf = _np.inf
+e = _np.e
+pi = _np.pi
+euler_gamma = _np.euler_gamma
+
+bool = _np.bool_
+int8 = _np.int8
+int16 = _np.int16
+int32 = _np.int32
+int64 = _np.int64
+uint8 = _np.uint8
+uint16 = _np.uint16
+uint32 = _np.uint32
+uint64 = _np.uint64
+float32 = _np.float32
+float64 = _np.float64
+complex64 = _np.complex64
+complex128 = _np.complex128
+
+__version__ = "0.1.0"
+
+
+def compute(*collections, **kwargs):
+    """Compute one or more lazy collections (returns a tuple)."""
+    out = tuple(
+        c.compute(**kwargs) if isinstance(c, Array) else c for c in collections
+    )
+    return out
+
+
+def optimize(x, keys=None, **kwargs):
+    if isinstance(x, Array):
+        return x.optimize()
+    return x

@@ -1,0 +1,567 @@
+"""Blockwise / Elemwise expressions and blockwise fusion.
+
+Parity: the roles of ``Blockwise``/``Elemwise``/``FusedBlockwise`` and
+``optimize_blockwise_fusion_array`` in
+``/root/reference/dask_array/_blockwise.py`` (fresh implementation).
+
+TPU-first execution: an Elemwise (and any dense-safe Blockwise) builds on
+the *dense* traced array — broadcasting, fusion into neighboring matmuls,
+and sharding propagation are all delegated to XLA, which does this better
+than any hand-rolled per-block task fusion.  General blockwise ops (user
+functions, ``map_blocks``) build per block inside the same trace, so the
+per-block contract (each call sees exactly one block) is preserved while
+XLA still compiles the whole pipeline as one program.
+"""
+
+from __future__ import annotations
+
+import functools
+import itertools
+import math
+import numbers
+from collections.abc import Iterable
+
+import numpy as np
+
+from dask_array_tpu._chunks import common_blockdim, has_unknown_chunks
+from dask_array_tpu._executor import BlockView, iter_block_indices
+from dask_array_tpu._expr import ArrayExpr, compute_meta, meta_from_array
+from dask_array_tpu.utils._tokenize import tokenize
+
+_NHEAD = 8  # number of fixed leading operands before the (arg, ind) pairs
+
+
+class Blockwise(ArrayExpr):
+    """Apply ``func`` block-wise following an index pattern.
+
+    operands = [func, out_ind, token, dtype, adjust_chunks, new_axes,
+                concatenate, kwargs, arg0, ind0, arg1, ind1, ...]
+
+    ``out_ind``/``indN`` are tuples of hashable index labels; an index that
+    appears in an argument but not in ``out_ind`` is concatenated away
+    (``concatenate=True``) before the call, matching dask.array semantics.
+    """
+
+    _parameters = (
+        "func",
+        "out_ind",
+        "token",
+        "_dtype",
+        "adjust_chunks",
+        "new_axes",
+        "concatenate",
+        "kwargs",
+    )
+    _defaults = {
+        "token": None,
+        "_dtype": None,
+        "adjust_chunks": None,
+        "new_axes": None,
+        "concatenate": True,
+        "kwargs": (),
+    }
+
+    # general blockwise must run per block (the func sees exactly one block)
+    _dense_safe = False
+    _fusable = True
+
+    def _name_prefix(self):
+        tok = self.operand("token")
+        return tok if tok else type(self).__name__.lower()
+
+    # -- operand views -------------------------------------------------------
+
+    @property
+    def arg_pairs(self):
+        ops = self.operands[_NHEAD:]
+        return [(ops[i], ops[i + 1]) for i in range(0, len(ops), 2)]
+
+    @property
+    def array_args(self):
+        return [(a, i) for a, i in self.arg_pairs if i is not None and isinstance(a, ArrayExpr)]
+
+    @property
+    def _kwargs_dict(self):
+        return dict(self.kwargs or ())
+
+    # -- metadata -------------------------------------------------------------
+
+    @functools.cached_property
+    def _index_chunks(self):
+        """Map index label -> unified chunks along that label."""
+        out: dict = {}
+        for arr, ind in self.array_args:
+            for pos, label in enumerate(ind):
+                c = arr.chunks[pos]
+                prev = out.get(label)
+                if prev is None:
+                    out[label] = c
+                else:
+                    # broadcast dims (total size 1) defer to the real dims
+                    if len(c) == 1 and sum(c) in (0, 1) and sum(prev) not in (0, 1):
+                        continue
+                    if len(prev) == 1 and sum(prev) in (0, 1) and sum(c) not in (0, 1):
+                        out[label] = c
+                        continue
+                    if prev != c:
+                        out[label] = common_blockdim([prev, c])
+        new_axes = dict(self.new_axes or ())
+        for label, size in new_axes.items():
+            out[label] = size if isinstance(size, tuple) else (size,)
+        return out
+
+    @functools.cached_property
+    def chunks(self):
+        adjust = dict(self.adjust_chunks or ())
+        chunks = []
+        for label in self.out_ind:
+            c = self._index_chunks[label]
+            if label in adjust:
+                adj = adjust[label]
+                if callable(adj):
+                    c = tuple(adj(x) for x in c)
+                elif isinstance(adj, numbers.Number):
+                    c = (int(adj),) * len(c)
+                elif isinstance(adj, (tuple, list)):
+                    c = tuple(adj)
+                else:
+                    raise NotImplementedError(f"adjust_chunks values must be callable, int, or tuple, got {adj!r}")
+            chunks.append(tuple(c))
+        return tuple(chunks)
+
+    @functools.cached_property
+    def _meta(self):
+        dtype = self.operand("_dtype")
+        if dtype is not None:
+            return np.empty((0,) * len(self.out_ind), dtype=np.dtype(dtype))
+        args = [a if i is None else a for a, i in self.arg_pairs]
+        meta = compute_meta(self.func, len(self.out_ind), *args, **self._kwargs_dict)
+        if meta is None:
+            raise ValueError(
+                f"could not infer dtype of {self!r}; pass dtype= explicitly"
+            )
+        return meta
+
+    # -- lowering: operand alignment -------------------------------------------
+
+    def _lower(self):
+        from dask_array_tpu._rechunk import Rechunk
+
+        new_ops = list(self.operands[:_NHEAD])
+        changed = False
+        for arr, ind in self.arg_pairs:
+            if ind is not None and isinstance(arr, ArrayExpr):
+                want = tuple(
+                    self._index_chunks[label]
+                    if not (len(arr.chunks[pos]) == 1 and sum(arr.chunks[pos]) in (0, 1))
+                    else arr.chunks[pos]
+                    for pos, label in enumerate(ind)
+                )
+                if want != arr.chunks and not has_unknown_chunks(arr.chunks):
+                    arr = Rechunk(arr, want)
+                    changed = True
+            new_ops.extend([arr, ind])
+        if changed:
+            return type(self)(*new_ops)
+        return None
+
+    # -- execution ---------------------------------------------------------------
+
+    def _arg_block(self, ctx, arr_view, ind, out_coord, coord_of):
+        """Fetch (and contract-concatenate) one argument's block."""
+        import jax.numpy as jnp
+
+        nb = arr_view.numblocks
+        coords_per_pos = []
+        for pos, label in enumerate(ind):
+            if label in coord_of:
+                c = coord_of[label]
+                if nb[pos] == 1:
+                    c = 0
+                coords_per_pos.append((c,))
+            else:
+                # contracted index: all blocks along this axis
+                coords_per_pos.append(tuple(range(nb[pos])))
+        if all(len(c) == 1 for c in coords_per_pos):
+            return arr_view.block(tuple(c[0] for c in coords_per_pos))
+        # concatenate contracted axes (innermost first)
+        if not self.concatenate:
+            raise NotImplementedError("concatenate=False blockwise is not supported")
+
+        def rec(pos, prefix):
+            if pos == len(coords_per_pos):
+                return arr_view.block(prefix)
+            parts = [rec(pos + 1, prefix + (c,)) for c in coords_per_pos[pos]]
+            if len(parts) == 1:
+                return parts[0]
+            return jnp.concatenate(parts, axis=pos)
+
+        return rec(0, ())
+
+    def _build(self, ctx):
+        views = {}
+        for arr, ind in self.array_args:
+            views[arr._name] = ctx.build(arr)
+        kwargs = self._kwargs_dict
+        new_axes = dict(self.new_axes or ())
+        blocks = {}
+        for out_coord in iter_block_indices(self.numblocks):
+            coord_of = {
+                label: out_coord[i]
+                for i, label in enumerate(self.out_ind)
+                if label not in new_axes
+            }
+            args = []
+            for arr, ind in self.arg_pairs:
+                if ind is None or not isinstance(arr, ArrayExpr):
+                    args.append(arr)
+                else:
+                    args.append(self._arg_block(ctx, views[arr._name], ind, out_coord, coord_of))
+            out = self._call(args, kwargs, out_coord)
+            if hasattr(out, "dtype") and hasattr(out, "astype"):
+                try:
+                    want = self.dtype
+                except Exception:
+                    want = None
+                if want is not None and out.dtype != want:
+                    out = out.astype(want)
+            blocks[tuple(out_coord)] = out
+        return BlockView(self.chunks, blocks=blocks)
+
+    def _call(self, args, kwargs, out_coord):
+        return self.func(*args, **kwargs)
+
+
+class Elemwise(Blockwise):
+    """Broadcasting element-wise application (dense fast path).
+
+    Parity: ``Elemwise`` in ``/root/reference/dask_array/_blockwise.py:837``.
+    """
+
+    _parameters = ("func", "kwargs")
+    _defaults = {"kwargs": ()}
+    _dense_safe = True
+
+    # remaining operands (2:) are the raw args (exprs or scalars)
+
+    @property
+    def args(self):
+        return self.operands[2:]
+
+    @property
+    def array_args(self):
+        out_ind = self.out_ind
+        res = []
+        for a in self.args:
+            if isinstance(a, ArrayExpr):
+                res.append((a, tuple(out_ind[len(out_ind) - a.ndim:])))
+        return res
+
+    @property
+    def arg_pairs(self):
+        out_ind = self.out_ind
+        res = []
+        for a in self.args:
+            if isinstance(a, ArrayExpr):
+                res.append((a, tuple(out_ind[len(out_ind) - a.ndim:])))
+            else:
+                res.append((a, None))
+        return res
+
+    @functools.cached_property
+    def out_ind(self):
+        nd = max((a.ndim for a in self.args if isinstance(a, ArrayExpr)), default=0)
+        return tuple(range(nd))
+
+    @property
+    def out_ndim(self):
+        return len(self.out_ind)
+
+    @property
+    def adjust_chunks(self):
+        return None
+
+    @property
+    def new_axes(self):
+        return None
+
+    @property
+    def concatenate(self):
+        return True
+
+    @property
+    def token(self):
+        return None
+
+    def _name_prefix(self):
+        name = getattr(self.func, "__name__", None)
+        return name if name else "elemwise"
+
+    @functools.cached_property
+    def _meta(self):
+        meta = compute_meta(self.func, self.out_ndim, *self.args, **self._kwargs_dict)
+        if meta is None:
+            raise ValueError(f"could not infer dtype for {self!r}")
+        return meta
+
+    @functools.cached_property
+    def _index_chunks(self):
+        out: dict = {}
+        for arr, ind in self.array_args:
+            for pos, label in enumerate(ind):
+                c = arr.chunks[pos]
+                prev = out.get(label)
+                if prev is None:
+                    out[label] = c
+                elif prev != c:
+                    if len(c) == 1 and sum(c) in (0, 1):
+                        continue
+                    if len(prev) == 1 and sum(prev) in (0, 1):
+                        out[label] = c
+                    else:
+                        out[label] = common_blockdim([prev, c])
+        return out
+
+    def _lower(self):
+        from dask_array_tpu._rechunk import Rechunk
+
+        new_args = []
+        changed = False
+        out_ind = self.out_ind
+        for a in self.args:
+            if isinstance(a, ArrayExpr) and not has_unknown_chunks(a.chunks):
+                ind = tuple(out_ind[len(out_ind) - a.ndim:])
+                want = tuple(
+                    self._index_chunks[label]
+                    if not (len(a.chunks[pos]) == 1 and sum(a.chunks[pos]) in (0, 1))
+                    else a.chunks[pos]
+                    for pos, label in enumerate(ind)
+                )
+                if want != a.chunks:
+                    a = Rechunk(a, want)
+                    changed = True
+            new_args.append(a)
+        if changed:
+            return type(self)(*self.operands[:2], *new_args)
+        return None
+
+    def _build(self, ctx):
+        # dense path: XLA broadcasts and fuses
+        if not has_unknown_chunks(self.chunks):
+            args = [
+                ctx.build(a).dense() if isinstance(a, ArrayExpr) else a
+                for a in self.args
+            ]
+            dense = self.func(*args, **self._kwargs_dict)
+            # numpy dtype-rule parity: jax may promote differently (e.g.
+            # int32+float32); the declared meta dtype wins
+            if hasattr(dense, "dtype") and dense.dtype != self.dtype:
+                dense = dense.astype(self.dtype)
+            return BlockView(self.chunks, dense=dense)
+        return super()._build(ctx)
+
+    # slice pushdown: x[idx] == op(a, b)[idx] == op(a[idx'], b[idx'])
+    def _accept_slice(self, index):
+        from dask_array_tpu._slicing import Slice, slice_for_ndim
+
+        out_ind = self.out_ind
+        new_args = []
+        for a in self.args:
+            if isinstance(a, ArrayExpr):
+                sub = slice_for_ndim(index, self.out_ndim, a.ndim, a.shape)
+                if sub is None:
+                    return None
+                a = Slice(a, sub) if sub else a
+            new_args.append(a)
+        return type(self)(*self.operands[:2], *new_args)
+
+
+class FusedBlockwise(ArrayExpr):
+    """Display/bookkeeping wrapper around a group of fused blockwise nodes.
+
+    In the reference this emits one fused task per block
+    (``_blockwise.py:1574``); here the grouped subtree is already traced into
+    one XLA program, so the wrapper only marks the fusion boundary for
+    ``explain``/``pprint`` and per-group ``shard_map`` execution.
+    """
+
+    _parameters = ("root", "n_fused")
+    _defaults = {"n_fused": 1}
+
+    @property
+    def _meta(self):
+        return self.root._meta
+
+    @property
+    def chunks(self):
+        return self.root.chunks
+
+    def _pprint_line(self):
+        return f"FusedBlockwise[{self.n_fused}]"
+
+    def tree_repr(self, indent=0, seen=None):
+        seen = seen if seen is not None else set()
+        header = " " * indent + self._pprint_line() + "\n"
+        seen.add(self._name)
+        out = [header]
+        # show the fused subtree indented one extra level, then externals
+        out.append(self.root.tree_repr(indent + 2, seen))
+        return "".join(out)
+
+    def _build(self, ctx):
+        return ctx.build(self.root)
+
+
+def is_fusable(expr) -> bool:
+    return isinstance(expr, Blockwise) and expr._fusable or getattr(expr, "_fusable_leaf", False)
+
+
+def optimize_blockwise_fusion(root: ArrayExpr) -> ArrayExpr:
+    """Wrap maximal fusable blockwise groups in FusedBlockwise markers.
+
+    A group is a connected set of fusable nodes whose interior members have
+    no dependents outside the group.  Parity with the grouping pass at
+    ``/root/reference/dask_array/_blockwise.py:1405`` (conflict analysis is
+    unnecessary here: the executor's BlockView gives every fused node access
+    to any input block, so cross-block patterns like ``a + a.T`` are safe).
+    """
+    from dask_array_tpu._expr import collect_dependents
+
+    dependents = collect_dependents(root)
+
+    # find group roots: fusable nodes none of whose dependents would fuse them
+    def fuses_into_parent(node, parent):
+        return is_fusable(parent) and isinstance(parent, Blockwise) and node._name in {
+            a._name for a, _ in parent.array_args
+        } and node.numblocks == parent.numblocks
+
+    groups = []  # (root_node, member_names)
+    for node in root.walk():
+        if not (isinstance(node, Blockwise) and node._fusable):
+            continue
+        deps = dependents.get(node._name, ())
+        if any(fuses_into_parent(node, p) for p in deps):
+            continue  # not a root; belongs to a parent's group
+        # collect members downward
+        members = set()
+        stack = [node]
+        while stack:
+            n = stack.pop()
+            if n._name in members:
+                continue
+            members.add(n._name)
+            if not isinstance(n, Blockwise):
+                continue
+            for child, _ in n.array_args:
+                if not is_fusable(child):
+                    continue
+                if not fuses_into_parent(child, n):
+                    continue
+                # interior nodes must not leak outside the group
+                outside = [
+                    d for d in dependents.get(child._name, ()) if d._name not in members and d is not n
+                ]
+                if any(not fuses_into_parent(child, d) for d in outside):
+                    continue
+                stack.append(child)
+        if len(members) >= 1:
+            groups.append((node, members))
+
+    if not groups:
+        return root
+    mapping = {}
+    for node, members in groups:
+        n_inner = len(members)
+        mapping[node._name] = FusedBlockwise(node, n_inner)
+    memo: dict = {}
+    out = root._substitute_many(mapping, memo)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# user-facing constructors
+# ---------------------------------------------------------------------------
+
+
+def _normalize_kwargs(kwargs: dict):
+    return tuple(sorted(kwargs.items()))
+
+
+def elemwise(op, *args, dtype=None, name=None, where=True, out=None, **kwargs):
+    """Apply an elementwise function with numpy broadcasting across args."""
+    from dask_array_tpu._collection import Array, new_collection
+
+    if out is not None or where is not True:
+        return _elemwise_where(op, args, where, out, dtype=dtype, **kwargs)
+    exprs = [a.expr if isinstance(a, Array) else a for a in args]
+    expr = Elemwise(op, _normalize_kwargs(kwargs), *exprs)
+    if dtype is not None and np.dtype(dtype) != expr.dtype:
+        from dask_array_tpu.ops._casting import astype_expr
+
+        expr = astype_expr(expr, np.dtype(dtype))
+    return new_collection(expr)
+
+
+def _elemwise_where(op, args, where, out, dtype=None, **kwargs):
+    import jax.numpy as jnp
+
+    from dask_array_tpu._collection import Array, new_collection
+
+    base = elemwise(op, *args, dtype=dtype, **kwargs)
+    if where is True:
+        result = base
+    else:
+        if out is None:
+            raise ValueError("where= requires out=")
+        result = elemwise(jnp.where, where, base, out)
+    if out is not None:
+        if not isinstance(out, Array):
+            raise NotImplementedError("out= must be a dask_array_tpu Array")
+        if np.dtype(result.dtype) != out.dtype:
+            result = result.astype(out.dtype)
+        out._replace_expr(result.expr)
+        return out
+    return result
+
+
+def blockwise(
+    func,
+    out_ind,
+    *args,
+    name=None,
+    token=None,
+    dtype=None,
+    adjust_chunks=None,
+    new_axes=None,
+    align_arrays=True,
+    concatenate=None,
+    meta=None,
+    **kwargs,
+):
+    """General blockwise operation (dask.array.blockwise-compatible)."""
+    from dask_array_tpu._collection import Array, new_collection
+
+    out_ind = tuple(out_ind)
+    pairs = []
+    it = iter(args)
+    for a in it:
+        ind = next(it)
+        if isinstance(a, Array):
+            a = a.expr
+        pairs.extend([a, tuple(ind) if ind is not None else None])
+    if meta is not None and dtype is None:
+        dtype = getattr(meta, "dtype", None)
+    adjust = _normalize_kwargs(adjust_chunks) if isinstance(adjust_chunks, dict) else adjust_chunks
+    naxes = _normalize_kwargs(new_axes) if isinstance(new_axes, dict) else new_axes
+    expr = Blockwise(
+        func,
+        out_ind,
+        token or name,
+        np.dtype(dtype) if dtype is not None else None,
+        adjust,
+        naxes,
+        True if concatenate is None else concatenate,
+        _normalize_kwargs(kwargs),
+        *pairs,
+    )
+    return new_collection(expr)

@@ -1,0 +1,227 @@
+"""Trace-to-XLA executor: the TPU-native replacement for task graphs.
+
+Where the reference materializes its lowered expression tree into a dask /
+Frisky task graph (``/root/reference/dask_array/_materialize.py``,
+``_frisky/collect.py``), this executor *traces* the lowered tree into ONE
+jax function over the leaf buffers and jit-compiles it, so that XLA sees the
+entire pipeline at once: blockwise chains fuse into single kernels, block
+matmuls become large MXU contractions, rechunks become layout changes (and,
+on a mesh, ICI collectives inserted by SPMD partitioning).
+
+Every physical expression implements ``_build(ctx) -> BlockView``.  A
+``BlockView`` lets a node produce its value in whichever form is natural —
+a dict of per-block arrays, or a single dense array — and converts lazily:
+dense -> block is slicing (fused by XLA); blocks -> dense is a concatenate.
+
+Execution modes
+  * ``trace`` (default): whole tree under ``jax.jit``; requires known chunks.
+  * ``eager``: same ``_build`` code, run with concrete arrays (needed for
+    unknown/nan chunks, where shapes are data-dependent).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Any
+
+import numpy as np
+
+from dask_array_tpu import config
+from dask_array_tpu._chunks import cached_cumsum, has_unknown_chunks
+from dask_array_tpu._expr import ArrayExpr
+
+
+def _jnp():
+    import jax.numpy as jnp
+
+    return jnp
+
+
+def block_slices(chunks, index):
+    """Slices of block ``index`` inside the dense array with these chunks."""
+    out = []
+    for ax, i in enumerate(index):
+        bounds = cached_cumsum(chunks[ax], initial_zero=True)
+        out.append(slice(int(bounds[i]), int(bounds[i + 1])))
+    return tuple(out)
+
+
+def iter_block_indices(numblocks):
+    return np.ndindex(*numblocks)
+
+
+class BlockView:
+    """Lazy dual representation (blocks dict <-> dense) of one node's value."""
+
+    __slots__ = ("chunks", "_blocks", "_dense")
+
+    def __init__(self, chunks, blocks=None, dense=None):
+        assert blocks is not None or dense is not None
+        self.chunks = chunks
+        self._blocks = blocks
+        self._dense = dense
+
+    @property
+    def numblocks(self):
+        return tuple(len(c) for c in self.chunks)
+
+    def block(self, index):
+        if self._blocks is not None:
+            return self._blocks[tuple(index)]
+        if has_unknown_chunks(self.chunks):
+            raise ValueError("cannot slice blocks out of an array with unknown chunks")
+        return self._dense[block_slices(self.chunks, index)]
+
+    def blocks_dict(self):
+        if self._blocks is None:
+            self._blocks = {
+                tuple(idx): self.block(idx) for idx in iter_block_indices(self.numblocks)
+            }
+        return self._blocks
+
+    def dense(self):
+        if self._dense is None:
+            self._dense = _assemble(self._blocks, self.numblocks)
+        return self._dense
+
+    @property
+    def is_dense(self):
+        return self._dense is not None
+
+
+def _assemble(blocks: dict, numblocks) -> Any:
+    """Concatenate a full grid of blocks into one dense array."""
+    jnp = _jnp()
+    if not numblocks:
+        return blocks[()]
+
+    def rec(axis, prefix):
+        if axis == len(numblocks):
+            return blocks[prefix]
+        parts = [rec(axis + 1, prefix + (i,)) for i in range(numblocks[axis])]
+        if len(parts) == 1:
+            return parts[0]
+        return jnp.concatenate(parts, axis=axis)
+
+    return rec(0, ())
+
+
+class BuildContext:
+    """Carries the memo cache + leaf bindings through one _build traversal."""
+
+    def __init__(self, leaf_values: dict, mode: str = "trace", mesh=None):
+        self.cache: dict[str, BlockView] = {}
+        self.leaf_values = leaf_values  # key -> (traced or concrete) array
+        self.mode = mode
+        self.mesh = mesh
+
+    def build(self, expr: ArrayExpr) -> BlockView:
+        view = self.cache.get(expr._name)
+        if view is None:
+            view = expr._build(self)
+            assert isinstance(view, BlockView), type(expr).__name__
+            view = self._constrain(expr, view)
+            self.cache[expr._name] = view
+        return view
+
+    def leaf(self, key):
+        return self.leaf_values[key]
+
+    def _constrain(self, expr, view: BlockView) -> BlockView:
+        """Apply a mesh sharding constraint at layout-relevant nodes."""
+        if self.mesh is None or self.mode != "trace":
+            return view
+        if not getattr(expr, "_sharding_boundary", False):
+            return view
+        from dask_array_tpu.parallel.layout import constrain_to_mesh
+
+        dense = constrain_to_mesh(view.dense(), view.chunks, self.mesh)
+        return BlockView(view.chunks, dense=dense)
+
+
+# ---------------------------------------------------------------------------
+# leaf collection
+# ---------------------------------------------------------------------------
+
+
+def collect_leaves(root: ArrayExpr):
+    """Deterministically ordered (key, host buffer) pairs for the whole tree."""
+    pairs = []
+    seen = set()
+    for node in sorted(root.walk(), key=lambda n: n._name):
+        for key, buf in node._leaf_buffers():
+            if key not in seen:
+                seen.add(key)
+                pairs.append((key, buf))
+    return pairs
+
+
+# ---------------------------------------------------------------------------
+# compiled-function cache
+# ---------------------------------------------------------------------------
+
+_fn_cache: dict = {}
+_FN_CACHE_LIMIT = 512
+
+
+def _trace_fn(root: ArrayExpr, keys: tuple, mesh):
+    """The (cached) jitted function computing root's dense value from leaves."""
+    import jax
+
+    cache_key = (root._name, keys, id(mesh) if mesh is not None else None)
+    fn = _fn_cache.get(cache_key)
+    if fn is not None:
+        return fn
+
+    def compute_fn(*leaf_arrays):
+        ctx = BuildContext(dict(zip(keys, leaf_arrays)), mode="trace", mesh=mesh)
+        return ctx.build(root).dense()
+
+    donate = config.get("tpu.donate-leaves", False)
+    fn = jax.jit(compute_fn, donate_argnums=tuple(range(len(keys))) if donate else ())
+    if len(_fn_cache) > _FN_CACHE_LIMIT:
+        _fn_cache.clear()
+    _fn_cache[cache_key] = fn
+    return fn
+
+
+def _device_put_leaves(leaf_pairs, mesh):
+    import jax
+
+    if mesh is None:
+        return [b for _, b in leaf_pairs]
+    from dask_array_tpu.parallel.layout import sharding_for
+
+    out = []
+    for key, b in leaf_pairs:
+        arr = np.asarray(b) if not hasattr(b, "devices") else b
+        sh = sharding_for(getattr(arr, "shape", ()), mesh)
+        out.append(jax.device_put(arr, sh) if sh is not None else arr)
+    return out
+
+
+def execute(root: ArrayExpr, mode: str | None = None):
+    """Execute a lowered expression tree; returns a jax.Array (dense)."""
+    from dask_array_tpu.parallel.mesh import current_mesh
+
+    mesh = current_mesh()
+    traceable = root.known_chunks and all(
+        getattr(node, "_traceable", True) for node in root.walk()
+    )
+    if mode is None:
+        mode = "trace" if (config.get("tpu.jit", True) and traceable) else "eager"
+
+    leaf_pairs = collect_leaves(root)
+    keys = tuple(k for k, _ in leaf_pairs)
+
+    if mode == "trace":
+        fn = _trace_fn(root, keys, mesh)
+        args = _device_put_leaves(leaf_pairs, mesh)
+        return fn(*args)
+    # eager: concrete evaluation (handles unknown chunks / untraceable funcs)
+    import jax.numpy as jnp
+
+    vals = {k: jnp.asarray(np.asarray(b)) if not hasattr(b, "dtype") or isinstance(b, np.ndarray) else b for k, b in leaf_pairs}
+    ctx = BuildContext(vals, mode="eager", mesh=None)
+    return ctx.build(root).dense()

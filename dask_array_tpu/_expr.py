@@ -1,0 +1,585 @@
+"""Content-addressed lazy array expressions + the optimizer fixpoint engine.
+
+This is a fresh, dask-free implementation of the reference's expression
+layer (``/root/reference/dask_array/_expr.py`` plus the ``dask._expr``
+engine it inherits from): immutable singleton nodes keyed by a deterministic
+token, cached ``chunks``/``_meta``/``_name`` metadata, and a
+``simplify -> lower -> fuse`` optimization pipeline with sharing-aware
+slice/rechunk/shuffle pushdown gates.
+
+TPU-first difference: expressions do not lower to task graphs.  Physical
+nodes implement ``_build(ctx) -> BlockView`` (see ``_executor.py``) and the
+whole lowered tree is traced into ONE jitted XLA computation over leaf
+buffers, sharded on a ``jax.sharding.Mesh`` when one is active.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+import threading
+import weakref
+from collections import defaultdict
+
+import numpy as np
+
+from dask_array_tpu._chunks import (
+    grid_shape,
+    has_unknown_chunks,
+    num_blocks,
+)
+from dask_array_tpu.utils._tokenize import tokenize
+
+# ---------------------------------------------------------------------------
+# rewrite tracing hook (used by _diagnostics.trace_rewrites / explain)
+# ---------------------------------------------------------------------------
+
+_trace_hook = None  # callable(rule, before, after, phase) | None
+
+
+def _record_rewrite(rule: str, before, after, phase: str) -> None:
+    if _trace_hook is not None and after is not None and after._name != before._name:
+        _trace_hook(rule, before, after, phase)
+
+
+class _NoDefault:
+    def __repr__(self):
+        return "<no-default>"
+
+
+no_default = _NoDefault()
+
+
+class ArrayExpr:
+    """Base class for all array expression nodes.
+
+    Subclasses declare ``_parameters`` (operand names, in positional order)
+    and ``_defaults`` (keyword defaults).  Instances are singletons: building
+    the same node twice returns the same object.
+    """
+
+    _parameters: tuple = ()
+    _defaults: dict = {}
+
+    # every concrete subclass gets its own registry lazily
+    _instances: "weakref.WeakValueDictionary[str, ArrayExpr]" = weakref.WeakValueDictionary()
+    _instances_lock = threading.Lock()
+
+    # set False on nodes (like FromGraph analogs) that must not be deduplicated
+    _singleton = True
+
+    operands: list
+
+    def __new__(cls, *args, **kwargs):
+        operands = list(args)
+        params = list(cls._parameters)
+        if kwargs:
+            for name in params[len(operands):]:
+                if name in kwargs:
+                    operands.append(kwargs.pop(name))
+                elif name in cls._defaults:
+                    operands.append(cls._defaults[name])
+                else:
+                    raise TypeError(f"{cls.__name__} missing operand {name!r}")
+            if kwargs:
+                raise TypeError(f"{cls.__name__} got unexpected operands {sorted(kwargs)}")
+        elif len(operands) < len(params):
+            for name in params[len(operands):]:
+                if name not in cls._defaults:
+                    raise TypeError(f"{cls.__name__} missing operand {name!r}")
+                operands.append(cls._defaults[name])
+
+        inst = object.__new__(cls)
+        inst.operands = operands
+        if not cls._singleton:
+            return inst
+        tok = inst._name
+        with ArrayExpr._instances_lock:
+            existing = ArrayExpr._instances.get(tok)
+            if existing is not None and type(existing) is cls:
+                return existing
+            ArrayExpr._instances[tok] = inst
+        return inst
+
+    # -- operand access -----------------------------------------------------
+
+    def operand(self, name):
+        return self.operands[type(self)._parameters.index(name)]
+
+    def __getattr__(self, name):
+        params = type(self)._parameters
+        if name in params:
+            return self.operands[params.index(name)]
+        raise AttributeError(
+            f"{type(self).__name__!r} object has no attribute {name!r}"
+        )
+
+    # -- identity -----------------------------------------------------------
+
+    @functools.cached_property
+    def deterministic_token(self) -> str:
+        return tokenize(type(self).__qualname__, *self.operands)
+
+    @functools.cached_property
+    def _name(self) -> str:
+        return f"{self._name_prefix()}-{self.deterministic_token}"
+
+    def _name_prefix(self) -> str:
+        return type(self).__name__.lower()
+
+    def __hash__(self):
+        return hash(self._name)
+
+    def __eq__(self, other):
+        return isinstance(other, ArrayExpr) and self._name == other._name
+
+    def __repr__(self):
+        return f"{type(self).__name__}({self._describe()})"
+
+    def _describe(self) -> str:
+        parts = []
+        for name, op in zip(type(self)._parameters, self.operands):
+            if isinstance(op, ArrayExpr):
+                parts.append(f"{name}={type(op).__name__}(...)")
+            else:
+                r = repr(op)
+                if len(r) > 40:
+                    r = r[:37] + "..."
+                parts.append(f"{name}={r}")
+        return ", ".join(parts)
+
+    # -- array metadata -----------------------------------------------------
+
+    @functools.cached_property
+    def _meta(self):
+        raise NotImplementedError(f"{type(self).__name__}._meta")
+
+    @functools.cached_property
+    def chunks(self):
+        raise NotImplementedError(f"{type(self).__name__}.chunks")
+
+    @property
+    def dtype(self):
+        m = self._meta
+        return m.dtype if hasattr(m, "dtype") else np.dtype(type(m))
+
+    @property
+    def shape(self):
+        return tuple(
+            int(sum(c)) if not any(isinstance(x, float) and math.isnan(x) for x in c) else float("nan")
+            for c in self.chunks
+        )
+
+    @property
+    def ndim(self):
+        return len(self.chunks)
+
+    @property
+    def numblocks(self):
+        return grid_shape(self.chunks)
+
+    @property
+    def npartitions(self):
+        return num_blocks(self.chunks)
+
+    @property
+    def size(self):
+        sh = self.shape
+        if any(isinstance(s, float) and math.isnan(s) for s in sh):
+            return float("nan")
+        return int(np.prod(sh)) if sh else 1
+
+    @property
+    def nbytes(self):
+        s = self.size
+        if isinstance(s, float) and math.isnan(s):
+            return float("nan")
+        return s * self.dtype.itemsize
+
+    @property
+    def chunksize(self):
+        return tuple(max(c) for c in self.chunks) if self.ndim else ()
+
+    @property
+    def known_chunks(self) -> bool:
+        return not has_unknown_chunks(self.chunks)
+
+    # -- tree walking ---------------------------------------------------------
+
+    def dependencies(self):
+        return [op for op in self.operands if isinstance(op, ArrayExpr)]
+
+    def walk(self):
+        """Yield every node in the tree exactly once (pre-order)."""
+        seen = set()
+        stack = [self]
+        while stack:
+            node = stack.pop()
+            if node._name in seen:
+                continue
+            seen.add(node._name)
+            yield node
+            stack.extend(node.dependencies())
+
+    def find(self, cls):
+        return [n for n in self.walk() if isinstance(n, cls)]
+
+    def substitute(self, old, new, _memo=None):
+        """Return a copy of the tree with ``old`` (an expr) replaced by ``new``."""
+        memo = _memo if _memo is not None else {}
+        return self._substitute_many({old._name: new}, memo)
+
+    def _substitute_many(self, mapping: dict, memo: dict):
+        if self._name in mapping:
+            return mapping[self._name]
+        if self._name in memo:
+            return memo[self._name]
+        changed = False
+        new_operands = []
+        for op in self.operands:
+            if isinstance(op, ArrayExpr):
+                new_op = op._substitute_many(mapping, memo)
+                changed = changed or new_op is not op
+                new_operands.append(new_op)
+            else:
+                new_operands.append(op)
+        out = type(self)(*new_operands) if changed else self
+        memo[self._name] = out
+        return out
+
+    def rebuild(self, operands):
+        return type(self)(*operands)
+
+    # -- display --------------------------------------------------------------
+
+    def tree_repr(self, indent=0, seen=None) -> str:
+        seen = seen if seen is not None else set()
+        header = " " * indent + self._pprint_line()
+        if self._name in seen:
+            return header + "  (shared)\n"
+        seen.add(self._name)
+        out = [header + "\n"]
+        for dep in self.dependencies():
+            out.append(dep.tree_repr(indent + 2, seen))
+        return "".join(out)
+
+    def _pprint_line(self) -> str:
+        extras = []
+        for name, op in zip(type(self)._parameters, self.operands):
+            if isinstance(op, ArrayExpr):
+                continue
+            r = repr(op)
+            if len(r) > 32:
+                r = r[:29] + "..."
+            extras.append(f"{name}={r}")
+        inner = ", ".join(extras)
+        return f"{type(self).__name__}({inner})"
+
+    def pprint(self):
+        print(self.tree_repr(), end="")
+
+    # ==========================================================================
+    # optimizer: simplify -> lower -> fuse
+    # ==========================================================================
+
+    def optimize(self, fuse=True):
+        expr = self.simplify()
+        expr = expr.lower_completely()
+        if fuse:
+            from dask_array_tpu._blockwise import optimize_blockwise_fusion
+
+            expr = optimize_blockwise_fusion(expr)
+        return expr
+
+    # -- simplify ------------------------------------------------------------
+
+    def _simplify_down(self):
+        """Rewrite this node in isolation (constant folds, no-op removal)."""
+        return None
+
+    def _simplify_up(self, parent, dependents):
+        """Offer a replacement for ``parent`` (self is one of its children).
+
+        The default routes slice/rechunk/shuffle parents through the
+        sharing-aware pushdown gates.
+        """
+        from dask_array_tpu._rechunk import Rechunk
+        from dask_array_tpu._shuffle import Shuffle
+        from dask_array_tpu._slicing import Slice
+
+        if type(parent) is Slice:
+            return self._slice_pushdown(parent, dependents)
+        if type(parent) is Rechunk:
+            return self._rechunk_pushdown(parent, dependents)
+        if type(parent) is Shuffle:
+            return self._shuffle_pushdown(parent, dependents)
+        return None
+
+    # -- pushdown gates (sharing-aware) ---------------------------------------
+
+    def _slice_pushdown(self, parent, dependents):
+        """Gate: push ``parent`` (a Slice of self) into self.
+
+        Declines when another (non-slice) consumer shares ``self`` — pushing
+        would duplicate the upstream computation per consumer.  When every
+        consumer is a slice, pushing is allowed (each consumer then reads
+        less).
+        """
+        deps = dependents.get(self._name, ())
+        from dask_array_tpu._slicing import Slice
+
+        for d in deps:
+            if type(d) is not Slice:
+                return None
+        out = self._accept_slice(parent.index)
+        _record_rewrite(f"{type(self).__name__}._accept_slice", parent, out, "simplify")
+        return out
+
+    def _rechunk_pushdown(self, parent, dependents):
+        deps = dependents.get(self._name, ())
+        if len(deps) > 1:
+            return None
+        out = self._accept_rechunk(parent.target_chunks)
+        _record_rewrite(f"{type(self).__name__}._accept_rechunk", parent, out, "simplify")
+        return out
+
+    def _shuffle_pushdown(self, parent, dependents):
+        deps = dependents.get(self._name, ())
+        if len(deps) > 1:
+            return None
+        out = self._accept_shuffle(parent)
+        _record_rewrite(f"{type(self).__name__}._accept_shuffle", parent, out, "simplify")
+        return out
+
+    def _accept_slice(self, index):
+        """Return an expression equivalent to self[index], or None to decline."""
+        return None
+
+    def _accept_rechunk(self, target_chunks):
+        return None
+
+    def _accept_shuffle(self, shuffle_expr):
+        return None
+
+    # -- drivers ---------------------------------------------------------------
+
+    def simplify(self):
+        expr = self
+        seen = set()
+        while True:
+            if expr._name in seen:
+                break
+            seen.add(expr._name)
+            dependents = collect_dependents(expr)
+            new = _simplify_pass(expr, dependents, {})
+            if new._name == expr._name:
+                break
+            expr = new
+        return expr
+
+    def _lower(self):
+        """Rewrite a logical node into (closer-to-)physical nodes, or None."""
+        return None
+
+    def lower_once(self, cache):
+        if self._name in cache:
+            return cache[self._name]
+        expr = self
+        out = expr._lower()
+        if out is not None and out._name != expr._name:
+            _record_rewrite(f"{type(expr).__name__}._lower", expr, out, "lower")
+            expr = out
+        new_operands = []
+        changed = False
+        for op in expr.operands:
+            if isinstance(op, ArrayExpr):
+                new_op = op.lower_once(cache)
+                changed = changed or new_op._name != op._name
+                new_operands.append(new_op)
+            else:
+                new_operands.append(op)
+        if changed:
+            expr = expr.rebuild(new_operands)
+        cache[self._name] = expr
+        return expr
+
+    def lower_completely(self):
+        expr = self
+        seen = set()
+        while True:
+            if expr._name in seen:
+                break
+            seen.add(expr._name)
+            new = expr.lower_once(_lower_cache())
+            if new._name == expr._name:
+                break
+            expr = new
+        return expr
+
+    # -- cost model -------------------------------------------------------------
+
+    def transfer_bytes(self):
+        """(min, max) bytes this node moves between devices/hosts.
+
+        Blockwise-style nodes are free (block-local); data-movement nodes
+        (rechunk, shuffle, overlap) override with real models.  Used by
+        ``explain`` and the cost-aware unification policy.
+        """
+        return (0, 0)
+
+    # -- execution hooks ----------------------------------------------------------
+
+    def _build(self, ctx):
+        raise NotImplementedError(
+            f"{type(self).__name__} is a logical node and cannot be built; "
+            "call .optimize() / lower first"
+        )
+
+    def _leaf_buffers(self):
+        """Yield (key, host_buffer) pairs this leaf feeds into the jit."""
+        return ()
+
+
+# shared weak-value lowering cache keyed per-process; purged when nodes die
+_LOWER_CACHE_LOCK = threading.Lock()
+_LOWER_CACHE: dict = {}
+_LOWER_CACHE_LIMIT = 4096
+
+
+def _lower_cache():
+    with _LOWER_CACHE_LOCK:
+        if len(_LOWER_CACHE) > _LOWER_CACHE_LIMIT:
+            _LOWER_CACHE.clear()
+    return _LOWER_CACHE
+
+
+def collect_dependents(root: ArrayExpr) -> dict:
+    """Map node name -> list of distinct parent exprs within ``root``'s tree."""
+    dependents: dict[str, list] = defaultdict(list)
+    for node in root.walk():
+        for dep in node.dependencies():
+            lst = dependents[dep._name]
+            if all(p._name != node._name for p in lst):
+                lst.append(node)
+    return dependents
+
+
+def _simplify_pass(expr: ArrayExpr, dependents, memo) -> ArrayExpr:
+    """One top-down pass of down- and up-rewrites over the tree."""
+    if expr._name in memo:
+        return memo[expr._name]
+
+    out = expr
+    # down-rewrites to fixpoint on this node
+    for _ in range(100):
+        new = out._simplify_down()
+        if new is None or new._name == out._name:
+            break
+        _record_rewrite(f"{type(out).__name__}._simplify_down", out, new, "simplify")
+        out = new
+    if out._name != expr._name:
+        memo[expr._name] = out
+        return out
+
+    # up-rewrites: each child may replace this parent
+    for child in out.dependencies():
+        new = child._simplify_up(out, dependents)
+        if new is not None and new._name != out._name:
+            memo[expr._name] = new
+            return new
+
+    # recurse into children
+    new_operands = []
+    changed = False
+    for op in out.operands:
+        if isinstance(op, ArrayExpr):
+            new_op = _simplify_pass(op, dependents, memo)
+            changed = changed or new_op._name != op._name
+            new_operands.append(new_op)
+        else:
+            new_operands.append(op)
+    if changed:
+        out = out.rebuild(new_operands)
+    memo[expr._name] = out
+    return out
+
+
+# ---------------------------------------------------------------------------
+# meta helpers
+# ---------------------------------------------------------------------------
+
+
+def meta_from_array(x, ndim=None, dtype=None):
+    """A 0-size numpy array carrying dtype/ndim (the `_meta` convention)."""
+    if hasattr(x, "_meta"):
+        x = x._meta
+    if dtype is None:
+        dtype = getattr(x, "dtype", None) or np.dtype(type(x) if x is not None else float)
+    if ndim is None:
+        ndim = getattr(x, "ndim", 0)
+    return np.empty((0,) * ndim, dtype=np.dtype(dtype))
+
+
+def _numpy_equivalent(func):
+    """The numpy function matching a jnp function, for dtype-rule parity.
+
+    JAX's promotion lattice differs from numpy's (int32+float32 -> float32
+    vs float64); public API metadata follows numpy, and execution casts the
+    result (see Elemwise._build).
+    """
+    mod = getattr(func, "__module__", "") or ""
+    name = getattr(func, "__name__", None)
+    if name and (mod.startswith("jax") or mod.startswith("dask_array_tpu")):
+        np_fn = getattr(np, name, None)
+        if isinstance(np_fn, np.ufunc) or callable(np_fn):
+            return np_fn
+    return None
+
+
+def compute_meta(func, out_ndim, *args, **kwargs):
+    """Infer an output meta by abstract evaluation.
+
+    Order: the numpy-equivalent function on tiny numpy inputs (numpy dtype
+    rules, matching the reference API), then ``jax.eval_shape`` (traceable
+    funcs), then a real call on tiny inputs.
+    """
+    import jax
+
+    metas = []
+    sds = []
+    for a in args:
+        if hasattr(a, "dtype") and hasattr(a, "ndim"):
+            shape = (1,) * a.ndim
+            metas.append(np.empty(shape, dtype=a.dtype))
+            sds.append(jax.ShapeDtypeStruct(shape, np.dtype(a.dtype)))
+        else:
+            metas.append(a)
+            sds.append(a)
+
+    np_fn = _numpy_equivalent(func)
+    if np_fn is not None:
+        try:
+            with np.errstate(all="ignore"):
+                out = np_fn(*[np.ones_like(m) if isinstance(m, np.ndarray) else m for m in metas], **kwargs)
+            if isinstance(out, (tuple, list)):
+                return tuple(meta_from_array(o) for o in out)
+            nd = out_ndim if out_ndim is not None else getattr(out, "ndim", 0)
+            return meta_from_array(out, ndim=nd)
+        except Exception:
+            pass
+    try:
+        out = jax.eval_shape(lambda *xs: func(*xs, **kwargs), *sds)
+        if isinstance(out, (tuple, list)):
+            return tuple(np.empty((0,) * len(o.shape), dtype=o.dtype) for o in out)
+        return np.empty((0,) * (out_ndim if out_ndim is not None else len(out.shape)), dtype=out.dtype)
+    except Exception:
+        pass
+    try:
+        with np.errstate(all="ignore"):
+            out = func(*metas, **kwargs)
+        if isinstance(out, (tuple, list)):
+            return tuple(meta_from_array(o) for o in out)
+        nd = out_ndim if out_ndim is not None else getattr(out, "ndim", 0)
+        return meta_from_array(out, ndim=nd)
+    except Exception:
+        return None

@@ -1,0 +1,158 @@
+"""Rechunk: change the block layout of an array.
+
+Parity: ``Rechunk``/``plan_rechunk``/``TasksRechunk`` in
+``/root/reference/dask_array/_rechunk.py`` — fresh implementation.
+
+TPU-first: a rechunk is a *layout boundary*, not a copy tree.  Inside one
+chip the dense traced array simply changes its logical block structure
+(free); on a mesh the node carries a sharding constraint so XLA partitions
+the program across the boundary with an ICI all-to-all — the SPMD analog of
+the reference's multi-stage task planner (its copies-vs-tasks tradeoff
+becomes XLA's collective schedule).  The planner-level pushdowns (rechunk
+through IO/elemwise/transpose, no-op elision, rechunk∘rechunk collapse)
+still happen at expression level where they eliminate work outright.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import numpy as np
+
+from dask_array_tpu._chunks import normalize_chunks
+from dask_array_tpu._executor import BlockView
+from dask_array_tpu._expr import ArrayExpr
+
+
+class Rechunk(ArrayExpr):
+    _parameters = ("array", "target_chunks")
+
+    _sharding_boundary = True
+
+    @functools.cached_property
+    def chunks(self):
+        return self.target_chunks
+
+    @property
+    def _meta(self):
+        return self.array._meta
+
+    def _simplify_down(self):
+        if self.target_chunks == self.array.chunks:
+            return self.array
+        if type(self.array) is Rechunk:
+            return Rechunk(self.array.array, self.target_chunks)
+        return None
+
+    def _simplify_up(self, parent, dependents):
+        # default gates first (slice/rechunk/shuffle parents)
+        out = super()._simplify_up(parent, dependents)
+        if out is not None:
+            return out
+        return None
+
+    def _lower(self):
+        # give the child a chance to absorb the rechunk (IO leaves, creation)
+        absorbed = self.array._accept_rechunk(self.target_chunks)
+        if absorbed is not None:
+            return absorbed
+        return None
+
+    def _build(self, ctx):
+        view = ctx.build(self.array)
+        return BlockView(self.chunks, dense=view.dense())
+
+    def transfer_bytes(self):
+        """Between-block movement estimate (for explain / cost decisions).
+
+        min: only misaligned fraction moves; max: full array crosses the
+        boundary once (the all-to-all bound).
+        """
+        nb = self.array.nbytes
+        if isinstance(nb, float) and math.isnan(nb):
+            return (0, 0)
+        moved = _moved_fraction(self.array.chunks, self.target_chunks)
+        return (int(nb * moved), int(nb))
+
+
+def _moved_fraction(old, new):
+    """Fraction of elements whose block assignment changes (approximate)."""
+    frac = 0.0
+    for o, n in zip(old, new):
+        if tuple(o) != tuple(n):
+            frac = 1.0
+            break
+    return frac
+
+
+def rechunk(x, chunks="auto", threshold=None, block_size_limit=None, balance=False, method=None):
+    """Change the chunking of ``x`` (values unchanged)."""
+    from dask_array_tpu._collection import Array, new_collection
+
+    expr = x.expr if isinstance(x, Array) else x
+    if isinstance(chunks, dict):
+        chunks = {k: v for k, v in chunks.items()}
+    norm = normalize_chunks(
+        chunks, expr.shape, limit=block_size_limit, dtype=expr.dtype, previous_chunks=expr.chunks
+    )
+    if balance:
+        norm = tuple(_balance_axis(c) for c in norm)
+    if norm == expr.chunks:
+        return new_collection(expr)
+    return new_collection(Rechunk(expr, norm))
+
+
+def _balance_axis(c):
+    """Even out a chunk tuple (same count, sizes differ by <=1)."""
+    total = sum(c)
+    n = len(c)
+    if n == 0 or any(isinstance(x, float) and math.isnan(x) for x in c):
+        return tuple(c)
+    base = total // n
+    rem = total - base * n
+    return tuple(base + (1 if i < rem else 0) for i in range(n))
+
+
+# ---------------------------------------------------------------------------
+# chunk-intersection algebra (used by per-block consumers and the C++ planner)
+# ---------------------------------------------------------------------------
+
+
+def old_to_new(old_chunks, new_chunks):
+    """For each axis, for each new block: list of (old_block, slice) pieces.
+
+    The fundamental rechunk mapping (parity:
+    ``/root/reference/dask_array/_rechunk.py:130``).
+    """
+    out = []
+    for o, n in zip(old_chunks, new_chunks):
+        o_bounds = np.cumsum([0] + list(o))
+        axis = []
+        pos = 0
+        ob = 0
+        for size in n:
+            lo, hi = pos, pos + size
+            pieces = []
+            while ob < len(o) and o_bounds[ob + 1] <= lo:
+                ob += 1
+            b = ob
+            while b < len(o) and o_bounds[b] < hi:
+                s = max(lo, o_bounds[b]) - o_bounds[b]
+                e = min(hi, o_bounds[b + 1]) - o_bounds[b]
+                pieces.append((b, slice(int(s), int(e))))
+                b += 1
+            axis.append(pieces)
+            pos = hi
+        out.append(axis)
+    return out
+
+
+def intersect_chunks(old_chunks, new_chunks):
+    """Iterate, per new block (row-major), the old-block slab decomposition."""
+    mapping = old_to_new(old_chunks, new_chunks)
+    import itertools
+
+    per_axis = [list(axis) for axis in mapping]
+    for combo in itertools.product(*per_axis):
+        yield tuple(itertools.product(*combo))

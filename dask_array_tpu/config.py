@@ -1,0 +1,89 @@
+"""Two-tier configuration: process-global defaults + context-local overrides.
+
+Mirrors the role of ``dask.config`` in the reference (keys registered at
+import in ``/root/reference/dask_array/__init__.py:21-29``), extended with
+TPU-specific keys (mesh/layout/jit flags).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import threading
+from typing import Any
+
+_global: dict[str, Any] = {
+    # -- optimizer / planner (reference-parity keys) --
+    "array.rechunk.threshold": 32,
+    "array.rechunk.method": "tasks",  # "tasks" | "collective"
+    "array.rechunk.degree-limit": None,
+    "array.unify-chunks-policy": "auto",  # "auto" | "coarse" | "refine"
+    "array.unify-chunks-limit": "512 MiB",
+    "array.chunk-size": "128 MiB",
+    "array.chunk-size-tolerance": 1.25,
+    "array.optimize-graph": True,
+    "split_every": None,
+    # -- TPU execution --
+    "tpu.jit": True,              # trace+jit whole lowered tree when possible
+    "tpu.donate-leaves": False,   # donate leaf buffers into the jitted call
+    "tpu.default-float": None,    # override default float dtype (e.g. "float32")
+    "tpu.matmul-precision": "highest",  # jax.lax precision for contractions
+    "tpu.pallas-matmul": False,   # use the Pallas matmul kernel for block dots
+}
+
+_local = threading.local()
+
+
+def _overrides() -> list[dict]:
+    if not hasattr(_local, "stack"):
+        _local.stack = []
+    return _local.stack
+
+
+def get(key: str, default: Any = None) -> Any:
+    for layer in reversed(_overrides()):
+        if key in layer:
+            return layer[key]
+    return _global.get(key, default)
+
+
+def set_global(values: dict[str, Any]) -> None:
+    _global.update(values)
+
+
+_MISSING = object()
+
+
+class set(contextlib.AbstractContextManager):
+    """``with config.set({"array.rechunk.threshold": 4}): ...``
+
+    Applies the values to the global layer immediately (imperative use); when
+    used as a context manager, the previous values are restored on exit.
+    """
+
+    def __init__(self, values: dict[str, Any] | None = None, **kwargs):
+        vals = dict(values or {})
+        vals.update(kwargs)
+        self._saved = {k: _global.get(k, _MISSING) for k in vals}
+        _global.update(vals)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        for k, old in self._saved.items():
+            if old is _MISSING:
+                _global.pop(k, None)
+            else:
+                _global[k] = old
+        return False
+
+
+@contextlib.contextmanager
+def scoped(values: dict[str, Any]):
+    """Context-scoped override (thread-local)."""
+    stack = _overrides()
+    stack.append(dict(values))
+    try:
+        yield
+    finally:
+        stack.pop()

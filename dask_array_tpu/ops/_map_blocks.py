@@ -1,0 +1,245 @@
+"""map_blocks: apply a function to every block.
+
+Parity: ``/root/reference/dask_array/_map_blocks.py`` — fresh
+implementation.  Supports dtype/chunks/drop_axis/new_axis/block_id/
+block_info injection; the function runs per block inside the trace (jax
+ops) or eagerly (arbitrary host functions) — the executor falls back
+automatically when the function is untraceable.
+"""
+
+from __future__ import annotations
+
+import functools
+from numbers import Integral, Number
+
+import numpy as np
+
+from dask_array_tpu._blockwise import Blockwise, _NHEAD, _normalize_kwargs
+from dask_array_tpu._chunks import validate_axis
+from dask_array_tpu._executor import BlockView, iter_block_indices
+from dask_array_tpu._expr import ArrayExpr, compute_meta
+
+
+class MapBlocks(Blockwise):
+    """Blockwise with optional block_id / block_info injection."""
+
+    _inject_block_id = False
+    _inject_block_info = False
+
+    def _call(self, args, kwargs, out_coord):
+        if type(self)._inject_block_id or self._kwargs_dict.get("__inject_block_id__"):
+            kwargs = dict(kwargs)
+            kwargs.pop("__inject_block_id__", None)
+            kwargs["block_id"] = tuple(out_coord)
+        return self.func(*args, **kwargs)
+
+
+class MapBlocksInfo(Blockwise):
+    """map_blocks with full block_info dicts (locations, chunk bounds)."""
+
+    def _call(self, args, kwargs, out_coord):
+        from dask_array_tpu._chunks import cached_cumsum
+
+        kwargs = dict(kwargs)
+        info = {}
+        for i, (arr, ind) in enumerate(self.arg_pairs):
+            if ind is None or not isinstance(arr, ArrayExpr):
+                continue
+            coord = tuple(out_coord[self.out_ind.index(lbl)] if lbl in self.out_ind else 0 for lbl in ind)
+            bounds = [cached_cumsum(c, initial_zero=True) for c in arr.chunks]
+            loc = tuple(
+                (int(bounds[ax][min(c, len(arr.chunks[ax]) - 1)]), int(bounds[ax][min(c, len(arr.chunks[ax]) - 1) + 1]))
+                for ax, c in enumerate(coord)
+            )
+            info[i] = {
+                "shape": arr.shape,
+                "num-chunks": arr.numblocks,
+                "chunk-location": coord,
+                "array-location": list(loc),
+            }
+        out_bounds = [cached_cumsum(c, initial_zero=True) for c in self.chunks]
+        info[None] = {
+            "shape": self.shape,
+            "num-chunks": self.numblocks,
+            "chunk-location": tuple(out_coord),
+            "array-location": [
+                (int(out_bounds[ax][c]), int(out_bounds[ax][c + 1])) for ax, c in enumerate(out_coord)
+            ],
+            "chunk-shape": tuple(
+                self.chunks[ax][c] for ax, c in enumerate(out_coord)
+            ),
+            "dtype": self.dtype,
+        }
+        kwargs["block_info"] = info
+        return self.func(*args, **kwargs)
+
+
+class ChunksFreeze(ArrayExpr):
+    """Optimization barrier: chunks below are load-bearing (parity:
+    ``ChunksFreeze``, ``/root/reference/dask_array/_expr.py:993``)."""
+
+    _parameters = ("array",)
+
+    @property
+    def chunks(self):
+        return self.array.chunks
+
+    @property
+    def _meta(self):
+        return self.array._meta
+
+    def _build(self, ctx):
+        return ctx.build(self.array)
+
+    # declines every pushdown (inherited defaults return None)
+
+
+def map_blocks(
+    func,
+    *args,
+    name=None,
+    token=None,
+    dtype=None,
+    chunks=None,
+    drop_axis=None,
+    new_axis=None,
+    enforce_ndim=False,
+    meta=None,
+    **kwargs,
+):
+    from dask_array_tpu._collection import Array, new_collection
+    from dask_array_tpu.ops._from_array import asarray
+
+    if not callable(func):
+        raise TypeError("First argument must be callable")
+    arrays = [a for a in args if isinstance(a, Array)]
+    if not arrays:
+        raise ValueError("map_blocks requires at least one Array argument")
+    x = arrays[0]
+    ndim = max(a.ndim for a in arrays)
+
+    if drop_axis is None:
+        drop_axis = []
+    elif isinstance(drop_axis, Integral):
+        drop_axis = [drop_axis]
+    drop_axis = [validate_axis(ax, ndim) for ax in drop_axis]
+    out_ndim = ndim - len(drop_axis)
+    if new_axis is None:
+        new_axis = []
+    elif isinstance(new_axis, Integral):
+        new_axis = [new_axis]
+    new_axis = list(new_axis)
+    out_ndim += len(new_axis)
+
+    import inspect
+
+    inject_id = False
+    inject_info = False
+    try:
+        sig = inspect.signature(func)
+        params = sig.parameters
+        inject_id = "block_id" in params and "block_id" not in kwargs
+        inject_info = "block_info" in params and "block_info" not in kwargs
+    except (TypeError, ValueError):
+        pass
+
+    # build index labels: out gets 0..out_ndim-1; args right-aligned over the
+    # non-dropped, non-new axes
+    kept_in_axes = [ax for ax in range(ndim) if ax not in drop_axis]
+    # label input axes 0..ndim-1; output labels = kept axes relabeled + new axes
+    out_labels = []
+    new_positions = sorted(validate_axis(ax, out_ndim) for ax in new_axis)
+    kept_iter = iter(kept_in_axes)
+    new_label_base = ndim
+    new_axes_spec = {}
+    for pos in range(out_ndim):
+        if pos in new_positions:
+            lbl = new_label_base
+            new_label_base += 1
+            out_labels.append(lbl)
+            new_axes_spec[lbl] = 1
+        else:
+            out_labels.append(next(kept_iter))
+
+    # chunks override
+    adjust = None
+    explicit_chunks = None
+    if chunks is not None:
+        from dask_array_tpu._chunks import normalize_chunks
+
+        if len(chunks) != out_ndim:
+            raise ValueError(
+                f"provided chunks have {len(chunks)} dims; expected {out_ndim}"
+            )
+        # per-axis: scalar -> every block that size; tuple -> explicit
+        explicit_chunks = chunks
+    if isinstance(new_axis, list) and new_axis and chunks is not None:
+        pass
+
+    pairs = []
+    for a in args:
+        if isinstance(a, Array):
+            ind = tuple(range(ndim - a.ndim, ndim))
+            pairs.extend([a.expr, ind])
+        else:
+            pairs.extend([a, None])
+
+    cls = MapBlocksInfo if inject_info else (MapBlocks if not inject_id else MapBlocks)
+    kw = dict(kwargs)
+    expr = cls(
+        func,
+        tuple(out_labels),
+        token or name or getattr(func, "__name__", "map-blocks") or "map-blocks",
+        np.dtype(dtype) if dtype is not None else (getattr(meta, "dtype", None) if meta is not None else None),
+        None,
+        _normalize_kwargs(new_axes_spec) if new_axes_spec else None,
+        True,
+        _normalize_kwargs(kw),
+        *pairs,
+    )
+    if inject_id and not inject_info:
+        # rebuild as block_id-injecting subclass instance
+        expr = _MapBlocksWithId(*expr.operands)
+
+    out = new_collection(expr)
+    if explicit_chunks is not None:
+        from dask_array_tpu._chunks import normalize_chunks
+
+        shape_known = True
+        norm = []
+        for pos, c in enumerate(explicit_chunks):
+            if isinstance(c, (tuple, list)):
+                norm.append(tuple(c))
+            elif isinstance(c, Number):
+                nb = len(expr.chunks[pos]) if pos < len(expr.chunks) else 1
+                norm.append((int(c),) * nb)
+            else:
+                raise ValueError(f"unsupported chunks entry {c!r}")
+        out = new_collection(ChunksOverride(expr, tuple(norm)))
+    return out
+
+
+class _MapBlocksWithId(MapBlocks):
+    _inject_block_id = True
+
+
+class ChunksOverride(ArrayExpr):
+    """Declare the true output chunks of a map_blocks (the function changed
+    block shapes).  Parity: ``ChunksOverride`` (`_expr.py:934`)."""
+
+    _parameters = ("array", "chunks_")
+
+    @property
+    def chunks(self):
+        return self.chunks_
+
+    @property
+    def _meta(self):
+        return self.array._meta
+
+    def _build(self, ctx):
+        view = ctx.build(self.array)
+        # the inner node's declared chunks are wrong; keep its blocks, adopt ours
+        if view._blocks is not None:
+            return BlockView(self.chunks_, blocks=view.blocks_dict())
+        return BlockView(self.chunks_, dense=view._dense)

@@ -1,0 +1,307 @@
+"""Array creation: constant sources, ranges, identity/diagonal matrices.
+
+Parity: ``/root/reference/dask_array/creation/`` (``BroadcastTrick``
+constant leaves with slice/rechunk/shuffle absorption, ``Arange``,
+``Linspace``, ``Eye``...) — fresh implementation.
+
+TPU-first: constant leaves trace to a scalar broadcast (free in XLA — no
+blocks are ever materialized until a consumer needs them); ranges trace to
+``jnp.arange``-style iotas which XLA generates on-device, so creation never
+touches the host.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from numbers import Integral, Number
+
+import numpy as np
+
+from dask_array_tpu._chunks import normalize_chunks
+from dask_array_tpu._executor import BlockView
+from dask_array_tpu._expr import ArrayExpr
+from dask_array_tpu._slicing import sliced_blockdim
+
+
+class BroadcastTrick(ArrayExpr):
+    """A constant-fill leaf: absorbs slices/rechunks/shuffles outright.
+
+    Parity: ``BroadcastTrick`` in
+    ``/root/reference/dask_array/creation/_ones_zeros.py:17-125``.
+    """
+
+    _parameters = ("chunks_", "_dtype", "fill_value")
+    _defaults = {"fill_value": None}
+
+    _fusable_leaf = True
+
+    @property
+    def chunks(self):
+        return self.chunks_
+
+    @functools.cached_property
+    def _meta(self):
+        return np.empty((0,) * len(self.chunks_), dtype=self._dtype)
+
+    def _fill(self):
+        return self.fill_value
+
+    def _build(self, ctx):
+        import jax.numpy as jnp
+
+        fill = self._fill()
+        shape = self.shape
+        if fill is None:  # "empty": contents unspecified; zeros on TPU
+            dense = jnp.zeros(shape, dtype=self._dtype)
+        else:
+            dense = jnp.full(shape, fill, dtype=self._dtype)
+        return BlockView(self.chunks_, dense=dense)
+
+    def _accept_slice(self, index):
+        new_chunks = []
+        for ax, ind in enumerate(index):
+            if isinstance(ind, Integral):
+                continue
+            if ind == slice(None):
+                new_chunks.append(self.chunks_[ax])
+            else:
+                nc, _ = sliced_blockdim(self.chunks_[ax], ind)
+                new_chunks.append(nc)
+        return type(self)(tuple(new_chunks), self._dtype, self.fill_value)
+
+    def _accept_rechunk(self, target_chunks):
+        return type(self)(tuple(target_chunks), self._dtype, self.fill_value)
+
+    def _accept_shuffle(self, shuffle_expr):
+        chunks = list(self.chunks_)
+        chunks[shuffle_expr.axis] = tuple(len(g) for g in shuffle_expr.indexer)
+        return type(self)(tuple(chunks), self._dtype, self.fill_value)
+
+
+class Ones(BroadcastTrick):
+    _defaults = {"fill_value": 1}
+
+
+class Zeros(BroadcastTrick):
+    _defaults = {"fill_value": 0}
+
+
+class Empty(BroadcastTrick):
+    _defaults = {"fill_value": None}
+
+
+class Full(BroadcastTrick):
+    pass
+
+
+def _wrap_shape(shape):
+    if isinstance(shape, Integral):
+        return (int(shape),)
+    return tuple(int(s) for s in shape)
+
+
+def _make(cls, shape, dtype, chunks, fill_value=None, meta=None):
+    from dask_array_tpu._collection import new_collection
+
+    shape = _wrap_shape(shape)
+    dtype = np.dtype(dtype if dtype is not None else float)
+    chunks = normalize_chunks(chunks, shape, dtype=dtype)
+    if cls is Full:
+        if fill_value is None:
+            raise TypeError("full() requires a fill_value")
+        if dtype is None:
+            dtype = np.asarray(fill_value).dtype
+        return new_collection(Full(chunks, dtype, fill_value))
+    return new_collection(cls(chunks, dtype))
+
+
+def ones(shape, dtype=float, chunks="auto", name=None, meta=None):
+    return _make(Ones, shape, dtype, chunks)
+
+
+def zeros(shape, dtype=float, chunks="auto", name=None, meta=None):
+    return _make(Zeros, shape, dtype, chunks)
+
+
+def empty(shape, dtype=float, chunks="auto", name=None, meta=None):
+    return _make(Empty, shape, dtype, chunks)
+
+
+def full(shape, fill_value, dtype=None, chunks="auto", name=None, meta=None):
+    if dtype is None:
+        dtype = np.asarray(fill_value).dtype
+    return _make(Full, shape, dtype, chunks, fill_value=fill_value)
+
+
+def _like(maker, a, dtype=None, chunks=None, shape=None, **kw):
+    from dask_array_tpu._collection import Array
+
+    if shape is None:
+        shape = a.shape
+    if dtype is None:
+        dtype = a.dtype
+    if chunks is None:
+        chunks = a.chunks if isinstance(a, Array) and shape == a.shape else "auto"
+    return maker(shape, dtype=dtype, chunks=chunks, **kw)
+
+
+def ones_like(a, dtype=None, chunks=None, shape=None, name=None):
+    return _like(ones, a, dtype, chunks, shape)
+
+
+def zeros_like(a, dtype=None, chunks=None, shape=None, name=None):
+    return _like(zeros, a, dtype, chunks, shape)
+
+
+def empty_like(a, dtype=None, chunks=None, shape=None, name=None):
+    return _like(empty, a, dtype, chunks, shape)
+
+
+def full_like(a, fill_value, dtype=None, chunks=None, shape=None, name=None):
+    from dask_array_tpu._collection import Array
+
+    if shape is None:
+        shape = a.shape
+    if dtype is None:
+        dtype = a.dtype
+    if chunks is None:
+        chunks = a.chunks if isinstance(a, Array) and shape == a.shape else "auto"
+    return full(shape, fill_value, dtype=dtype, chunks=chunks)
+
+
+# ---------------------------------------------------------------------------
+# ranges
+# ---------------------------------------------------------------------------
+
+
+class Arange(ArrayExpr):
+    """Lazy arange; generated on-device as an iota (parity:
+    ``/root/reference/dask_array/creation/_arange.py``)."""
+
+    _parameters = ("start", "stop", "step", "chunks_", "_dtype")
+
+    _fusable_leaf = True
+
+    @property
+    def chunks(self):
+        return self.chunks_
+
+    @functools.cached_property
+    def _meta(self):
+        return np.empty((0,), dtype=self._dtype)
+
+    def _build(self, ctx):
+        import jax.numpy as jnp
+
+        n = self.shape[0]
+        idx = jnp.arange(n)
+        dense = (self.start + idx * self.step).astype(self._dtype)
+        return BlockView(self.chunks_, dense=dense)
+
+    def _accept_slice(self, index):
+        (ind,) = index
+        if isinstance(ind, Integral):
+            return None  # 0-d result; leave to generic slicing
+        n = self.shape[0]
+        start, stop, step = ind.indices(n)
+        new_start = self.start + start * self.step
+        new_step = self.step * step
+        count = max(0, -(-(stop - start) // step)) if step > 0 else max(0, -(-(start - stop) // -step))
+        nc, _ = sliced_blockdim(self.chunks_[0], ind)
+        return Arange(new_start, new_start + count * new_step, new_step, (nc,), self._dtype)
+
+    def _accept_rechunk(self, target_chunks):
+        return Arange(self.start, self.stop, self.step, tuple(target_chunks), self._dtype)
+
+
+def arange(start=0, stop=None, step=1, *, chunks="auto", like=None, dtype=None):
+    from dask_array_tpu._collection import new_collection
+
+    if stop is None:
+        start, stop = 0, start
+    num = int(max(0, math.ceil((stop - start) / step)))
+    if dtype is None:
+        dtype = np.arange(type(start)(0), type(stop)(1) if num else type(stop)(0), step).dtype
+    dtype = np.dtype(dtype)
+    chunks = normalize_chunks(chunks, (num,), dtype=dtype)
+    return new_collection(Arange(start, stop, step, chunks, dtype))
+
+
+class Linspace(ArrayExpr):
+    _parameters = ("start", "stop", "num", "endpoint", "chunks_", "_dtype")
+
+    _fusable_leaf = True
+
+    @property
+    def chunks(self):
+        return self.chunks_
+
+    @functools.cached_property
+    def _meta(self):
+        return np.empty((0,), dtype=self._dtype)
+
+    @property
+    def _step(self):
+        div = (self.num - 1) if self.endpoint else self.num
+        return (self.stop - self.start) / max(1, div)
+
+    def _build(self, ctx):
+        import jax.numpy as jnp
+
+        idx = jnp.arange(self.num)
+        dense = (self.start + idx * self._step).astype(self._dtype)
+        return BlockView(self.chunks_, dense=dense)
+
+    def _accept_rechunk(self, target_chunks):
+        return Linspace(self.start, self.stop, self.num, self.endpoint, tuple(target_chunks), self._dtype)
+
+
+def linspace(start, stop, num=50, endpoint=True, retstep=False, chunks="auto", dtype=None):
+    from dask_array_tpu._collection import new_collection
+
+    num = int(num)
+    if dtype is None:
+        dtype = np.linspace(0, 1, 1).dtype
+    dtype = np.dtype(dtype)
+    chunks = normalize_chunks(chunks, (num,), dtype=dtype)
+    expr = Linspace(float(start), float(stop), num, bool(endpoint), chunks, dtype)
+    from dask_array_tpu._collection import new_collection as _nc
+
+    arr = _nc(expr)
+    if retstep:
+        return arr, expr._step
+    return arr
+
+
+class Eye(ArrayExpr):
+    _parameters = ("N", "M", "k", "chunks_", "_dtype")
+
+    _fusable_leaf = True
+
+    @property
+    def chunks(self):
+        return self.chunks_
+
+    @functools.cached_property
+    def _meta(self):
+        return np.empty((0, 0), dtype=self._dtype)
+
+    def _build(self, ctx):
+        import jax.numpy as jnp
+
+        dense = jnp.eye(self.N, self.M, k=self.k, dtype=self._dtype)
+        return BlockView(self.chunks_, dense=dense)
+
+    def _accept_rechunk(self, target_chunks):
+        return Eye(self.N, self.M, self.k, tuple(target_chunks), self._dtype)
+
+
+def eye(N, chunks="auto", M=None, k=0, dtype=float):
+    from dask_array_tpu._collection import new_collection
+
+    if M is None:
+        M = N
+    dtype = np.dtype(dtype)
+    ch = normalize_chunks(chunks, (int(N), int(M)), dtype=dtype)
+    return new_collection(Eye(int(N), int(M), int(k), ch, dtype))

@@ -1,0 +1,257 @@
+"""Concatenate / stack / block.
+
+Parity: ``/root/reference/dask_array/stacking/`` — fresh implementation.
+Concatenate is free at execution time (the trace concatenates once and XLA
+fuses the copy into consumers); at expression level it distributes slices
+onto the surviving parts so upstream work is culled.
+"""
+
+from __future__ import annotations
+
+import functools
+from numbers import Integral
+
+import numpy as np
+
+from dask_array_tpu._chunks import cached_cumsum, common_blockdim, has_unknown_chunks, validate_axis
+from dask_array_tpu._executor import BlockView
+from dask_array_tpu._expr import ArrayExpr
+from dask_array_tpu._slicing import Slice, is_basic_index, normalize_slice
+
+
+class Concatenate(ArrayExpr):
+    _parameters = ("axis",)
+    # operands[1:] are the input expressions
+
+    @property
+    def arrays(self):
+        return self.operands[1:]
+
+    @functools.cached_property
+    def chunks(self):
+        axis = self.axis
+        first = self.arrays[0]
+        out = []
+        for ax in range(first.ndim):
+            if ax == axis:
+                cat = []
+                for a in self.arrays:
+                    cat.extend(a.chunks[ax])
+                out.append(tuple(cat))
+            else:
+                cands = [a.chunks[ax] for a in self.arrays]
+                out.append(cands[0] if all(c == cands[0] for c in cands) else common_blockdim(cands))
+        return tuple(out)
+
+    @functools.cached_property
+    def _meta(self):
+        dtype = np.promote_types(*[a.dtype for a in self.arrays]) if len(self.arrays) > 1 else self.arrays[0].dtype
+        if len(self.arrays) > 2:
+            dtype = functools.reduce(np.promote_types, [a.dtype for a in self.arrays])
+        return np.empty((0,) * self.arrays[0].ndim, dtype=dtype)
+
+    def _simplify_down(self):
+        if len(self.arrays) == 1:
+            return self.arrays[0]
+        # flatten nested concatenates along the same axis
+        if any(type(a) is Concatenate and a.axis == self.axis for a in self.arrays):
+            flat = []
+            for a in self.arrays:
+                if type(a) is Concatenate and a.axis == self.axis:
+                    flat.extend(a.arrays)
+                else:
+                    flat.append(a)
+            return Concatenate(self.axis, *flat)
+        return None
+
+    def _lower(self):
+        from dask_array_tpu._rechunk import Rechunk
+
+        want = self.chunks
+        axis = self.axis
+        changed = False
+        new = []
+        for a in self.arrays:
+            target = tuple(
+                a.chunks[ax] if ax == axis else want[ax] for ax in range(a.ndim)
+            )
+            if target != a.chunks and not has_unknown_chunks(a.chunks):
+                a = Rechunk(a, target)
+                changed = True
+            new.append(a)
+        if changed:
+            return Concatenate(self.axis, *new)
+        return None
+
+    def _build(self, ctx):
+        import jax.numpy as jnp
+
+        parts = [ctx.build(a).dense() for a in self.arrays]
+        dtype = self.dtype
+        parts = [p.astype(dtype) if p.dtype != dtype else p for p in parts]
+        return BlockView(self.chunks, dense=jnp.concatenate(parts, axis=self.axis))
+
+    def _accept_slice(self, index):
+        if not is_basic_index(index):
+            return None
+        axis = self.axis
+        ind = index[axis] if axis < len(index) else slice(None)
+        rest = tuple(
+            i for pos, i in enumerate(index) if pos != axis
+        )
+        # the index applied to each part on the non-concat axes
+        def part_index(part, axis_ind):
+            out = list(index)
+            out[axis] = axis_ind
+            return tuple(out)
+
+        sizes = [a.shape[axis] for a in self.arrays]
+        if any(isinstance(s, float) and np.isnan(s) for s in sizes):
+            return None
+        bounds = np.cumsum([0] + sizes)
+        if isinstance(ind, Integral):
+            i = int(ind)
+            part = int(np.searchsorted(bounds, i, side="right")) - 1
+            inner = i - int(bounds[part])
+            return Slice(self.arrays[part], part_index(self.arrays[part], inner))
+        if ind.step is not None and ind.step < 0:
+            return None  # keep the outer slice (still correct, just unpushed)
+        total = int(bounds[-1])
+        start, stop, step = ind.indices(total)
+        pieces = []
+        for p, a in enumerate(self.arrays):
+            lo, hi = int(bounds[p]), int(bounds[p + 1])
+            lo_eff = max(lo, start)
+            hi_eff = min(hi, stop)
+            if hi_eff <= lo_eff:
+                continue
+            k0 = -(-(lo_eff - start) // step)
+            first = start + k0 * step
+            if first >= hi_eff:
+                continue
+            inner = normalize_slice(slice(first - lo, hi_eff - lo, step), a.shape[axis])
+            pieces.append(Slice(a, part_index(a, inner)))
+        if not pieces:
+            empty = Slice(self.arrays[0], part_index(self.arrays[0], slice(0, 0, 1)))
+            return empty
+        if len(pieces) == 1:
+            return pieces[0]
+        # count surviving output axes before `axis` (ints drop axes)
+        new_axis = sum(1 for pos in range(axis) if not isinstance(index[pos], Integral))
+        return Concatenate(new_axis, *pieces)
+
+
+def concatenate(seq, axis=0, allow_unknown_chunksizes=False, **kwargs):
+    from dask_array_tpu._collection import Array, new_collection
+    from dask_array_tpu.ops._from_array import asarray
+
+    seq = [asarray(a) for a in seq]
+    if not seq:
+        raise ValueError("Need array(s) to concatenate")
+    if axis is None:
+        from dask_array_tpu.ops._reshape import ravel
+
+        seq = [ravel(a) for a in seq]
+        axis = 0
+    ndim = seq[0].ndim
+    axis = validate_axis(axis, ndim)
+    for a in seq:
+        if a.ndim != ndim:
+            raise ValueError(
+                f"Arrays must have same number of dimensions: got {[s.ndim for s in seq]}"
+            )
+        for ax in range(ndim):
+            if ax == axis:
+                continue
+            s0, s1 = seq[0].shape[ax], a.shape[ax]
+            if not allow_unknown_chunksizes and not (
+                (isinstance(s0, float) and np.isnan(s0)) or (isinstance(s1, float) and np.isnan(s1))
+            ) and s0 != s1:
+                raise ValueError(
+                    f"Shapes do not align along non-concatenated axis {ax}: {[s.shape for s in seq]}"
+                )
+    if len(seq) == 1:
+        return seq[0]
+    return new_collection(Concatenate(axis, *[a.expr for a in seq]))
+
+
+def stack(seq, axis=0, allow_unknown_chunksizes=False):
+    from dask_array_tpu.ops._from_array import asarray
+    from dask_array_tpu.ops.manipulation import expand_dims
+
+    seq = [asarray(a) for a in seq]
+    if not seq:
+        raise ValueError("Need array(s) to stack")
+    ndim = seq[0].ndim
+    if not all(a.ndim == ndim for a in seq):
+        raise ValueError("Stacked arrays must have the same number of dimensions")
+    shapes = {a.shape for a in seq}
+    if not allow_unknown_chunksizes and len(shapes) > 1:
+        raise ValueError(f"Stacked arrays must have the same shape, got {shapes}")
+    axis = validate_axis(axis, ndim + 1)
+    parts = [expand_dims(a, axis) for a in seq]
+    return concatenate(parts, axis=axis, allow_unknown_chunksizes=allow_unknown_chunksizes)
+
+
+def vstack(tup, allow_unknown_chunksizes=False):
+    from dask_array_tpu.ops.manipulation import atleast_2d
+
+    tup = tuple(atleast_2d(t) for t in tup)
+    return concatenate(tup, axis=0, allow_unknown_chunksizes=allow_unknown_chunksizes)
+
+
+def hstack(tup, allow_unknown_chunksizes=False):
+    tup = tuple(tup)
+    if all(t.ndim == 1 for t in tup):
+        return concatenate(tup, axis=0, allow_unknown_chunksizes=allow_unknown_chunksizes)
+    return concatenate(tup, axis=1, allow_unknown_chunksizes=allow_unknown_chunksizes)
+
+
+def dstack(tup, allow_unknown_chunksizes=False):
+    from dask_array_tpu.ops.manipulation import atleast_3d
+
+    tup = tuple(atleast_3d(t) for t in tup)
+    return concatenate(tup, axis=2, allow_unknown_chunksizes=allow_unknown_chunksizes)
+
+
+def block(arrays, allow_unknown_chunksizes=False):
+    """Assemble an array from nested lists of blocks (numpy.block)."""
+
+    def rec(arrs, depth):
+        if isinstance(arrs, list):
+            if not arrs:
+                raise ValueError("lists cannot be empty")
+            parts = [rec(a, depth + 1) for a in arrs]
+            max_nd = max(p.ndim for p in parts)
+            return parts, depth
+        return arrs, depth
+
+    def max_depth(arrs):
+        if isinstance(arrs, list):
+            return 1 + max((max_depth(a) for a in arrs), default=0)
+        return 0
+
+    depth = max_depth(arrays)
+
+    def assemble(arrs, level):
+        from dask_array_tpu.ops._from_array import asarray
+        from dask_array_tpu.ops.manipulation import expand_dims
+
+        if not isinstance(arrs, list):
+            a = asarray(arrs)
+            while a.ndim < depth:
+                a = expand_dims(a, 0)
+            return a
+        parts = [assemble(a, level + 1) for a in arrs]
+        nd = max(p.ndim for p in parts)
+        parts2 = []
+        for p in parts:
+            from dask_array_tpu.ops.manipulation import expand_dims as ed
+
+            while p.ndim < nd:
+                p = ed(p, 0)
+            parts2.append(p)
+        axis = nd - (depth - level)
+        return concatenate(parts2, axis=axis, allow_unknown_chunksizes=allow_unknown_chunksizes)
+
+    return assemble(arrays, 0)

@@ -1,0 +1,164 @@
+"""Deterministic content-addressed tokenization.
+
+The expression system is content-addressed: every ``ArrayExpr`` node's
+identity (its ``_name``) is a stable hash of its type and operands, so that
+structurally identical expressions are the *same* singleton object and
+optimizer tests can compare rewritten trees by name equality.
+
+Reference parity: plays the role of ``dask.base.tokenize`` as used by the
+reference's expression layer (``/root/reference/dask_array/_expr.py``), but
+is a fresh implementation with no dask dependency.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import itertools
+import pickle
+import threading
+import uuid
+import weakref
+from numbers import Number
+
+import numpy as np
+
+# Arrays at or below this many bytes are tokenized by content; larger ones by
+# a per-object identity uuid (stable for the lifetime of the object).  Content
+# hashing of multi-GiB leaves would make expression construction O(nbytes).
+_CONTENT_HASH_LIMIT = 65536
+
+_object_tokens: "weakref.WeakValueDictionary[int, object]" = weakref.WeakValueDictionary()
+_token_registry: dict[int, str] = {}
+_registry_lock = threading.Lock()
+_counter = itertools.count()
+
+
+def _identity_token(obj) -> str:
+    """Stable-per-object random token (objects too big/opaque to hash)."""
+    key = id(obj)
+    with _registry_lock:
+        existing = _object_tokens.get(key)
+        if existing is obj:
+            return _token_registry[key]
+        tok = uuid.uuid4().hex
+        try:
+            _object_tokens[key] = obj
+            _token_registry[key] = tok
+        except TypeError:
+            # object not weakref-able; fall back to a one-shot token
+            pass
+        return tok
+
+
+def _normalize(obj, out: list) -> None:
+    """Append a canonical byte-representation of ``obj`` to ``out``."""
+    typ = type(obj)
+    if obj is None or typ in (bool, int, str, bytes):
+        out.append(repr(obj))
+    elif typ is float:
+        # repr distinguishes -0.0/nan payloads enough for our purposes
+        out.append(f"f:{obj!r}")
+    elif typ is complex:
+        out.append(f"c:{obj!r}")
+    elif isinstance(obj, np.dtype):
+        out.append(f"dtype:{obj.str}")
+    elif isinstance(obj, np.generic):
+        out.append(f"npscalar:{obj.dtype.str}:{obj.item()!r}")
+    elif typ in (tuple, list):
+        out.append("(" if typ is tuple else "[")
+        for item in obj:
+            _normalize(item, out)
+        out.append(")" if typ is tuple else "]")
+    elif typ is dict:
+        out.append("{")
+        try:
+            items = sorted(obj.items())
+        except TypeError:
+            items = sorted(obj.items(), key=lambda kv: str(kv[0]))
+        for k, v in items:
+            _normalize(k, out)
+            _normalize(v, out)
+        out.append("}")
+    elif typ in (set, frozenset):
+        out.append("s{")
+        for item in sorted(map(_token_of_single, obj)):
+            out.append(item)
+        out.append("}")
+    elif isinstance(obj, slice):
+        out.append(f"slice:{obj.start!r}:{obj.stop!r}:{obj.step!r}")
+    elif isinstance(obj, np.ndarray):
+        if obj.nbytes <= _CONTENT_HASH_LIMIT:
+            arr = np.ascontiguousarray(obj)
+            out.append(f"nd:{arr.dtype.str}:{arr.shape}:")
+            out.append(hashlib.blake2b(arr.tobytes(), digest_size=16).hexdigest())
+        else:
+            out.append(f"ndbig:{obj.dtype.str}:{obj.shape}:{_identity_token(obj.base if obj.base is not None else obj)}")
+    elif hasattr(obj, "_name") and hasattr(obj, "operands"):
+        # an expression node: already content-addressed
+        out.append(f"expr:{obj._name}")
+    elif callable(obj):
+        out.append(_normalize_callable(obj))
+    elif isinstance(obj, Number):
+        out.append(f"num:{typ.__name__}:{obj!r}")
+    else:
+        # jax arrays and other device buffers: identity (don't pull to host)
+        mod = typ.__module__ or ""
+        if mod.startswith("jax") or hasattr(obj, "__cuda_array_interface__"):
+            out.append(f"devbuf:{_identity_token(obj)}")
+            return
+        try:
+            payload = pickle.dumps(obj, protocol=5)
+            out.append(f"pkl:{hashlib.blake2b(payload, digest_size=16).hexdigest()}")
+        except Exception:
+            out.append(f"idobj:{_identity_token(obj)}")
+
+
+def _normalize_callable(fn) -> str:
+    try:
+        if isinstance(fn, np.ufunc):
+            return f"ufunc:{fn.__name__}"
+        import functools
+
+        if isinstance(fn, functools.partial):
+            parts: list = ["partial:", _normalize_callable(fn.func)]
+            _normalize(fn.args, parts)
+            _normalize(fn.keywords or {}, parts)
+            return "".join(parts)
+        mod = getattr(fn, "__module__", None)
+        qual = getattr(fn, "__qualname__", None)
+        if mod and qual and "<locals>" not in qual and "<lambda>" not in qual:
+            return f"fn:{mod}.{qual}"
+        code = getattr(fn, "__code__", None)
+        if code is not None:
+            # hash the bytecode + consts so structurally identical lambdas match
+            closure = getattr(fn, "__closure__", None)
+            cells: list = []
+            if closure:
+                for cell in closure:
+                    try:
+                        _normalize(cell.cell_contents, cells)
+                    except Exception:
+                        cells.append(_identity_token(cell))
+            h = hashlib.blake2b(digest_size=16)
+            h.update(code.co_code)
+            h.update(repr(code.co_consts).encode())
+            h.update("".join(cells).encode())
+            return f"lambda:{h.hexdigest()}"
+        return f"callable:{_identity_token(fn)}"
+    except Exception:
+        return f"callable:{_identity_token(fn)}"
+
+
+def _token_of_single(obj) -> str:
+    parts: list = []
+    _normalize(obj, parts)
+    return "".join(parts)
+
+
+def tokenize(*args) -> str:
+    """Deterministic 16-byte hex token of the arguments."""
+    parts: list = []
+    for a in args:
+        _normalize(a, parts)
+    h = hashlib.blake2b("\x00".join(parts).encode(), digest_size=16)
+    return h.hexdigest()

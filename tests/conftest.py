@@ -1,0 +1,31 @@
+"""Test configuration: run the suite on a virtual 8-device CPU mesh.
+
+The driver benches on real TPU hardware; tests validate semantics and
+multi-chip sharding on CPU (jax devices are faked via XLA_FLAGS, as the
+reference validates its distributed path with an in-process LocalCluster —
+/root/reference/dask_array/tests/conftest.py:42-63).
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(42)
+
+
+@pytest.fixture
+def mesh8():
+    import jax
+    from jax.sharding import Mesh
+
+    devs = np.asarray(jax.devices("cpu")[:8]).reshape(2, 4)
+    return Mesh(devs, ("x", "y"))
