@@ -250,27 +250,27 @@ def _axes_of(a, axis):
     return (validate_axis(axis, a.ndim),)
 
 
-def _count(a, axis, keepdims, split_every):
+def _count(a, axis, keepdims, split_every, dtype="f8"):
     from dask_array_tpu.ops.creation import ones
 
-    o = ones(a.shape, dtype="f8", chunks=a.chunks)
-    return sum(o, axis=axis, keepdims=keepdims, split_every=split_every)
+    o = ones(a.shape, dtype=dtype, chunks=a.chunks)
+    return sum(o, axis=axis, dtype=dtype, keepdims=keepdims, split_every=split_every)
 
 
-def _nancount(a, axis, keepdims, split_every):
+def _nancount(a, axis, keepdims, split_every, dtype="f8"):
     import jax.numpy as jnp
 
     notnan = elemwise(jnp.logical_not, elemwise(jnp.isnan, a))
-    return sum(notnan, axis=axis, dtype="f8", keepdims=keepdims, split_every=split_every)
+    return sum(notnan, axis=axis, dtype=dtype, keepdims=keepdims, split_every=split_every)
 
 
 def var(a, axis=None, dtype=None, keepdims=False, ddof=0, split_every=None, out=None):
     dt = _var_dtype(a, dtype)
     x = a.astype(dt)
-    n = _count(a, axis, keepdims=True, split_every=split_every)
-    mu = sum(x, axis=axis, keepdims=True, split_every=split_every) / n
+    n = _count(a, axis, keepdims=True, split_every=split_every, dtype=dt)
+    mu = sum(x, axis=axis, dtype=dt, keepdims=True, split_every=split_every) / n
     m2 = sum((x - mu) * (x - mu), axis=axis, dtype=dt, keepdims=keepdims, split_every=split_every)
-    denom = _count(a, axis, keepdims=keepdims, split_every=split_every) - ddof
+    denom = _count(a, axis, keepdims=keepdims, split_every=split_every, dtype=dt) - ddof
     return m2 / denom
 
 
@@ -285,12 +285,12 @@ def nanvar(a, axis=None, dtype=None, keepdims=False, ddof=0, split_every=None, o
 
     dt = _var_dtype(a, dtype)
     x = a.astype(dt)
-    n = _nancount(a, axis, keepdims=True, split_every=split_every)
-    total = nansum(x, axis=axis, keepdims=True, split_every=split_every)
+    n = _nancount(a, axis, keepdims=True, split_every=split_every, dtype=dt)
+    total = nansum(x, axis=axis, dtype=dt, keepdims=True, split_every=split_every)
     mu = total / n
     filled = elemwise(jnp.where, elemwise(jnp.isnan, x), mu, x)
     m2 = sum((filled - mu) * (filled - mu), axis=axis, dtype=dt, keepdims=keepdims, split_every=split_every)
-    denom = _nancount(a, axis, keepdims=keepdims, split_every=split_every) - ddof
+    denom = _nancount(a, axis, keepdims=keepdims, split_every=split_every, dtype=dt) - ddof
     return m2 / denom
 
 
