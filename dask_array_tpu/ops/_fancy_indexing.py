@@ -1,0 +1,285 @@
+"""Fancy indexing: integer-array take, boolean masks, vindex.
+
+Parity: ``/root/reference/dask_array/slicing/`` (``_basic.py`` int-array
+routing, ``_bool_index.py``, ``_vindex.py``) — fresh implementation.
+
+TPU notes: integer-array take is a dense gather (XLA ``gather`` HLO);
+boolean masking produces data-dependent shapes, so those nodes are marked
+untraceable and the executor computes them eagerly (the reference's
+"nan chunks" contract: metadata stays unknown until compute_chunk_sizes).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from numbers import Integral
+
+import numpy as np
+
+from dask_array_tpu._chunks import validate_axis
+from dask_array_tpu._executor import BlockView
+from dask_array_tpu._expr import ArrayExpr
+from dask_array_tpu._slicing import Slice, is_basic_index
+
+
+class Take(ArrayExpr):
+    """Integer-array indexing along one axis (dense gather)."""
+
+    _parameters = ("array", "indices", "axis", "out_chunks_axis")
+
+    @functools.cached_property
+    def chunks(self):
+        chunks = list(self.array.chunks)
+        chunks[self.axis] = self.out_chunks_axis
+        return tuple(chunks)
+
+    @property
+    def _meta(self):
+        return self.array._meta
+
+    def _build(self, ctx):
+        import jax.numpy as jnp
+
+        view = ctx.build(self.array)
+        idx = jnp.asarray(np.asarray(self.indices, dtype=np.int64))
+        dense = jnp.take(view.dense(), idx, axis=self.axis)
+        return BlockView(self.chunks, dense=dense)
+
+    def transfer_bytes(self):
+        nb = self.array.nbytes
+        if isinstance(nb, float) and math.isnan(nb):
+            return (0, 0)
+        n = self.array.shape[self.axis]
+        taken = len(self.indices)
+        return (0, int(nb * taken / max(1, n)))
+
+
+def take(a, indices, axis=0):
+    from dask_array_tpu._collection import Array, new_collection
+    from dask_array_tpu.ops._from_array import asarray
+
+    a = asarray(a)
+    axis = validate_axis(axis, a.ndim)
+    if isinstance(indices, Array):
+        return _take_lazy(a, indices, axis)
+    indices = np.asarray(indices)
+    if indices.dtype == bool:
+        return fancy_getitem(a, tuple(indices if ax == axis else slice(None) for ax in range(a.ndim)))
+    if indices.ndim != 1:
+        flat = take(a, indices.ravel(), axis=axis)
+        from dask_array_tpu.ops._reshape import reshape
+
+        new_shape = a.shape[:axis] + indices.shape + a.shape[axis + 1:]
+        return reshape(flat, new_shape)
+    n = a.shape[axis]
+    idx = indices.astype(np.int64)
+    if n == n:  # not nan
+        neg = idx < 0
+        if neg.any():
+            idx = np.where(neg, idx + n, idx)
+        if ((idx < 0) | (idx >= n)).any():
+            bad = indices[(idx < 0) | (idx >= n)][0]
+            raise IndexError(f"index {bad} is out of bounds for axis {axis} with size {n}")
+    # chunk the output axis like the input's typical chunk
+    mean = int(np.mean(a.chunks[axis])) if len(a.chunks[axis]) else 1
+    mean = max(1, mean)
+    ngroups = max(1, -(-len(idx) // mean))
+    sizes = [len(g) for g in np.array_split(idx, ngroups)]
+    out_axis = tuple(s for s in sizes if s) or (0,)
+    return new_collection(Take(a.expr, tuple(int(i) for i in idx), axis, out_axis))
+
+
+def _take_lazy(a, indices, axis):
+    """Take with a lazy integer Array of indices (1-D)."""
+    from dask_array_tpu._collection import new_collection
+
+    if indices.ndim != 1:
+        raise NotImplementedError("lazy index arrays must be 1-D")
+    return new_collection(TakeLazy(a.expr, indices.expr, axis))
+
+
+class TakeLazy(ArrayExpr):
+    _parameters = ("array", "indices", "axis")
+
+    @functools.cached_property
+    def chunks(self):
+        chunks = list(self.array.chunks)
+        chunks[self.axis] = self.indices.chunks[0]
+        return tuple(chunks)
+
+    @property
+    def _meta(self):
+        return self.array._meta
+
+    def _build(self, ctx):
+        import jax.numpy as jnp
+
+        view = ctx.build(self.array)
+        idx = ctx.build(self.indices).dense()
+        dense = jnp.take(view.dense(), idx, axis=self.axis)
+        return BlockView(self.chunks, dense=dense)
+
+
+class BooleanIndex(ArrayExpr):
+    """x[mask]: data-dependent output size -> unknown (nan) chunks, eager.
+
+    Parity: ``BooleanIndexFlattened`` (``slicing/_bool_index.py:118``).
+    """
+
+    _parameters = ("array", "mask", "axis")  # axis None => full-ndim mask
+
+    _traceable = False
+
+    @functools.cached_property
+    def chunks(self):
+        if self.axis is None:
+            return ((float("nan"),),)
+        chunks = list(self.array.chunks)
+        chunks[self.axis] = (float("nan"),)
+        return tuple(chunks)
+
+    @property
+    def _meta(self):
+        nd = 1 if self.axis is None else self.array.ndim
+        return np.empty((0,) * nd, dtype=self.array.dtype)
+
+    def _build(self, ctx):
+        import jax.numpy as jnp
+
+        view = ctx.build(self.array)
+        mview = ctx.build(self.mask) if isinstance(self.mask, ArrayExpr) else None
+        mask = mview.dense() if mview is not None else jnp.asarray(np.asarray(self.mask))
+        dense = view.dense()
+        if self.axis is None:
+            out = dense[mask]
+        else:
+            out = jnp.compress(mask, dense, axis=self.axis)
+        return BlockView(self.chunks, dense=out)
+
+
+class VIndex(ArrayExpr):
+    """Pointwise (coordinate) indexing: parity with ``vindex``
+    (``slicing/_vindex.py``).  Dense XLA gather."""
+
+    _parameters = ("array", "index")  # index: tuple of int-arrays / slices
+
+    @functools.cached_property
+    def _bcast_shape(self):
+        arrs = [np.asarray(i) for i in self.index if not isinstance(i, slice)]
+        return np.broadcast_shapes(*[a.shape for a in arrs])
+
+    @functools.cached_property
+    def chunks(self):
+        # broadcast dims lead (single chunk each), remaining sliced axes follow
+        lead = tuple((s,) for s in self._bcast_shape)
+        rest = tuple(
+            self.array.chunks[ax]
+            for ax, i in enumerate(self.index)
+            if isinstance(i, slice)
+        )
+        return lead + rest
+
+    @property
+    def _meta(self):
+        return np.empty((0,) * len(self.chunks), dtype=self.array.dtype)
+
+    def _build(self, ctx):
+        import jax.numpy as jnp
+
+        view = ctx.build(self.array)
+        dense = view.dense()
+        idx = tuple(
+            jnp.asarray(np.asarray(i)) if not isinstance(i, slice) else i
+            for i in self.index
+        )
+        return BlockView(self.chunks, dense=dense[idx])
+
+
+class VIndexAccessor:
+    def __init__(self, array):
+        self._array = array
+
+    def __getitem__(self, index):
+        from dask_array_tpu._collection import Array, new_collection
+
+        if not isinstance(index, tuple):
+            index = (index,)
+        x = self._array
+        if len(index) < x.ndim:
+            index = index + (slice(None),) * (x.ndim - len(index))
+        norm = []
+        for i, dim in zip(index, x.shape):
+            if isinstance(i, slice):
+                norm.append(i)
+            elif isinstance(i, Array):
+                raise NotImplementedError("vindex with lazy index arrays is not supported yet")
+            else:
+                arr = np.asarray(i)
+                if arr.dtype == bool:
+                    arr = np.nonzero(arr)[0]
+                arr = np.where(arr < 0, arr + dim, arr)
+                if ((arr < 0) | (arr >= dim)).any():
+                    raise IndexError("vindex index out of bounds")
+                norm.append(arr)
+        return new_collection(VIndex(x.expr, tuple(tuple(map(int, a.ravel())) if False else _freeze(a) for a in norm)))
+
+
+def _freeze(x):
+    if isinstance(x, slice):
+        return x
+    a = np.asarray(x)
+    return a  # tokenized by content (small) or identity
+
+
+def fancy_getitem(x, index):
+    """Route a normalized index containing arrays/lists to the right expr."""
+    from dask_array_tpu._collection import Array, new_collection
+
+    index = tuple(index)
+
+    # full-ndim boolean mask
+    for pos, i in enumerate(index):
+        mask_like = (isinstance(i, (np.ndarray, Array)) and getattr(i, "dtype", None) is not None and np.dtype(i.dtype) == bool)
+        if mask_like and getattr(i, "ndim", 1) == x.ndim and all(j == slice(None) for k, j in enumerate(index) if k != pos):
+            m = i.expr if isinstance(i, Array) else i
+            return new_collection(BooleanIndex(x.expr, m, None))
+
+    fancy_pos = [
+        pos
+        for pos, i in enumerate(index)
+        if not (isinstance(i, slice) or isinstance(i, Integral))
+    ]
+    if len(fancy_pos) != 1:
+        raise NotImplementedError(
+            "indexing with multiple index arrays is only supported through "
+            ".vindex (pointwise) indexing"
+        )
+    (pos,) = fancy_pos
+    i = index[pos]
+    rest = [j for k, j in enumerate(index) if k != pos]
+
+    if isinstance(i, Array):
+        if np.dtype(i.dtype) == bool:
+            out = new_collection(BooleanIndex(x.expr, i.expr, pos))
+        else:
+            out = _take_lazy(x, i, pos)
+    else:
+        arr = np.asarray(i)
+        if arr.dtype == bool:
+            if arr.ndim != 1:
+                raise IndexError("boolean index did not match indexed array")
+            if arr.shape[0] != x.shape[pos]:
+                raise IndexError(
+                    f"boolean index length {arr.shape[0]} does not match axis {pos} size {x.shape[pos]}"
+                )
+            out = take(x, np.nonzero(arr)[0], axis=pos)
+        else:
+            out = take(x, arr, axis=pos)
+
+    # apply the remaining basic index around the fancy axis
+    if all(isinstance(j, slice) and j == slice(None) for j in rest):
+        return out
+    full = list(index)
+    full[pos] = slice(None)
+    return new_collection(Slice(out.expr, tuple(full)))

@@ -305,3 +305,253 @@ def eye(N, chunks="auto", M=None, k=0, dtype=float):
     dtype = np.dtype(dtype)
     ch = normalize_chunks(chunks, (int(N), int(M)), dtype=dtype)
     return new_collection(Eye(int(N), int(M), int(k), ch, dtype))
+
+
+# ---------------------------------------------------------------------------
+# diag / diagonal / tri / pad / tile / repeat / meshgrid / indices / fromfunction
+# ---------------------------------------------------------------------------
+
+
+class Diag1D(ArrayExpr):
+    """diag(v) for 1-d v: the k-offset diagonal matrix."""
+
+    _parameters = ("array", "k")
+
+    @functools.cached_property
+    def chunks(self):
+        n = self.array.shape[0] + abs(self.k)
+        c = self.array.chunks[0]
+        if self.k == 0:
+            return (c, c)
+        return ((n,), (n,))
+
+    @functools.cached_property
+    def _meta(self):
+        return np.empty((0, 0), dtype=self.array.dtype)
+
+    def _build(self, ctx):
+        import jax.numpy as jnp
+
+        v = ctx.build(self.array).dense()
+        return BlockView(self.chunks, dense=jnp.diag(v, k=self.k))
+
+
+def diag(v, k=0):
+    from dask_array_tpu._collection import Array, new_collection
+    from dask_array_tpu.ops._from_array import asarray
+
+    v = asarray(v)
+    if v.ndim == 1:
+        return new_collection(Diag1D(v.expr, int(k)))
+    if v.ndim == 2:
+        from dask_array_tpu.ops.routines import diagonal as _diagonal
+
+        return _diagonal(v, offset=k)
+    raise ValueError("Array must be 1d or 2d only")
+
+
+def diagonal(a, offset=0, axis1=0, axis2=1):
+    from dask_array_tpu.ops.routines import diagonal as _diagonal
+
+    return _diagonal(a, offset=offset, axis1=axis1, axis2=axis2)
+
+
+class Tri(ArrayExpr):
+    _parameters = ("N", "M", "k", "chunks_", "_dtype")
+
+    @property
+    def chunks(self):
+        return self.chunks_
+
+    @functools.cached_property
+    def _meta(self):
+        return np.empty((0, 0), dtype=self._dtype)
+
+    def _build(self, ctx):
+        import jax.numpy as jnp
+
+        dense = jnp.tri(self.N, self.M, self.k, dtype=self._dtype)
+        return BlockView(self.chunks_, dense=dense)
+
+
+def tri(N, M=None, k=0, dtype=float, chunks="auto", *, like=None):
+    from dask_array_tpu._collection import new_collection
+
+    if M is None:
+        M = N
+    dtype = np.dtype(dtype)
+    ch = normalize_chunks(chunks, (int(N), int(M)), dtype=dtype)
+    return new_collection(Tri(int(N), int(M), int(k), ch, dtype))
+
+
+class Pad(ArrayExpr):
+    _parameters = ("array", "pad_width", "mode", "kwargs")
+    _defaults = {"kwargs": ()}
+
+    @functools.cached_property
+    def chunks(self):
+        out = []
+        for ax, c in enumerate(self.array.chunks):
+            lo, hi = self.pad_width[ax]
+            axis = list(c)
+            if lo:
+                axis = [lo] + axis
+            if hi:
+                axis = axis + [hi]
+            out.append(tuple(axis) or (0,))
+        return tuple(out)
+
+    @property
+    def _meta(self):
+        return self.array._meta
+
+    def _build(self, ctx):
+        import jax.numpy as jnp
+
+        dense = ctx.build(self.array).dense()
+        kw = dict(self.kwargs or ())
+        out = jnp.pad(dense, self.pad_width, mode=self.mode, **kw)
+        if out.dtype != self.dtype:
+            out = out.astype(self.dtype)
+        return BlockView(self.chunks, dense=out)
+
+
+def pad(array, pad_width, mode="constant", **kwargs):
+    from dask_array_tpu._collection import new_collection
+    from dask_array_tpu.ops._from_array import asarray
+
+    array = asarray(array)
+    # normalize pad_width to ((lo, hi), ...) per axis
+    pw = np.asarray(pad_width)
+    if pw.ndim == 0:
+        norm = tuple((int(pw), int(pw)) for _ in range(array.ndim))
+    elif pw.ndim == 1 and pw.shape == (2,):
+        norm = tuple((int(pw[0]), int(pw[1])) for _ in range(array.ndim))
+    elif pw.ndim == 1:
+        norm = tuple((int(x), int(x)) for x in pw)
+    else:
+        norm = tuple((int(lo), int(hi)) for lo, hi in pw)
+    if len(norm) != array.ndim:
+        raise ValueError("pad_width does not match array ndim")
+    if callable(mode):
+        raise NotImplementedError("callable pad modes are not supported")
+    kw = tuple(sorted(
+        (k, tuple(v) if isinstance(v, list) else v) for k, v in kwargs.items()
+    ))
+    return new_collection(Pad(array.expr, norm, mode, kw))
+
+
+def tile(A, reps):
+    from dask_array_tpu.ops._from_array import asarray
+    from dask_array_tpu.ops.stacking import concatenate
+
+    A = asarray(A)
+    if isinstance(reps, Integral):
+        reps = (reps,)
+    reps = tuple(int(r) for r in reps)
+    if any(r < 0 for r in reps):
+        raise ValueError("negative dimensions are not allowed")
+    # prepend length-1 axes
+    while A.ndim < len(reps):
+        from dask_array_tpu.ops.manipulation import expand_dims
+
+        A = expand_dims(A, 0)
+    reps = (1,) * (A.ndim - len(reps)) + reps
+    out = A
+    for ax, r in enumerate(reps):
+        if r == 1:
+            continue
+        if r == 0:
+            out = out[tuple(slice(0, 0) if i == ax else slice(None) for i in range(out.ndim))]
+            continue
+        out = concatenate([out] * r, axis=ax)
+    return out
+
+
+class Repeat(ArrayExpr):
+    _parameters = ("array", "repeats", "axis")
+
+    @functools.cached_property
+    def chunks(self):
+        out = list(self.array.chunks)
+        out[self.axis] = tuple(c * self.repeats for c in out[self.axis])
+        return tuple(out)
+
+    @property
+    def _meta(self):
+        return self.array._meta
+
+    def _build(self, ctx):
+        import jax.numpy as jnp
+
+        dense = ctx.build(self.array).dense()
+        return BlockView(self.chunks, dense=jnp.repeat(dense, self.repeats, axis=self.axis))
+
+
+def repeat(a, repeats, axis=None):
+    from dask_array_tpu._collection import new_collection
+    from dask_array_tpu.ops._from_array import asarray
+    from dask_array_tpu._chunks import validate_axis
+
+    a = asarray(a)
+    if axis is None:
+        a = a.ravel() if a.ndim != 1 else a
+        axis = 0
+    axis = validate_axis(axis, a.ndim)
+    if not isinstance(repeats, Integral):
+        from dask_array_tpu.ops._fancy_indexing import take
+
+        rep = np.asarray(repeats)
+        idx = np.repeat(np.arange(a.shape[axis]), rep)
+        return take(a, idx, axis=axis)
+    return new_collection(Repeat(a.expr, int(repeats), axis))
+
+
+def meshgrid(*xi, sparse=False, indexing="xy", **kwargs):
+    from dask_array_tpu.ops._from_array import asarray
+    from dask_array_tpu.ops.manipulation import broadcast_to
+
+    xi = [asarray(x) for x in xi]
+    if indexing not in ("ij", "xy"):
+        raise ValueError("indexing must be 'ij' or 'xy'")
+    ndim = len(xi)
+    order = list(range(ndim))
+    if indexing == "xy" and ndim > 1:
+        order[0], order[1] = order[1], order[0]
+    shapes = [xi[i].shape[0] if xi[i].ndim else 1 for i in range(ndim)]
+    full_shape = tuple(shapes[order[d]] for d in range(ndim))
+    out = []
+    for i, x in enumerate(xi):
+        pos = order.index(i)
+        shape_i = tuple(x.shape[0] if d == pos else 1 for d in range(ndim))
+        xr = x.reshape(shape_i)
+        if sparse:
+            out.append(xr)
+        else:
+            out.append(broadcast_to(xr, full_shape))
+    return out
+
+
+def indices(dimensions, dtype=int, chunks="auto"):
+    from dask_array_tpu.ops.manipulation import broadcast_to
+    from dask_array_tpu.ops.stacking import stack
+
+    dimensions = tuple(int(d) for d in dimensions)
+    grids = []
+    for i, d in enumerate(dimensions):
+        r = arange(d, dtype=dtype, chunks=chunks if isinstance(chunks, str) else chunks)
+        shape_i = tuple(d if j == i else 1 for j in range(len(dimensions)))
+        grids.append(broadcast_to(r.reshape(shape_i), dimensions))
+    if not grids:
+        from dask_array_tpu.ops._from_array import from_array
+
+        return from_array(np.empty((0,), dtype=dtype))
+    return stack(grids, axis=0)
+
+
+def fromfunction(func, shape=None, chunks="auto", dtype=float, **kwargs):
+    idx = indices(shape, dtype=dtype, chunks=chunks)
+    from dask_array_tpu._blockwise import elemwise
+
+    parts = [idx[i] for i in range(len(shape))]
+    return elemwise(lambda *ix: func(*ix, **kwargs), *parts)

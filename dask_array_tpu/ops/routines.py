@@ -1,0 +1,1071 @@
+"""General numpy-style routines.
+
+Parity: ``/root/reference/dask_array/routines/`` — fresh implementation.
+Most routines compose from elemwise/blockwise/reduction/slicing
+expressions; data-dependent-shape routines (nonzero, unique, ...) are
+untraceable nodes computed eagerly with unknown (nan) chunks, matching the
+reference's contract.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from numbers import Integral, Number
+
+import numpy as np
+
+from dask_array_tpu._blockwise import elemwise
+from dask_array_tpu._chunks import cached_cumsum, validate_axis
+from dask_array_tpu._executor import BlockView
+from dask_array_tpu._expr import ArrayExpr
+
+
+def _jnp():
+    import jax.numpy as jnp
+
+    return jnp
+
+
+def _asarray(x):
+    from dask_array_tpu.ops._from_array import asarray
+
+    return asarray(x)
+
+
+# ---------------------------------------------------------------------------
+# elementwise-composed routines
+# ---------------------------------------------------------------------------
+
+
+def where(condition, x=None, y=None):
+    if x is None and y is None:
+        return nonzero(condition)
+    if x is None or y is None:
+        raise ValueError("either both or neither of x and y should be given")
+    jnp = _jnp()
+    return elemwise(jnp.where, condition, x, y)
+
+
+def round(a, decimals=0):
+    jnp = _jnp()
+    return elemwise(jnp.round, a, decimals=decimals)
+
+
+around = round
+
+
+def isclose(a, b, rtol=1e-05, atol=1e-08, equal_nan=False):
+    jnp = _jnp()
+    return elemwise(jnp.isclose, a, b, rtol=rtol, atol=atol, equal_nan=equal_nan)
+
+
+def allclose(a, b, rtol=1e-05, atol=1e-08, equal_nan=False):
+    return isclose(a, b, rtol=rtol, atol=atol, equal_nan=equal_nan).all()
+
+
+def iscomplexobj(x):
+    return np.issubdtype(getattr(x, "dtype", np.asarray(x).dtype), np.complexfloating)
+
+
+def isnull(values):
+    jnp = _jnp()
+    v = _asarray(values)
+    if np.issubdtype(v.dtype, np.floating) or np.issubdtype(v.dtype, np.complexfloating):
+        return elemwise(jnp.isnan, v)
+    from dask_array_tpu.ops.creation import zeros
+
+    return zeros(v.shape, dtype=bool, chunks=v.chunks)
+
+
+def notnull(values):
+    jnp = _jnp()
+    return ~isnull(values)
+
+
+def result_type(*arrays_and_dtypes):
+    return np.result_type(*[
+        a.dtype if isinstance(getattr(a, "dtype", None), np.dtype) else a
+        for a in arrays_and_dtypes
+    ])
+
+
+def ndim(a):
+    if hasattr(a, "ndim"):
+        return a.ndim
+    return np.asarray(a).ndim
+
+
+def shape(a):
+    if hasattr(a, "shape"):
+        return a.shape
+    return np.asarray(a).shape
+
+
+def count_nonzero(a, axis=None):
+    a = _asarray(a)
+    return (a != 0).sum(axis=axis, dtype=np.intp)
+
+
+def ptp(a, axis=None):
+    a = _asarray(a)
+    return a.max(axis=axis) - a.min(axis=axis)
+
+
+def average(a, axis=None, weights=None, returned=False, keepdims=False):
+    a = _asarray(a)
+    if weights is None:
+        avg = a.mean(axis=axis, keepdims=keepdims)
+        from dask_array_tpu.ops.reductions import _count
+
+        scl = _count(a, axis, keepdims=keepdims, split_every=None, dtype=avg.dtype)
+    else:
+        w = _asarray(weights)
+        if w.ndim != a.ndim and axis is not None and w.ndim == 1:
+            ax = validate_axis(axis, a.ndim)
+            shape_w = [1] * a.ndim
+            shape_w[ax] = w.shape[0]
+            w = w.reshape(tuple(shape_w))
+        scl = w.sum(axis=axis, keepdims=keepdims)
+        avg = (a * w).sum(axis=axis, keepdims=keepdims) / scl
+    if returned:
+        from dask_array_tpu.ops.manipulation import broadcast_to
+
+        if scl.shape != avg.shape:
+            scl = broadcast_to(scl, avg.shape)
+        return avg, scl
+    return avg
+
+
+def cov(m, y=None, rowvar=1, bias=0, ddof=None):
+    if ddof is not None and ddof != int(ddof):
+        raise ValueError("ddof must be integer")
+    m = _asarray(m)
+    if m.ndim > 2:
+        raise ValueError("m has more than 2 dimensions")
+    X = m if m.ndim == 2 else m.reshape((1, -1))
+    if not rowvar and X.shape[0] != 1:
+        X = X.T
+    if y is not None:
+        y = _asarray(y)
+        Y = y if y.ndim == 2 else y.reshape((1, -1))
+        if not rowvar and Y.shape[0] != 1:
+            Y = Y.T
+        from dask_array_tpu.ops.stacking import concatenate
+
+        X = concatenate([X, Y], axis=0)
+    N = X.shape[1]
+    if ddof is None:
+        ddof = 1 if bias == 0 else 0
+    fact = N - ddof
+    mean_ = X.mean(axis=1, keepdims=True)
+    Xc = X - mean_
+    from dask_array_tpu.ops.linalg import dot
+    from dask_array_tpu.ops.ufuncs import conj
+
+    return dot(Xc, conj(Xc).T) / fact
+
+
+def corrcoef(x, y=None, rowvar=1):
+    from dask_array_tpu.ops.ufuncs import sqrt
+
+    c = cov(x, y, rowvar)
+    if c.ndim == 0:
+        return c / c
+    d = diagonal(c)
+    denom = sqrt(d[:, None] * d[None, :])
+    return c / denom
+
+
+# ---------------------------------------------------------------------------
+# differences / gradients
+# ---------------------------------------------------------------------------
+
+
+def diff(a, n=1, axis=-1, prepend=None, append_=None, append=None):
+    a = _asarray(a)
+    if append is None:
+        append = append_
+    axis = validate_axis(axis, a.ndim)
+    parts = []
+    if prepend is not None:
+        parts.append(_asarray(prepend))
+    parts.append(a)
+    if append is not None:
+        parts.append(_asarray(append))
+    if len(parts) > 1:
+        from dask_array_tpu.ops.stacking import concatenate
+
+        parts = [
+            p if p.ndim == a.ndim else p.reshape(tuple(1 if i == axis else s for i, s in enumerate(a.shape)))
+            for p in parts
+        ]
+        a = concatenate(parts, axis=axis)
+    for _ in range(int(n)):
+        hi = tuple(slice(1, None) if i == axis else slice(None) for i in range(a.ndim))
+        lo = tuple(slice(None, -1) if i == axis else slice(None) for i in range(a.ndim))
+        a = a[hi] - a[lo]
+    return a
+
+
+def ediff1d(ary, to_end=None, to_begin=None):
+    ary = _asarray(ary).ravel()
+    out = diff(ary)
+    parts = []
+    if to_begin is not None:
+        parts.append(_asarray(to_begin).ravel())
+    parts.append(out)
+    if to_end is not None:
+        parts.append(_asarray(to_end).ravel())
+    if len(parts) > 1:
+        from dask_array_tpu.ops.stacking import concatenate
+
+        return concatenate(parts)
+    return out
+
+
+def gradient(f, *varargs, axis=None, edge_order=1):
+    f = _asarray(f)
+    if axis is None:
+        axes = tuple(range(f.ndim))
+    elif isinstance(axis, Integral):
+        axes = (validate_axis(axis, f.ndim),)
+    else:
+        axes = tuple(validate_axis(ax, f.ndim) for ax in axis)
+    if varargs and len(varargs) not in (1, len(axes)):
+        raise TypeError("invalid number of arguments")
+    spacings = list(varargs) if varargs else [1.0] * len(axes)
+    if len(spacings) == 1 and len(axes) > 1:
+        spacings = spacings * len(axes)
+
+    results = []
+    for ax, h in zip(axes, spacings):
+        results.append(_gradient_axis(f, ax, h, edge_order))
+    if len(results) == 1:
+        return results[0]
+    return results
+
+
+class _GradientAxis(ArrayExpr):
+    _parameters = ("array", "axis", "spacing", "edge_order")
+
+    @property
+    def chunks(self):
+        return self.array.chunks
+
+    @functools.cached_property
+    def _meta(self):
+        probe = np.gradient(np.ones((2,) * self.array.ndim, dtype=self.array.dtype), axis=self.axis)
+        return np.empty((0,) * self.array.ndim, dtype=probe.dtype)
+
+    def _build(self, ctx):
+        jnp = _jnp()
+        dense = ctx.build(self.array).dense()
+        sp = self.spacing
+        if isinstance(sp, np.ndarray):
+            sp = jnp.asarray(sp)
+        out = jnp.gradient(dense, sp, axis=self.axis)
+        return BlockView(self.chunks, dense=out)
+
+
+def _gradient_axis(f, ax, h, edge_order):
+    from dask_array_tpu._collection import new_collection
+
+    if hasattr(h, "ndim") and getattr(h, "ndim", 0) > 0:
+        h = np.asarray(h)
+    return new_collection(_GradientAxis(f.expr, ax, h, edge_order))
+
+
+# ---------------------------------------------------------------------------
+# data-dependent-shape routines (eager, nan chunks)
+# ---------------------------------------------------------------------------
+
+
+class _EagerUnary(ArrayExpr):
+    """Base: run a jnp function eagerly; output size is data-dependent."""
+
+    _parameters = ("array", "kind", "params")
+    _defaults = {"params": ()}
+
+    _traceable = False
+
+    @functools.cached_property
+    def chunks(self):
+        return ((float("nan"),),) * 1 if self._out_ndim == 1 else tuple(
+            ((float("nan"),),) * self._out_ndim
+        )
+
+    _out_ndim = 1
+
+    @property
+    def _meta(self):
+        return np.empty((0,), dtype=self._out_dtype)
+
+    _out_dtype = np.intp
+
+    def _build(self, ctx):
+        raise NotImplementedError
+
+
+class NonzeroAxis(ArrayExpr):
+    _parameters = ("array", "axis_out")
+
+    _traceable = False
+
+    @property
+    def chunks(self):
+        return ((float("nan"),),)
+
+    @property
+    def _meta(self):
+        return np.empty((0,), dtype=np.intp)
+
+    def _build(self, ctx):
+        jnp = _jnp()
+        dense = ctx.build(self.array).dense()
+        out = jnp.nonzero(dense)[self.axis_out]
+        return BlockView(self.chunks, dense=out.astype(np.intp))
+
+
+def nonzero(a):
+    from dask_array_tpu._collection import new_collection
+
+    a = _asarray(a)
+    return tuple(new_collection(NonzeroAxis(a.expr, i)) for i in range(a.ndim))
+
+
+def flatnonzero(a):
+    a = _asarray(a)
+    return nonzero(a.ravel())[0]
+
+
+def argwhere(a):
+    from dask_array_tpu.ops.stacking import stack
+
+    a = _asarray(a)
+    nz = nonzero(a)
+    if not nz:
+        from dask_array_tpu.ops._from_array import from_array
+
+        return from_array(np.empty((0, 0), dtype=np.intp))
+    return stack(nz, axis=1, allow_unknown_chunksizes=True)
+
+
+class Unique(ArrayExpr):
+    _parameters = ("array", "which")  # which: values|indices|inverse|counts
+
+    _traceable = False
+
+    @property
+    def chunks(self):
+        if self.which == "inverse":
+            return ((float("nan"),),)
+        return ((float("nan"),),)
+
+    @functools.cached_property
+    def _meta(self):
+        if self.which == "values":
+            return np.empty((0,), dtype=self.array.dtype)
+        return np.empty((0,), dtype=np.intp)
+
+    def _build(self, ctx):
+        jnp = _jnp()
+        dense = ctx.build(self.array).dense().ravel()
+        vals, idx, inv, counts = jnp.unique(
+            dense, return_index=True, return_inverse=True, return_counts=True
+        )
+        out = {"values": vals, "indices": idx, "inverse": inv, "counts": counts}[self.which]
+        if self.which != "values":
+            out = out.astype(np.intp)
+        return BlockView(self.chunks, dense=out)
+
+
+def unique(ar, return_index=False, return_inverse=False, return_counts=False):
+    from dask_array_tpu._collection import new_collection
+
+    ar = _asarray(ar)
+    out = [new_collection(Unique(ar.expr, "values"))]
+    if return_index:
+        out.append(new_collection(Unique(ar.expr, "indices")))
+    if return_inverse:
+        out.append(new_collection(Unique(ar.expr, "inverse")))
+    if return_counts:
+        out.append(new_collection(Unique(ar.expr, "counts")))
+    if len(out) == 1:
+        return out[0]
+    return tuple(out)
+
+
+def union1d(ar1, ar2):
+    from dask_array_tpu.ops.stacking import concatenate
+
+    return unique(concatenate([_asarray(ar1).ravel(), _asarray(ar2).ravel()], axis=0))
+
+
+class Bincount(ArrayExpr):
+    _parameters = ("array", "weights", "minlength")
+
+    @property
+    def _traceable(self):
+        return self.minlength is not None and self.minlength > 0
+
+    @functools.cached_property
+    def chunks(self):
+        if self.minlength:
+            return ((self.minlength,),)
+        return ((float("nan"),),)
+
+    @functools.cached_property
+    def _meta(self):
+        dt = np.intp if self.weights is None else np.promote_types(
+            self.weights.dtype, np.float64
+        )
+        return np.empty((0,), dtype=dt)
+
+    def _build(self, ctx):
+        jnp = _jnp()
+        dense = ctx.build(self.array).dense()
+        w = ctx.build(self.weights).dense() if isinstance(self.weights, ArrayExpr) else None
+        if self.minlength:
+            out = jnp.bincount(dense, weights=w, length=self.minlength)
+        else:
+            out = jnp.bincount(dense, weights=w)
+        if out.dtype != self.dtype:
+            out = out.astype(self.dtype)
+        return BlockView(self.chunks, dense=out)
+
+
+def bincount(x, weights=None, minlength=0, split_every=None):
+    from dask_array_tpu._collection import Array, new_collection
+
+    x = _asarray(x)
+    if x.ndim != 1:
+        raise ValueError("Input array must be one dimensional")
+    if not np.issubdtype(x.dtype, np.integer):
+        raise TypeError("Input array must be an integer array")
+    w = weights.expr if isinstance(weights, Array) else (
+        _asarray(weights).expr if weights is not None else None
+    )
+    return new_collection(Bincount(x.expr, w, int(minlength) if minlength else None))
+
+
+def digitize(a, bins, right=False):
+    jnp = _jnp()
+    bins = np.asarray(bins)
+    out = elemwise(lambda x: jnp.digitize(x, jnp.asarray(bins), right=right), _asarray(a))
+    return out.astype(np.intp)
+
+
+class Searchsorted(ArrayExpr):
+    _parameters = ("array", "values", "side", "sorter")
+
+    @property
+    def chunks(self):
+        return self.values.chunks
+
+    @property
+    def _meta(self):
+        return np.empty((0,) * self.values.ndim, dtype=np.intp)
+
+    def _build(self, ctx):
+        jnp = _jnp()
+        a = ctx.build(self.array).dense()
+        v = ctx.build(self.values).dense()
+        out = jnp.searchsorted(a, v, side=self.side)
+        return BlockView(self.chunks, dense=out.astype(np.intp))
+
+
+def searchsorted(a, v, side="left", sorter=None):
+    from dask_array_tpu._collection import new_collection
+
+    if sorter is not None:
+        raise NotImplementedError("searchsorted with sorter= is not supported")
+    a, v = _asarray(a), _asarray(v)
+    if a.ndim != 1:
+        raise ValueError("a must be 1-dimensional")
+    return new_collection(Searchsorted(a.expr, v.expr, side, None))
+
+
+def isin(element, test_elements, assume_unique=False, invert=False):
+    jnp = _jnp()
+    element = _asarray(element)
+    test = np.asarray(test_elements) if not hasattr(test_elements, "expr") else None
+    if test is not None:
+        return elemwise(
+            lambda x: jnp.isin(x, jnp.asarray(test), assume_unique=assume_unique, invert=invert),
+            element,
+        )
+    from dask_array_tpu._collection import new_collection
+
+    return new_collection(_IsinLazy(element.expr, test_elements.expr, bool(invert)))
+
+
+class _IsinLazy(ArrayExpr):
+    _parameters = ("array", "test", "invert")
+
+    @property
+    def chunks(self):
+        return self.array.chunks
+
+    @property
+    def _meta(self):
+        return np.empty((0,) * self.array.ndim, dtype=bool)
+
+    def _build(self, ctx):
+        jnp = _jnp()
+        a = ctx.build(self.array).dense()
+        t = ctx.build(self.test).dense()
+        return BlockView(self.chunks, dense=jnp.isin(a, t, invert=self.invert))
+
+
+# ---------------------------------------------------------------------------
+# selection / conditioning
+# ---------------------------------------------------------------------------
+
+
+def select(condlist, choicelist, default=0):
+    jnp = _jnp()
+    if len(condlist) != len(choicelist):
+        raise ValueError("list of cases must be same length as list of conditions")
+    if len(condlist) == 0:
+        raise ValueError("select with an empty condition list is not possible")
+    args = list(condlist) + list(choicelist)
+    n = len(condlist)
+
+    def _select(*arrays, **kw):
+        conds = arrays[:n]
+        choices = arrays[n:]
+        return jnp.select(list(conds), list(choices), default=default)
+
+    return elemwise(_select, *args)
+
+
+def piecewise(x, condlist, funclist, *args, **kw):
+    x = _asarray(x)
+    from dask_array_tpu.ops._map_blocks import map_blocks
+
+    def _piecewise(block, *cond_blocks):
+        jnp = _jnp()
+        n = len(cond_blocks)
+        fl = list(funclist)
+        y = jnp.zeros_like(block)
+        if len(fl) == n + 1:
+            y = y + fl[-1](block, *args, **kw) if callable(fl[-1]) else y + fl[-1]
+            fl = fl[:-1]
+        for cond, fn in zip(cond_blocks, fl):
+            val = fn(block, *args, **kw) if callable(fn) else fn
+            y = jnp.where(cond, val, y)
+        return y
+
+    conds = [c if hasattr(c, "expr") else _asarray(c) for c in condlist]
+    return map_blocks(_piecewise, x, *conds, dtype=x.dtype)
+
+
+def choose(a, choices):
+    jnp = _jnp()
+    args = [a] + list(choices)
+    n = len(choices)
+
+    def _choose(idx, *cs):
+        return jnp.choose(idx, list(cs), mode="clip")
+
+    return elemwise(_choose, *args)
+
+
+def compress(condition, a, axis=None):
+    a = _asarray(a)
+    condition = np.asarray(condition)
+    if condition.ndim != 1:
+        raise ValueError("condition must be one dimensional")
+    if axis is None:
+        a = a.ravel()
+        axis = 0
+    axis = validate_axis(axis, a.ndim)
+    if len(condition) > a.shape[axis]:
+        raise IndexError("condition is longer than the input size")
+    from dask_array_tpu.ops._fancy_indexing import take
+
+    return take(a, np.nonzero(condition)[0], axis=axis)
+
+
+def extract(condition, arr):
+    condition = _asarray(condition)
+    arr = _asarray(arr)
+    return arr.ravel()[condition.ravel()]
+
+
+# ---------------------------------------------------------------------------
+# triangles / diagonals
+# ---------------------------------------------------------------------------
+
+
+def tril(m, k=0):
+    jnp = _jnp()
+    return elemwise(lambda x: jnp.tril(x, k=k), _asarray(m))
+
+
+def triu(m, k=0):
+    jnp = _jnp()
+    return elemwise(lambda x: jnp.triu(x, k=k), _asarray(m))
+
+
+def tril_indices(n, k=0, m=None, chunks="auto"):
+    from dask_array_tpu.ops._from_array import from_array
+
+    rows, cols = np.tril_indices(n, k=k, m=m)
+    return from_array(rows, chunks=chunks), from_array(cols, chunks=chunks)
+
+
+def tril_indices_from(arr, k=0):
+    if arr.ndim != 2:
+        raise ValueError("input array must be 2-d")
+    return tril_indices(arr.shape[0], k=k, m=arr.shape[1])
+
+
+def triu_indices(n, k=0, m=None, chunks="auto"):
+    from dask_array_tpu.ops._from_array import from_array
+
+    rows, cols = np.triu_indices(n, k=k, m=m)
+    return from_array(rows, chunks=chunks), from_array(cols, chunks=chunks)
+
+
+def triu_indices_from(arr, k=0):
+    if arr.ndim != 2:
+        raise ValueError("input array must be 2-d")
+    return triu_indices(arr.shape[0], k=k, m=arr.shape[1])
+
+
+class Diagonal(ArrayExpr):
+    _parameters = ("array", "offset", "axis1", "axis2")
+
+    @functools.cached_property
+    def chunks(self):
+        arr = self.array
+        a1, a2 = self.axis1, self.axis2
+        n1, n2 = arr.shape[a1], arr.shape[a2]
+        k = self.offset
+        length = max(0, min(n1 + min(0, k), n2 - max(0, k)))
+        # diagonal chunk boundaries: union of row/col boundaries projected
+        b1 = set(cached_cumsum(arr.chunks[a1], initial_zero=True))
+        b2 = {b - k for b in cached_cumsum(arr.chunks[a2], initial_zero=True)}
+        start = max(0, -k)
+        cuts = sorted(
+            {min(max(b - start, 0), length) for b in (b1 | b2)}
+        )
+        out = tuple(b - a for a, b in zip(cuts[:-1], cuts[1:]) if b > a) or (0,)
+        other = tuple(
+            c for ax, c in enumerate(arr.chunks) if ax not in (a1, a2)
+        )
+        return other + (out,)
+
+    @property
+    def _meta(self):
+        return np.empty((0,) * (self.array.ndim - 1), dtype=self.array.dtype)
+
+    def _build(self, ctx):
+        jnp = _jnp()
+        dense = ctx.build(self.array).dense()
+        out = jnp.diagonal(dense, offset=self.offset, axis1=self.axis1, axis2=self.axis2)
+        return BlockView(self.chunks, dense=out)
+
+
+def diagonal(a, offset=0, axis1=0, axis2=1):
+    from dask_array_tpu._collection import new_collection
+
+    a = _asarray(a)
+    if a.ndim < 2:
+        raise ValueError("diag requires an array of at least two dimensions")
+    axis1 = validate_axis(axis1, a.ndim)
+    axis2 = validate_axis(axis2, a.ndim)
+    if axis1 == axis2:
+        raise ValueError("axis1 and axis2 cannot be the same")
+    return new_collection(Diagonal(a.expr, int(offset), axis1, axis2))
+
+
+# ---------------------------------------------------------------------------
+# coarsen
+# ---------------------------------------------------------------------------
+
+
+def aligned_coarsen_chunks(chunks, multiple):
+    """Rechunk targets aligned to a coarsening factor (parity helper)."""
+    out = []
+    carry = 0
+    for c in chunks:
+        c += carry
+        keep = (c // multiple) * multiple
+        carry = c - keep
+        if keep:
+            out.append(keep)
+    if carry:
+        if out:
+            out[-1] += carry
+        else:
+            out.append(carry)
+    return tuple(out)
+
+
+class Coarsen(ArrayExpr):
+    _parameters = ("array", "reduction_name", "axes", "trim_excess", "kwargs")
+    _defaults = {"kwargs": ()}
+
+    @functools.cached_property
+    def chunks(self):
+        axes = dict(self.axes)
+        out = []
+        for ax, c in enumerate(self.array.chunks):
+            f = axes.get(ax, 1)
+            if f == 1:
+                out.append(tuple(c))
+            else:
+                if self.trim_excess:
+                    out.append(tuple(x // f for x in c if x // f) or (0,))
+                else:
+                    out.append(tuple(x // f for x in c))
+        return tuple(out)
+
+    @functools.cached_property
+    def _meta(self):
+        np_fn = getattr(np, self.reduction_name)
+        probe = np_fn(np.ones((1, 1), dtype=self.array.dtype), axis=0)
+        return np.empty((0,) * self.array.ndim, dtype=probe.dtype)
+
+    def _build(self, ctx):
+        jnp = _jnp()
+        dense = ctx.build(self.array).dense()
+        axes = dict(self.axes)
+        fn = getattr(jnp, self.reduction_name)
+        shape = dense.shape
+        if self.trim_excess:
+            trims = tuple(
+                slice(0, (shape[ax] // axes.get(ax, 1)) * axes.get(ax, 1))
+                for ax in range(len(shape))
+            )
+            dense = dense[trims]
+            shape = dense.shape
+        new_shape = []
+        red_axes = []
+        for ax, s in enumerate(shape):
+            f = axes.get(ax, 1)
+            new_shape.extend([s // f, f])
+            red_axes.append(2 * ax + 1)
+        out = fn(dense.reshape(tuple(new_shape)), axis=tuple(red_axes), **dict(self.kwargs or ()))
+        if out.dtype != self.dtype:
+            out = out.astype(self.dtype)
+        return BlockView(self.chunks, dense=out)
+
+
+def coarsen(reduction, x, axes, trim_excess=False, **kwargs):
+    from dask_array_tpu._collection import new_collection
+    from dask_array_tpu._rechunk import Rechunk
+
+    x = _asarray(x)
+    name = getattr(reduction, "__name__", None)
+    jnp = _jnp()
+    if name is None or not hasattr(jnp, name):
+        raise NotImplementedError(f"coarsen reduction {reduction!r} has no jnp equivalent")
+    axes = {validate_axis(k, x.ndim): int(v) for k, v in axes.items()}
+    for ax, f in axes.items():
+        if not trim_excess and x.shape[ax] % f != 0:
+            raise ValueError(f"Coarsening factor {f} does not divide axis {ax} of size {x.shape[ax]}")
+    expr = x.expr
+    # align chunk boundaries to the coarsening factors
+    target = tuple(
+        aligned_coarsen_chunks(expr.chunks[ax], axes[ax]) if ax in axes and axes[ax] > 1 else expr.chunks[ax]
+        for ax in range(x.ndim)
+    )
+    if target != expr.chunks:
+        expr = Rechunk(expr, target)
+    return new_collection(
+        Coarsen(expr, name, tuple(sorted(axes.items())), bool(trim_excess), tuple(sorted(kwargs.items())))
+    )
+
+
+# ---------------------------------------------------------------------------
+# apply along/over axes
+# ---------------------------------------------------------------------------
+
+
+def apply_along_axis(func1d, axis, arr, *args, dtype=None, shape=None, **kwargs):
+    from dask_array_tpu._collection import new_collection
+
+    arr = _asarray(arr)
+    axis = validate_axis(axis, arr.ndim)
+    if shape is None or dtype is None:
+        probe = np.ones(max(1, arr.shape[axis]), dtype=arr.dtype)
+        test = np.asarray(func1d(probe, *args, **kwargs))
+        if shape is None:
+            shape = test.shape
+        if dtype is None:
+            dtype = test.dtype
+    return new_collection(
+        _ApplyAlongAxis(arr.expr, func1d, axis, tuple(shape), np.dtype(dtype), args, tuple(sorted(kwargs.items())))
+    )
+
+
+class _ApplyAlongAxis(ArrayExpr):
+    _parameters = ("array", "func", "axis", "out_shape", "_dtype", "args", "kwargs")
+
+    @functools.cached_property
+    def chunks(self):
+        pre = tuple(self.array.chunks[ax] for ax in range(self.axis))
+        post = tuple(self.array.chunks[ax] for ax in range(self.axis + 1, self.array.ndim))
+        mid = tuple((s,) for s in self.out_shape)
+        return pre + mid + post
+
+    @property
+    def _meta(self):
+        return np.empty((0,) * len(self.chunks), dtype=self._dtype)
+
+    def _build(self, ctx):
+        import jax
+
+        dense = ctx.build(self.array).dense()
+        fn = self.func
+        args = self.args
+        kw = dict(self.kwargs or ())
+
+        def f1d(v):
+            return fn(v, *args, **kw)
+
+        # vmap over all other axes
+        moved = jax.numpy.moveaxis(dense, self.axis, -1)
+        lead_shape = moved.shape[:-1]
+        flat = moved.reshape((-1, moved.shape[-1]))
+        try:
+            out = jax.vmap(f1d)(flat)
+        except Exception:
+            out = jax.numpy.stack([f1d(flat[i]) for i in range(flat.shape[0])])
+        out = out.reshape(lead_shape + self.out_shape)
+        # move lead axes back around the inserted out axes
+        nd_out = len(lead_shape) + len(self.out_shape)
+        perm = (
+            list(range(self.axis))
+            + list(range(len(lead_shape), nd_out))
+            + list(range(self.axis, len(lead_shape)))
+        )
+        out = jax.numpy.transpose(out, perm)
+        if out.dtype != self._dtype:
+            out = out.astype(self._dtype)
+        return BlockView(self.chunks, dense=out)
+
+
+def apply_over_axes(func, a, axes):
+    a = _asarray(a)
+    if isinstance(axes, Integral):
+        axes = (axes,)
+    out = a
+    for ax in axes:
+        ax = validate_axis(ax, a.ndim)
+        res = func(out, ax)
+        if res.ndim == out.ndim:
+            out = res
+        elif res.ndim == out.ndim - 1:
+            from dask_array_tpu.ops.manipulation import expand_dims
+
+            out = expand_dims(res, ax)
+        else:
+            raise ValueError("function is not returning an array of the correct shape")
+    return out
+
+
+# ---------------------------------------------------------------------------
+# index math
+# ---------------------------------------------------------------------------
+
+
+def ravel_multi_index(multi_index, dims, mode="raise", order="C"):
+    jnp = _jnp()
+    if isinstance(multi_index, (tuple, list)):
+        arrs = [_asarray(m) for m in multi_index]
+
+        def _rmi(*idxs):
+            return jnp.ravel_multi_index(tuple(idxs), dims, mode="wrap" if mode == "raise" else mode, order=order)
+
+        out = elemwise(_rmi, *arrs)
+        return out.astype(np.intp)
+    m = _asarray(multi_index)
+    return elemwise(
+        lambda x: jnp.ravel_multi_index(tuple(x), dims, mode="wrap" if mode == "raise" else mode, order=order), m
+    ).astype(np.intp)
+
+
+def unravel_index(indices, shape, order="C"):
+    jnp = _jnp()
+    indices = _asarray(indices)
+    n = len(shape)
+    out = []
+    for i in range(n):
+        out.append(
+            elemwise(lambda x, _i=i: jnp.unravel_index(x, shape)[_i], indices).astype(np.intp)
+        )
+    return tuple(out)
+
+
+# ---------------------------------------------------------------------------
+# broadcast / unify helpers
+# ---------------------------------------------------------------------------
+
+
+def broadcast_arrays(*args, subok=False):
+    from dask_array_tpu.ops.manipulation import broadcast_to
+
+    arrays = [_asarray(a) for a in args]
+    shape = np.broadcast_shapes(*[a.shape for a in arrays])
+    return [broadcast_to(a, shape) for a in arrays]
+
+
+def unify_chunks(*args, **kwargs):
+    """da.unify_chunks(a, 'ij', b, 'jk') -> (chunkss dict, [arrays rechunked])."""
+    from dask_array_tpu._chunks import common_blockdim
+
+    if not args:
+        return {}, []
+    arrays = list(args[::2])
+    inds = [tuple(i) for i in args[1::2]]
+    label_chunks: dict = {}
+    for a, ind in zip(arrays, inds):
+        for pos, lbl in enumerate(ind):
+            c = a.chunks[pos]
+            prev = label_chunks.get(lbl)
+            if prev is None:
+                label_chunks[lbl] = c
+            elif prev != c:
+                label_chunks[lbl] = common_blockdim([prev, c])
+    out = []
+    for a, ind in zip(arrays, inds):
+        want = tuple(label_chunks[lbl] for lbl in ind)
+        out.append(a.rechunk(want) if want != a.chunks else a)
+    return label_chunks, out
+
+
+# ---------------------------------------------------------------------------
+# topk
+# ---------------------------------------------------------------------------
+
+
+class TopK(ArrayExpr):
+    _parameters = ("array", "k", "axis", "kind")  # kind: values|indices
+
+    @functools.cached_property
+    def chunks(self):
+        chunks = list(self.array.chunks)
+        chunks[self.axis] = (abs(self.k),)
+        return tuple(chunks)
+
+    @functools.cached_property
+    def _meta(self):
+        dt = self.array.dtype if self.kind == "values" else np.intp
+        return np.empty((0,) * self.array.ndim, dtype=dt)
+
+    def _build(self, ctx):
+        import jax
+        import jax.numpy as jnp
+
+        dense = ctx.build(self.array).dense()
+        k = self.k
+        moved = jnp.moveaxis(dense, self.axis, -1)
+        if k >= 0:
+            vals, idxs = jax.lax.top_k(moved, k)  # k largest, descending
+        else:
+            vals, idxs = jax.lax.top_k(-moved, -k)  # k smallest, ascending
+            vals = -vals
+        out = vals if self.kind == "values" else idxs.astype(np.intp)
+        out = jnp.moveaxis(out, -1, self.axis)
+        return BlockView(self.chunks, dense=out)
+
+
+def topk(a, k, axis=-1, split_every=None):
+    from dask_array_tpu._collection import new_collection
+
+    a = _asarray(a)
+    axis = validate_axis(axis, a.ndim)
+    return new_collection(TopK(a.expr, int(k), axis, "values"))
+
+
+def argtopk(a, k, axis=-1, split_every=None):
+    from dask_array_tpu._collection import new_collection
+
+    a = _asarray(a)
+    axis = validate_axis(axis, a.ndim)
+    return new_collection(TopK(a.expr, int(k), axis, "indices"))
+
+
+# ---------------------------------------------------------------------------
+# insert / delete / append
+# ---------------------------------------------------------------------------
+
+
+def insert(arr, obj, values, axis=None):
+    from dask_array_tpu.ops.stacking import concatenate
+
+    arr = _asarray(arr)
+    if axis is None:
+        arr = arr.ravel()
+        axis = 0
+    axis = validate_axis(axis, arr.ndim)
+    n = arr.shape[axis]
+    if isinstance(obj, slice):
+        obj = np.arange(*obj.indices(n))
+    obj = np.atleast_1d(np.asarray(obj))
+    obj = np.where(obj < 0, obj + n, obj)
+    values = _asarray(values)
+    if values.ndim < arr.ndim:
+        shape_v = tuple(
+            len(obj) if i == axis else s for i, s in enumerate(arr.shape)
+        )
+        from dask_array_tpu.ops.manipulation import broadcast_to
+
+        if values.ndim == 0:
+            values = broadcast_to(values, shape_v)
+        else:
+            vshape = [1] * arr.ndim
+            vshape[axis] = -1 if len(obj) > 1 else 1
+            values = broadcast_to(values.reshape(tuple(
+                values.shape[0] if i == axis and values.ndim else 1 for i in range(arr.ndim)
+            )) if values.ndim == 1 else values, shape_v)
+    order = np.argsort(obj, kind="stable")
+    parts = []
+    pos = 0
+    for rank, ins_at in enumerate(np.sort(obj)):
+        ins_at = int(ins_at)
+        if ins_at > pos:
+            parts.append(arr[tuple(slice(pos, ins_at) if i == axis else slice(None) for i in range(arr.ndim))])
+        src = int(order[rank])
+        parts.append(values[tuple(slice(src, src + 1) if i == axis else slice(None) for i in range(arr.ndim))])
+        pos = ins_at
+    if pos < n:
+        parts.append(arr[tuple(slice(pos, None) if i == axis else slice(None) for i in range(arr.ndim))])
+    return concatenate(parts, axis=axis)
+
+
+def delete(arr, obj, axis=None):
+    from dask_array_tpu.ops.stacking import concatenate
+
+    arr = _asarray(arr)
+    if axis is None:
+        arr = arr.ravel()
+        axis = 0
+    axis = validate_axis(axis, arr.ndim)
+    n = arr.shape[axis]
+    if isinstance(obj, slice):
+        keep = np.ones(n, dtype=bool)
+        keep[obj] = False
+    else:
+        obj = np.atleast_1d(np.asarray(obj))
+        obj = np.where(obj < 0, obj + n, obj)
+        keep = np.ones(n, dtype=bool)
+        keep[obj.astype(np.intp)] = False
+    from dask_array_tpu.ops._fancy_indexing import take
+
+    return take(arr, np.nonzero(keep)[0], axis=axis)
+
+
+def append(arr, values, axis=None):
+    from dask_array_tpu.ops.stacking import concatenate
+
+    arr = _asarray(arr)
+    values = _asarray(values)
+    if axis is None:
+        return concatenate([arr.ravel(), values.ravel()], axis=0)
+    return concatenate([arr, values], axis=validate_axis(axis, arr.ndim))

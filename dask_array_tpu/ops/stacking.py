@@ -45,9 +45,7 @@ class Concatenate(ArrayExpr):
 
     @functools.cached_property
     def _meta(self):
-        dtype = np.promote_types(*[a.dtype for a in self.arrays]) if len(self.arrays) > 1 else self.arrays[0].dtype
-        if len(self.arrays) > 2:
-            dtype = functools.reduce(np.promote_types, [a.dtype for a in self.arrays])
+        dtype = functools.reduce(np.promote_types, [a.dtype for a in self.arrays])
         return np.empty((0,) * self.arrays[0].ndim, dtype=dtype)
 
     def _simplify_down(self):

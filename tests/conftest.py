@@ -8,10 +8,16 @@ reference validates its distributed path with an in-process LocalCluster —
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+# the axon site hook forces jax_platforms back to "axon,cpu"; tests must run
+# on the virtual CPU mesh (the driver benches on the real chip separately)
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest
