@@ -96,6 +96,101 @@ from dask_array_tpu.ops.reductions import (
     arg_reduction,
 )
 from dask_array_tpu.ops._map_blocks import map_blocks
+from dask_array_tpu import fft, linalg, random
+from dask_array_tpu.ops.linalg_decomp import (
+    cholesky,
+    inv,
+    lstsq,
+    lu,
+    norm,
+    qr,
+    sfqr,
+    solve,
+    solve_triangular,
+    svd,
+    svd_compressed,
+    tsqr,
+)
+from dask_array_tpu.ops.linalg import dot, einsum, matmul, outer, tensordot, vdot
+from dask_array_tpu.ops._gufunc import apply_gufunc, as_gufunc, gufunc
+from dask_array_tpu.ops._histogram import histogram, histogram2d, histogramdd
+from dask_array_tpu.ops._overlap import (
+    map_overlap,
+    overlap,
+    push,
+    sliding_window_view,
+    trim_internal,
+    trim_overlap,
+)
+from dask_array_tpu.ops._fancy_indexing import take
+from dask_array_tpu.ops._reshape import ravel, reshape, reshape_blockwise
+from dask_array_tpu.ops.creation import (
+    diag,
+    diagonal,
+    fromfunction,
+    indices,
+    meshgrid,
+    pad,
+    repeat,
+    tile,
+    tri,
+)
+from dask_array_tpu.ops.routines import (
+    aligned_coarsen_chunks,
+    allclose,
+    append,
+    apply_along_axis,
+    apply_over_axes,
+    argtopk,
+    argwhere,
+    around,
+    average,
+    bincount,
+    broadcast_arrays,
+    choose,
+    coarsen,
+    compress,
+    corrcoef,
+    count_nonzero,
+    cov,
+    delete,
+    diff,
+    digitize,
+    ediff1d,
+    extract,
+    flatnonzero,
+    gradient,
+    insert,
+    isclose,
+    iscomplexobj,
+    isin,
+    isnull,
+    ndim,
+    nonzero,
+    notnull,
+    piecewise,
+    ptp,
+    ravel_multi_index,
+    result_type,
+    round,
+    searchsorted,
+    select,
+    shape,
+    topk,
+    tril,
+    tril_indices,
+    tril_indices_from,
+    triu,
+    triu_indices,
+    triu_indices_from,
+    unify_chunks,
+    union1d,
+    unique,
+    unravel_index,
+    where,
+)
+from dask_array_tpu.ops.ufuncs import *  # noqa: F401,F403
+from dask_array_tpu._dispatch import register_chunk_type
 
 # numpy constant / dtype re-exports (parity with the reference namespace)
 newaxis = None

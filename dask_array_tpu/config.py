@@ -28,6 +28,14 @@ _global: dict[str, Any] = {
     "tpu.default-float": None,    # override default float dtype (e.g. "float32")
     "tpu.matmul-precision": "highest",  # jax.lax precision for contractions
     "tpu.pallas-matmul": False,   # use the Pallas matmul kernel for block dots
+    # PRNG implementation for random leaves: "rbg" compiles ~60x faster than
+    # "threefry2x32" on TPU (threefry f64 takes minutes through the remote
+    # compiler); both are deterministic per (seed, chunk grid)
+    "tpu.prng-impl": "rbg",
+    # float64 transcendentals (erfinv in normal sampling, ...) are software-
+    # emulated on TPU and run ~100x slow; generate at float32 and upcast.
+    # Set to "native" to sample at the requested precision.
+    "tpu.random-precision": "float32",
 }
 
 _local = threading.local()

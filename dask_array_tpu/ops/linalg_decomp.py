@@ -1,0 +1,368 @@
+"""Matrix decompositions: qr/tsqr/sfqr, svd, svd_compressed, lu, cholesky,
+solve/solve_triangular/inv/lstsq, norm.
+
+Parity: ``/root/reference/dask_array/linalg/`` (``_qr.py``, ``_svd.py``,
+``_lu.py``, ``_cholesky.py``, ``_solve.py``, ``_norm.py``) — fresh
+implementation.
+
+TPU-first: the reference decomposes into ~15 bespoke per-block task
+expressions because its workers hold one block each.  Here the blocked
+*algorithm* (TSQR: per-row-block QR -> QR of stacked R factors -> Q
+update) is still used for tall-skinny inputs — it is exactly the right
+algorithm when rows are sharded over a mesh (per-shard QR + small
+all-gathered inner QR) — but each step is jnp.linalg inside the single
+traced program, so XLA schedules the panel work on the MXU directly.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+from dask_array_tpu._executor import BlockView, iter_block_indices
+from dask_array_tpu._expr import ArrayExpr
+
+
+def _jnp():
+    import jax.numpy as jnp
+
+    return jnp
+
+
+def _float_dtype(dt):
+    dt = np.dtype(dt)
+    if np.issubdtype(dt, np.complexfloating):
+        return dt
+    if dt == np.float32:
+        return dt
+    return np.dtype("f8")
+
+
+class TSQR(ArrayExpr):
+    """Tall-skinny QR over row blocks (parity: ``tsqr``, ``_qr.py:362``)."""
+
+    _parameters = ("array", "which")  # which: "q" | "r"
+
+    @functools.cached_property
+    def chunks(self):
+        m_chunks, n_chunks = self.array.chunks
+        n = sum(n_chunks)
+        if self.which == "q":
+            return (m_chunks, (n,))
+        return ((n,), (n,))
+
+    @functools.cached_property
+    def _meta(self):
+        return np.empty((0, 0), dtype=_float_dtype(self.array.dtype))
+
+    def _build(self, ctx):
+        import jax.numpy as jnp
+
+        view = ctx.build(self.array)
+        dt = self.dtype
+        nb = view.numblocks[0]
+        qs, rs = [], []
+        for i in range(nb):
+            block = view.block((i, 0)).astype(dt)
+            q, r = jnp.linalg.qr(block, mode="reduced")
+            qs.append(q)
+            rs.append(r)
+        stacked = jnp.concatenate(rs, axis=0)
+        q_inner, r_final = jnp.linalg.qr(stacked, mode="reduced")
+        # sign-canonicalize: make diag(R) non-negative (stable across paths)
+        n = r_final.shape[0]
+        sign = jnp.sign(jnp.diagonal(r_final))
+        sign = jnp.where(sign == 0, 1.0, sign).astype(dt)
+        r_final = r_final * sign[:, None]
+        q_inner = q_inner * sign[None, :]
+        if self.which == "r":
+            return BlockView(self.chunks, dense=r_final)
+        blocks = {}
+        for i in range(nb):
+            inner = q_inner[i * n:(i + 1) * n, :]
+            blocks[(i, 0)] = qs[i] @ inner
+        return BlockView(self.chunks, blocks=blocks)
+
+
+class DenseLinalg(ArrayExpr):
+    """One whole-matrix linalg op inside the trace (single logical block)."""
+
+    _parameters = ("fn_name", "which", "out_chunks", "_dtype", "kwargs")
+    _defaults = {"kwargs": ()}
+    # operands[5:]: input exprs
+
+    @property
+    def arrays(self):
+        return self.operands[5:]
+
+    def _name_prefix(self):
+        return self.fn_name.replace(".", "-")
+
+    @property
+    def chunks(self):
+        return self.out_chunks
+
+    @functools.cached_property
+    def _meta(self):
+        return np.empty((0,) * len(self.out_chunks), dtype=self._dtype)
+
+    def _build(self, ctx):
+        import jax
+        import jax.numpy as jnp
+        import jax.scipy.linalg as jsl
+
+        denses = [ctx.build(a).dense() for a in self.arrays]
+        ns = {"jnp.linalg": jnp.linalg, "jsl": jsl, "jnp": jnp}
+        mod_name, fn_name = self.fn_name.rsplit(".", 1) if "." in self.fn_name else ("jnp", self.fn_name)
+        fn = getattr(ns[mod_name], fn_name)
+        out = fn(*denses, **dict(self.kwargs or ()))
+        if self.which is not None:
+            out = out[self.which] if isinstance(self.which, int) else getattr(out, self.which)
+        if out.dtype != self.dtype:
+            out = out.astype(self.dtype)
+        return BlockView(self.out_chunks, dense=out)
+
+
+def _single(expr, fn_name, which, out_shape, dtype, kwargs=(), extra=()):
+    from dask_array_tpu._collection import new_collection
+
+    chunks = tuple((int(s),) for s in out_shape)
+    return new_collection(
+        DenseLinalg(fn_name, which, chunks, np.dtype(dtype), tuple(kwargs), expr, *extra)
+    )
+
+
+def qr(a, mode="reduced"):
+    """QR decomposition; tall-skinny inputs use the blocked TSQR path."""
+    from dask_array_tpu._collection import Array, new_collection
+
+    if a.ndim != 2:
+        raise ValueError("qr requires a 2-D array")
+    m_blocks, n_blocks = len(a.chunks[0]), len(a.chunks[1])
+    dt = _float_dtype(a.dtype)
+    m, n = a.shape
+    k = min(m, n)
+    if n_blocks == 1 and m_blocks > 1:
+        return tsqr(a)
+    if m_blocks == 1 and n_blocks > 1:
+        return sfqr(a)
+    if m_blocks == 1 and n_blocks == 1:
+        q = _single(a.expr, "jnp.linalg.qr", 0, (m, k), dt, kwargs=(("mode", "reduced"),))
+        r = _single(a.expr, "jnp.linalg.qr", 1, (k, n), dt, kwargs=(("mode", "reduced"),))
+        return q, r
+    raise NotImplementedError(
+        "qr of an array chunked along both axes is not supported; rechunk so "
+        "one axis has a single chunk (tall-skinny or short-fat)"
+    )
+
+
+def tsqr(a, compute_svd=False, _max_vchunk_size=None):
+    """Direct tall-skinny QR (parity: ``tsqr``, ``_qr.py:362``)."""
+    from dask_array_tpu._collection import new_collection
+
+    if len(a.chunks[1]) != 1:
+        raise ValueError(
+            "tsqr requires the array to have only one column block "
+            f"(got column chunks {a.chunks[1]})"
+        )
+    q = new_collection(TSQR(a.expr, "q"))
+    r = new_collection(TSQR(a.expr, "r"))
+    if not compute_svd:
+        return q, r
+    # SVD of the small R, then U = Q @ Ur
+    dt = _float_dtype(a.dtype)
+    n = a.shape[1]
+    ur = _single(r.expr, "jnp.linalg.svd", 0, (n, n), dt, kwargs=(("full_matrices", False),))
+    s = _single(r.expr, "jnp.linalg.svd", 1, (n,), dt, kwargs=(("full_matrices", False),))
+    vh = _single(r.expr, "jnp.linalg.svd", 2, (n, n), dt, kwargs=(("full_matrices", False),))
+    u = q @ ur
+    return u, s, vh
+
+
+def sfqr(a, name=None):
+    """Short-fat QR: factor the leading square block, push through the rest
+    (parity: ``sfqr``)."""
+    m, n = a.shape
+    if len(a.chunks[0]) != 1:
+        raise ValueError("sfqr requires a single row block")
+    dt = _float_dtype(a.dtype)
+    q = _single(a.expr, "jnp.linalg.qr", 0, (m, min(m, n)), dt, kwargs=(("mode", "reduced"),))
+    r = _single(a.expr, "jnp.linalg.qr", 1, (min(m, n), n), dt, kwargs=(("mode", "reduced"),))
+    return q, r
+
+
+def svd(a, coerce_signs=True):
+    """SVD; tall/short inputs use the TSQR reduction (parity: ``svd``)."""
+    m, n = a.shape
+    m_blocks, n_blocks = len(a.chunks[0]), len(a.chunks[1])
+    dt = _float_dtype(a.dtype)
+    if m_blocks == 1 and n_blocks == 1:
+        k = min(m, n)
+        u = _single(a.expr, "jnp.linalg.svd", 0, (m, k), dt, kwargs=(("full_matrices", False),))
+        s = _single(a.expr, "jnp.linalg.svd", 1, (k,), dt, kwargs=(("full_matrices", False),))
+        vh = _single(a.expr, "jnp.linalg.svd", 2, (k, n), dt, kwargs=(("full_matrices", False),))
+        return u, s, vh
+    if m >= n and n_blocks == 1:
+        return tsqr(a, compute_svd=True)
+    if m < n and m_blocks == 1:
+        u_t, s, vh_t = tsqr(a.T, compute_svd=True)
+        return vh_t.T, s, u_t.T
+    raise NotImplementedError(
+        "svd of an array chunked along both axes is not supported; rechunk "
+        "so one axis has a single chunk, or use svd_compressed"
+    )
+
+
+def svd_compressed(a, k, iterator="power", n_power_iter=0, n_oversamples=10, seed=None, compute=False, coerce_signs=True):
+    """Randomized (compressed) SVD (parity: ``svd_compressed``,
+    ``_svd.py:329``) — pure composition of matmul/QR collections."""
+    from dask_array_tpu.ops.random import default_rng
+
+    m, n = a.shape
+    comp_level = min(k + n_oversamples, m, n)
+    rng = default_rng(seed)
+    omega = rng.standard_normal(
+        size=(n, comp_level), chunks=(a.chunks[1], -1)
+    ).astype(_float_dtype(a.dtype))
+    mat_h = a @ omega
+    for _ in range(n_power_iter):
+        if iterator == "power":
+            q, _ = tsqr(mat_h)
+            mat_h = a @ (a.T @ q)
+        else:
+            mat_h = a @ (a.T @ mat_h)
+    q, _ = tsqr(mat_h)
+    b = q.T @ a
+    u_inner, s, vh = svd(b.rechunk((b.shape[0], b.chunks[1])))
+    u = q @ u_inner
+    return u[:, :k], s[:k], vh[:k, :]
+
+
+def cholesky(a, lower=False):
+    m, n = a.shape
+    if m != n:
+        raise ValueError("Dimension mismatch: cholesky requires a square array")
+    dt = _float_dtype(a.dtype)
+    out = _single(a.expr, "jnp.linalg.cholesky", None, (m, n), dt)
+    if lower:
+        return out
+    from dask_array_tpu.ops.manipulation import transpose
+    from dask_array_tpu.ops.ufuncs import conj
+
+    return conj(transpose(out))
+
+
+def lu(a):
+    m, n = a.shape
+    if m != n:
+        raise ValueError("lu requires a square array")
+    dt = _float_dtype(a.dtype)
+    p = _single(a.expr, "jsl.lu", 0, (m, m), dt)
+    l = _single(a.expr, "jsl.lu", 1, (m, m), dt)
+    u = _single(a.expr, "jsl.lu", 2, (m, m), dt)
+    return p, l, u
+
+
+def solve(a, b, sym_pos=None, assume_a="gen"):
+    from dask_array_tpu._collection import new_collection
+
+    dt = _float_dtype(np.promote_types(a.dtype, b.dtype))
+    out_shape = b.shape
+    if assume_a == "pos" or sym_pos:
+        fn = "jsl.solve"
+        kwargs = (("assume_a", "pos"),)
+    else:
+        fn = "jnp.linalg.solve"
+        kwargs = ()
+    return _single(a.expr, fn, None, out_shape, dt, kwargs=kwargs, extra=(b.expr,))
+
+
+def solve_triangular(a, b, lower=False, trans=0, unit_diagonal=False):
+    dt = _float_dtype(np.promote_types(a.dtype, b.dtype))
+    return _single(
+        a.expr,
+        "jsl.solve_triangular",
+        None,
+        b.shape,
+        dt,
+        kwargs=(("lower", bool(lower)), ("trans", trans), ("unit_diagonal", bool(unit_diagonal))),
+        extra=(b.expr,),
+    )
+
+
+def inv(a):
+    m, n = a.shape
+    if m != n:
+        raise ValueError("inv requires a square array")
+    return _single(a.expr, "jnp.linalg.inv", None, (m, n), _float_dtype(a.dtype))
+
+
+def lstsq(a, b):
+    m, n = a.shape
+    dt = _float_dtype(np.promote_types(a.dtype, b.dtype))
+    nrhs = b.shape[1] if b.ndim == 2 else None
+    x_shape = (n, nrhs) if nrhs else (n,)
+    kwargs = (("rcond", None),)
+    x = _single(a.expr, "jnp.linalg.lstsq", 0, x_shape, dt, kwargs=kwargs, extra=(b.expr,))
+    resid_shape = (nrhs,) if nrhs else (1,)
+    residuals = _single(a.expr, "jnp.linalg.lstsq", 1, resid_shape, dt, kwargs=kwargs, extra=(b.expr,))
+    rank = _single(a.expr, "jnp.linalg.lstsq", 2, (), np.dtype(np.int32), kwargs=kwargs, extra=(b.expr,))
+    sv = _single(a.expr, "jnp.linalg.lstsq", 3, (min(m, n),), dt, kwargs=kwargs, extra=(b.expr,))
+    return x, residuals, rank, sv
+
+
+def norm(x, ord=None, axis=None, keepdims=False):
+    """Matrix/vector norms composed from reductions (parity: ``_norm.py``)."""
+    import dask_array_tpu as da
+    from dask_array_tpu.ops import reductions as red
+    from dask_array_tpu.ops.ufuncs import abs as _abs, sqrt
+
+    if axis is None:
+        axis = tuple(range(x.ndim))
+    elif isinstance(axis, (int, np.integer)):
+        axis = (int(axis),)
+    else:
+        axis = tuple(int(a) for a in axis)
+
+    if len(axis) == 1:
+        ax = axis[0]
+        if ord is None or ord == 2:
+            return sqrt(red.sum(_abs(x) ** 2, axis=ax, keepdims=keepdims))
+        if ord == np.inf:
+            return red.max(_abs(x), axis=ax, keepdims=keepdims)
+        if ord == -np.inf:
+            return red.min(_abs(x), axis=ax, keepdims=keepdims)
+        if ord == 0:
+            return red.sum(x != 0, axis=ax, keepdims=keepdims).astype(_float_dtype(x.dtype))
+        if ord == 1:
+            return red.sum(_abs(x), axis=ax, keepdims=keepdims)
+        return red.sum(_abs(x) ** ord, axis=ax, keepdims=keepdims) ** (1.0 / ord)
+
+    if len(axis) == 2:
+        a1, a2 = axis
+        if ord in (None, "fro", "f"):
+            return sqrt(red.sum(_abs(x) ** 2, axis=axis, keepdims=keepdims))
+        if ord == "nuc":
+            if x.ndim != 2:
+                raise NotImplementedError("nuclear norm of stacked matrices is not supported")
+            _, s, _ = svd(x.rechunk((x.shape[0], x.shape[1])) if len(x.chunks[0]) > 1 and len(x.chunks[1]) > 1 else x)
+            return red.sum(s)
+        if ord == 2:
+            if x.ndim != 2:
+                raise NotImplementedError("2-norm of stacked matrices is not supported")
+            _, s, _ = svd(x.rechunk((x.shape[0], x.shape[1])) if len(x.chunks[0]) > 1 and len(x.chunks[1]) > 1 else x)
+            return red.max(s)
+        if ord == -2:
+            _, s, _ = svd(x.rechunk((x.shape[0], x.shape[1])) if len(x.chunks[0]) > 1 and len(x.chunks[1]) > 1 else x)
+            return red.min(s)
+        if ord == 1:
+            return red.max(red.sum(_abs(x), axis=a1, keepdims=True), axis=axis, keepdims=keepdims) if keepdims else red.max(red.sum(_abs(x), axis=a1), axis=a2 - (1 if a1 < a2 else 0))
+        if ord == -1:
+            return red.min(red.sum(_abs(x), axis=a1), axis=a2 - (1 if a1 < a2 else 0))
+        if ord == np.inf:
+            return red.max(red.sum(_abs(x), axis=a2), axis=a1 - (1 if a2 < a1 else 0))
+        if ord == -np.inf:
+            return red.min(red.sum(_abs(x), axis=a2), axis=a1 - (1 if a2 < a1 else 0))
+        raise ValueError(f"Invalid norm order {ord!r} for matrices")
+    raise ValueError("Improper number of dimensions to norm.")

@@ -143,6 +143,14 @@ def _normalize_callable(fn) -> str:
             h.update(code.co_code)
             h.update(repr(code.co_consts).encode())
             h.update("".join(cells).encode())
+            # defaults distinguish otherwise-identical wrappers (fn(*a, _i=0))
+            defaults: list = []
+            for d in (fn.__defaults__ or ()):
+                _normalize(d, defaults)
+            for k, v in sorted((fn.__kwdefaults__ or {}).items()):
+                defaults.append(k)
+                _normalize(v, defaults)
+            h.update("".join(defaults).encode())
             return f"lambda:{h.hexdigest()}"
         return f"callable:{_identity_token(fn)}"
     except Exception:
