@@ -21,6 +21,13 @@ import numpy as _np
 
 from dask_array_tpu import config
 from dask_array_tpu._chunks import PerformanceWarning, normalize_chunks
+from dask_array_tpu._diagnostics import (
+    chunk_report,
+    explain,
+    expr_table,
+    trace_rewrites,
+    xla_profile,
+)
 from dask_array_tpu._collection import Array, new_collection
 from dask_array_tpu._blockwise import blockwise, elemwise
 from dask_array_tpu._rechunk import rechunk
@@ -191,6 +198,21 @@ from dask_array_tpu.ops.routines import (
 )
 from dask_array_tpu.ops.ufuncs import *  # noqa: F401,F403
 from dask_array_tpu._dispatch import register_chunk_type
+from dask_array_tpu import io
+from dask_array_tpu import xarray
+from dask_array_tpu.io import (
+    from_blocks,
+    from_delayed,
+    from_map,
+    from_npy_stack,
+    from_tiledb,
+    from_zarr,
+    store,
+    to_hdf5,
+    to_npy_stack,
+    to_tiledb,
+    to_zarr,
+)
 
 # numpy constant / dtype re-exports (parity with the reference namespace)
 newaxis = None

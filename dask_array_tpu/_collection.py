@@ -228,6 +228,16 @@ class Array:
 
         return expr_table(self)
 
+    def explain(self, **kwargs):
+        from dask_array_tpu._diagnostics import explain
+
+        return explain(self, **kwargs)
+
+    def _repr_html_(self):
+        from dask_array_tpu._svg import repr_html
+
+        return repr_html(self)
+
     def __array__(self, dtype=None, copy=None):
         out = self.compute()
         out = np.asarray(out)

@@ -186,15 +186,28 @@ def _trace_fn(root: ArrayExpr, keys: tuple, mesh):
     return fn
 
 
+def _materialize_buf(b):
+    """Host-side IO leaves (from_map) produce their block on first use;
+    array-likes (h5py datasets, memmaps, duck arrays) coerce to numpy."""
+    if hasattr(b, "materialize"):
+        return b.materialize()
+    if isinstance(b, np.ndarray) or hasattr(b, "devices"):
+        return b
+    if hasattr(b, "__array__") or hasattr(b, "dtype"):
+        return np.asarray(b)
+    return b
+
+
 def _device_put_leaves(leaf_pairs, mesh):
     import jax
 
     if mesh is None:
-        return [b for _, b in leaf_pairs]
+        return [_materialize_buf(b) for _, b in leaf_pairs]
     from dask_array_tpu.parallel.layout import sharding_for
 
     out = []
     for key, b in leaf_pairs:
+        b = _materialize_buf(b)
         arr = np.asarray(b) if not hasattr(b, "devices") else b
         sh = sharding_for(getattr(arr, "shape", ()), mesh)
         out.append(jax.device_put(arr, sh) if sh is not None else arr)
@@ -222,6 +235,9 @@ def execute(root: ArrayExpr, mode: str | None = None):
     # eager: concrete evaluation (handles unknown chunks / untraceable funcs)
     import jax.numpy as jnp
 
-    vals = {k: jnp.asarray(np.asarray(b)) if not hasattr(b, "dtype") or isinstance(b, np.ndarray) else b for k, b in leaf_pairs}
+    vals = {}
+    for k, b in leaf_pairs:
+        b = _materialize_buf(b)
+        vals[k] = jnp.asarray(np.asarray(b)) if not hasattr(b, "dtype") or isinstance(b, np.ndarray) else b
     ctx = BuildContext(vals, mode="eager", mesh=None)
     return ctx.build(root).dense()

@@ -1,0 +1,186 @@
+"""from_map / from_delayed / from_blocks: build arrays from block-producing
+host functions.
+
+Parity: ``FromMap``/``from_delayed`` (``/root/reference/dask_array/io/
+_from_map.py``, ``_from_delayed.py``) and the external-graph interop role of
+``FromGraph`` (``_from_graph.py``) — fresh implementation.
+
+TPU note: the block-producing functions are *host* code (file readers,
+loaders).  They run once at compute time on the host; each produced block is
+bound as a jit argument, so the device program stays pure and the compiled
+executable is reused across computes.
+"""
+
+from __future__ import annotations
+
+import functools
+from numbers import Integral
+
+import numpy as np
+
+from dask_array_tpu._chunks import normalize_chunks
+from dask_array_tpu._executor import BlockView, iter_block_indices
+from dask_array_tpu._expr import ArrayExpr
+
+
+class FromMap(ArrayExpr):
+    """One host function call per block."""
+
+    _parameters = ("func", "args_per_block", "chunks_", "_dtype", "kwargs")
+    _defaults = {"kwargs": ()}
+
+    @property
+    def chunks(self):
+        return self.chunks_
+
+    @functools.cached_property
+    def _meta(self):
+        return np.empty((0,) * len(self.chunks_), dtype=self._dtype)
+
+    @functools.cached_property
+    def _block_order(self):
+        return list(iter_block_indices(tuple(len(c) for c in self.chunks_)))
+
+    def _leaf_key(self, i):
+        return f"frommap-{self._name}-{i}"
+
+    def _leaf_buffers(self):
+        kwargs = dict(self.kwargs or ())
+        for i, args in enumerate(self.args_per_block):
+            yield (self._leaf_key(i), _LazyBlock(self.func, args, kwargs))
+
+    def _build(self, ctx):
+        import jax.numpy as jnp
+
+        blocks = {}
+        for i, idx in enumerate(self._block_order):
+            val = ctx.leaf(self._leaf_key(i))
+            blocks[tuple(idx)] = val
+        return BlockView(self.chunks_, blocks=blocks)
+
+
+class _LazyBlock:
+    """Host buffer produced on demand (when the executor binds leaves)."""
+
+    __slots__ = ("func", "args", "kwargs", "_value")
+
+    def __init__(self, func, args, kwargs):
+        self.func = func
+        self.args = args
+        self.kwargs = kwargs
+        self._value = None
+
+    def materialize(self):
+        if self._value is None:
+            out = self.func(*self.args, **self.kwargs)
+            self._value = np.asarray(out)
+        return self._value
+
+
+def from_map(func, *iterables, chunks=None, shape=None, args=None, dtype=None, meta=None, name=None, **kwargs):
+    """Create an Array from a function applied to each element of iterables.
+
+    Each call produces one block (blocks stack along axis 0 unless
+    ``chunks``+``shape`` describe a full grid).
+    """
+    from dask_array_tpu._collection import new_collection
+
+    iterables = [list(it) for it in iterables]
+    if not iterables:
+        raise ValueError("from_map requires at least one iterable")
+    n = len(iterables[0])
+    if not all(len(it) == n for it in iterables):
+        raise ValueError("All iterables must have the same length")
+    call_args = [tuple(it[i] for it in iterables) + tuple(args or ()) for i in range(n)]
+
+    if dtype is None or (chunks is None and shape is None):
+        probe = np.asarray(func(*call_args[0], **kwargs))
+        if dtype is None:
+            dtype = probe.dtype
+        if chunks is None and shape is None:
+            # blocks concatenate along axis 0
+            bshape = probe.shape
+            chunks = ((bshape[0],) * n,) + tuple((s,) for s in bshape[1:])
+    dtype = np.dtype(dtype)
+    if chunks is not None and shape is not None:
+        chunks = normalize_chunks(chunks, shape, dtype=dtype)
+    nblocks = int(np.prod([len(c) for c in chunks]))
+    if nblocks != n:
+        raise ValueError(
+            f"from_map got {n} calls but the chunk grid has {nblocks} blocks"
+        )
+    return new_collection(
+        FromMap(func, tuple(call_args), tuple(chunks), dtype, tuple(sorted(kwargs.items())))
+    )
+
+
+class Delayed:
+    """A tiny delayed-call handle (the reference consumes dask.delayed)."""
+
+    __slots__ = ("func", "args", "kwargs", "_key")
+
+    def __init__(self, func, args=(), kwargs=None, key=None):
+        self.func = func
+        self.args = args
+        self.kwargs = kwargs or {}
+        self._key = key
+
+    def compute(self):
+        return self.func(*self.args, **self.kwargs)
+
+
+def delayed(func, *args, **kwargs):
+    if args or kwargs:
+        return Delayed(func, args, kwargs)
+
+    def wrap(*a, **kw):
+        return Delayed(func, a, kw)
+
+    return wrap
+
+
+def from_delayed(value, shape, dtype=None, meta=None, name=None):
+    """Create an Array (single block) from a delayed/callable value."""
+    if isinstance(value, Delayed):
+        fn, args, kw = value.func, value.args, value.kwargs
+    elif callable(value):
+        fn, args, kw = value, (), {}
+    else:
+        raise TypeError("from_delayed expects a Delayed or a callable")
+    if dtype is None:
+        raise ValueError("from_delayed requires an explicit dtype")
+    from dask_array_tpu._collection import new_collection
+
+    chunks = tuple((s,) for s in shape)
+    return new_collection(
+        FromMap(fn, (tuple(args),), chunks, np.dtype(dtype), tuple(sorted(kw.items())))
+    )
+
+
+def from_blocks(blocks: dict, chunks, dtype=None, name=None):
+    """External-graph interop: wrap precomputed blocks {idx: array-like}.
+
+    The analog of the reference's ``from_graph`` (``io/_from_graph.py``) for
+    a scheduler-less runtime: the caller supplies every block directly.
+    """
+    from dask_array_tpu._collection import new_collection
+
+    first = next(iter(blocks.values()))
+    if dtype is None:
+        dtype = np.asarray(first).dtype
+    chunks = tuple(tuple(c) for c in chunks)
+    order = list(iter_block_indices(tuple(len(c) for c in chunks)))
+    missing = [idx for idx in order if tuple(idx) not in blocks]
+    if missing:
+        raise ValueError(f"from_blocks: missing blocks {missing[:4]}...")
+    args = tuple((tuple(idx),) for idx in order)
+    getter = _BlockGetter({tuple(k): v for k, v in blocks.items()})
+    return new_collection(FromMap(getter, args, chunks, np.dtype(dtype), ()))
+
+
+class _BlockGetter:
+    def __init__(self, blocks):
+        self.blocks = blocks
+
+    def __call__(self, idx):
+        return self.blocks[idx]
