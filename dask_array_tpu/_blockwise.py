@@ -23,7 +23,48 @@ from collections.abc import Iterable
 
 import numpy as np
 
-from dask_array_tpu._chunks import common_blockdim, has_unknown_chunks
+from dask_array_tpu import config
+from dask_array_tpu._chunks import (
+    common_blockdim,
+    has_unknown_chunks,
+    parse_bytes,
+    unify_blockdims,
+)
+
+
+def _unify_index_chunks(array_args):
+    """Per index label, pick the common chunking across operands under the
+    configured unification policy (parity: ``unify_chunks_expr``,
+    ``/root/reference/dask_array/_expr.py:723``)."""
+    import math
+
+    by_label: dict = {}
+    for arr, ind in array_args:
+        nb = arr.nbytes
+        for pos, label in enumerate(ind):
+            c = arr.chunks[pos]
+            # broadcast dims (total size 0/1) defer to the real dims
+            if len(c) == 1 and sum(c) in (0, 1):
+                by_label.setdefault(label, []).append((c, 0.0, True))
+            else:
+                by_label.setdefault(label, []).append((c, nb, False))
+    policy = config.get("array.unify-chunks-policy", "auto")
+    limit = parse_bytes(config.get("array.unify-chunks-limit", "512 MiB"))
+    out = {}
+    for label, cands in by_label.items():
+        real = [(c, nb) for c, nb, is_bcast in cands if not is_bcast]
+        if not real:
+            out[label] = cands[0][0]
+            continue
+        if len({c for c, _ in real}) == 1:
+            out[label] = real[0][0]
+            continue
+        # bytes per unit length along this axis, for the size-limit check
+        lengths = [sum(c) for c, _ in real if not math.isnan(sum(c))]
+        sizes = [nb for _, nb in real if not (isinstance(nb, float) and math.isnan(nb))]
+        row_bytes = (max(sizes) / max(1, max(lengths))) if (sizes and lengths) else 1.0
+        out[label] = unify_blockdims(real, policy=policy, limit_bytes=limit, row_bytes=row_bytes)
+    return out
 from dask_array_tpu._executor import BlockView, iter_block_indices
 from dask_array_tpu._expr import ArrayExpr, compute_meta, meta_from_array
 from dask_array_tpu.utils._tokenize import tokenize
@@ -88,23 +129,8 @@ class Blockwise(ArrayExpr):
 
     @functools.cached_property
     def _index_chunks(self):
-        """Map index label -> unified chunks along that label."""
-        out: dict = {}
-        for arr, ind in self.array_args:
-            for pos, label in enumerate(ind):
-                c = arr.chunks[pos]
-                prev = out.get(label)
-                if prev is None:
-                    out[label] = c
-                else:
-                    # broadcast dims (total size 1) defer to the real dims
-                    if len(c) == 1 and sum(c) in (0, 1) and sum(prev) not in (0, 1):
-                        continue
-                    if len(prev) == 1 and sum(prev) in (0, 1) and sum(c) not in (0, 1):
-                        out[label] = c
-                        continue
-                    if prev != c:
-                        out[label] = common_blockdim([prev, c])
+        """Map index label -> unified chunks along that label (cost-aware)."""
+        out = _unify_index_chunks(self.array_args)
         new_axes = dict(self.new_axes or ())
         for label, size in new_axes.items():
             out[label] = size if isinstance(size, tuple) else (size,)
@@ -306,21 +332,7 @@ class Elemwise(Blockwise):
 
     @functools.cached_property
     def _index_chunks(self):
-        out: dict = {}
-        for arr, ind in self.array_args:
-            for pos, label in enumerate(ind):
-                c = arr.chunks[pos]
-                prev = out.get(label)
-                if prev is None:
-                    out[label] = c
-                elif prev != c:
-                    if len(c) == 1 and sum(c) in (0, 1):
-                        continue
-                    if len(prev) == 1 and sum(prev) in (0, 1):
-                        out[label] = c
-                    else:
-                        out[label] = common_blockdim([prev, c])
-        return out
+        return _unify_index_chunks(self.array_args)
 
     def _lower(self):
         from dask_array_tpu._rechunk import Rechunk

@@ -301,3 +301,112 @@ def chunks_nbytes(chunks, itemsize) -> float:
     for axis in chunks:
         total *= sum(axis)
     return total * itemsize
+
+
+# ---------------------------------------------------------------------------
+# cost-aware chunk unification (policy: auto | coarse | refine)
+# ---------------------------------------------------------------------------
+
+
+_MERGE_COST_RATIO = 4  # parity: _expr.py:672 — merge if moved <= ratio * backing
+
+
+def _boundaries(chunks):
+    out = [0]
+    for c in chunks:
+        out.append(out[-1] + c)
+    return out
+
+
+def _from_boundaries(bounds):
+    return tuple(b - a for a, b in zip(bounds[:-1], bounds[1:]))
+
+
+def unify_blockdims(candidates, policy="auto", limit_bytes=None, row_bytes=1.0):
+    """Choose the unified blockdim for one axis across operands, cost-aware.
+
+    ``candidates``: list of (chunks_along_axis, operand_nbytes).
+    ``row_bytes``: approximate bytes per unit length along this axis (the
+    operand nbytes / axis length), used for the size limit check.
+
+    Parity: ``unify_chunks_expr`` / ``coarse_blockdim`` / ``moved_fraction``
+    (``/root/reference/dask_array/_expr.py:586-905``):
+
+    - refine: the common refinement (union of boundaries) — splits only, no
+      data moves, but can shatter into many small blocks.
+    - coarse: the coarsest common coarsening (intersection of boundaries) —
+      fewest blocks, misaligned operands move.
+    - auto: coarse unless the bytes that would move exceed
+      ``_MERGE_COST_RATIO`` x the bytes already laid out coarsely, or the
+      merge would manufacture a chunk above ``limit_bytes`` (then refine,
+      with a PerformanceWarning).
+    """
+    real = [(tuple(c), nb) for c, nb in candidates if len(c) > 1 or (c and c[0] != 0)]
+    non_trivial = [(c, nb) for c, nb in real if len(c) > 1]
+    if not non_trivial:
+        if not real:
+            return max((tuple(c) for c, _ in candidates), key=len, default=())
+        return real[0][0]
+    distinct = {c for c, _ in non_trivial}
+    if len(distinct) == 1:
+        return next(iter(distinct))
+    if any(math.isnan(sum(c)) for c in distinct):
+        raise ValueError(
+            "Arrays' chunk sizes along an axis are unknown and differ; call "
+            "compute_chunk_sizes() first"
+        )
+    totals = {sum(c) for c in distinct}
+    if len(totals) > 1:
+        raise ValueError(f"Chunks do not align along axis: lengths {sorted(totals)}")
+
+    bound_sets = {c: set(_boundaries(c)) for c in distinct}
+    refined = common_blockdim(list(distinct))
+
+    if policy == "refine":
+        return refined
+
+    # coarsest common coarsening: intersection of all boundary sets
+    inter = None
+    for s in bound_sets.values():
+        inter = set(s) if inter is None else (inter & s)
+    coarse = _from_boundaries(sorted(inter))
+
+    if limit_bytes is not None and coarse and max(coarse) * row_bytes > limit_bytes:
+        warnings.warn(
+            "unify-chunks merge would manufacture a chunk above "
+            "array.unify-chunks-limit; refining instead",
+            PerformanceWarning,
+            stacklevel=3,
+        )
+        return refined
+
+    if policy == "coarse":
+        return coarse
+
+    # auto: cost model — operands already in the coarse layout "back" it;
+    # everyone else would move
+    moved = 0.0
+    backing = 0.0
+    for c, nb in non_trivial:
+        nb = 0.0 if (isinstance(nb, float) and math.isnan(nb)) else float(nb)
+        if tuple(c) == coarse:
+            backing += nb
+        else:
+            moved += nb
+    if backing > 0 and moved <= _MERGE_COST_RATIO * backing:
+        return coarse
+    if backing == 0:
+        # nobody backs the coarse layout: prefer the layout of the largest
+        # operand (move the smaller ones toward it) if it is itself coarse
+        # enough, else refine
+        biggest = max(non_trivial, key=lambda t: 0 if (isinstance(t[1], float) and math.isnan(t[1])) else t[1])
+        others = sum(
+            0 if (isinstance(nb, float) and math.isnan(nb)) else nb
+            for c, nb in non_trivial
+            if c is not biggest[0]
+        )
+        b_nb = 0 if (isinstance(biggest[1], float) and math.isnan(biggest[1])) else biggest[1]
+        if others <= _MERGE_COST_RATIO * b_nb:
+            return biggest[0]
+        return refined
+    return refined

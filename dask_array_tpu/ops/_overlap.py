@@ -306,6 +306,35 @@ class SlidingWindowView(ArrayExpr):
     def _meta(self):
         return np.empty((0,) * (self.array.ndim + len(self.axes)), dtype=self.array.dtype)
 
+    def _simplify_up(self, parent, dependents):
+        # fuse reduce(sliding_window_view(x)) over the window dim into one
+        # lax.reduce_window (parity: the SlidingWindowView->Reduction fusion,
+        # /root/reference/dask_array/_overlap.py:457-623)
+        from dask_array_tpu.ops.reductions import Reduction
+        from dask_array_tpu.ops._sliding import (
+            FUSABLE_WINDOW_REDUCERS,
+            SlidingWindowReduce,
+        )
+
+        if (
+            type(parent) is Reduction
+            and not parent.keepdims
+            and parent.kind in FUSABLE_WINDOW_REDUCERS
+            and len(self.window_shape) == 1
+            and parent.axes == (self.array.ndim,)  # exactly the window dim
+        ):
+            deps = dependents.get(self._name, ())
+            if any(d._name != parent._name for d in deps):
+                return None
+            return SlidingWindowReduce(
+                self.array,
+                parent.kind,
+                self.window_shape[0],
+                self.axes[0],
+                parent.dtype,
+            )
+        return super()._simplify_up(parent, dependents)
+
     def _build(self, ctx):
         jnp = _jnp()
         dense = ctx.build(self.array).dense()
