@@ -34,6 +34,12 @@ def _peak_tflops(device) -> float:
     return 197.0
 
 
+def _timed(fn):
+    t0 = time.perf_counter()
+    fn()
+    return time.perf_counter() - t0
+
+
 def main():
     import jax
 
@@ -67,6 +73,12 @@ def main():
         out = y.compute_device()
         _ = np.asarray(out[0, 0])
 
+        # measure the host<->device fetch round-trip so it can be excluded
+        # (it is tunnel latency, not device time)
+        rtt = min(
+            _timed(lambda: np.asarray(out[0, 0])) for _ in range(5)
+        )
+
         iters = 20 if on_tpu else 3
         best = float("inf")
         for _trial in range(3):
@@ -74,7 +86,7 @@ def main():
             for _ in range(iters):
                 out = y.compute_device()
             _ = np.asarray(out[0, 0])  # drain the queue
-            dt = (time.perf_counter() - t0) / iters
+            dt = (time.perf_counter() - t0 - rtt) / iters
             best = min(best, dt)
         dt = best
 
