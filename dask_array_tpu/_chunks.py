@@ -239,8 +239,22 @@ def common_blockdim(blockdims):
     if len(totals) > 1:
         raise ValueError(f"Chunks do not align along axis: lengths {sorted(totals)}")
 
-    # refinement: sweep all boundaries
+    # refinement: sweep all boundaries (native pairwise fold for long axes)
     total = totals.pop()
+    nt = sorted(non_trivial, key=len)
+    if sum(len(b) for b in nt) > 512:
+        from dask_array_tpu import native
+
+        acc = tuple(nt[0])
+        ok = True
+        for b in nt[1:]:
+            ref = native.refine_axis(acc, b)
+            if ref is None:
+                ok = False
+                break
+            acc = ref
+        if ok:
+            return acc
     cuts = set()
     for b in non_trivial:
         pos = 0

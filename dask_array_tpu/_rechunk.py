@@ -123,10 +123,26 @@ def old_to_new(old_chunks, new_chunks):
     """For each axis, for each new block: list of (old_block, slice) pieces.
 
     The fundamental rechunk mapping (parity:
-    ``/root/reference/dask_array/_rechunk.py:130``).
+    ``/root/reference/dask_array/_rechunk.py:130``).  Uses the native
+    plankit expansion for long axes.
     """
     out = []
     for o, n in zip(old_chunks, new_chunks):
+        if len(o) + len(n) > 512:
+            from dask_array_tpu import native
+
+            res = native.old_to_new_axis(o, n)
+            if res is not None:
+                offsets, p_old, p_lo, p_hi = res
+                axis = [
+                    [
+                        (int(p_old[k]), slice(int(p_lo[k]), int(p_hi[k])))
+                        for k in range(offsets[j], offsets[j + 1])
+                    ]
+                    for j in range(len(n))
+                ]
+                out.append(axis)
+                continue
         o_bounds = np.cumsum([0] + list(o))
         axis = []
         pos = 0

@@ -134,9 +134,17 @@ def sliced_blockdim(dim_chunks, sl: slice):
 
     Returns (new_chunks, kept) where kept is the list of (block, inner_slice)
     in output order; empty contributions are dropped (dask semantics).
+    Uses the native plankit kernel for large positive-step axes.
     """
     total = sum(dim_chunks)
     start, stop, step = sl.indices(int(total))
+    if step > 0 and len(dim_chunks) > 256:
+        from dask_array_tpu import native
+
+        counts = native.sliced_blockdim_counts(dim_chunks, start, stop, step)
+        if counts is not None:
+            nc = tuple(int(c) for c in counts if c)
+            return (nc or (0,)), None  # kept unused by the dense executor
     bounds = cached_cumsum(dim_chunks, initial_zero=True)
     new_chunks = []
     kept = []
