@@ -29,6 +29,7 @@ from dask_array_tpu._diagnostics import (
     xla_profile,
 )
 from dask_array_tpu._collection import Array, new_collection
+from dask_array_tpu._expr_flow import expr_flow
 from dask_array_tpu._blockwise import blockwise, elemwise
 from dask_array_tpu._rechunk import rechunk
 from dask_array_tpu._shuffle import shuffle
@@ -198,7 +199,7 @@ from dask_array_tpu.ops.routines import (
 )
 from dask_array_tpu.ops.ufuncs import *  # noqa: F401,F403
 from dask_array_tpu._dispatch import register_chunk_type
-from dask_array_tpu import io
+from dask_array_tpu import chunk, io
 from dask_array_tpu import xarray
 from dask_array_tpu.io import (
     from_blocks,

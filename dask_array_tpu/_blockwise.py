@@ -193,6 +193,48 @@ class Blockwise(ArrayExpr):
 
     # -- execution ---------------------------------------------------------------
 
+    # coarse slice pushdown: block-boundary-aligned slices on out labels
+    # (parity: the coarse ``_accept_slice`` at ``_blockwise.py:684``)
+    def _accept_slice(self, index):
+        from dask_array_tpu._chunks import cached_cumsum
+        from dask_array_tpu._slicing import Slice, is_basic_index
+
+        if not is_basic_index(index) or any(isinstance(i, numbers.Integral) for i in index):
+            return None
+        adjust = dict(self.adjust_chunks or ())
+        new_axes = dict(self.new_axes or ())
+        # map each out axis to (label, kept-block range) if alignable
+        label_slice: dict = {}
+        for pos, ind in enumerate(index):
+            if ind == slice(None):
+                continue
+            label = self.out_ind[pos]
+            if label in adjust or label in new_axes:
+                return None  # sizes transformed per-block; unsafe to push
+            if ind.step not in (1, None):
+                return None
+            c = self.chunks[pos]
+            bounds = cached_cumsum(c, initial_zero=True)
+            if ind.start not in bounds or ind.stop not in bounds:
+                return None  # not block-aligned: leave the fine slice outside
+            label_slice[label] = ind
+        if not label_slice:
+            return None
+        new_ops = list(self.operands[:_NHEAD])
+        for arr, a_ind in self.arg_pairs:
+            if a_ind is not None and isinstance(arr, ArrayExpr):
+                sub = tuple(
+                    # broadcast dims (size 0/1) keep broadcasting after the cut
+                    slice(None)
+                    if len(arr.chunks[pos]) == 1 and sum(arr.chunks[pos]) in (0, 1)
+                    else label_slice.get(lbl, slice(None))
+                    for pos, lbl in enumerate(a_ind)
+                )
+                if any(s != slice(None) for s in sub):
+                    arr = Slice(arr, sub)
+            new_ops.extend([arr, a_ind])
+        return type(self)(*new_ops)
+
     def _arg_block(self, ctx, arr_view, ind, out_coord, coord_of):
         """Fetch (and contract-concatenate) one argument's block."""
         import jax.numpy as jnp
@@ -384,6 +426,27 @@ class Elemwise(Blockwise):
                 if sub is None:
                     return None
                 a = Slice(a, sub) if sub else a
+            new_args.append(a)
+        return type(self)(*self.operands[:2], *new_args)
+
+    # rechunk pushdown: rechunk(op(a, b)) == op(rechunk(a), rechunk(b))
+    def _accept_rechunk(self, target_chunks):
+        from dask_array_tpu._rechunk import Rechunk
+
+        out_ind = self.out_ind
+        new_args = []
+        for a in self.args:
+            if isinstance(a, ArrayExpr):
+                sub = tuple(
+                    a.chunks[pos]
+                    if len(a.chunks[pos]) == 1 and sum(a.chunks[pos]) in (0, 1)
+                    else target_chunks[len(out_ind) - a.ndim + pos]
+                    for pos in range(a.ndim)
+                )
+                if has_unknown_chunks(a.chunks):
+                    return None
+                if sub != a.chunks:
+                    a = Rechunk(a, sub)
             new_args.append(a)
         return type(self)(*self.operands[:2], *new_args)
 

@@ -49,6 +49,22 @@ class Shuffle(ArrayExpr):
             return self.array
         return None
 
+    def _accept_slice(self, index):
+        from dask_array_tpu._slicing import Slice, is_basic_index
+
+        # slices on non-shuffled axes commute with the shuffle
+        if not is_basic_index(index):
+            return None
+        from numbers import Integral
+
+        if any(isinstance(i, Integral) for i in index):
+            return None
+        if index[self.axis] != slice(None):
+            return None
+        if all(i == slice(None) for i in index):
+            return None
+        return Shuffle(Slice(self.array, tuple(index)), self.indexer, self.axis)
+
     def _build(self, ctx):
         import jax.numpy as jnp
 

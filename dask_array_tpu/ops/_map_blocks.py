@@ -243,3 +243,89 @@ class ChunksOverride(ArrayExpr):
         if view._blocks is not None:
             return BlockView(self.chunks_, blocks=view.blocks_dict())
         return BlockView(self.chunks_, dense=view._dense)
+
+
+# ---------------------------------------------------------------------------
+# multi-output map_blocks
+# ---------------------------------------------------------------------------
+
+
+class MapBlocksMultiOutput(ArrayExpr):
+    """Inner node: func returns a TUPLE of arrays per block.
+
+    Parity: ``map_blocks_multi_output`` / ``MapBlocksOutput``
+    (``/root/reference/dask_array/_map_blocks.py:565-650``).  The executor's
+    build cache deduplicates this node, so the function runs once per block
+    even with several output selectors.
+    """
+
+    _parameters = ("func", "n_out", "kwargs")
+    # operands[3:] are the input expressions
+
+    @property
+    def arrays(self):
+        return self.operands[3:]
+
+    @property
+    def chunks(self):
+        return self.arrays[0].chunks  # grid carrier only
+
+    @property
+    def _meta(self):
+        return self.arrays[0]._meta
+
+    def _build(self, ctx):
+        views = [ctx.build(a) for a in self.arrays]
+        kwargs = dict(self.kwargs or ())
+        blocks = {}
+        for idx in iter_block_indices(views[0].numblocks):
+            args = [v.block(idx) for v in views]
+            out = self.func(*args, **kwargs)
+            if not isinstance(out, tuple) or len(out) != self.n_out:
+                raise ValueError(
+                    f"map_blocks_multi_output function must return a tuple of "
+                    f"{self.n_out} arrays"
+                )
+            blocks[tuple(idx)] = out
+        return BlockView(self.chunks, blocks=blocks)
+
+
+class MultiOutputBlock(ArrayExpr):
+    """Selector: output ``index`` of a MapBlocksMultiOutput."""
+
+    _parameters = ("inner", "index", "chunks_", "_dtype")
+
+    @property
+    def chunks(self):
+        return self.chunks_
+
+    @property
+    def _meta(self):
+        return np.empty((0,) * len(self.chunks_), dtype=self._dtype)
+
+    def _build(self, ctx):
+        view = ctx.build(self.inner)
+        blocks = {idx: blk[self.index] for idx, blk in view.blocks_dict().items()}
+        return BlockView(self.chunks_, blocks=blocks)
+
+
+def map_blocks_multi_output(func, *args, dtypes, chunkss=None, **kwargs):
+    """Apply a function producing several outputs per block.
+
+    ``dtypes``: one dtype per output. ``chunkss``: optional per-output chunk
+    tuples (default: the first input's chunks).
+    """
+    from dask_array_tpu._collection import Array, new_collection
+
+    arrays = [a.expr if isinstance(a, Array) else a for a in args]
+    if not arrays:
+        raise ValueError("map_blocks_multi_output requires at least one Array")
+    n_out = len(dtypes)
+    inner = MapBlocksMultiOutput(
+        func, n_out, tuple(sorted(kwargs.items())), *arrays
+    )
+    outs = []
+    for i, dt in enumerate(dtypes):
+        ch = tuple(chunkss[i]) if chunkss is not None else arrays[0].chunks
+        outs.append(new_collection(MultiOutputBlock(inner, i, ch, np.dtype(dt))))
+    return tuple(outs)

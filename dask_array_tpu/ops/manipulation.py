@@ -61,6 +61,15 @@ class Transpose(Blockwise):
         dense = jnp.transpose(view.dense(), self.axes)
         return BlockView(self.chunks, dense=dense)
 
+    def _accept_rechunk(self, target_chunks):
+        from dask_array_tpu._rechunk import Rechunk
+
+        # rechunk(transpose(x)) == transpose(rechunk(x, inverse-permuted))
+        inner_target = [None] * len(self.axes)
+        for out_pos, in_ax in enumerate(self.axes):
+            inner_target[in_ax] = tuple(target_chunks[out_pos])
+        return make_transpose(Rechunk(self.array, tuple(inner_target)), self.axes)
+
     def _accept_slice(self, index):
         if not is_basic_index(index):
             return None
@@ -174,6 +183,16 @@ class Squeeze(ArrayExpr):
 
         view = ctx.build(self.array)
         return BlockView(self.chunks, dense=jnp.squeeze(view.dense(), axis=self.axes))
+
+    def _accept_rechunk(self, target_chunks):
+        from dask_array_tpu._rechunk import Rechunk
+
+        it = iter(target_chunks)
+        inner = tuple(
+            (1,) if ax in self.axes else tuple(next(it))
+            for ax in range(self.array.ndim)
+        )
+        return Squeeze(Rechunk(self.array, inner), self.axes)
 
     def _accept_slice(self, index):
         if not is_basic_index(index):
