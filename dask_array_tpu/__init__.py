@@ -12,6 +12,12 @@ Capability parity target: ``mrocklin/dask-array`` (see SURVEY.md).
 
 from __future__ import annotations
 
+import sys as _sys
+
+# deep expression chains recurse through rewrite passes (~4 frames/node);
+# match dask's posture of a raised limit
+_sys.setrecursionlimit(max(_sys.getrecursionlimit(), 20000))
+
 # numpy-compatible dtype semantics (f64 default, numpy promotion rules)
 import jax as _jax
 

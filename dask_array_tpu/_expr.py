@@ -364,6 +364,7 @@ class ArrayExpr:
     # -- drivers ---------------------------------------------------------------
 
     def simplify(self):
+        warm_metadata(self)
         expr = self
         seen = set()
         while True:
@@ -404,6 +405,7 @@ class ArrayExpr:
         return expr
 
     def lower_completely(self):
+        warm_metadata(self)
         expr = self
         seen = set()
         while True:
@@ -451,6 +453,44 @@ def _lower_cache():
         if len(_LOWER_CACHE) > _LOWER_CACHE_LIMIT:
             _LOWER_CACHE.clear()
     return _LOWER_CACHE
+
+
+def toposort(root: ArrayExpr):
+    """Children-first (dependencies before dependents) iterative ordering."""
+    order = []
+    state: dict[str, int] = {}
+    stack = [(root, False)]
+    while stack:
+        node, processed = stack.pop()
+        if processed:
+            order.append(node)
+            continue
+        st = state.get(node._name, 0)
+        if st:
+            continue
+        state[node._name] = 1
+        stack.append((node, True))
+        for dep in node.dependencies():
+            if not state.get(dep._name, 0):
+                stack.append((dep, False))
+    return order
+
+
+def warm_metadata(root: ArrayExpr) -> None:
+    """Populate chunks/_meta caches bottom-up so deep trees don't recurse.
+
+    Property access on a depth-N chain otherwise recurses ~10 frames per
+    node; warming makes every access O(1) against the cache.
+    """
+    for node in toposort(root):
+        try:
+            node.chunks
+        except Exception:
+            pass
+        try:
+            node._meta
+        except Exception:
+            pass
 
 
 def collect_dependents(root: ArrayExpr) -> dict:
