@@ -29,6 +29,7 @@ from dask_array_tpu import config
 from dask_array_tpu._chunks import PerformanceWarning, normalize_chunks
 from dask_array_tpu._diagnostics import (
     chunk_report,
+    tier_report,
     explain,
     expr_table,
     trace_rewrites,

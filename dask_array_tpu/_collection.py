@@ -47,6 +47,9 @@ class Persisted(ArrayExpr):
     def _leaf_buffers(self):
         yield (f"persist-{self.pinned_name}", self.buffer)
 
+    def _structural_operands(self):
+        return [("buf", np.dtype(self.buffer.dtype).str), self.chunks_]
+
     def _build(self, ctx):
         from dask_array_tpu._executor import BlockView
 

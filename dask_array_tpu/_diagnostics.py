@@ -252,3 +252,41 @@ def xla_profile(logdir="/tmp/dask_array_tpu_profile"):
         yield logdir
     finally:
         jax.profiler.stop_trace()
+
+
+def tier_report(x, file=None):
+    """Classify every node by execution tier (parity: the reference's
+    ``_frisky/inventory.py`` tier classifier — binary/native_tuples/adapter/
+    fallback becomes trace/eager here, plus whether the native planning
+    library is engaged).
+
+    Tiers:
+      * ``trace``  — staged into the single jitted XLA program (fast path)
+      * ``eager``  — forces concrete evaluation of the whole tree
+                     (data-dependent shapes / untraceable host functions)
+    """
+    from collections import Counter
+
+    from dask_array_tpu import native
+    from dask_array_tpu._collection import Array
+
+    expr = x.expr if isinstance(x, Array) else x
+    lowered = expr.optimize()
+    rows = []
+    for node in lowered.walk():
+        tier = "trace" if getattr(node, "_traceable", True) else "eager"
+        rows.append((type(node).__name__, tier))
+    counts = Counter(tier for _, tier in rows)
+    lines = [
+        f"execution tier report ({len(rows)} nodes): "
+        + ", ".join(f"{t}={n}" for t, n in sorted(counts.items()))
+    ]
+    mode = "eager (whole tree)" if counts.get("eager") else "trace (one jitted XLA program)"
+    lines.append(f"  mode: {mode}")
+    lines.append(f"  native plankit: {'engaged' if native.available() else 'Python fallback'}")
+    for name, tier in rows:
+        if tier != "trace":
+            lines.append(f"  {name}: {tier}")
+    text = "\n".join(lines)
+    print(text, file=file)
+    return {"counts": dict(counts), "nodes": rows, "native": native.available()}

@@ -146,14 +146,25 @@ class BuildContext:
 
 
 def collect_leaves(root: ArrayExpr):
-    """Deterministically ordered (key, host buffer) pairs for the whole tree."""
+    """(key, host buffer) pairs in STRUCTURAL order (deterministic DFS over
+    operand positions).  Two structurally identical trees emit their leaves
+    at identical positions, which is what makes the structural compiled-
+    function cache sound: the cached closure binds leaves positionally."""
     pairs = []
-    seen = set()
-    for node in sorted(root.walk(), key=lambda n: n._name):
+    seen_nodes = set()
+    seen_keys = set()
+    stack = [root]
+    while stack:
+        node = stack.pop()
+        if node._name in seen_nodes:
+            continue
+        seen_nodes.add(node._name)
         for key, buf in node._leaf_buffers():
-            if key not in seen:
-                seen.add(key)
+            if key not in seen_keys:
+                seen_keys.add(key)
                 pairs.append((key, buf))
+        # push children reversed so they pop in operand order
+        stack.extend(reversed(node.dependencies()))
     return pairs
 
 
@@ -165,11 +176,48 @@ _fn_cache: dict = {}
 _FN_CACHE_LIMIT = 512
 
 
+def structural_key(root: ArrayExpr) -> str:
+    """A cache key invariant to leaf buffer CONTENTS (buffers are jit args,
+    so two same-shaped datasets share one compiled executable).  Every other
+    operand — including scalar literals, which get baked into the trace as
+    constants — stays in the key.  Leaf nodes carry their first-visit
+    ORDINAL so that sharing patterns (f(A,A,B) vs f(A,B,B)) key differently:
+    the cached closure binds leaves positionally."""
+    from dask_array_tpu.utils._tokenize import tokenize
+
+    memo: dict[str, str] = {}
+    leaf_ordinal: dict[str, int] = {}
+
+    def rec(node: ArrayExpr) -> str:
+        got = memo.get(node._name)
+        if got is not None:
+            return got
+        parts: list = [type(node).__qualname__]
+        spec = node._structural_operands() if hasattr(node, "_structural_operands") else None
+        if spec is not None:
+            ordinal = leaf_ordinal.setdefault(node._name, len(leaf_ordinal))
+            parts.append(("leaf", ordinal))
+            ops = spec
+        else:
+            ops = node.operands
+        for op in ops:
+            if isinstance(op, ArrayExpr):
+                parts.append(rec(op))
+            else:
+                parts.append(op)
+        tok = tokenize(*parts)
+        memo[node._name] = tok
+        return tok
+
+    return rec(root)
+
+
 def _trace_fn(root: ArrayExpr, keys: tuple, mesh):
     """The (cached) jitted function computing root's dense value from leaves."""
     import jax
 
-    cache_key = (root._name, keys, id(mesh) if mesh is not None else None)
+    skey = structural_key(root)
+    cache_key = (skey, len(keys), id(mesh) if mesh is not None else None)
     fn = _fn_cache.get(cache_key)
     if fn is not None:
         return fn

@@ -172,3 +172,61 @@ def intersect_chunks(old_chunks, new_chunks):
     per_axis = [list(axis) for axis in mapping]
     for combo in itertools.product(*per_axis):
         yield tuple(itertools.product(*combo))
+
+
+# ---------------------------------------------------------------------------
+# multi-stage rechunk planning (parity: plan_rechunk, _rechunk.py:442)
+# ---------------------------------------------------------------------------
+
+
+def _stage_degree(old, new):
+    """Max number of old blocks feeding one new block along any axis."""
+    deg = 1
+    for axis in old_to_new(old, new):
+        deg = max(deg, max((len(pieces) for pieces in axis), default=1))
+    return deg
+
+
+def plan_rechunk(old_chunks, new_chunks, itemsize=8, threshold=None, block_size_limit=None):
+    """Plan intermediate chunk layouts for a rechunk.
+
+    On TPU this planner does NOT drive execution (GSPMD owns the collective
+    schedule for a layout change); it exists for cost reporting (`explain`)
+    and for the eager per-block path, where bounding the fan-in degree per
+    stage keeps gather widths sane — the copies-vs-tasks tradeoff of the
+    reference's planner becomes stages-vs-gather-degree here.
+
+    Returns a list of chunk layouts ending with ``new_chunks``.
+    """
+    from dask_array_tpu import config
+
+    if threshold is None:
+        threshold = config.get("array.rechunk.threshold", 32)
+    deg = _stage_degree(old_chunks, new_chunks)
+    if deg <= threshold:
+        return [new_chunks]
+    # one intermediate stage: per axis, the boundary union (refinement) —
+    # every old->mid and mid->new edge then has degree 1 on split axes and
+    # bounded merge fan-in
+    from dask_array_tpu._chunks import common_blockdim
+
+    mid = tuple(
+        common_blockdim([tuple(o), tuple(n)]) if tuple(o) != tuple(n) else tuple(o)
+        for o, n in zip(old_chunks, new_chunks)
+    )
+    if mid == old_chunks or mid == new_chunks:
+        return [new_chunks]
+    return [mid, new_chunks]
+
+
+def _choose_rechunk_method(old_chunks, new_chunks, threshold=None):
+    """tasks vs collective ("p2p" analog): on a mesh, any rechunk whose
+    stage degree exceeds the threshold is best expressed as one all-to-all
+    (XLA collective); small-degree rechunks stay pure layout changes."""
+    from dask_array_tpu import config
+
+    method = config.get("array.rechunk.method", "tasks")
+    if method != "tasks":
+        return method
+    deg = _stage_degree(old_chunks, new_chunks)
+    return "collective" if deg > (threshold or config.get("array.rechunk.threshold", 32)) else "tasks"

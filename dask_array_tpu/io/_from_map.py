@@ -58,6 +58,11 @@ class FromMap(ArrayExpr):
             blocks[tuple(idx)] = val
         return BlockView(self.chunks_, blocks=blocks)
 
+    def _structural_operands(self):
+        # func/args only determine host-produced contents; the program shape
+        # is fixed by the chunk grid + dtype
+        return [("frommap", self._dtype.str), self.chunks_]
+
 
 class _LazyBlock:
     """Host buffer produced on demand (when the executor binds leaves)."""

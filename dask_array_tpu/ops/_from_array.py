@@ -47,6 +47,11 @@ class FromArray(ArrayExpr):
             src = src[tuple(self.region)]
         yield (self._leaf_key, src)
 
+    def _structural_operands(self):
+        # the bound buffer's spec, not its contents: same-shaped datasets
+        # share one compiled executable
+        return [("buf", np.dtype(self.source.dtype).str), self.chunks_]
+
     def _build(self, ctx):
         import jax.numpy as jnp
 

@@ -52,12 +52,44 @@ def apply_gufunc(
 ):
     from dask_array_tpu._collection import Array, new_collection
     from dask_array_tpu.ops._from_array import asarray
-
-    if axes is not None or axis is not None or keepdims:
-        raise NotImplementedError("axes=/axis=/keepdims= are not supported yet")
+    from dask_array_tpu.ops.manipulation import expand_dims, moveaxis
 
     in_dims, out_dims = _parse_gufunc_signature(signature)
     arrays = [asarray(a) for a in args]
+
+    # axis= / axes=: move the named axes to the trailing (core) positions
+    # before, and move output core dims back after (numpy.gufunc semantics)
+    if axis is not None:
+        if axes is not None:
+            raise ValueError("cannot pass both axis= and axes=")
+        if any(len(cd) > 1 for cd in in_dims + out_dims):
+            raise ValueError("axis= requires single-dimension core signatures")
+        axes = [(axis,) if cd else () for cd in in_dims] + [
+            (axis,) if cd else () for cd in out_dims
+        ]
+    out_axes_spec = None
+    if axes is not None:
+        axes = [tuple(a) if isinstance(a, (tuple, list)) else (a,) for a in axes]
+        if len(axes) == len(in_dims):
+            in_axes = axes
+            out_axes_spec = None
+        elif len(axes) == len(in_dims) + len(out_dims):
+            in_axes = axes[: len(in_dims)]
+            out_axes_spec = axes[len(in_dims):]
+        else:
+            raise ValueError(
+                f"axes= must have {len(in_dims)} or {len(in_dims) + len(out_dims)} entries"
+            )
+        moved = []
+        for a, cd, ax in zip(arrays, in_dims, in_axes):
+            if len(ax) != len(cd):
+                raise ValueError("axes entry length must match core dims")
+            if ax and tuple(x % a.ndim for x in ax) != tuple(
+                range(a.ndim - len(cd), a.ndim)
+            ):
+                a = moveaxis(a, ax, tuple(range(a.ndim - len(cd), a.ndim)))
+            moved.append(a)
+        arrays = moved
     if len(arrays) != len(in_dims):
         raise ValueError(
             f"signature expects {len(in_dims)} arguments, got {len(arrays)}"
@@ -151,7 +183,17 @@ def apply_gufunc(
             _normalize_kwargs(kwargs),
             *pairs,
         )
-        results.append(new_collection(expr))
+        out_arr = new_collection(expr)
+        if keepdims and not od:
+            insert_at = axis if axis is not None else -1
+            out_arr = expand_dims(out_arr, insert_at % (out_arr.ndim + 1))
+        elif out_axes_spec is not None and od:
+            ax_spec = out_axes_spec[i]
+            want = tuple(x % out_arr.ndim for x in ax_spec)
+            have = tuple(range(out_arr.ndim - len(od), out_arr.ndim))
+            if want != have:
+                out_arr = moveaxis(out_arr, have, want)
+        results.append(out_arr)
     if len(results) == 1:
         return results[0]
     return tuple(results)

@@ -135,6 +135,35 @@ class Einsum(ArrayExpr):
                 dtype = jax.eval_shape(lambda *xs: jnp.einsum(spec, *xs), *sds).dtype
         return np.empty((0,) * len(self.out_labels), dtype=np.dtype(dtype))
 
+    def _accept_slice(self, index):
+        """Slice pushdown through contraction free labels:
+        einsum(...)[idx] == einsum(sliced operands) when the sliced output
+        labels are plain (non-repeated, non-contracted) free labels."""
+        from dask_array_tpu._slicing import Slice, is_basic_index
+        from numbers import Integral
+
+        if not is_basic_index(index) or any(isinstance(i, Integral) for i in index):
+            return None
+        label_slice = {}
+        for pos, ind in enumerate(index):
+            if ind == slice(None):
+                continue
+            label = self.out_labels[pos]
+            # decline diagonals (label repeated within an operand)
+            for labels in self.input_labels:
+                if labels.count(label) > 1:
+                    return None
+            label_slice[label] = ind
+        if not label_slice:
+            return None
+        new_arrays = []
+        for labels, arr in zip(self.input_labels, self.arrays):
+            sub = tuple(label_slice.get(lbl, slice(None)) for lbl in labels)
+            if any(s != slice(None) for s in sub):
+                arr = Slice(arr, sub)
+            new_arrays.append(arr)
+        return Einsum(*self.operands[:4], *new_arrays)
+
     def _build(self, ctx):
         import jax.numpy as jnp
 

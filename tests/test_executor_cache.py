@@ -1,0 +1,58 @@
+"""Structural compiled-function cache: same-shaped data reuses executables;
+sharing patterns and literals key differently (no silent wrong reuse)."""
+
+import numpy as np
+import pytest
+
+import dask_array_tpu as da
+from dask_array_tpu._executor import _fn_cache, structural_key
+
+
+def _nkeys():
+    return len(_fn_cache)
+
+
+def test_same_structure_shares_executable(rng):
+    x1 = rng.standard_normal((16, 16))
+    x2 = rng.standard_normal((16, 16))
+    a = (da.from_array(x1, chunks=8) + 1).sum(axis=0)
+    b = (da.from_array(x2, chunks=8) + 1).sum(axis=0)
+    assert a.name != b.name  # different data -> different expressions
+    assert structural_key(a.expr.optimize()) == structural_key(b.expr.optimize())
+    before = _nkeys()
+    ra = a.compute()
+    after_first = _nkeys()
+    rb = b.compute()
+    assert _nkeys() == after_first  # second compute hit the cache
+    np.testing.assert_allclose(ra, (x1 + 1).sum(axis=0))
+    np.testing.assert_allclose(rb, (x2 + 1).sum(axis=0))  # values still correct!
+
+
+def test_literals_key_differently(rng):
+    x = rng.standard_normal((8, 8))
+    d = da.from_array(x, chunks=4)
+    k1 = structural_key((d + 3.5).expr)
+    k2 = structural_key((d + 4.5).expr)
+    assert k1 != k2  # scalar literals are baked into the trace
+    np.testing.assert_allclose((d + 3.5).compute(), x + 3.5)
+    np.testing.assert_allclose((d + 4.5).compute(), x + 4.5)
+
+
+def test_sharing_pattern_keys_differently(rng):
+    x = rng.standard_normal((8, 8))
+    y = rng.standard_normal((8, 8))
+    dx, dy = da.from_array(x, chunks=4), da.from_array(y, chunks=4)
+    t1 = dx * dx + dy  # leaf A used twice
+    t2 = dx + dy * dy  # leaf B used twice
+    assert structural_key(t1.expr) != structural_key(t2.expr)
+    np.testing.assert_allclose(t1.compute(), x * x + y)
+    np.testing.assert_allclose(t2.compute(), x + y * y)
+
+
+def test_dtype_and_chunks_key_differently(rng):
+    x = rng.standard_normal((8, 8))
+    d1 = da.from_array(x, chunks=4) + 1
+    d2 = da.from_array(x.astype("f4"), chunks=4) + 1
+    d3 = da.from_array(x, chunks=2) + 1
+    ks = {structural_key(d.expr) for d in (d1, d2, d3)}
+    assert len(ks) == 3

@@ -106,3 +106,28 @@ def test_shuffle_pushdown_into_constant():
     assert isinstance(opt, BroadcastTrick), opt.tree_repr()
     assert opt.chunks == ((3, 3),)
     assert_eq(sh, np.ones(6))
+
+
+def test_slice_through_einsum(rng):
+    from dask_array_tpu.ops.linalg import Einsum, einsum
+
+    x = rng.standard_normal((12, 10))
+    y = rng.standard_normal((10, 8))
+    dx, dy = da.from_array(x, chunks=4), da.from_array(y, chunks=4)
+    out = einsum("ij,jk->ik", dx, dy)[2:7, 1:5]
+    opt = out.expr.simplify()
+    assert isinstance(opt, Einsum), opt.tree_repr()
+    # the contraction now reads only the needed rows/cols
+    assert opt.shape == (5, 4)
+    assert_eq(out, np.einsum("ij,jk->ik", x, y)[2:7, 1:5], rtol=1e-10)
+
+
+def test_slice_through_matmul(rng):
+    x = rng.standard_normal((20, 16))
+    d = da.from_array(x, chunks=5)
+    out = (d @ d.T)[:6]
+    opt = out.expr.simplify()
+    from dask_array_tpu.ops.linalg import Einsum
+
+    assert isinstance(opt, Einsum), opt.tree_repr()
+    assert_eq(out, (x @ x.T)[:6], rtol=1e-10)

@@ -363,3 +363,29 @@ def test_norm(rng):
     assert_eq(norm(dv), np.linalg.norm(v))
     assert_eq(norm(dv, 1), np.linalg.norm(v, 1))
     assert_eq(norm(dv, np.inf), np.linalg.norm(v, np.inf))
+
+
+def test_apply_gufunc_axes_keepdims(rng):
+    import jax.numpy as jnp
+
+    x = rng.standard_normal((6, 20))
+    d = da.from_array(x, chunks=(3, 20))
+    # reduce along axis 0 instead of the trailing axis
+    out = apply_gufunc(
+        lambda a: jnp.sum(a, axis=-1), "(i)->()", d, output_dtypes=x.dtype,
+        axis=0, allow_rechunk=True,
+    )
+    assert_eq(out, x.sum(axis=0))
+    outk = apply_gufunc(
+        lambda a: jnp.sum(a, axis=-1), "(i)->()", d, output_dtypes=x.dtype,
+        axis=0, keepdims=True, allow_rechunk=True,
+    )
+    assert_eq(outk, x.sum(axis=0, keepdims=True))
+    # axes= with an output core dim placed at a non-trailing position
+    y = rng.standard_normal((5, 7))
+    dy = da.from_array(y, chunks=(5, 7))
+    out2 = apply_gufunc(
+        lambda a: a * 2, "(i)->(i)", dy, output_dtypes=y.dtype,
+        axes=[(0,), (0,)], allow_rechunk=True,
+    )
+    assert_eq(out2, y * 2)
