@@ -367,7 +367,7 @@ class ArrayExpr:
         warm_metadata(self)
         expr = self
         seen = set()
-        while True:
+        for _pass in range(200):
             if expr._name in seen:
                 break
             seen.add(expr._name)
@@ -376,6 +376,17 @@ class ArrayExpr:
             if new._name == expr._name:
                 break
             expr = new
+        else:
+            # a rewrite is growing the tree instead of converging; stop with
+            # the current (correct, partially simplified) form and warn loudly
+            import warnings
+
+            warnings.warn(
+                "simplify did not converge in 200 passes; a rewrite rule is "
+                "likely non-contracting (use trace_rewrites() to find it)",
+                RuntimeWarning,
+                stacklevel=2,
+            )
         return expr
 
     def _lower(self):

@@ -132,9 +132,8 @@ def swapaxes(a, axis1, axis2):
 
 
 def moveaxis(a, source, destination):
-    source = np.core.numeric.normalize_axis_tuple(source, a.ndim, "source") if hasattr(np.core, "numeric") else tuple(np.atleast_1d(source) % a.ndim)
-    destination = tuple(np.atleast_1d(destination) % a.ndim)
-    source = tuple(int(s) % a.ndim for s in np.atleast_1d(source))
+    source = tuple(validate_axis(int(s), a.ndim) for s in np.atleast_1d(source))
+    destination = tuple(validate_axis(int(d), a.ndim) for d in np.atleast_1d(destination))
     if len(source) != len(destination):
         raise ValueError("source and destination must have the same number of elements")
     order = [n for n in range(a.ndim) if n not in source]

@@ -109,32 +109,53 @@ class Reduction(ArrayExpr):
         return BlockView(self.chunks, dense=dense)
 
     def _accept_slice(self, index):
-        if not is_basic_index(index) or builtins.any(isinstance(i, Integral) for i in index):
+        if not is_basic_index(index):
             return None
-        if self.kind in ("mean", "nanmean", "median", "nanmedian"):
-            pass  # value depends only on the reduced axes; slicing out dims is safe
         from dask_array_tpu._slicing import Slice
 
+        # ints on kept axes become size-1 slices pushed inside, with an
+        # outer [0] extraction (parity: _accept_slice_impl, _reduction.py:809)
         inner = []
+        outer = []  # index applied AFTER the (pushed) reduction
         out_pos = 0
+        any_push = False
         for ax in range(self.array.ndim):
             if ax in self.axes:
                 if self.keepdims:
-                    # the kept size-1 axis: only trivial slices push through
                     ind = index[out_pos]
                     if ind not in (slice(None), slice(0, 1, 1)):
                         return None
+                    outer.append(slice(None))
                     out_pos += 1
                 inner.append(slice(None))
             else:
-                inner.append(index[out_pos])
+                ind = index[out_pos]
                 out_pos += 1
-        if builtins.all(i == slice(None) for i in inner):
+                dim = self.array.shape[ax]
+                if isinstance(ind, Integral):
+                    if not (isinstance(dim, float) and math.isnan(dim)) and dim <= 1:
+                        # nothing left to shrink: keep the int outside
+                        # (re-pushing would wrap a new layer every pass)
+                        inner.append(slice(None))
+                        outer.append(int(ind))
+                    else:
+                        inner.append(slice(int(ind), int(ind) + 1, 1))
+                        outer.append(0)
+                        any_push = True
+                else:
+                    from dask_array_tpu._slicing import normalize_slice
+
+                    norm = normalize_slice(ind, dim) if not (isinstance(dim, float) and math.isnan(dim)) else ind
+                    inner.append(norm)
+                    outer.append(slice(None))
+                    if norm != slice(None):
+                        any_push = True
+        if not any_push:
             return None
-        return type(self)(
-            Slice(self.array, tuple(inner)),
-            *self.operands[1:],
-        )
+        pushed = type(self)(Slice(self.array, tuple(inner)), *self.operands[1:])
+        if builtins.any(isinstance(o, Integral) for o in outer):
+            return Slice(pushed, tuple(outer))
+        return pushed
 
 
 def _reduce(x, kind, axis=None, dtype=None, keepdims=False, split_every=None, extra=()):

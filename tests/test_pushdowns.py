@@ -131,3 +131,12 @@ def test_slice_through_matmul(rng):
 
     assert isinstance(opt, Einsum), opt.tree_repr()
     assert_eq(out, (x @ x.T)[:6], rtol=1e-10)
+
+
+def test_reduction_int_slice_pushdown():
+    x = da.ones((100, 100), chunks=10)
+    y = x.sum(axis=1)[7]
+    opt = y.expr.simplify()
+    leaves = [n for n in opt.walk() if isinstance(n, BroadcastTrick)]
+    assert leaves and leaves[0].shape == (1, 100), opt.tree_repr()
+    assert float(y.compute()) == 100.0
