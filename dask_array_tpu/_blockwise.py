@@ -429,6 +429,26 @@ class Elemwise(Blockwise):
             new_args.append(a)
         return type(self)(*self.operands[:2], *new_args)
 
+    # shuffle pushdown: shuffle(op(a, b)) == op(shuffle(a), shuffle(b))
+    # (parity: Elemwise._accept_shuffle, _blockwise.py:1169)
+    def _accept_shuffle(self, shuffle_expr):
+        from dask_array_tpu._shuffle import Shuffle
+
+        axis = shuffle_expr.axis
+        out_ind = self.out_ind
+        new_args = []
+        for a in self.args:
+            if isinstance(a, ArrayExpr):
+                pos = axis - (len(out_ind) - a.ndim)
+                if pos < 0:
+                    pass  # broadcast: the axis doesn't exist on this operand
+                elif len(a.chunks[pos]) == 1 and sum(a.chunks[pos]) in (0, 1):
+                    pass  # size-1 broadcast dim: shuffle is a no-op on it
+                else:
+                    a = Shuffle(a, shuffle_expr.indexer, pos)
+            new_args.append(a)
+        return type(self)(*self.operands[:2], *new_args)
+
     # rechunk pushdown: rechunk(op(a, b)) == op(rechunk(a), rechunk(b))
     def _accept_rechunk(self, target_chunks):
         from dask_array_tpu._rechunk import Rechunk
