@@ -36,6 +36,10 @@ _global: dict[str, Any] = {
     # emulated on TPU and run ~100x slow; generate at float32 and upcast.
     # Set to "native" to sample at the requested precision.
     "tpu.random-precision": "float32",
+    # tall-skinny QR factorization: "cholqr2" runs entirely on the MXU and
+    # compiles in seconds; "householder" is XLA's QR (minutes to compile on
+    # this platform, bitwise-stable for ill-conditioned inputs)
+    "tpu.qr-method": "cholqr2",
 }
 
 _local = threading.local()
