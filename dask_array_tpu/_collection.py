@@ -581,6 +581,24 @@ class Array:
     def copy(self):
         return new_collection(self._expr)
 
+    def to_delayed(self, optimize_graph=True):
+        """An object-array of per-block Delayed handles."""
+        import itertools
+
+        from dask_array_tpu.io._from_map import Delayed
+
+        out = np.empty(self.numblocks, dtype=object)
+        for idx in itertools.product(*(range(n) for n in self.numblocks)):
+            block = self.blocks[idx]
+            out[idx] = Delayed(block.compute)
+        return out
+
+    def item(self):
+        return self.compute().item()
+
+    def tolist(self):
+        return np.asarray(self.compute()).tolist()
+
     def view(self, dtype=None, order="C"):
         from dask_array_tpu.ops._view import view
 

@@ -262,6 +262,25 @@ def _device_put_leaves(leaf_pairs, mesh):
     return out
 
 
+def _is_trace_error(e: Exception) -> bool:
+    import jax.errors
+
+    if isinstance(
+        e,
+        (
+            jax.errors.TracerArrayConversionError,
+            jax.errors.ConcretizationTypeError,
+            jax.errors.TracerBoolConversionError,
+            jax.errors.TracerIntegerConversionError,
+            jax.errors.UnexpectedTracerError,
+        ),
+    ):
+        return True
+    # numpy raising on a tracer input surfaces as TypeError/ValueError
+    # mentioning the tracer
+    return "Tracer" in str(e) or "tracer" in str(e)
+
+
 def execute(root: ArrayExpr, mode: str | None = None):
     """Execute a lowered expression tree; returns a jax.Array (dense)."""
     from dask_array_tpu.parallel.mesh import current_mesh
@@ -277,9 +296,27 @@ def execute(root: ArrayExpr, mode: str | None = None):
     keys = tuple(k for k, _ in leaf_pairs)
 
     if mode == "trace":
-        fn = _trace_fn(root, keys, mesh)
-        args = _device_put_leaves(leaf_pairs, mesh)
-        return fn(*args)
+        try:
+            fn = _trace_fn(root, keys, mesh)
+            args = _device_put_leaves(leaf_pairs, mesh)
+            return fn(*args)
+        except Exception as e:
+            # untraceable user code (host numpy functions, data-dependent
+            # python control flow) surfaces as jax tracer errors on the
+            # FIRST compile of this program; degrade to eager, never fail
+            # (the reference's fallback-ladder discipline)
+            if not _is_trace_error(e):
+                raise
+            import warnings
+
+            warnings.warn(
+                f"computation is not jax-traceable ({type(e).__name__}); "
+                "falling back to eager per-value execution — wrap host code "
+                "in jax ops for the compiled fast path",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+            mode = "eager"
     # eager: concrete evaluation (handles unknown chunks / untraceable funcs)
     import jax.numpy as jnp
 

@@ -66,3 +66,27 @@ def test_scalar_and_zero_d():
     assert float((s + 1).compute()) == 4.0
     z = da.ones((), chunks=())
     assert z.compute() == 1.0
+
+
+def test_untraceable_host_function_falls_back(rng):
+    import scipy.ndimage
+
+    x = rng.standard_normal((8, 8))
+    d = da.from_array(x, chunks=4)
+
+    def host_fn(b):
+        # pure-numpy/scipy host code: not jax-traceable
+        return scipy.ndimage.gaussian_filter(np.asarray(b), sigma=0.0)
+
+    out = d.map_blocks(host_fn, dtype=x.dtype)
+    with pytest.warns(RuntimeWarning, match="not jax-traceable"):
+        got = out.compute()
+    np.testing.assert_allclose(got, x)
+
+
+def test_to_delayed_blocks(rng):
+    x = rng.standard_normal((8, 6))
+    d = da.from_array(x, chunks=(4, 3))
+    blocks = d.to_delayed()
+    assert blocks.shape == (2, 2)
+    np.testing.assert_allclose(blocks[0, 1].compute(), x[:4, 3:])
