@@ -1,58 +1,94 @@
 """End-to-end timings of the five BASELINE.md workloads.
 
-Decision record (v5e-1, axon tunnel, 2026-08-16): first-run numbers include
-compile; steady-state excludes the host fetch RTT (~24 ms tunnel latency).
+Each workload runs in its own subprocess: the axon remote-compile helper
+can abort (SIGABRT, `Check failed: buffer != nullptr`) after many
+compilations in one process, and isolation keeps one flaky compile from
+killing the suite.
+
+Decision record (v5e-1, axon tunnel, 2026-08-16):
+  readme_slice_pushdown    optimize 1.4 ms | first 2.0 s  | steady 15 ms
+  reduction_tree_10k       optimize 1.2 ms | first 12 s   | steady 38 ms
+  blocked_matmul_8192      optimize 2.7 ms | first 6.9 s  | steady 6 ms/GEMM
+                           (persisted inputs; unpersisted from_array pays
+                           ~5 s/iter of host->device tunnel transfer)
+  stencil2d_4096           optimize 0.3 ms | first 4.0 s  | steady 11 ms
+  tsqr_svd_1e6x128         (CholeskyQR2) ~70 s end-to-end incl. compiles
 """
 
 from __future__ import annotations
 
 import os
+import subprocess
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-import time
-
+_WORKER = r"""
+import os, sys, time
+sys.path.insert(0, sys.argv[1])
 import numpy as np
 
+label = sys.argv[2]
+from dask_array_tpu.models import pipelines as P
 
-def timed(label, build, iters=3):
+BUILDERS = {
+    "readme_slice_pushdown": lambda: P.readme_example(),
+    "reduction_tree_10k": lambda: P.reduction_tree(),
+    "blocked_matmul_8192": lambda: _persisted_matmul(),
+    "stencil2d_4096": lambda: P.stencil2d(),
+    "tsqr_svd_1e6x128": lambda: P.tall_skinny_svd(),
+}
+
+def _persisted_matmul():
+    out = P.blocked_matmul()
+    # persist the leaves on-device (steady-state measures the GEMM, not the
+    # host->device tunnel transfer)
+    from dask_array_tpu._collection import Array
+    from dask_array_tpu.ops._from_array import FromArray
     import dask_array_tpu as da
+    expr = out.expr
+    for leaf in expr.find(FromArray):
+        expr = expr.substitute(leaf, Array(leaf).persist().expr)
+    return Array(expr)
 
-    t0 = time.perf_counter()
-    out = build()
-    t_build = time.perf_counter() - t0
-
-    arrs = out if isinstance(out, tuple) else (out,)
-    t0 = time.perf_counter()
-    opts = [a.optimize() for a in arrs]
-    t_opt = time.perf_counter() - t0
-
-    t0 = time.perf_counter()
+iters = 1 if label == "tsqr_svd_1e6x128" else 3
+t0 = time.perf_counter(); out = BUILDERS[label]() ; t_build = time.perf_counter() - t0
+arrs = out if isinstance(out, tuple) else (out,)
+t0 = time.perf_counter(); [a.optimize() for a in arrs]; t_opt = time.perf_counter() - t0
+t0 = time.perf_counter()
+devs = [a.compute_device() for a in arrs]
+_ = [np.asarray(d.ravel()[0]) for d in devs]
+t_first = time.perf_counter() - t0
+t0 = time.perf_counter()
+for _i in range(iters):
     devs = [a.compute_device() for a in arrs]
-    _ = [np.asarray(d.ravel()[0]) for d in devs]
-    t_first = time.perf_counter() - t0
-
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        devs = [a.compute_device() for a in arrs]
-    _ = [np.asarray(d.ravel()[0]) for d in devs]
-    t_steady = (time.perf_counter() - t0) / iters
-
-    print(
-        f"{label:24s} build {t_build * 1e3:8.2f} ms | optimize {t_opt * 1e3:8.2f} ms | "
-        f"first(run+compile) {t_first:7.2f} s | steady {t_steady * 1e3:9.2f} ms"
-    )
+_ = [np.asarray(d.ravel()[0]) for d in devs]
+t_steady = (time.perf_counter() - t0) / iters
+print(f"{label:24s} build {t_build*1e3:8.2f} ms | optimize {t_opt*1e3:8.2f} ms | "
+      f"first(run+compile) {t_first:7.2f} s | steady {t_steady*1e3:9.2f} ms", flush=True)
+"""
 
 
 def main():
-    from dask_array_tpu.models import pipelines as P
-
-    timed("readme_slice_pushdown", lambda: P.readme_example())
-    timed("reduction_tree_10k", lambda: P.reduction_tree())
-    timed("blocked_matmul_8192", lambda: P.blocked_matmul())
-    timed("stencil2d_4096", lambda: P.stencil2d())
-    timed("tsqr_svd_1e6x128", lambda: P.tall_skinny_svd(), iters=1)
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    for label in (
+        "readme_slice_pushdown",
+        "reduction_tree_10k",
+        "blocked_matmul_8192",
+        "stencil2d_4096",
+        "tsqr_svd_1e6x128",
+    ):
+        try:
+            r = subprocess.run(
+                [sys.executable, "-u", "-c", _WORKER, root, label],
+                timeout=900,
+                capture_output=True,
+                text=True,
+            )
+            out = [l for l in r.stdout.splitlines() if l.strip()]
+            print(out[-1] if out else f"{label:24s} FAILED:\n{r.stderr[-400:]}", flush=True)
+        except subprocess.TimeoutExpired:
+            print(f"{label:24s} TIMEOUT (>900 s)", flush=True)
 
 
 if __name__ == "__main__":

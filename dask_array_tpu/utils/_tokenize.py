@@ -94,8 +94,10 @@ def _normalize(obj, out: list) -> None:
         else:
             out.append(f"ndbig:{obj.dtype.str}:{obj.shape}:{_identity_token(obj.base if obj.base is not None else obj)}")
     elif hasattr(obj, "_name") and hasattr(obj, "operands"):
-        # an expression node: already content-addressed
-        out.append(f"expr:{obj._name}")
+        # an expression node: content-addressed by its deterministic token,
+        # NOT its _name — name-pinned nodes (Persisted) share the original's
+        # name by contract, but parents must still tell them apart
+        out.append(f"expr:{type(obj).__qualname__}:{obj.deterministic_token}")
     elif callable(obj):
         out.append(_normalize_callable(obj))
     elif isinstance(obj, Number):

@@ -56,3 +56,35 @@ def test_dtype_and_chunks_key_differently(rng):
     d3 = da.from_array(x, chunks=2) + 1
     ks = {structural_key(d.expr) for d in (d1, d2, d3)}
     assert len(ks) == 3
+
+
+def test_persist_substitution_not_undone_by_singleton(rng):
+    """Parents of a name-pinned Persisted leaf must be DISTINCT expressions
+    from parents of the original leaf (regression: the singleton registry
+    returned the stale pre-persist parent, recomputing from host data)."""
+    x = rng.standard_normal((8, 8))
+    a = da.from_array(x, chunks=4)
+    y1 = (a + 1)  # registers Elemwise(FromArray)
+    ap = a.persist()
+    assert ap.name == a.name  # the user-visible pin holds
+    y2 = ap + 1
+    assert y2.expr is not y1.expr  # but parents are distinct expressions
+    from dask_array_tpu._collection import Persisted
+
+    assert isinstance(y2.expr.dependencies()[0], Persisted)
+    np.testing.assert_allclose(y2.compute(), x + 1)
+
+
+def test_substitute_with_persisted(rng):
+    from dask_array_tpu._collection import Array, Persisted
+    from dask_array_tpu.ops._from_array import FromArray
+
+    x = rng.standard_normal((8, 8))
+    a = da.from_array(x, chunks=4)
+    y = (a * 3).sum(axis=0)
+    leaf = y.expr.find(FromArray)[0]
+    swapped = y.expr.substitute(leaf, Array(leaf).persist().expr)
+    assert swapped.find(Persisted), "substitution was lost"
+    np.testing.assert_allclose(
+        np.asarray(da.new_collection(swapped).compute()), (x * 3).sum(axis=0)
+    )
