@@ -37,6 +37,7 @@ from dask_array_tpu._diagnostics import (
 )
 from dask_array_tpu._collection import Array, new_collection
 from dask_array_tpu._expr_flow import expr_flow
+from dask_array_tpu._materialize import barrier
 from dask_array_tpu._blockwise import blockwise, elemwise
 from dask_array_tpu._rechunk import rechunk
 from dask_array_tpu._shuffle import shuffle

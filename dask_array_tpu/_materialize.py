@@ -7,6 +7,8 @@ reference materializes a task graph, we optimize the expression tree
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 
 from dask_array_tpu import config
@@ -30,3 +32,51 @@ def compute_to_numpy(expr: ArrayExpr):
     out = compute_expr(expr)
     arr = np.asarray(out)
     return arr
+
+
+class Barrier(ArrayExpr):
+    """A program split point: the subtree below computes as its OWN jitted
+    program and feeds the parent program as a device-buffer leaf.
+
+    Uses: staging very large pipelines past compiler limits (the axon
+    remote-compile helper aborts on some giant fused programs), explicit
+    memory/compile-time tradeoffs, and debugging.  ``da.barrier(x)``.
+    """
+
+    _parameters = ("array",)
+
+    @property
+    def chunks(self):
+        return self.array.chunks
+
+    @property
+    def _meta(self):
+        return self.array._meta
+
+    @functools.cached_property
+    def _leaf_key(self):
+        return f"barrier-{self._name}"
+
+    def _leaf_buffers(self):
+        buf = getattr(self, "_cached_buffer", None)
+        if buf is None:
+            buf = compute_expr(self.array)
+            object.__setattr__(self, "_cached_buffer", buf)
+        yield (self._leaf_key, buf)
+
+    def _structural_operands(self):
+        return [("buf", self.dtype.str), self.chunks]
+
+    def _build(self, ctx):
+        from dask_array_tpu._executor import BlockView
+
+        return BlockView(self.chunks, dense=ctx.leaf(self._leaf_key))
+
+
+def barrier(x):
+    """Split the computation here: everything below runs as a separate
+    compiled program whose result feeds the rest as a device buffer."""
+    from dask_array_tpu._collection import Array, new_collection
+
+    expr = x.expr if isinstance(x, Array) else x
+    return new_collection(Barrier(expr))

@@ -40,6 +40,10 @@ _global: dict[str, Any] = {
     # compiles in seconds; "householder" is XLA's QR (minutes to compile on
     # this platform, bitwise-stable for ill-conditioned inputs)
     "tpu.qr-method": "cholqr2",
+    # small/in-core SVD kernel: "eigh" (Gram eigendecomp; jnp.linalg.svd
+    # intermittently crashes the axon client after RNG-bearing programs and
+    # eigh is the faster TPU kernel anyway) | "jacobi" (jnp.linalg.svd)
+    "tpu.svd-method": "eigh",
 }
 
 _local = threading.local()

@@ -124,6 +124,35 @@ class TSQR(ArrayExpr):
         return BlockView(self.chunks, dense=q)
 
 
+def _svd_fn(a, full_matrices=False):
+    """SVD of a small/in-core matrix, method per config ``tpu.svd-method``.
+
+    "eigh" (default): singular triplets from the self-adjoint eigendecomp of
+    the Gram matrix — XLA's jnp.linalg.svd intermittently SIGABRTs the axon
+    client when compiled after an RNG-bearing program, and eigh is also the
+    faster TPU kernel.  Squares the condition number (fine downstream of
+    CholeskyQR'd inputs); "jacobi" uses jnp.linalg.svd.
+    """
+    import jax.numpy as jnp
+
+    from dask_array_tpu import config
+
+    if config.get("tpu.svd-method", "eigh") != "eigh":
+        return jnp.linalg.svd(a, full_matrices=full_matrices)
+    m, n = a.shape
+    if m < n:
+        u, s, vh = _svd_fn(a.T, full_matrices=full_matrices)
+        return vh.T, s, u.T
+    g = jnp.matmul(a.T, a, precision="highest")
+    w, v = jnp.linalg.eigh(g)  # ascending eigenvalues
+    w = jnp.maximum(w[::-1], 0.0)
+    v = v[:, ::-1]
+    s = jnp.sqrt(w)
+    safe = jnp.where(s > 0, s, 1.0)
+    u = jnp.matmul(a, v, precision="highest") / safe[None, :]
+    return u, s, v.T
+
+
 class DenseLinalg(ArrayExpr):
     """One whole-matrix linalg op inside the trace (single logical block)."""
 
@@ -152,9 +181,12 @@ class DenseLinalg(ArrayExpr):
         import jax.scipy.linalg as jsl
 
         denses = [ctx.build(a).dense() for a in self.arrays]
-        ns = {"jnp.linalg": jnp.linalg, "jsl": jsl, "jnp": jnp}
-        mod_name, fn_name = self.fn_name.rsplit(".", 1) if "." in self.fn_name else ("jnp", self.fn_name)
-        fn = getattr(ns[mod_name], fn_name)
+        if self.fn_name == "svd":
+            fn = _svd_fn
+        else:
+            ns = {"jnp.linalg": jnp.linalg, "jsl": jsl, "jnp": jnp}
+            mod_name, fn_name = self.fn_name.rsplit(".", 1) if "." in self.fn_name else ("jnp", self.fn_name)
+            fn = getattr(ns[mod_name], fn_name)
         out = fn(*denses, **dict(self.kwargs or ()))
         if self.which is not None:
             out = out[self.which] if isinstance(self.which, int) else getattr(out, self.which)
@@ -209,12 +241,17 @@ def tsqr(a, compute_svd=False, _max_vchunk_size=None):
     r = new_collection(TSQR(a.expr, "r"))
     if not compute_svd:
         return q, r
-    # SVD of the small R, then U = Q @ Ur
+    # SVD of the small R, then U = Q @ Ur.  The SVD runs behind a program
+    # barrier: fusing RNG + CholeskyQR + SVD into one program trips the
+    # remote TPU compiler (SIGABRT), and the R factor is tiny anyway.
+    from dask_array_tpu._materialize import Barrier
+
     dt = _float_dtype(a.dtype)
     n = a.shape[1]
-    ur = _single(r.expr, "jnp.linalg.svd", 0, (n, n), dt, kwargs=(("full_matrices", False),))
-    s = _single(r.expr, "jnp.linalg.svd", 1, (n,), dt, kwargs=(("full_matrices", False),))
-    vh = _single(r.expr, "jnp.linalg.svd", 2, (n, n), dt, kwargs=(("full_matrices", False),))
+    r_b = Barrier(r.expr)
+    ur = _single(r_b, "svd", 0, (n, n), dt, kwargs=(("full_matrices", False),))
+    s = _single(r_b, "svd", 1, (n,), dt, kwargs=(("full_matrices", False),))
+    vh = _single(r_b, "svd", 2, (n, n), dt, kwargs=(("full_matrices", False),))
     u = q @ ur
     return u, s, vh
 
@@ -238,9 +275,9 @@ def svd(a, coerce_signs=True):
     dt = _float_dtype(a.dtype)
     if m_blocks == 1 and n_blocks == 1:
         k = min(m, n)
-        u = _single(a.expr, "jnp.linalg.svd", 0, (m, k), dt, kwargs=(("full_matrices", False),))
-        s = _single(a.expr, "jnp.linalg.svd", 1, (k,), dt, kwargs=(("full_matrices", False),))
-        vh = _single(a.expr, "jnp.linalg.svd", 2, (k, n), dt, kwargs=(("full_matrices", False),))
+        u = _single(a.expr, "svd", 0, (m, k), dt, kwargs=(("full_matrices", False),))
+        s = _single(a.expr, "svd", 1, (k,), dt, kwargs=(("full_matrices", False),))
+        vh = _single(a.expr, "svd", 2, (k, n), dt, kwargs=(("full_matrices", False),))
         return u, s, vh
     if m >= n and n_blocks == 1:
         return tsqr(a, compute_svd=True)
