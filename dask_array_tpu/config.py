@@ -78,7 +78,10 @@ class set(contextlib.AbstractContextManager):
 
     def __init__(self, values: dict[str, Any] | None = None, **kwargs):
         vals = dict(values or {})
-        vals.update(kwargs)
+        # dask-style keyword form: array__rechunk__threshold=4 means
+        # "array.rechunk.threshold" (and single _ maps to -)
+        for k, v in kwargs.items():
+            vals[k.replace("__", ".").replace("_", "-")] = v
         self._saved = {k: _global.get(k, _MISSING) for k in vals}
         _global.update(vals)
 

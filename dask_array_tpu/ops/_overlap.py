@@ -441,3 +441,26 @@ def push(array, n=None, axis=-1):
     array = asarray(array)
     axis = validate_axis(axis, array.ndim)
     return new_collection(Push(array.expr, int(n) if n is not None else None, axis))
+
+
+# slice pushdown for overlap: slices on axes WITHOUT halo commute
+def _overlap_accept_slice(self, index):
+    from numbers import Integral
+
+    from dask_array_tpu._slicing import Slice, is_basic_index
+
+    if not is_basic_index(index):
+        return None
+    for ax, ind in enumerate(index):
+        if ind == slice(None):
+            continue
+        lo, hi = self.depth[ax]
+        if lo or hi or isinstance(ind, Integral):
+            return None  # halo axis (or rank-changing): keep the slice outside
+    if all(i == slice(None) for i in index):
+        return None
+    return type(self)(Slice(self.array, tuple(index)), self.depth, self.boundary)
+
+
+Overlap._accept_slice = _overlap_accept_slice
+TrimInternal._accept_slice = _overlap_accept_slice

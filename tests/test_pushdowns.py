@@ -140,3 +140,17 @@ def test_reduction_int_slice_pushdown():
     leaves = [n for n in opt.walk() if isinstance(n, BroadcastTrick)]
     assert leaves and leaves[0].shape == (1, 100), opt.tree_repr()
     assert float(y.compute()) == 100.0
+
+
+def test_slice_through_overlap_non_halo_axis(rng):
+    from dask_array_tpu.ops._overlap import Overlap
+
+    x = rng.standard_normal((16, 12))
+    d = da.from_array(x, chunks=4)
+    g = da.overlap(d, depth={0: 1}, boundary="reflect")
+    y = g[:, 2:9]
+    opt = y.expr.simplify()
+    assert isinstance(opt, Overlap), opt.tree_repr()
+    # slice on the halo axis does NOT push
+    y2 = g[3:7]
+    assert not isinstance(y2.expr.simplify(), Overlap)
