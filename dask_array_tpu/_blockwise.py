@@ -160,7 +160,7 @@ class Blockwise(ArrayExpr):
         dtype = self.operand("_dtype")
         if dtype is not None:
             return np.empty((0,) * len(self.out_ind), dtype=np.dtype(dtype))
-        args = [a if i is None else a for a, i in self.arg_pairs]
+        args = [a for a, _ in self.arg_pairs]
         meta = compute_meta(self.func, len(self.out_ind), *args, **self._kwargs_dict)
         if meta is None:
             raise ValueError(
@@ -588,7 +588,22 @@ def elemwise(op, *args, dtype=None, name=None, where=True, out=None, **kwargs):
 
     if out is not None or where is not True:
         return _elemwise_where(op, args, where, out, dtype=dtype, **kwargs)
-    exprs = [a.expr if isinstance(a, Array) else a for a in args]
+
+    def coerce(a):
+        if isinstance(a, Array):
+            return a.expr
+        # n-d array-likes (jax arrays, duck arrays, nested lists) must become
+        # leaves: left raw they'd be treated as scalars — out_ind/chunks would
+        # ignore their shape and pushdown rewrites would never index them
+        if isinstance(a, (list, tuple)) or (
+            hasattr(a, "shape") and hasattr(a, "dtype") and getattr(a, "ndim", 0) > 0
+        ):
+            from dask_array_tpu.ops._from_array import asarray
+
+            return asarray(a).expr
+        return a
+
+    exprs = [coerce(a) for a in args]
     expr = Elemwise(op, _normalize_kwargs(kwargs), *exprs)
     if dtype is not None and np.dtype(dtype) != expr.dtype:
         from dask_array_tpu.ops._casting import astype_expr

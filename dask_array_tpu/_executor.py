@@ -163,6 +163,11 @@ def collect_leaves(root: ArrayExpr):
             if key not in seen_keys:
                 seen_keys.add(key)
                 pairs.append((key, buf))
+        if getattr(node, "_leaf_stop", False):
+            # nodes like Barrier fully cover their subtree with one buffer;
+            # descending would re-run the isolated subtree's host IO and
+            # bind its raw leaves as dead (or worse, donated) jit args
+            continue
         # push children reversed so they pop in operand order
         stack.extend(reversed(node.dependencies()))
     return pairs
@@ -212,15 +217,27 @@ def structural_key(root: ArrayExpr) -> str:
     return rec(root)
 
 
-def _trace_fn(root: ArrayExpr, keys: tuple, mesh):
-    """The (cached) jitted function computing root's dense value from leaves."""
+# structural keys whose programs proved untraceable: go straight to eager
+_eager_keys: set = set()
+
+
+def _trace_fn(root: ArrayExpr, keys: tuple, mesh, args):
+    """The cached COMPILED executable computing root's dense value.
+
+    AOT-compiled (jit(...).lower(*args).compile()) so the cache holds only
+    the executable: the tracing closure — and through it the whole
+    expression tree including multi-GB FromArray host buffers — is released
+    after compilation instead of being pinned for the cache's lifetime.
+    """
     import jax
 
     skey = structural_key(root)
     cache_key = (skey, len(keys), id(mesh) if mesh is not None else None)
-    fn = _fn_cache.get(cache_key)
-    if fn is not None:
-        return fn
+    if cache_key in _eager_keys:
+        return None, cache_key
+    compiled = _fn_cache.get(cache_key)
+    if compiled is not None:
+        return compiled, cache_key
 
     def compute_fn(*leaf_arrays):
         ctx = BuildContext(dict(zip(keys, leaf_arrays)), mode="trace", mesh=mesh)
@@ -228,10 +245,11 @@ def _trace_fn(root: ArrayExpr, keys: tuple, mesh):
 
     donate = config.get("tpu.donate-leaves", False)
     fn = jax.jit(compute_fn, donate_argnums=tuple(range(len(keys))) if donate else ())
+    compiled = fn.lower(*args).compile()
     if len(_fn_cache) > _FN_CACHE_LIMIT:
         _fn_cache.clear()
-    _fn_cache[cache_key] = fn
-    return fn
+    _fn_cache[cache_key] = compiled
+    return compiled, cache_key
 
 
 def _materialize_buf(b):
@@ -296,10 +314,12 @@ def execute(root: ArrayExpr, mode: str | None = None):
     keys = tuple(k for k, _ in leaf_pairs)
 
     if mode == "trace":
+        args = _device_put_leaves(leaf_pairs, mesh)
         try:
-            fn = _trace_fn(root, keys, mesh)
-            args = _device_put_leaves(leaf_pairs, mesh)
-            return fn(*args)
+            compiled, cache_key = _trace_fn(root, keys, mesh, args)
+            if compiled is not None:
+                return compiled(*args)
+            # cache_key previously proved untraceable: straight to eager
         except Exception as e:
             # untraceable user code (host numpy functions, data-dependent
             # python control flow) surfaces as jax tracer errors on the
@@ -307,6 +327,7 @@ def execute(root: ArrayExpr, mode: str | None = None):
             # (the reference's fallback-ladder discipline)
             if not _is_trace_error(e):
                 raise
+            _eager_keys.add((structural_key(root), len(keys), id(mesh) if mesh is not None else None))
             import warnings
 
             warnings.warn(
@@ -316,7 +337,6 @@ def execute(root: ArrayExpr, mode: str | None = None):
                 RuntimeWarning,
                 stacklevel=2,
             )
-            mode = "eager"
     # eager: concrete evaluation (handles unknown chunks / untraceable funcs)
     import jax.numpy as jnp
 

@@ -45,6 +45,10 @@ class Barrier(ArrayExpr):
 
     _parameters = ("array",)
 
+    # the subtree below is fully covered by this node's buffer: leaf
+    # collection must not descend into it
+    _leaf_stop = True
+
     @property
     def chunks(self):
         return self.array.chunks

@@ -49,10 +49,11 @@ def normalize_slice(sl: slice, dim) -> slice:
         n = (stop - start - 1) // step
         return slice(start, start + n * step + 1, step)
     else:
-        if stop < 0:
-            stop = None
-        else:
-            stop = stop if stop >= 0 else None
+        # length of range(start, stop, step) with step < 0
+        count = max(0, (stop - start + 1) // step + 1) if start > stop else 0
+        if count == 0:
+            return slice(0, 0, 1)
+        stop = None if stop < 0 else stop
         return slice(start, stop, step)
 
 
