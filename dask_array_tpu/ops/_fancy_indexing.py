@@ -73,6 +73,11 @@ def take(a, indices, axis=0):
         new_shape = a.shape[:axis] + indices.shape + a.shape[axis + 1:]
         return reshape(flat, new_shape)
     n = a.shape[axis]
+    if isinstance(n, float) and np.isnan(n):
+        raise ValueError(
+            "Cannot take along an axis with unknown chunk sizes; call "
+            "compute_chunk_sizes() first"
+        )
     idx = indices.astype(np.int64)
     if n == n:  # not nan
         neg = idx < 0

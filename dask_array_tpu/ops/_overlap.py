@@ -408,29 +408,25 @@ class Push(ArrayExpr):
         jnp = _jnp()
         dense = ctx.build(self.array).dense().astype(self.dtype)
         axis = self.axis
+        mc = self.n if self.n is not None else np.iinfo(np.int32).max
+
+        # associative segment summaries: (v = last valid value in segment,
+        # g = trailing-invalid count, has = any valid in segment)
         valid = ~jnp.isnan(dense)
-        dist0 = jnp.where(valid, 0, 1).astype(jnp.int32)
-        vals0 = jnp.where(valid, dense, 0.0)
+        v0 = jnp.where(valid, dense, 0.0)
+        g0 = jnp.where(valid, 0, 1).astype(jnp.int32)
+        h0 = valid
 
         def combine(a, b):
-            av, ad = a
-            bv, bd = b
-            # if b is (transitively) valid at distance 0 -> keep b;
-            # else propagate a's value, accumulating distance
-            take_b = bd == 0
-            v = jnp.where(take_b, bv, av)
-            d = jnp.where(take_b, 0, ad + bd)
-            return (v, d)
+            av, ag, ah = a
+            bv, bg, bh = b
+            v = jnp.where(bh, bv, av)
+            g = bg + jnp.where(bh, 0, ag)
+            h = ah | bh
+            return (v, g, h)
 
-        v, d = jax.lax.associative_scan(combine, (vals0, dist0), axis=axis)
-        limit = self.n if self.n is not None else np.iinfo(np.int32).max
-        # positions before any valid value stay NaN: there, the accumulated
-        # distance exceeds the position index
-        idx = jnp.arange(dense.shape[axis]).reshape(
-            tuple(dense.shape[axis] if i == axis else 1 for i in range(dense.ndim))
-        )
-        never_seen = d > idx
-        out = jnp.where(never_seen | (d > limit), jnp.nan, v)
+        v, g, h = jax.lax.associative_scan(combine, (v0, g0, h0), axis=axis)
+        out = jnp.where(h & (g <= mc), v, jnp.nan)
         return BlockView(self.chunks, dense=out)
 
 

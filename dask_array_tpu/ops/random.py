@@ -386,7 +386,7 @@ class Generator:
         if isinstance(x, Integral):
             n = int(x)
             ch = normalize_chunks(chunks, (n,), dtype=np.dtype(np.int64))
-            return new_collection(Random("permutation_kernel", self._next_seed(), ((n,),), np.dtype(np.int64), (("n", n),)))
+            return new_collection(Random("permutation_kernel", self._next_seed(), ch, np.dtype(np.int64), (("n", n),)))
         idx = self.permutation(x.shape[0] if hasattr(x, "shape") else len(x))
         from dask_array_tpu.ops._fancy_indexing import take
 

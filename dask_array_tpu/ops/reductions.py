@@ -251,10 +251,12 @@ def moment(a, order, axis=None, dtype=None, keepdims=False, ddof=0, split_every=
     if order == 0:
         from dask_array_tpu.ops.creation import ones
 
-        shape = tuple(
-            s for i, s in enumerate(a.shape) if axis is None or i not in _axes_of(a, axis)
-        )
-        return ones(shape if not keepdims else a.shape, dtype=dt)
+        axes = _axes_of(a, axis)
+        if keepdims:
+            shape = tuple(1 if i in axes else s for i, s in enumerate(a.shape))
+        else:
+            shape = tuple(s for i, s in enumerate(a.shape) if i not in axes)
+        return ones(shape, dtype=dt)
     n = _count(a, axis, keepdims=True, split_every=split_every)
     mu = sum(a.astype(dt), axis=axis, keepdims=True, split_every=split_every) / n
     centered = (a.astype(dt) - mu) ** order
@@ -477,16 +479,15 @@ def cumreduction(func, binop, ident, x, axis=None, dtype=None, out=None, method=
         return cumsum(x, axis=axis, dtype=dtype, method=method)
     if func in (np.cumprod, jnp.cumprod) or name == "cumprod":
         return cumprod(x, axis=axis, dtype=dtype, method=method)
-    from dask_array_tpu.ops._map_blocks import map_blocks
-
+    if preop is not None:
+        raise NotImplementedError(
+            "cumreduction(preop=...) (the Blelloch-method hook) is not "
+            "supported; the generic scan uses a sequential carry chain"
+        )
     if axis is None:
         x = x.ravel() if x.ndim != 1 else x
         axis = 0
     axis = validate_axis(axis, x.ndim)
-
-    # per-block scan, then add the carried binop of preceding block totals
-    scanned = map_blocks(lambda b: func(b, axis=axis), x, dtype=dtype)
-    # carries: exclusive scan of per-block totals along axis — via generic exprs
     from dask_array_tpu._collection import new_collection
 
     return new_collection(_GenericCumLowered(x.expr, func, binop, ident, axis, np.dtype(dtype) if dtype else None))

@@ -194,12 +194,19 @@ def diff(a, n=1, axis=-1, prepend=None, append_=None, append=None):
     if append is not None:
         parts.append(_asarray(append))
     if len(parts) > 1:
+        from dask_array_tpu.ops.manipulation import broadcast_to
         from dask_array_tpu.ops.stacking import concatenate
 
-        parts = [
-            p if p.ndim == a.ndim else p.reshape(tuple(1 if i == axis else s for i, s in enumerate(a.shape)))
-            for p in parts
-        ]
+        def fit(p):
+            if p.ndim == a.ndim:
+                return p
+            # scalars / lower-rank values broadcast like numpy's diff
+            target = tuple(1 if i == axis else s for i, s in enumerate(a.shape))
+            if p.ndim == 0:
+                return broadcast_to(p, target)
+            return broadcast_to(p.reshape((1,) * (a.ndim - p.ndim) + p.shape), target)
+
+        parts = [fit(p) for p in parts]
         a = concatenate(parts, axis=axis)
     for _ in range(int(n)):
         hi = tuple(slice(1, None) if i == axis else slice(None) for i in range(a.ndim))
@@ -403,16 +410,16 @@ def union1d(ar1, ar2):
 
 
 class Bincount(ArrayExpr):
+    """numpy semantics: output length is max(x.max()+1, minlength) — data-
+    dependent, so the node is eager with unknown chunks (values above
+    minlength are COUNTED, never silently dropped)."""
+
     _parameters = ("array", "weights", "minlength")
 
-    @property
-    def _traceable(self):
-        return self.minlength is not None and self.minlength > 0
+    _traceable = False
 
     @functools.cached_property
     def chunks(self):
-        if self.minlength:
-            return ((self.minlength,),)
         return ((float("nan"),),)
 
     @functools.cached_property
@@ -426,10 +433,9 @@ class Bincount(ArrayExpr):
         jnp = _jnp()
         dense = ctx.build(self.array).dense()
         w = ctx.build(self.weights).dense() if isinstance(self.weights, ArrayExpr) else None
-        if self.minlength:
-            out = jnp.bincount(dense, weights=w, length=self.minlength)
-        else:
-            out = jnp.bincount(dense, weights=w)
+        # eager: dense is concrete, so numpy's grow-to-max semantics apply
+        length = int(max(int(dense.max()) + 1 if dense.size else 0, self.minlength or 0))
+        out = jnp.bincount(dense, weights=w, length=length)
         if out.dtype != self.dtype:
             out = out.astype(self.dtype)
         return BlockView(self.chunks, dense=out)
@@ -876,18 +882,62 @@ def apply_over_axes(func, a, axes):
 
 def ravel_multi_index(multi_index, dims, mode="raise", order="C"):
     jnp = _jnp()
+    if mode == "raise":
+        # bounds violations must raise (numpy contract) — raising is
+        # impossible inside a trace, so this path evaluates eagerly on host
+        from dask_array_tpu._collection import new_collection
+
+        arrs = (
+            [_asarray(m).expr for m in multi_index]
+            if isinstance(multi_index, (tuple, list))
+            else [_asarray(multi_index).expr]
+        )
+        return new_collection(_RavelMultiRaise(tuple(dims), order, *arrs))
     if isinstance(multi_index, (tuple, list)):
         arrs = [_asarray(m) for m in multi_index]
 
         def _rmi(*idxs):
-            return jnp.ravel_multi_index(tuple(idxs), dims, mode="wrap" if mode == "raise" else mode, order=order)
+            return jnp.ravel_multi_index(tuple(idxs), dims, mode=mode, order=order)
 
         out = elemwise(_rmi, *arrs)
         return out.astype(np.intp)
     m = _asarray(multi_index)
     return elemwise(
-        lambda x: jnp.ravel_multi_index(tuple(x), dims, mode="wrap" if mode == "raise" else mode, order=order), m
+        lambda x: jnp.ravel_multi_index(tuple(x), dims, mode=mode, order=order), m
     ).astype(np.intp)
+
+
+class _RavelMultiRaise(ArrayExpr):
+    _parameters = ("dims", "order")
+    # operands[2:]: coordinate expressions (or one stacked multi-index)
+
+    _traceable = False
+
+    @property
+    def coords(self):
+        return self.operands[2:]
+
+    @functools.cached_property
+    def chunks(self):
+        c = self.coords[0]
+        if len(self.coords) == 1 and c.ndim >= 1 and c.shape[0] == len(self.dims) and c.ndim > 1:
+            # single stacked (n_dims, ...) multi-index array
+            return tuple(c.chunks[1:])
+        return c.chunks
+
+    @functools.cached_property
+    def _meta(self):
+        return np.empty((0,) * len(self.chunks), dtype=np.intp)
+
+    def _build(self, ctx):
+        import jax.numpy as jnp
+
+        vals = [np.asarray(ctx.build(c).dense()) for c in self.coords]
+        if len(vals) == 1 and vals[0].ndim == len(self.chunks) + 1:
+            out = np.ravel_multi_index(tuple(vals[0]), self.dims, order=self.order)
+        else:
+            out = np.ravel_multi_index(tuple(vals), self.dims, order=self.order)
+        return BlockView(self.chunks, dense=jnp.asarray(out.astype(np.intp)))
 
 
 def unravel_index(indices, shape, order="C"):

@@ -238,3 +238,38 @@ def test_broadcast_arrays():
     u, v = rt.broadcast_arrays(a, b)
     assert u.shape == v.shape == (4, 5)
     assert_eq(u + v, np.full((4, 5), 2.0))
+
+
+def test_review_regressions(rng):
+    # diff with scalar prepend/append on 2-d (broadcast, not reshape)
+    x = rng.standard_normal((3, 4))
+    d = d_of(x, 2)
+    assert_eq(rt.diff(d, prepend=0.0, axis=1), np.diff(x, prepend=0.0, axis=1))
+    assert_eq(rt.diff(d, append=1.5, axis=0), np.diff(x, append=1.5, axis=0))
+    # bincount counts values >= minlength (numpy grow-to-max semantics)
+    b = rt.bincount(da.from_array(np.array([5, 1]), chunks=2), minlength=2)
+    np.testing.assert_array_equal(b.compute(), np.bincount([5, 1], minlength=2))
+    # ravel_multi_index mode='raise' actually raises on OOB
+    with pytest.raises(ValueError):
+        rt.ravel_multi_index((da.from_array(np.array([5]), chunks=1),), dims=(3,)).compute()
+    ok = rt.ravel_multi_index(
+        (da.from_array(np.array([1, 2]), chunks=1), da.from_array(np.array([0, 3]), chunks=1)),
+        dims=(3, 4),
+    )
+    np.testing.assert_array_equal(ok.compute(), np.ravel_multi_index(([1, 2], [0, 3]), (3, 4)))
+    # moment order 0 keepdims shape
+    from dask_array_tpu.ops.reductions import moment
+
+    m0 = moment(d, 0, axis=0, keepdims=True)
+    assert m0.shape == (1, 4)
+    # permutation respects chunks
+    p = da.random.default_rng(0).permutation(12, chunks=4)
+    assert p.chunks == ((4, 4, 4),)
+    # take on unknown chunks raises the dask-style error
+    masked = d[d[:, 0] > -np.inf]
+    import dask_array_tpu.ops._fancy_indexing as fi
+
+    with pytest.raises(ValueError, match="unknown chunk sizes"):
+        fi.take(da.new_collection(
+            da.from_array(x, chunks=2)[da.from_array(x[:, 0] > 0, chunks=2)].expr
+        ), [0], axis=0)
