@@ -92,7 +92,10 @@ def rechunk(x, chunks="auto", threshold=None, block_size_limit=None, balance=Fal
 
     expr = x.expr if isinstance(x, Array) else x
     if isinstance(chunks, dict):
-        chunks = {k: v for k, v in chunks.items()}
+        # axes not named keep their EXISTING chunks (dask semantics)
+        chunks = tuple(
+            chunks.get(ax, expr.chunks[ax]) for ax in range(expr.ndim)
+        )
     norm = normalize_chunks(
         chunks, expr.shape, limit=block_size_limit, dtype=expr.dtype, previous_chunks=expr.chunks
     )

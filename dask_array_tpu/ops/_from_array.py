@@ -95,6 +95,12 @@ def from_array(x, chunks="auto", name=None, lock=False, asarray=None, fancy=True
 
     if isinstance(x, Array):
         raise ValueError("Array is already a lazy dask_array_tpu.Array")
+    if isinstance(x, np.ma.MaskedArray):
+        raise NotImplementedError(
+            "numpy masked arrays are not supported on the TPU backend "
+            "(no masked-array device representation); fill the mask first "
+            "(x.filled(nan)) and use isnan-aware ops"
+        )
     if isinstance(x, (list, tuple, int, float, complex, bool)) or np.isscalar(x):
         x = np.asarray(x)
     if not hasattr(x, "shape") or not hasattr(x, "dtype"):
