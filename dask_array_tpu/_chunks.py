@@ -417,7 +417,7 @@ def unify_blockdims(candidates, policy="auto", limit_bytes=None, row_bytes=1.0):
         others = sum(
             0 if (isinstance(nb, float) and math.isnan(nb)) else nb
             for c, nb in non_trivial
-            if c is not biggest[0]
+            if tuple(c) != tuple(biggest[0])  # equal layouts don't move
         )
         b_nb = 0 if (isinstance(biggest[1], float) and math.isnan(biggest[1])) else biggest[1]
         if others <= _MERGE_COST_RATIO * b_nb:

@@ -620,7 +620,7 @@ class Array:
         return to_zarr(self, *args, **kwargs)
 
     def to_hdf5(self, filename, datapath, **kwargs):
-        from dask_array_tpu.io._hdf5 import to_hdf5
+        from dask_array_tpu.io._store import to_hdf5
 
         return to_hdf5(filename, datapath, self, **kwargs)
 

@@ -98,17 +98,32 @@ def from_map(func, *iterables, chunks=None, shape=None, args=None, dtype=None, m
         raise ValueError("All iterables must have the same length")
     call_args = [tuple(it[i] for it in iterables) + tuple(args or ()) for i in range(n)]
 
-    if dtype is None or (chunks is None and shape is None):
+    if dtype is None or chunks is None:
         probe = np.asarray(func(*call_args[0], **kwargs))
         if dtype is None:
             dtype = probe.dtype
-        if chunks is None and shape is None:
-            # blocks concatenate along axis 0
+        if chunks is None:
+            # blocks concatenate along axis 0 (shape, if given, must agree)
             bshape = probe.shape
             chunks = ((bshape[0],) * n,) + tuple((s,) for s in bshape[1:])
+            if shape is not None and tuple(shape) != tuple(
+                sum(c) for c in chunks
+            ):
+                raise ValueError(
+                    f"from_map: shape={shape} does not match the {n} stacked "
+                    f"probe blocks of shape {bshape}; pass chunks= explicitly"
+                )
     dtype = np.dtype(dtype)
-    if chunks is not None and shape is not None:
+    if shape is not None:
         chunks = normalize_chunks(chunks, shape, dtype=dtype)
+    else:
+        # chunks without shape must already be explicit tuples-of-tuples
+        if not all(isinstance(c, (tuple, list)) for c in chunks):
+            raise ValueError(
+                "from_map: chunks given without shape= must be explicit "
+                "per-axis tuples, e.g. chunks=((4, 4), (6,))"
+            )
+        chunks = tuple(tuple(int(x) for x in c) for c in chunks)
     nblocks = int(np.prod([len(c) for c in chunks]))
     if nblocks != n:
         raise ValueError(

@@ -100,7 +100,13 @@ def store(sources, targets, lock=True, regions=None, compute=True, return_stored
     if return_stored:
         from dask_array_tpu.ops._from_array import from_array
 
-        out = [from_array(t if not isinstance(t, np.ndarray) else t, chunks=s.chunks) for s, t in zip(sources, targets)]
+        out = []
+        for s, t, r in zip(sources, targets, regions):
+            if r is None:
+                out.append(from_array(t, chunks=s.chunks))
+            else:
+                # the stored view is the written region of the target
+                out.append(from_array(t, chunks="auto")[r])
         return out[0] if single else out
     return None
 

@@ -161,20 +161,15 @@ def map_blocks(
         else:
             out_labels.append(next(kept_iter))
 
-    # chunks override
-    adjust = None
+    # chunks override (per-axis: scalar -> every block that size; tuple ->
+    # explicit); applied below via ChunksOverride
     explicit_chunks = None
     if chunks is not None:
-        from dask_array_tpu._chunks import normalize_chunks
-
         if len(chunks) != out_ndim:
             raise ValueError(
                 f"provided chunks have {len(chunks)} dims; expected {out_ndim}"
             )
-        # per-axis: scalar -> every block that size; tuple -> explicit
         explicit_chunks = chunks
-    if isinstance(new_axis, list) and new_axis and chunks is not None:
-        pass
 
     pairs = []
     for a in args:
@@ -184,7 +179,7 @@ def map_blocks(
         else:
             pairs.extend([a, None])
 
-    cls = MapBlocksInfo if inject_info else (MapBlocks if not inject_id else MapBlocks)
+    cls = MapBlocksInfo if inject_info else MapBlocks
     kw = dict(kwargs)
     expr = cls(
         func,
@@ -203,9 +198,6 @@ def map_blocks(
 
     out = new_collection(expr)
     if explicit_chunks is not None:
-        from dask_array_tpu._chunks import normalize_chunks
-
-        shape_known = True
         norm = []
         for pos, c in enumerate(explicit_chunks):
             if isinstance(c, (tuple, list)):
@@ -267,19 +259,26 @@ class MapBlocksMultiOutput(ArrayExpr):
         return self.operands[3:]
 
     @property
+    def _array_args(self):
+        return [a for a in self.arrays if isinstance(a, ArrayExpr)]
+
+    @property
     def chunks(self):
-        return self.arrays[0].chunks  # grid carrier only
+        return self._array_args[0].chunks  # grid carrier only
 
     @property
     def _meta(self):
-        return self.arrays[0]._meta
+        return self._array_args[0]._meta
 
     def _build(self, ctx):
-        views = [ctx.build(a) for a in self.arrays]
+        views = [
+            ctx.build(a) if isinstance(a, ArrayExpr) else a for a in self.arrays
+        ]
+        grid = next(v for v in views if isinstance(v, BlockView))
         kwargs = dict(self.kwargs or ())
         blocks = {}
-        for idx in iter_block_indices(views[0].numblocks):
-            args = [v.block(idx) for v in views]
+        for idx in iter_block_indices(grid.numblocks):
+            args = [v.block(idx) if isinstance(v, BlockView) else v for v in views]
             out = self.func(*args, **kwargs)
             if not isinstance(out, tuple) or len(out) != self.n_out:
                 raise ValueError(
@@ -318,14 +317,15 @@ def map_blocks_multi_output(func, *args, dtypes, chunkss=None, **kwargs):
     from dask_array_tpu._collection import Array, new_collection
 
     arrays = [a.expr if isinstance(a, Array) else a for a in args]
-    if not arrays:
+    if not any(isinstance(a, ArrayExpr) for a in arrays):
         raise ValueError("map_blocks_multi_output requires at least one Array")
     n_out = len(dtypes)
     inner = MapBlocksMultiOutput(
         func, n_out, tuple(sorted(kwargs.items())), *arrays
     )
+    grid_chunks = next(a for a in arrays if isinstance(a, ArrayExpr)).chunks
     outs = []
     for i, dt in enumerate(dtypes):
-        ch = tuple(chunkss[i]) if chunkss is not None else arrays[0].chunks
+        ch = tuple(chunkss[i]) if chunkss is not None else grid_chunks
         outs.append(new_collection(MultiOutputBlock(inner, i, ch, np.dtype(dt))))
     return tuple(outs)

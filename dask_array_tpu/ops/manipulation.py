@@ -204,7 +204,6 @@ class Squeeze(ArrayExpr):
             else:
                 inner.append(next(it, slice(None)))
         sliced = Slice(self.array, tuple(inner))
-        dropped_before = {}
         # integer indices drop non-squeezed axes; recompute squeeze axes
         kept = [ax for ax in range(self.array.ndim) if not (ax not in self.axes and isinstance(inner[ax], Integral))]
         new_axes = tuple(sorted(kept.index(ax) for ax in self.axes))
@@ -433,8 +432,6 @@ def roll(array, shift, axis=None):
     result = array
     if axis is None:
         result = result.reshape(-1) if result.ndim != 1 else result
-        shifts = {(0,): shift} if not isinstance(shift, (tuple, list)) else None
-        axes = (0,)
         shift_list = (shift,) if not isinstance(shift, (tuple, list)) else tuple(shift)
         if len(shift_list) != 1:
             raise TypeError("Must specify axis if providing more than one shift")

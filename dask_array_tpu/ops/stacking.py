@@ -94,9 +94,6 @@ class Concatenate(ArrayExpr):
             return None
         axis = self.axis
         ind = index[axis] if axis < len(index) else slice(None)
-        rest = tuple(
-            i for pos, i in enumerate(index) if pos != axis
-        )
         # the index applied to each part on the non-concat axes
         def part_index(part, axis_ind):
             out = list(index)
@@ -214,15 +211,6 @@ def dstack(tup, allow_unknown_chunksizes=False):
 
 def block(arrays, allow_unknown_chunksizes=False):
     """Assemble an array from nested lists of blocks (numpy.block)."""
-
-    def rec(arrs, depth):
-        if isinstance(arrs, list):
-            if not arrs:
-                raise ValueError("lists cannot be empty")
-            parts = [rec(a, depth + 1) for a in arrs]
-            max_nd = max(p.ndim for p in parts)
-            return parts, depth
-        return arrs, depth
 
     def max_depth(arrs):
         if isinstance(arrs, list):

@@ -120,3 +120,37 @@ def test_store_method_and_persist_roundtrip(rng):
     out = np.zeros((4, 4))
     (d * 2).store(out)
     np.testing.assert_allclose(out, x * 2)
+
+
+def test_review_fixes_io(rng, tmp_path):
+    import h5py
+
+    # Array.to_hdf5 method works
+    x = rng.standard_normal((4, 4))
+    d = da.from_array(x, chunks=2)
+    fn = str(tmp_path / "m.h5")
+    d.to_hdf5(fn, "/x")
+    with h5py.File(fn, "r") as f:
+        np.testing.assert_allclose(f["/x"][:], x)
+
+    # store(return_stored=True) with regions returns the stored region
+    tgt = np.zeros((8, 8))
+    stored = da.store(d + 1, tgt, regions=(slice(2, 6), slice(1, 5)), return_stored=True)
+    assert stored.shape == (4, 4)
+    np.testing.assert_allclose(stored.compute(), x + 1)
+
+    # from_map with shape only / chunks only
+    parts = [x[:2], x[2:]]
+    d2 = da.from_map(lambda i: parts[i], range(2), shape=(4, 4), dtype=x.dtype)
+    np.testing.assert_allclose(d2.compute(), x)
+    d3 = da.from_map(lambda i: parts[i], range(2), chunks=((2, 2), (4,)), dtype=x.dtype)
+    np.testing.assert_allclose(d3.compute(), x)
+    with pytest.raises(ValueError, match="explicit"):
+        da.from_map(lambda i: parts[i], range(2), chunks=(2, 4), dtype=x.dtype)
+
+    # multi-output map_blocks with scalar extra args
+    from dask_array_tpu.ops._map_blocks import map_blocks_multi_output
+
+    a, b = map_blocks_multi_output(lambda blk, s: (blk + s, blk * s), d, 2.0, dtypes=["f8", "f8"])
+    np.testing.assert_allclose(a.compute(), x + 2.0)
+    np.testing.assert_allclose(b.compute(), x * 2.0)
