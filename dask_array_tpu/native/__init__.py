@@ -143,6 +143,11 @@ def refine_axis(a, b):
 
 
 def hash_bytes(data: bytes):
+    """Fast non-cryptographic FNV-1a fingerprint (diagnostics/dedup probes).
+
+    NOT used for expression tokens: content addressing needs blake2b's
+    collision resistance (see utils/_tokenize.py).
+    """
     lib = _load()
     if lib is None:
         return None

@@ -142,9 +142,10 @@ int64_t refine_axis(
     return k;
 }
 
-// --- token hash ---------------------------------------------------------------
-// FNV-1a 64-bit over a byte buffer: the fast path for tokenizing large
-// canonical encodings (falls back to blake2b in Python for tiny inputs).
+// --- fingerprint hash -----------------------------------------------------------
+// FNV-1a 64-bit over a byte buffer: a fast non-cryptographic fingerprint for
+// diagnostics/dedup probes.  Expression tokens stay on blake2b (collision
+// resistance matters for content addressing).
 uint64_t hash_bytes(const unsigned char* data, int64_t n) {
     uint64_t h = 1469598103934665603ULL;
     for (int64_t i = 0; i < n; ++i) {

@@ -40,7 +40,6 @@ class Histogram(ArrayExpr):
         if self.density:
             dt = np.dtype("f8")
         elif self.weights is not None:
-            dt = np.promote_types(self.weights.dtype, np.float64) if np.issubdtype(self.weights.dtype, np.floating) else self.weights.dtype
             dt = np.histogram(np.ones(1), weights=np.ones(1, dtype=self.weights.dtype))[0].dtype
         else:
             dt = np.dtype(np.intp)

@@ -26,16 +26,6 @@ from dask_array_tpu._executor import BlockView
 from dask_array_tpu._expr import ArrayExpr
 
 
-_IDENTITY = {
-    "sum": 0.0,
-    "prod": 1.0,
-    "max": -np.inf,
-    "min": np.inf,
-    "any": False,
-    "all": True,
-}
-
-
 def _reduce_window(dense, kind, window, axis, padding):
     """One lax.reduce_window along ``axis``."""
     import jax

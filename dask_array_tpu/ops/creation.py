@@ -539,7 +539,13 @@ def indices(dimensions, dtype=int, chunks="auto"):
     dimensions = tuple(int(d) for d in dimensions)
     grids = []
     for i, d in enumerate(dimensions):
-        r = arange(d, dtype=dtype, chunks=chunks if isinstance(chunks, str) else chunks)
+        if isinstance(chunks, str):
+            axis_chunks = chunks
+        elif isinstance(chunks, (tuple, list)) and len(chunks) == len(dimensions):
+            axis_chunks = chunks[i]  # per-axis spec: this axis's entry
+        else:
+            axis_chunks = chunks
+        r = arange(d, dtype=dtype, chunks=axis_chunks)
         shape_i = tuple(d if j == i else 1 for j in range(len(dimensions)))
         grids.append(broadcast_to(r.reshape(shape_i), dimensions))
     if not grids:

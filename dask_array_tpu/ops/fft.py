@@ -37,7 +37,6 @@ class FFT(ArrayExpr):
 
     @functools.cached_property
     def chunks(self):
-        base = self.kind.rstrip("2n").replace("fftn", "fft")
         kind1 = {"fftn": "fft", "ifftn": "ifft", "rfftn": "rfft", "irfftn": "irfft",
                  "fft2": "fft", "ifft2": "ifft", "rfft2": "rfft", "irfft2": "irfft"}.get(self.kind, self.kind)
         out = list(self.array.chunks)
@@ -111,7 +110,19 @@ def fft_wrap(fft_func, kind=None, dtype=None):
 
         ax = validate_axis(axis, a.ndim)
         _check_single_chunk(a, (ax,))
-        return map_blocks(lambda b: fft_func(b, n=n, axis=ax), a, dtype=dtype or complex)
+        out_chunks = list(a.chunks)
+        if n is not None:
+            out_chunks[ax] = (int(n),)
+
+        def run(b):
+            kw = {"n": n, "axis": ax}
+            if norm is not None:
+                kw["norm"] = norm
+            return fft_func(b, **kw)
+
+        return map_blocks(
+            run, a, dtype=dtype or complex, chunks=tuple(out_chunks)
+        )
 
     return fallback
 
@@ -129,7 +140,13 @@ def _dispatch(kind, a, n=None, axis=None, s=None, axes=None, norm=None):
         axes_t = tuple(validate_axis(x, a.ndim) for x in (axes or (-2, -1)))
         n_param = tuple(s) if s is not None else None
     else:
-        axes_t = tuple(validate_axis(x, a.ndim) for x in (axes if axes is not None else range(a.ndim)))
+        if axes is not None:
+            axes_t = tuple(validate_axis(x, a.ndim) for x in axes)
+        elif s is not None:
+            # numpy semantics: s without axes means the LAST len(s) axes
+            axes_t = tuple(range(a.ndim - len(s), a.ndim))
+        else:
+            axes_t = tuple(range(a.ndim))
         n_param = tuple(s) if s is not None else None
     _check_single_chunk(a, axes_t)
     return new_collection(FFT(a.expr, kind, n_param, axes_t, norm))

@@ -184,7 +184,7 @@ def einsum(subscripts, *operands, dtype=None, optimize=False, split_every=None, 
 
     arrays = [asarray(op) for op in operands]
     input_labels, out_labels = parse_einsum(subscripts, [a.ndim for a in arrays])
-    kw = {}
+    kw = dict(kwargs)
     if dtype is not None:
         kw["dtype"] = np.dtype(dtype).str
     expr = Einsum(

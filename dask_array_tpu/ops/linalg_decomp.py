@@ -390,16 +390,16 @@ def lstsq(a, b):
 
 def norm(x, ord=None, axis=None, keepdims=False):
     """Matrix/vector norms composed from reductions (parity: ``_norm.py``)."""
-    import dask_array_tpu as da
     from dask_array_tpu.ops import reductions as red
+    from dask_array_tpu.ops.manipulation import expand_dims
     from dask_array_tpu.ops.ufuncs import abs as _abs, sqrt
 
     if axis is None:
         axis = tuple(range(x.ndim))
     elif isinstance(axis, (int, np.integer)):
-        axis = (int(axis),)
+        axis = (int(axis) % x.ndim,)
     else:
-        axis = tuple(int(a) for a in axis)
+        axis = tuple(int(a) % x.ndim for a in axis)
 
     if len(axis) == 1:
         ax = axis[0]
@@ -417,28 +417,36 @@ def norm(x, ord=None, axis=None, keepdims=False):
 
     if len(axis) == 2:
         a1, a2 = axis
+
+        def _restore_dims(r):
+            if keepdims:
+                return expand_dims(r, tuple(sorted(axis)))
+            return r
+
         if ord in (None, "fro", "f"):
             return sqrt(red.sum(_abs(x) ** 2, axis=axis, keepdims=keepdims))
-        if ord == "nuc":
+        if ord in ("nuc", 2, -2):
             if x.ndim != 2:
-                raise NotImplementedError("nuclear norm of stacked matrices is not supported")
-            _, s, _ = svd(x.rechunk((x.shape[0], x.shape[1])) if len(x.chunks[0]) > 1 and len(x.chunks[1]) > 1 else x)
-            return red.sum(s)
-        if ord == 2:
-            if x.ndim != 2:
-                raise NotImplementedError("2-norm of stacked matrices is not supported")
-            _, s, _ = svd(x.rechunk((x.shape[0], x.shape[1])) if len(x.chunks[0]) > 1 and len(x.chunks[1]) > 1 else x)
-            return red.max(s)
-        if ord == -2:
-            _, s, _ = svd(x.rechunk((x.shape[0], x.shape[1])) if len(x.chunks[0]) > 1 and len(x.chunks[1]) > 1 else x)
-            return red.min(s)
-        if ord == 1:
-            return red.max(red.sum(_abs(x), axis=a1, keepdims=True), axis=axis, keepdims=keepdims) if keepdims else red.max(red.sum(_abs(x), axis=a1), axis=a2 - (1 if a1 < a2 else 0))
-        if ord == -1:
-            return red.min(red.sum(_abs(x), axis=a1), axis=a2 - (1 if a1 < a2 else 0))
-        if ord == np.inf:
-            return red.max(red.sum(_abs(x), axis=a2), axis=a1 - (1 if a2 < a1 else 0))
-        if ord == -np.inf:
-            return red.min(red.sum(_abs(x), axis=a2), axis=a1 - (1 if a2 < a1 else 0))
+                raise NotImplementedError(
+                    f"norm ord={ord!r} of stacked matrices is not supported"
+                )
+            sx = x
+            if len(x.chunks[0]) > 1 and len(x.chunks[1]) > 1:
+                sx = x.rechunk((x.shape[0], x.shape[1]))
+            _, s_, _ = svd(sx)
+            if ord == "nuc":
+                r = red.sum(s_)
+            elif ord == 2:
+                r = red.max(s_)
+            else:
+                r = red.min(s_)
+            return _restore_dims(r)
+        # ±1 / ±inf: reduce one axis with sum(|x|), then max/min the other
+        if ord in (1, -1, np.inf, -np.inf):
+            sum_axis = a1 if ord in (1, -1) else a2
+            sums = red.sum(_abs(x), axis=sum_axis, keepdims=True)
+            pick = red.max if ord in (1, np.inf) else red.min
+            # sums kept its dims, so reducing both original axes is exact
+            return pick(sums, axis=(min(a1, a2), max(a1, a2)), keepdims=keepdims)
         raise ValueError(f"Invalid norm order {ord!r} for matrices")
     raise ValueError("Improper number of dimensions to norm.")

@@ -389,3 +389,34 @@ def test_apply_gufunc_axes_keepdims(rng):
         axes=[(0,), (0,)], allow_rechunk=True,
     )
     assert_eq(out2, y * 2)
+
+
+def test_fourth_review_fixes(rng):
+    from dask_array_tpu.ops.linalg_decomp import norm
+    from dask_array_tpu.ops.creation import indices as da_indices
+
+    x = rng.standard_normal((6, 8))
+    d = da.from_array(x, chunks=3)
+    # norm with negative matrix axes + keepdims
+    assert_eq(norm(d, 1, axis=(-2, -1)), np.linalg.norm(x, 1, axis=(-2, -1)))
+    assert_eq(
+        norm(d, np.inf, axis=(0, 1), keepdims=True),
+        np.linalg.norm(x, np.inf, axis=(0, 1), keepdims=True),
+    )
+    assert_eq(
+        norm(d, "fro", axis=(0, 1), keepdims=True),
+        np.linalg.norm(x, "fro", axis=(0, 1), keepdims=True),
+    )
+    # fftn with s but no axes transforms the LAST len(s) axes
+    xs = rng.standard_normal((4, 8))
+    ds = da.from_array(xs, chunks=(4, 8))
+    assert_eq(dafft.fftn(ds, s=(4,)), np.fft.fftn(xs, s=(4,)))
+    # einsum forwards kwargs (optimize accepted by jnp)
+    from dask_array_tpu.ops.linalg import einsum as da_einsum
+
+    y = rng.standard_normal((8, 5))
+    out = da_einsum("ij,jk->ik", d, da.from_array(y, chunks=4), precision="highest")
+    assert_eq(out, np.einsum("ij,jk->ik", x, y), rtol=1e-10)
+    # indices with per-axis chunk sizes
+    idx = da_indices((4, 6), chunks=(2, 3))
+    assert_eq(idx, np.indices((4, 6)), check_dtype=False)
