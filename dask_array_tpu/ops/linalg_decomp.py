@@ -72,12 +72,26 @@ class TSQR(ArrayExpr):
         return np.empty((0, 0), dtype=_float_dtype(self.array.dtype))
 
     @staticmethod
-    def _cholqr_once(a, dt):
+    def _cholqr_once(a, dt, shifted=False):
         import jax.numpy as jnp
         import jax.scipy.linalg as jsl
 
         g = jnp.matmul(a.T, a, precision="highest")
-        l = jnp.linalg.cholesky(g)  # lower; R = L^T has positive diagonal
+        # The Gram matrix is tiny (n x n): factor it in f64, after clamping
+        # its spectrum at eps_f32 * ||G||.  Plain CholeskyQR NaNs whenever
+        # cond(A)^2 exceeds 1/eps (G numerically indefinite — exactly the
+        # svd_compressed compression-panel case); clamping keeps Cholesky
+        # positive-definite in every pass while leaving well-conditioned
+        # directions untouched (the follow-up passes re-orthonormalize the
+        # clamped ones).
+        n = a.shape[1]
+        gd = g.astype(jnp.float64)
+        gd = (gd + gd.T) / 2
+        w, v = jnp.linalg.eigh(gd)
+        floor = float(jnp.finfo(dt).eps) * jnp.maximum(w[-1], 1e-300)
+        w = jnp.maximum(w, floor)
+        gd_psd = (v * w[None, :]) @ v.T
+        l = jnp.linalg.cholesky(gd_psd).astype(dt)  # lower; R = L^T, diag > 0
         # Q = A R^-1  <=>  solve R^T Q^T = A^T with R^T = L (lower)
         q = jsl.solve_triangular(l, a.T, lower=True).T
         return q, l.T
@@ -114,11 +128,16 @@ class TSQR(ArrayExpr):
                 blocks[(i, 0)] = qs[i] @ inner
             return BlockView(self.chunks, blocks=blocks)
 
-        # CholeskyQR2 on the whole tall matrix
+        # shifted CholeskyQR3 on the whole tall matrix: the shifted first
+        # pass tolerates ill-conditioned panels (cond^2 > 1/eps), the two
+        # unshifted repeats restore Householder-level orthogonality
         a = view.dense().astype(dt)
-        q1, r1 = self._cholqr_once(a, dt)
-        q, r2 = self._cholqr_once(q1, dt)
-        r = jnp.matmul(r2, r1, precision="highest")
+        q1, r1 = self._cholqr_once(a, dt, shifted=True)
+        q2, r2 = self._cholqr_once(q1, dt)
+        q, r3 = self._cholqr_once(q2, dt)
+        r = jnp.matmul(
+            r3, jnp.matmul(r2, r1, precision="highest"), precision="highest"
+        )
         if self.which == "r":
             return BlockView(self.chunks, dense=r)
         return BlockView(self.chunks, dense=q)

@@ -108,3 +108,13 @@ def test_einsum(rng):
 def test_matmul_dtype():
     x = da.ones((4, 4), dtype="int32", chunks=2)
     assert (x @ x).dtype == (np.ones((4, 4), "int32") @ np.ones((4, 4), "int32")).dtype
+
+
+def test_reshape_blockwise(rng):
+    from dask_array_tpu.ops._reshape import reshape_blockwise
+
+    x = rng.standard_normal((6, 4, 5))
+    d = da.from_array(x, chunks=(2, 4, 5))
+    out = reshape_blockwise(d, (6, 20))
+    assert out.chunks == ((2, 2, 2), (20,))
+    assert_eq(out, x.reshape(6, 20))

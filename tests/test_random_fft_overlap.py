@@ -420,3 +420,24 @@ def test_fourth_review_fixes(rng):
     # indices with per-axis chunk sizes
     idx = da_indices((4, 6), chunks=(2, 3))
     assert_eq(idx, np.indices((4, 6)), check_dtype=False)
+
+
+def test_svd_compressed_low_rank_and_illconditioned_tsqr(rng):
+    """Regression: CholeskyQR NaN'd when cond(panel)^2 > 1/eps_f32 (the
+    svd_compressed compression panel); the eigh-clamped Gram fixes it."""
+    u0 = rng.standard_normal((512, 6)).astype("f4")
+    v0 = rng.standard_normal((6, 128)).astype("f4")
+    a = (u0 * np.array([100, 50, 20, 10, 5, 2], "f4")) @ v0
+    a = a + 0.01 * rng.standard_normal((512, 128)).astype("f4")
+    d = da.from_array(a, chunks=(128, 64))
+    uu, sv, vh = da.svd_compressed(d, k=6, seed=0, n_power_iter=2)
+    svc = sv.compute()
+    ref = np.linalg.svd(a, compute_uv=False)[:6]
+    np.testing.assert_allclose(svc, ref, rtol=0.01)
+    # ill-conditioned tall-skinny input stays finite + orthonormal
+    b = np.hstack([u0, u0 * 1e-5 + 1e-6 * rng.standard_normal((512, 6)).astype("f4")])
+    q, r = da.linalg.tsqr(da.from_array(b, chunks=(128, 12)))
+    qc = q.compute()
+    assert np.isfinite(qc).all()
+    np.testing.assert_allclose(qc.T @ qc, np.eye(12), atol=5e-5)
+    np.testing.assert_allclose(qc @ r.compute(), b, atol=2e-4 * np.abs(b).max())
