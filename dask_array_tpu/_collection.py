@@ -253,9 +253,24 @@ class Array:
     def __array_ufunc__(self, ufunc, method, *inputs, **kwargs):
         from dask_array_tpu.ops.ufuncs import wrap_numpy_ufunc
 
-        if method != "__call__":
-            if method == "reduce":
+        if method == "reduce":
+            from dask_array_tpu.ops import reductions as _red
+
+            mapping = {
+                "add": _red.sum,
+                "multiply": _red.prod,
+                "maximum": _red.max,
+                "minimum": _red.min,
+                "logical_or": _red.any,
+                "logical_and": _red.all,
+            }
+            fn = mapping.get(getattr(ufunc, "__name__", None))
+            if fn is None or len(inputs) != 1:
                 return NotImplemented
+            kwargs.pop("out", None)
+            kwargs.setdefault("axis", 0)  # numpy's ufunc.reduce default
+            return fn(inputs[0], **kwargs)
+        if method != "__call__":
             return NotImplemented
         out = kwargs.pop("out", None)
         if out is not None:

@@ -108,3 +108,15 @@ def test_array_protocol_roundtrip(rng):
     d = da.from_array(x, chunks=2)
     np.testing.assert_allclose(np.asarray(d), x)
     assert np.mean(d).compute() == pytest.approx(x.mean())
+
+
+def test_ufunc_reduce_protocol(rng):
+    x = rng.standard_normal((6, 4))
+    d = da.from_array(x, chunks=2)
+    np.testing.assert_allclose(np.add.reduce(d).compute(), np.add.reduce(x))
+    np.testing.assert_allclose(
+        np.maximum.reduce(d, axis=1).compute(), np.maximum.reduce(x, axis=1)
+    )
+    np.testing.assert_allclose(
+        np.multiply.reduce(d, axis=None).compute(), np.multiply.reduce(x, axis=None)
+    )
