@@ -155,24 +155,18 @@ def register():
     from xarray.namedarray import parallelcompat
 
     cls = make_manager_class()
-    # xarray discovers managers via entrypoints; inject directly into the
-    # loaded-manager cache (the in-process equivalent)
-    try:
-        managers = parallelcompat.list_chunkmanagers()
-        if hasattr(parallelcompat.list_chunkmanagers, "cache_clear"):
-            base = dict(managers)
-        else:
-            base = dict(managers)
-        base["dask_array_tpu"] = cls()
-        # patch list_chunkmanagers to include ours
-        orig = parallelcompat.list_chunkmanagers
+    # xarray discovers managers via entrypoints; monkeypatch the loader to
+    # ADD ours while keeping every other registered manager (dask, cubed...)
+    orig = parallelcompat.list_chunkmanagers
 
-        def patched():
-            out = dict(orig.__wrapped__() if hasattr(orig, "__wrapped__") else {})
-            out["dask_array_tpu"] = cls()
-            return out
+    def patched():
+        try:
+            base = getattr(orig, "__wrapped__", orig)()
+        except Exception:
+            base = {}
+        out = dict(base)
+        out["dask_array_tpu"] = cls()
+        return out
 
-        parallelcompat.list_chunkmanagers = patched
-    except Exception:
-        parallelcompat.list_chunkmanagers = lambda: {"dask_array_tpu": cls()}
+    parallelcompat.list_chunkmanagers = patched
     _registered = True

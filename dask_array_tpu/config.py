@@ -79,9 +79,15 @@ class set(contextlib.AbstractContextManager):
     def __init__(self, values: dict[str, Any] | None = None, **kwargs):
         vals = dict(values or {})
         # dask-style keyword form: array__rechunk__threshold=4 means
-        # "array.rechunk.threshold" (and single _ maps to -)
+        # "array.rechunk.threshold"; remaining single underscores map to
+        # hyphens ONLY when that spelling is the registered key (some keys,
+        # like "split_every", are canonically underscored)
         for k, v in kwargs.items():
-            vals[k.replace("__", ".").replace("_", "-")] = v
+            key = k.replace("__", ".")
+            hyphened = key.replace("_", "-")
+            if key not in _global and hyphened in _global:
+                key = hyphened
+            vals[key] = v
         self._saved = {k: _global.get(k, _MISSING) for k in vals}
         _global.update(vals)
 

@@ -243,10 +243,15 @@ class ReshapeBlockwise(ArrayExpr):
 
         blocks = {}
         in_nb = view.numblocks
-        for idx in iter_block_indices(self.numblocks):
-            in_idx = idx[: len(in_nb)] if len(idx) >= len(in_nb) else idx
-            # grid shapes match 1:1 by construction
-            b = view.block(tuple(idx)[: len(in_nb)])
+        out_nb = self.numblocks
+        for idx in iter_block_indices(out_nb):
+            if len(idx) >= len(in_nb):
+                in_idx = tuple(idx)[: len(in_nb)]
+            else:
+                # dimension-reducing: the merged trailing input axes are
+                # single-block by construction
+                in_idx = tuple(idx) + (0,) * (len(in_nb) - len(idx))
+            b = view.block(in_idx)
             out_shape = tuple(self.chunks_[ax][idx[ax]] for ax in range(len(idx)))
             blocks[tuple(idx)] = jnp.reshape(b, out_shape)
         return BlockView(self.chunks_, blocks=blocks)

@@ -44,6 +44,9 @@ def _identity_token(obj) -> str:
         try:
             _object_tokens[key] = obj
             _token_registry[key] = tok
+            # drop the side-table entry when the object dies (the weak dict
+            # self-cleans; this dict would otherwise grow forever)
+            weakref.finalize(obj, _token_registry.pop, key, None)
         except TypeError:
             # object not weakref-able; fall back to a one-shot token
             pass
@@ -92,7 +95,14 @@ def _normalize(obj, out: list) -> None:
             out.append(f"nd:{arr.dtype.str}:{arr.shape}:")
             out.append(hashlib.blake2b(arr.tobytes(), digest_size=16).hexdigest())
         else:
-            out.append(f"ndbig:{obj.dtype.str}:{obj.shape}:{_identity_token(obj.base if obj.base is not None else obj)}")
+            # identity of the OWNING buffer plus this view's window (data
+            # pointer + strides): sibling views of one base must not collide
+            owner = obj.base if obj.base is not None else obj
+            ptr = obj.__array_interface__["data"][0]
+            out.append(
+                f"ndbig:{obj.dtype.str}:{obj.shape}:{obj.strides}:{ptr}:"
+                f"{_identity_token(owner)}"
+            )
     elif hasattr(obj, "_name") and hasattr(obj, "operands"):
         # an expression node: content-addressed by its deterministic token,
         # NOT its _name — name-pinned nodes (Persisted) share the original's
@@ -129,6 +139,10 @@ def _normalize_callable(fn) -> str:
         mod = getattr(fn, "__module__", None)
         qual = getattr(fn, "__qualname__", None)
         if mod and qual and "<locals>" not in qual and "<lambda>" not in qual:
+            bound = getattr(fn, "__self__", None)
+            if bound is not None:
+                # the same method on two instances is two different kernels
+                return f"fn:{mod}.{qual}@{_token_of_single(bound)}"
             return f"fn:{mod}.{qual}"
         code = getattr(fn, "__code__", None)
         if code is not None:
