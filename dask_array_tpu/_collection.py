@@ -657,11 +657,37 @@ class Array:
         return new_collection(ChunksFreeze(self._expr))
 
     def compute_chunk_sizes(self):
-        """Compute unknown (nan) chunk sizes (materializes the array)."""
+        """Compute unknown (nan) chunk sizes (materializes the array).
+
+        Preserves the block GRID: each formerly-unknown chunk adopts the
+        concrete size of its computed block (parity: reference
+        ``_collection.py:415``), rather than collapsing the axis to one
+        chunk.
+        """
         if not has_unknown_chunks(self.chunks):
             return self
-        persisted = self.persist()
-        return persisted
+        from dask_array_tpu._executor import execute
+        from dask_array_tpu._materialize import optimize_expr
+        from dask_array_tpu.io._from_map import from_blocks
+
+        view = execute(optimize_expr(self._expr), want_view=True)
+        if view._blocks is None:
+            # the root assembled densely; the per-block structure is gone —
+            # the array IS one piece now, so one chunk per axis is exact
+            dense = view.dense()
+            from dask_array_tpu.ops._from_array import from_array
+
+            return from_array(dense, chunks=dense.shape)
+        blocks = view.blocks_dict()
+        nb = view.numblocks
+        chunks = tuple(
+            tuple(
+                int(blocks[tuple(i if d == ax else 0 for d in range(len(nb)))].shape[ax])
+                for i in range(nb[ax])
+            )
+            for ax in range(len(nb))
+        )
+        return from_blocks(blocks, chunks, dtype=self.dtype)
 
     def shuffle(self, indexer, axis=0, chunks="auto"):
         from dask_array_tpu._shuffle import shuffle

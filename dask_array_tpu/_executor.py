@@ -221,6 +221,19 @@ def structural_key(root: ArrayExpr) -> str:
 _eager_keys: set = set()
 
 
+def _mesh_key(mesh):
+    """Stable mesh identity for cache keys.  ``id(mesh)`` is unsafe: after a
+    mesh is garbage-collected a new Mesh can reuse the address and hit an
+    executable compiled for a different topology/device order."""
+    if mesh is None:
+        return None
+    return (
+        tuple(mesh.axis_names),
+        tuple(mesh.devices.shape),
+        tuple(d.id for d in mesh.devices.flat),
+    )
+
+
 def _trace_fn(root: ArrayExpr, keys: tuple, mesh, args):
     """The cached COMPILED executable computing root's dense value.
 
@@ -232,7 +245,7 @@ def _trace_fn(root: ArrayExpr, keys: tuple, mesh, args):
     import jax
 
     skey = structural_key(root)
-    cache_key = (skey, len(keys), id(mesh) if mesh is not None else None)
+    cache_key = (skey, len(keys), _mesh_key(mesh))
     if cache_key in _eager_keys:
         return None, cache_key
     compiled = _fn_cache.get(cache_key)
@@ -264,17 +277,26 @@ def _materialize_buf(b):
     return b
 
 
-def _device_put_leaves(leaf_pairs, mesh):
+def _device_put_leaves(leaf_pairs, mesh, donate=False):
     import jax
 
+    def guard(b):
+        # with donation on, a leaf that is ALREADY a device array would donate
+        # the user's own buffer (invalidated after the first call, and a
+        # recompute of the same collection would pass the same dead buffer);
+        # executor-created copies are the only safe donation targets
+        if donate and hasattr(b, "devices"):
+            return jax.numpy.copy(b)
+        return b
+
     if mesh is None:
-        return [_materialize_buf(b) for _, b in leaf_pairs]
+        return [guard(_materialize_buf(b)) for _, b in leaf_pairs]
     from dask_array_tpu.parallel.layout import sharding_for
 
     out = []
     for key, b in leaf_pairs:
         b = _materialize_buf(b)
-        arr = np.asarray(b) if not hasattr(b, "devices") else b
+        arr = np.asarray(b) if not hasattr(b, "devices") else guard(b)
         sh = sharding_for(getattr(arr, "shape", ()), mesh)
         out.append(jax.device_put(arr, sh) if sh is not None else arr)
     return out
@@ -299,8 +321,14 @@ def _is_trace_error(e: Exception) -> bool:
     return "Tracer" in str(e) or "tracer" in str(e)
 
 
-def execute(root: ArrayExpr, mode: str | None = None):
-    """Execute a lowered expression tree; returns a jax.Array (dense)."""
+def execute(root: ArrayExpr, mode: str | None = None, want_view: bool = False):
+    """Execute a lowered expression tree; returns a jax.Array (dense).
+
+    With ``want_view=True`` returns the root ``BlockView`` instead — eager
+    executions keep their per-block values, which is how
+    ``compute_chunk_sizes`` recovers the concrete grid of an unknown-chunk
+    array without collapsing it to one block per axis.
+    """
     from dask_array_tpu.parallel.mesh import current_mesh
 
     mesh = current_mesh()
@@ -314,11 +342,16 @@ def execute(root: ArrayExpr, mode: str | None = None):
     keys = tuple(k for k, _ in leaf_pairs)
 
     if mode == "trace":
-        args = _device_put_leaves(leaf_pairs, mesh)
+        args = _device_put_leaves(
+            leaf_pairs, mesh, donate=config.get("tpu.donate-leaves", False)
+        )
         try:
             compiled, cache_key = _trace_fn(root, keys, mesh, args)
             if compiled is not None:
-                return compiled(*args)
+                result = compiled(*args)
+                if want_view:
+                    return BlockView(root.chunks, dense=result)
+                return result
             # cache_key previously proved untraceable: straight to eager
         except Exception as e:
             # untraceable user code (host numpy functions, data-dependent
@@ -327,7 +360,7 @@ def execute(root: ArrayExpr, mode: str | None = None):
             # (the reference's fallback-ladder discipline)
             if not _is_trace_error(e):
                 raise
-            _eager_keys.add((structural_key(root), len(keys), id(mesh) if mesh is not None else None))
+            _eager_keys.add((structural_key(root), len(keys), _mesh_key(mesh)))
             import warnings
 
             warnings.warn(
@@ -345,4 +378,5 @@ def execute(root: ArrayExpr, mode: str | None = None):
         b = _materialize_buf(b)
         vals[k] = jnp.asarray(np.asarray(b)) if not hasattr(b, "dtype") or isinstance(b, np.ndarray) else b
     ctx = BuildContext(vals, mode="eager", mesh=None)
-    return ctx.build(root).dense()
+    view = ctx.build(root)
+    return view if want_view else view.dense()

@@ -76,14 +76,56 @@ class Rechunk(ArrayExpr):
         return (int(nb * moved), int(nb))
 
 
+def _axis_moved_fraction(src, dst):
+    """Fraction of one axis's elements a src->dst relayout moves.
+
+    Min-model (parity: ``moved_fraction``, reference ``_expr.py:675``): each
+    destination chunk is assembled where its largest single-source piece
+    lives — that piece stays put, the rest travels to join it.  Splits are
+    free, merges move everything but the largest run member, jittered
+    layouts move only boundary-crossing slivers.
+    """
+    src = tuple(src)
+    dst = tuple(dst)
+    total = sum(src)
+    if not total or src == dst:
+        return 0.0
+    if any(isinstance(c, float) and math.isnan(c) for c in src + dst):
+        return 0.0
+    if sum(dst) != total:
+        return 0.0
+    moved = 0.0
+    i = 0
+    src_lo = 0
+    dst_lo = 0
+    for d in dst:
+        dst_hi = dst_lo + d
+        best = 0
+        while True:
+            src_hi = src_lo + src[i]
+            overlap = min(src_hi, dst_hi) - max(src_lo, dst_lo)
+            if overlap > best:
+                best = overlap
+            if src_hi <= dst_hi and i + 1 < len(src):
+                i += 1
+                src_lo = src_hi
+            else:
+                break
+        moved += d - best
+        dst_lo = dst_hi
+    return moved / total
+
+
 def _moved_fraction(old, new):
-    """Fraction of elements whose block assignment changes (approximate)."""
-    frac = 0.0
+    """Fraction of elements whose block assignment changes.
+
+    An element stays put only if it stays along EVERY axis, so the stay
+    fraction is the product of per-axis stay fractions.
+    """
+    stay = 1.0
     for o, n in zip(old, new):
-        if tuple(o) != tuple(n):
-            frac = 1.0
-            break
-    return frac
+        stay *= 1.0 - _axis_moved_fraction(o, n)
+    return 1.0 - stay
 
 
 def rechunk(x, chunks="auto", threshold=None, block_size_limit=None, balance=False, method=None):

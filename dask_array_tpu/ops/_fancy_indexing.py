@@ -129,19 +129,26 @@ class TakeLazy(ArrayExpr):
 class BooleanIndex(ArrayExpr):
     """x[mask]: data-dependent output size -> unknown (nan) chunks, eager.
 
-    Parity: ``BooleanIndexFlattened`` (``slicing/_bool_index.py:118``).
+    Grid-preserving: ONE nan-sized output block per input block, so
+    ``compute_chunk_sizes`` can recover a real multi-block grid afterwards.
+    For ``axis=None`` the array/mask are pre-raveled 1-D at construction
+    (global C order).  Parity: ``BooleanIndexFlattened``
+    (``slicing/_bool_index.py:118``).
     """
 
-    _parameters = ("array", "mask", "axis")  # axis None => full-ndim mask
+    _parameters = ("array", "mask", "axis")  # axis None => 1-D x, 1-D mask
 
     _traceable = False
 
     @functools.cached_property
     def chunks(self):
         if self.axis is None:
-            return ((float("nan"),),)
+            n = 1
+            for c in self.array.chunks:
+                n *= len(c)
+            return ((float("nan"),) * n,)
         chunks = list(self.array.chunks)
-        chunks[self.axis] = (float("nan"),)
+        chunks[self.axis] = (float("nan"),) * len(chunks[self.axis])
         return tuple(chunks)
 
     @property
@@ -149,18 +156,34 @@ class BooleanIndex(ArrayExpr):
         nd = 1 if self.axis is None else self.array.ndim
         return np.empty((0,) * nd, dtype=self.array.dtype)
 
+    def _mask_block(self, ctx, mview, chunks, idx):
+        import jax.numpy as jnp
+
+        from dask_array_tpu._executor import block_slices
+
+        if mview is not None:
+            return mview.block(idx)
+        host = np.asarray(self.mask)
+        return jnp.asarray(host[block_slices(chunks, idx)])
+
     def _build(self, ctx):
         import jax.numpy as jnp
 
+        from dask_array_tpu._executor import iter_block_indices
+
         view = ctx.build(self.array)
         mview = ctx.build(self.mask) if isinstance(self.mask, ArrayExpr) else None
-        mask = mview.dense() if mview is not None else jnp.asarray(np.asarray(self.mask))
-        dense = view.dense()
+        blocks = {}
         if self.axis is None:
-            out = dense[mask]
-        else:
-            out = jnp.compress(mask, dense, axis=self.axis)
-        return BlockView(self.chunks, dense=out)
+            for j, idx in enumerate(iter_block_indices(view.numblocks)):
+                mb = self._mask_block(ctx, mview, self.array.chunks, idx)
+                blocks[(j,)] = view.block(idx)[mb]
+            return BlockView(self.chunks, blocks=blocks)
+        axis_chunks = (self.array.chunks[self.axis],)
+        for idx in iter_block_indices(view.numblocks):
+            mb = self._mask_block(ctx, mview, axis_chunks, (idx[self.axis],))
+            blocks[tuple(idx)] = jnp.compress(mb, view.block(idx), axis=self.axis)
+        return BlockView(self.chunks, blocks=blocks)
 
 
 class VIndex(ArrayExpr):
@@ -247,8 +270,17 @@ def fancy_getitem(x, index):
     for pos, i in enumerate(index):
         mask_like = (isinstance(i, (np.ndarray, Array)) and getattr(i, "dtype", None) is not None and np.dtype(i.dtype) == bool)
         if mask_like and getattr(i, "ndim", 1) == x.ndim and all(j == slice(None) for k, j in enumerate(index) if k != pos):
-            m = i.expr if isinstance(i, Array) else i
-            return new_collection(BooleanIndex(x.expr, m, None))
+            # ravel both sides first (global C order, like the reference's
+            # x.ravel() path) so per-block extraction preserves element order
+            from dask_array_tpu.ops._reshape import ravel
+
+            xr = ravel(x) if x.ndim > 1 else x
+            if isinstance(i, Array):
+                mr = ravel(i) if i.ndim > 1 else i
+                m = mr.rechunk(xr.chunks).expr
+            else:
+                m = np.ascontiguousarray(i).ravel()
+            return new_collection(BooleanIndex(xr.expr, m, None))
 
     fancy_pos = [
         pos
@@ -266,7 +298,8 @@ def fancy_getitem(x, index):
 
     if isinstance(i, Array):
         if np.dtype(i.dtype) == bool:
-            out = new_collection(BooleanIndex(x.expr, i.expr, pos))
+            aligned = i.rechunk((x.chunks[pos],))
+            out = new_collection(BooleanIndex(x.expr, aligned.expr, pos))
         else:
             out = _take_lazy(x, i, pos)
     else:

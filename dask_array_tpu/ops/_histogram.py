@@ -59,9 +59,53 @@ class Histogram(ArrayExpr):
         return BlockView(self.chunks, dense=hist)
 
 
-def _resolve_edges(a, bins, range):
-    """Return (edges_spec, nbins, edges_collection_or_numpy)."""
+class LinspaceEdges(ArrayExpr):
+    """Lazy ``n+1`` evenly spaced bin edges from lazy scalar lo/hi.
+
+    The range stays in the expression tree — no hidden ``.compute()`` at
+    graph-build time — so a dask-backed range (or the implicit min/max pass)
+    fuses into the same XLA program as the histogram itself.  Parity:
+    ``LinspaceDelayed`` (``/root/reference/dask_array/_histogram.py:128``).
+    """
+
+    _parameters = ("lo", "hi", "npoints")
+
+    def _name_prefix(self):
+        return "linspace-edges"
+
+    @functools.cached_property
+    def chunks(self):
+        return ((self.npoints,),)
+
+    @functools.cached_property
+    def _meta(self):
+        return np.empty((0,), dtype="f8")
+
+    def _build(self, ctx):
+        jnp = _jnp()
+        lo = ctx.build(self.lo).dense().reshape(()).astype("f8")
+        hi = ctx.build(self.hi).dense().reshape(()).astype("f8")
+        # degenerate range (all values equal) widens by +-0.5, like numpy
+        lo, hi = (
+            jnp.where(lo == hi, lo - 0.5, lo),
+            jnp.where(lo == hi, hi + 0.5, hi),
+        )
+        return BlockView(self.chunks, dense=jnp.linspace(lo, hi, self.npoints))
+
+
+def _scalar_expr(v):
+    """Lift a range endpoint to a 0-d expression (lazy if already lazy)."""
     from dask_array_tpu._collection import Array
+    from dask_array_tpu.ops._from_array import asarray
+
+    if isinstance(v, Array):
+        return v.expr
+    return asarray(np.asarray(v, dtype="f8")).expr
+
+
+def _resolve_edges(a, bins, range):
+    """Return (edges_spec, nbins, edges_collection_or_None)."""
+    from dask_array_tpu._collection import Array, new_collection
     from dask_array_tpu.ops._from_array import from_array
 
     if isinstance(bins, Array):
@@ -69,22 +113,25 @@ def _resolve_edges(a, bins, range):
     if np.ndim(bins) == 1:
         edges = np.asarray(bins, dtype="f8")
         return edges, len(edges) - 1, from_array(edges, chunks=-1)
-    # scalar bin count: need a concrete range
+    # scalar bin count: edges derive from the range — kept LAZY when the
+    # range is dask-backed or implicit (min/max of the data)
     n = int(bins)
     if range is not None:
         lo, hi = range
-        lo = float(lo.compute()) if isinstance(lo, Array) else float(lo)
-        hi = float(hi.compute()) if isinstance(hi, Array) else float(hi)
+        if not isinstance(lo, Array) and not isinstance(hi, Array):
+            lo, hi = float(lo), float(hi)
+            if lo == hi:
+                lo -= 0.5
+                hi += 0.5
+            edges = np.linspace(lo, hi, n + 1)
+            return edges, n, None
+        lo_e, hi_e = _scalar_expr(lo), _scalar_expr(hi)
     else:
-        # dask requires range when bins is an int and a is lazy; we compute
-        # the min/max (one extra pass) instead of refusing
-        lo = float(a.min().compute())
-        hi = float(a.max().compute())
-    if lo == hi:
-        lo -= 0.5
-        hi += 0.5
-    edges = np.linspace(lo, hi, n + 1)
-    return edges, n, None
+        # dask requires range when bins is an int and a is lazy; we take the
+        # min/max lazily instead of refusing (it fuses into the program)
+        lo_e, hi_e = a.min().expr, a.max().expr
+    expr = LinspaceEdges(lo_e, hi_e, n + 1)
+    return expr, n, new_collection(expr)
 
 
 def histogram(a, bins=None, range=None, normed=False, weights=None, density=None):
@@ -143,14 +190,17 @@ class HistogramDD(ArrayExpr):
 
     @functools.cached_property
     def _meta(self):
-        dt = np.dtype("f8") if (self.density or self.weights is not None) else np.dtype(np.intp)
-        return np.empty((0,) * len(self.shape_), dtype=dt)
+        # numpy's histogramdd counts are ALWAYS float64 (unlike histogram)
+        return np.empty((0,) * len(self.shape_), dtype=np.dtype("f8"))
 
     def _build(self, ctx):
         jnp = _jnp()
         coords = [ctx.build(c).dense().ravel() for c in self.coords]
         sample = jnp.stack(coords, axis=-1)
-        edges = [jnp.asarray(e) for e in self.edge_arrays]
+        edges = [
+            ctx.build(e).dense() if isinstance(e, ArrayExpr) else jnp.asarray(e)
+            for e in self.edge_arrays
+        ]
         w = ctx.build(self.weights).dense().ravel() if isinstance(self.weights, ArrayExpr) else None
         hist, _ = jnp.histogramdd(sample, bins=edges, weights=w, density=self.density)
         if hist.dtype != self.dtype:
@@ -179,27 +229,35 @@ def histogramdd(sample, bins=10, range=None, normed=False, weights=None, density
     else:
         ranges = list(range)
     edge_arrays = []
+    nbins = []
     for i in builtins.range(d):
         b = bins[i]
         if np.ndim(b) == 1:
             edge_arrays.append(np.asarray(b, dtype="f8"))
+            nbins.append(len(edge_arrays[-1]) - 1)
+            continue
+        n = int(b)
+        nbins.append(n)
+        r = ranges[i]
+        if r is None:
+            # implicit range: lazy min/max, fused into the program
+            edge_arrays.append(
+                LinspaceEdges(coords[i].min().expr, coords[i].max().expr, n + 1)
+            )
         else:
-            n = int(b)
-            r = ranges[i]
-            if r is None:
-                lo = float(coords[i].min().compute())
-                hi = float(coords[i].max().compute())
-            else:
-                lo, hi = float(r[0]), float(r[1])
+            lo, hi = float(r[0]), float(r[1])
             if lo == hi:
                 lo -= 0.5
                 hi += 0.5
             edge_arrays.append(np.linspace(lo, hi, n + 1))
     w = asarray(weights).expr if weights is not None else None
-    shape_ = tuple(len(e) - 1 for e in edge_arrays)
+    shape_ = tuple(nbins)
     expr = HistogramDD(
         w, dens, tuple(edge_arrays), shape_, *[c.expr for c in coords]
     )
     hist = new_collection(expr)
-    edges = [from_array(e, chunks=-1) for e in edge_arrays]
+    edges = [
+        new_collection(e) if isinstance(e, ArrayExpr) else from_array(e, chunks=-1)
+        for e in edge_arrays
+    ]
     return hist, edges

@@ -26,7 +26,7 @@ import numpy as np
 
 from dask_array_tpu import config
 from dask_array_tpu._blockwise import Blockwise, elemwise
-from dask_array_tpu._chunks import validate_axis
+from dask_array_tpu._chunks import cached_cumsum, validate_axis
 from dask_array_tpu._executor import BlockView, iter_block_indices
 from dask_array_tpu._expr import ArrayExpr
 from dask_array_tpu._slicing import is_basic_index
@@ -337,7 +337,8 @@ class ArgReduction(ArrayExpr):
     @functools.cached_property
     def chunks(self):
         if self.axis is None:
-            return ((1,),) if self.keepdims else ()
+            # numpy keepdims over a full reduction keeps EVERY axis at size 1
+            return ((1,),) * self.array.ndim if self.keepdims else ()
         out = []
         for ax, c in enumerate(self.array.chunks):
             if ax == self.axis:
@@ -358,7 +359,7 @@ class ArgReduction(ArrayExpr):
         if self.axis is None:
             dense = fn(x)
             if self.keepdims:
-                dense = dense.reshape((1,))
+                dense = dense.reshape((1,) * self.array.ndim)
         else:
             dense = fn(x, axis=self.axis, keepdims=self.keepdims)
         return BlockView(self.chunks, dense=dense.astype(np.intp))
@@ -391,11 +392,87 @@ def nanargmax(a, axis=None, keepdims=False, split_every=None, out=None):
     return _argreduce(a, "nanargmax", axis, keepdims, split_every)
 
 
+class ArgChunk(ArrayExpr):
+    """Per-block chunk step of a generic arg-reduction.
+
+    Maps the user chunk function over blocks with each block's global offset
+    info so per-block indices become global.  Parity: ``ArgChunk``
+    (``/root/reference/dask_array/reductions/_arg_reduction.py:16``).
+
+    The protocol is inherently host-side (structured arrays / dicts carrying
+    ``vals``/``arg`` fields), so the whole program runs in eager mode.
+    """
+
+    _parameters = ("array", "chunk_func", "axis", "ravel")
+    _traceable = False
+
+    def _name_prefix(self):
+        return "arg-chunk"
+
+    @functools.cached_property
+    def chunks(self):
+        return tuple(
+            (1,) * len(c) if i in self.axis else c
+            for i, c in enumerate(self.array.chunks)
+        )
+
+    @functools.cached_property
+    def _meta(self):
+        return np.empty((0,) * len(self.chunks), dtype=np.intp)
+
+    def _build(self, ctx):
+        view = ctx.build(self.array)
+        x = self.array
+        starts = [cached_cumsum(bd, initial_zero=True) for bd in x.chunks]
+        blocks = {}
+        for idx in iter_block_indices(view.numblocks):
+            off = tuple(int(starts[d][i]) for d, i in enumerate(idx))
+            if self.ravel:
+                offset_info = (off, x.shape)
+            else:
+                offset_info = off[self.axis[0]]
+            b = np.asarray(view.block(idx))  # user funcs build structured arrays
+            blocks[tuple(idx)] = self.chunk_func(b, self.axis, offset_info)
+        return BlockView(self.chunks, blocks=blocks)
+
+
 def arg_reduction(x, chunk, combine, agg, axis=None, keepdims=False, split_every=None, out=None):
-    """Generic arg-reduction entry (parity hook; dense execution)."""
-    raise NotImplementedError(
-        "custom arg_reduction kernels are not supported yet; use argmin/argmax"
+    """Generic arg-reduction: offset-carrying per-block chunk step + tree.
+
+    Parity: ``arg_reduction`` (``reductions/_arg_reduction.py:89``) — the
+    chunk function receives ``(block, axis, offset_info)`` and typically
+    returns a structured array with ``vals``/``arg`` fields; combine/agg
+    receive the concatenated partials.
+    """
+    from dask_array_tpu._collection import Array, new_collection
+
+    arr = x if isinstance(x, Array) else new_collection(x)
+    if axis is None:
+        axis_t = tuple(range(arr.ndim))
+        ravel = True
+    elif isinstance(axis, Integral):
+        axis_t = (validate_axis(axis, arr.ndim),)
+        ravel = arr.ndim == 1
+    else:
+        raise TypeError(f"axis must be either `None` or int, got '{axis}'")
+
+    for ax in axis_t:
+        c = arr.chunks[ax]
+        if len(c) > 1 and builtins.any(
+            isinstance(v, float) and math.isnan(v) for v in c
+        ):
+            raise ValueError(
+                "Arg-reductions do not work with arrays that have "
+                "unknown chunksizes.  A possible solution is "
+                "x.compute_chunk_sizes()"
+            )
+
+    tmp = ArgChunk(arr.expr, chunk, axis_t, ravel)
+    expr = _build_tree_reduce_expr(
+        tmp, agg, axis_t, bool(keepdims), np.dtype(np.intp), split_every, combine,
+        "arg", True,
     )
+    return new_collection(expr)
 
 
 # -- cumulative -----------------------------------------------------------------
@@ -471,7 +548,15 @@ def nancumprod(a, axis=None, dtype=None, method="sequential", out=None):
 
 
 def cumreduction(func, binop, ident, x, axis=None, dtype=None, out=None, method="sequential", preop=None):
-    """Generic cumulative reduction over blocks (sequential carry chain)."""
+    """Generic cumulative reduction over blocks.
+
+    ``method="sequential"`` uses a carry chain over blocks (carry = the last
+    hyperplane of the previous scanned block); ``method="blelloch"`` uses the
+    work-efficient two-phase plan — per-block totals via ``preop``, a scan of
+    the totals with ``binop``, then a combine into each block's local scan.
+    Parity: ``cumreduction`` (``reductions/_cumulative.py:597``) and
+    ``CumReductionBlelloch`` (``:267``).
+    """
     import jax.numpy as jnp
 
     name = getattr(func, "__name__", "")
@@ -479,10 +564,15 @@ def cumreduction(func, binop, ident, x, axis=None, dtype=None, out=None, method=
         return cumsum(x, axis=axis, dtype=dtype, method=method)
     if func in (np.cumprod, jnp.cumprod) or name == "cumprod":
         return cumprod(x, axis=axis, dtype=dtype, method=method)
-    if preop is not None:
-        raise NotImplementedError(
-            "cumreduction(preop=...) (the Blelloch-method hook) is not "
-            "supported; the generic scan uses a sequential carry chain"
+    if method == "blelloch":
+        if preop is None:
+            raise TypeError(
+                'cumreduction with "blelloch" method requires `preop=` argument'
+            )
+    elif method != "sequential":
+        raise ValueError(
+            'Invalid method for cumreduction. Expected "sequential" or '
+            f'"blelloch". Got: {method!r}'
         )
     if axis is None:
         x = x.ravel() if x.ndim != 1 else x
@@ -490,11 +580,17 @@ def cumreduction(func, binop, ident, x, axis=None, dtype=None, out=None, method=
     axis = validate_axis(axis, x.ndim)
     from dask_array_tpu._collection import new_collection
 
-    return new_collection(_GenericCumLowered(x.expr, func, binop, ident, axis, np.dtype(dtype) if dtype else None))
+    return new_collection(
+        _GenericCumLowered(
+            x.expr, func, binop, ident, axis, np.dtype(dtype) if dtype else None,
+            method, preop,
+        )
+    )
 
 
 class _GenericCumLowered(ArrayExpr):
-    _parameters = ("array", "func", "binop", "ident", "axis", "_dtype")
+    _parameters = ("array", "func", "binop", "ident", "axis", "_dtype", "method", "preop")
+    _defaults = {"method": "sequential", "preop": None}
 
     @property
     def chunks(self):
@@ -509,17 +605,37 @@ class _GenericCumLowered(ArrayExpr):
         out = self.func(probe, axis=self.axis)
         return np.empty((0,) * self.array.ndim, dtype=out.dtype)
 
+    def _scan_one(self, b):
+        scanned = self.func(b, axis=self.axis)
+        if self.dtype is not None and scanned.dtype != self.dtype:
+            scanned = scanned.astype(self.dtype)
+        return scanned
+
     def _build(self, ctx):
         view = ctx.build(self.array)
         axis = self.axis
         blocks = {}
-        carry = {}
         nb = view.numblocks
+        if self.method == "blelloch":
+            # phase 1: per-block totals; phase 2: inclusive prefix of totals
+            # feeds each block's combine (the up/down sweep is XLA's problem
+            # once traced — semantically this IS the Blelloch plan)
+            prefix = {}
+            for idx in iter_block_indices(nb):
+                b = view.block(idx)
+                key_prev = idx[:axis] + (idx[axis] - 1,) + idx[axis + 1 :]
+                if idx[axis] > 0:
+                    t_prev = self.preop(view.block(key_prev), axis=axis, keepdims=True)
+                    p = t_prev if idx[axis] == 1 else self.binop(prefix[key_prev], t_prev)
+                    prefix[tuple(idx)] = p
+                    blocks[tuple(idx)] = self.binop(p, self._scan_one(b))
+                else:
+                    blocks[tuple(idx)] = self._scan_one(b)
+            return BlockView(self.chunks, blocks=blocks)
+        carry = {}
         for idx in iter_block_indices(nb):
             b = view.block(idx)
-            scanned = self.func(b, axis=axis)
-            if self.dtype is not None and scanned.dtype != self.dtype:
-                scanned = scanned.astype(self.dtype)
+            scanned = self._scan_one(b)
             key_prev = idx[:axis] + (idx[axis] - 1,) + idx[axis + 1:]
             if idx[axis] > 0:
                 c = carry[key_prev]
@@ -618,85 +734,132 @@ def nanpercentile(a, q, method="linear", **kwargs):
 # -- generic reduction framework ------------------------------------------------------
 
 
-class PartialReduce(ArrayExpr):
-    """One tree step: combine windows of ``split_every`` blocks per axis.
+def _is_jax_value(x):
+    return hasattr(x, "aval") or (type(x).__module__ or "").startswith("jax")
 
-    Parity: ``PartialReduce`` (``reductions/_reduction.py:900``).
+
+def _concat_parts(parts, axis):
+    if builtins.any(_is_jax_value(p) for p in parts):
+        return _jnp().concatenate(parts, axis=axis)
+    return np.concatenate(parts, axis=axis)
+
+
+def _concatenate2(arrays, axes=None):
+    """Concatenate a nested list of arrays along multiple axes.
+
+    The outer list level concatenates along ``axes[0]``, the next level along
+    ``axes[1]``, and so on.  Dicts of arrays concatenate field-wise; numpy
+    structured arrays concatenate on the host.  Parity: ``_concatenate2``
+    (``/root/reference/dask_array/_core_utils.py:191``).
+    """
+    if axes is None:
+        axes = []
+    if not isinstance(arrays, (list, tuple)):
+        return arrays
+    if len(axes) > 1:
+        arrays = [_concatenate2(a, axes=axes[1:]) for a in arrays]
+    parts = list(arrays)
+    if len(parts) == 1:
+        return parts[0]
+    if not axes:
+        return parts[0]
+    first = parts[0]
+    if isinstance(first, dict):
+        return {k: _concat_parts([p[k] for p in parts], axes[0]) for k in first}
+    return _concat_parts(parts, axes[0])
+
+
+def _concat_then(fn, axes_sorted, window):
+    """``concatenate=True`` adapter: flatten the lol window, then reduce."""
+    return fn(_concatenate2(window, axes=list(axes_sorted)))
+
+
+def _to_host(b):
+    """Eager-mode block coercion so numpy-written user kernels always work."""
+    if isinstance(b, dict):
+        return {k: _to_host(v) for k, v in b.items()}
+    if _is_jax_value(b):
+        return np.asarray(b)
+    return b
+
+
+class ChunkReduce(ArrayExpr):
+    """Per-block chunk phase of the generic reduction (keepdims=True).
+
+    Each block maps to ``func(block[, weights_block], axis=axes,
+    keepdims=True)``; outputs may be arrays, dicts of arrays, or structured
+    arrays — they flow through the tree as opaque block payloads.
     """
 
-    _parameters = ("array", "func", "axes", "split_every", "keepdims", "_dtype", "kwargs")
-    _defaults = {"kwargs": ()}
+    _parameters = ("array", "func", "axes", "output_size", "_dtype", "weights")
+    _defaults = {"weights": None}
+
+    def _name_prefix(self):
+        fn = self.func
+        base = getattr(fn, "func", fn)
+        return f"{getattr(base, '__name__', 'reduce')}-chunk"
 
     @functools.cached_property
     def chunks(self):
-        out = []
-        for ax, c in enumerate(self.array.chunks):
-            if ax in self.axes:
-                n_out = builtins.max(1, -(-len(c) // self.split_every))
-                if self.keepdims:
-                    out.append((1,) * n_out)
-                elif n_out > 1 or self.keepdims:
-                    out.append((1,) * n_out)
-                # axis dropped when final and not keepdims handled by caller
-            else:
-                out.append(c)
-        return tuple(out)
+        return tuple(
+            (self.output_size,) * len(c) if ax in self.axes else c
+            for ax, c in enumerate(self.array.chunks)
+        )
 
     @functools.cached_property
     def _meta(self):
         dtype = self.operand("_dtype")
-        if dtype is not None:
-            return np.empty((0,) * len(self.chunks), dtype=np.dtype(dtype))
-        return np.empty((0,) * len(self.chunks), dtype=self.array.dtype)
+        dt = np.dtype(dtype) if dtype is not None else self.array.dtype
+        return np.empty((0,) * len(self.chunks), dtype=dt)
 
     def _build(self, ctx):
-        jnp = _jnp()
         view = ctx.build(self.array)
-        nb_in = view.numblocks
-        kwargs = dict(self.kwargs or ())
+        wview = ctx.build(self.weights) if self.weights is not None else None
+        eager = ctx.mode == "eager"
         blocks = {}
-        for out_idx in iter_block_indices(self.numblocks):
-            # window of input blocks feeding this output block
-            ranges = []
-            in_ax = 0
-            for ax in range(len(nb_in)):
-                if ax in self.axes:
-                    o = out_idx[ax] if self.keepdims or True else 0
-                    o = out_idx[ax]
-                    lo = o * self.split_every
-                    hi = builtins.min(lo + self.split_every, nb_in[ax])
-                    ranges.append(range(lo, hi))
-                else:
-                    ranges.append(range(out_idx[ax], out_idx[ax] + 1))
-            import itertools
-
-            def rec(ax, prefix):
-                if ax == len(ranges):
-                    return view.block(prefix)
-                parts = [rec(ax + 1, prefix + (i,)) for i in ranges[ax]]
-                if len(parts) == 1:
-                    return parts[0]
-                return jnp.concatenate(parts, axis=ax)
-
-            window = rec(0, ())
-            res = self.func(window, axis=self.axes, keepdims=True, **kwargs)
-            blocks[tuple(out_idx)] = res
+        for idx in iter_block_indices(view.numblocks):
+            b = view.block(idx)
+            if eager:
+                b = _to_host(b)
+            if wview is not None:
+                w = wview.block(idx)
+                if eager:
+                    w = _to_host(w)
+                res = self.func(b, w, axis=self.axes, keepdims=True)
+            else:
+                res = self.func(b, axis=self.axes, keepdims=True)
+            blocks[tuple(idx)] = res
         return BlockView(self.chunks, blocks=blocks)
 
 
-class FinalReduce(ArrayExpr):
-    """Final aggregate over all remaining blocks along the reduced axes."""
+class PartialReduce(ArrayExpr):
+    """One tree step: reduce windows of ``split_every`` blocks per axis.
 
-    _parameters = ("array", "func", "axes", "keepdims", "_dtype", "kwargs")
-    _defaults = {"kwargs": ()}
+    ``func`` receives the window as nested lists over the reduced axes (the
+    reference's lol structure); with ``concatenate=True`` the ``_concat_then``
+    wrapper flattens it first.  Parity: ``PartialReduce``
+    (``reductions/_reduction.py:900``).
+    """
+
+    _parameters = ("array", "func", "split_every", "keepdims", "_dtype", "output_size")
+    _defaults = {"output_size": 1}
+
+    def _name_prefix(self):
+        return "partial-reduce"
+
+    @functools.cached_property
+    def _split_dict(self):
+        return dict(self.split_every)
 
     @functools.cached_property
     def chunks(self):
+        se = self._split_dict
         out = []
         for ax, c in enumerate(self.array.chunks):
-            if ax in self.axes:
+            if ax in se:
+                n_groups = builtins.max(1, -(-len(c) // se[ax]))
                 if self.keepdims:
-                    out.append((1,))
+                    out.append((self.output_size,) * n_groups)
             else:
                 out.append(c)
         return tuple(out)
@@ -704,57 +867,89 @@ class FinalReduce(ArrayExpr):
     @functools.cached_property
     def _meta(self):
         dtype = self.operand("_dtype")
-        if dtype is not None:
-            return np.empty((0,) * len(self.chunks), dtype=np.dtype(dtype))
-        return np.empty((0,) * len(self.chunks), dtype=self.array.dtype)
+        dt = np.dtype(dtype) if dtype is not None else self.array.dtype
+        return np.empty((0,) * len(self.chunks), dtype=dt)
 
     def _build(self, ctx):
-        jnp = _jnp()
         view = ctx.build(self.array)
+        se = self._split_dict
         nb_in = view.numblocks
-        kwargs = dict(self.kwargs or ())
+        ndim = len(nb_in)
+        eager = ctx.mode == "eager"
+        groups = {}
+        for ax, n in enumerate(nb_in):
+            if ax in se:
+                step = builtins.max(1, se[ax])
+                groups[ax] = [range(lo, builtins.min(lo + step, n)) for lo in range(0, n, step)]
+        out_nb = tuple(
+            len(groups[ax]) if ax in se else nb_in[ax] for ax in range(ndim)
+        )
         blocks = {}
-        for out_idx in iter_block_indices(self.numblocks):
-            ranges = []
-            kept_pos = 0
-            for ax in range(len(nb_in)):
-                if ax in self.axes:
-                    ranges.append(range(nb_in[ax]))
-                else:
-                    if self.keepdims:
-                        ranges.append(range(out_idx[ax], out_idx[ax] + 1))
-                    else:
-                        ranges.append(range(out_idx[kept_pos], out_idx[kept_pos] + 1))
-                        kept_pos += 1
-            if self.keepdims:
-                ranges = [
-                    range(out_idx[ax], out_idx[ax] + 1) if ax not in self.axes else range(nb_in[ax])
-                    for ax in range(len(nb_in))
-                ]
-
+        for out_full in iter_block_indices(out_nb):
             def rec(ax, prefix):
-                if ax == len(ranges):
-                    return view.block(prefix)
-                parts = [rec(ax + 1, prefix + (i,)) for i in ranges[ax]]
-                if len(parts) == 1:
-                    return parts[0]
-                return jnp.concatenate(parts, axis=ax)
+                if ax == ndim:
+                    b = view.block(prefix)
+                    return _to_host(b) if eager else b
+                if ax in se:
+                    return [rec(ax + 1, prefix + (i,)) for i in groups[ax][out_full[ax]]]
+                return rec(ax + 1, prefix + (out_full[ax],))
 
             window = rec(0, ())
-            res = self.func(window, axis=self.axes, keepdims=self.keepdims, **kwargs)
-            blocks[tuple(out_idx)] = res
+            res = self.func(window)
+            if self.keepdims:
+                out_key = tuple(out_full)
+            else:
+                out_key = tuple(out_full[ax] for ax in range(ndim) if ax not in se)
+            blocks[out_key] = res
         return BlockView(self.chunks, blocks=blocks)
 
 
 def _normalize_split_every(split_every, axes):
-    if split_every is None:
-        split_every = config.get("split_every", None)
-    if split_every is None:
-        return 16
+    """Canonical ``{axis: n}`` form (parity: ``_reduction.py:715``)."""
+    split_every = split_every or config.get("split_every", None) or 16
     if isinstance(split_every, dict):
-        vals = [v for k, v in split_every.items() if k in axes]
-        return builtins.min(vals) if vals else 16
-    return int(split_every)
+        return {k: split_every.get(k, 2) for k in axes}
+    if isinstance(split_every, Integral):
+        n = builtins.max(int(split_every ** (1 / (len(axes) or 1))), 2)
+        return dict.fromkeys(axes, n)
+    raise ValueError("split_every must be a int or a dict")
+
+
+def _build_tree_reduce_expr(
+    expr, aggregate, axes, keepdims, dtype, split_every, combine, name,
+    concatenate, output_size=1,
+):
+    """Tree cascade of PartialReduce steps (parity: ``_reduction.py:751``)."""
+    se = _normalize_split_every(split_every, axes)
+    depth = 1
+    for ax, n in enumerate(expr.numblocks):
+        if ax in se and se[ax] != 1 and n > 1:
+            depth = builtins.max(depth, int(math.ceil(math.log(n, se[ax]))))
+
+    func = functools.partial(combine or aggregate, axis=axes, keepdims=True)
+    if concatenate:
+        func = functools.partial(_concat_then, func, tuple(sorted(axes)))
+    se_t = tuple(sorted(se.items()))
+    for _ in range(depth - 1):
+        expr = PartialReduce(expr, func, se_t, True, dtype, 1)
+
+    agg = functools.partial(aggregate, axis=axes, keepdims=keepdims)
+    if concatenate:
+        agg = functools.partial(_concat_then, agg, tuple(sorted(axes)))
+    # the final step sees <= split_every blocks per reduced axis: one group
+    return PartialReduce(expr, agg, se_t, bool(keepdims), dtype, output_size)
+
+
+def _accepts_named_kw(fn, kw):
+    import inspect
+
+    base = fn.func if isinstance(fn, functools.partial) else fn
+    try:
+        params = inspect.signature(base).parameters
+    except (TypeError, ValueError):
+        return False
+    p = params.get(kw)
+    return p is not None and p.kind is not inspect.Parameter.VAR_KEYWORD
 
 
 def reduction(
@@ -776,77 +971,68 @@ def reduction(
     """Generic tree reduction with user chunk/combine/aggregate kernels.
 
     Parity: ``reduction()`` (``/root/reference/dask_array/reductions/
-    _reduction.py:259``).  The chunk function runs per block (keepdims), the
-    combine function reduces ``split_every``-sized windows of partials, and
-    the aggregate finishes.
+    _reduction.py:259``).  The chunk function runs per block
+    (``keepdims=True``); combine reduces ``split_every``-sized windows of
+    partials; aggregate finishes.  With ``concatenate=True`` (default) the
+    window is concatenated into one array first; with ``concatenate=False``
+    the functions receive the nested list of raw partials (the dict-protocol
+    form used by e.g. the reference's ``mean_chunk``/``mean_combine``).
+    ``weights`` are broadcast to ``x`` and passed per-block as the chunk
+    function's second argument.
     """
     from dask_array_tpu._collection import Array, new_collection
-    from dask_array_tpu.ops._map_blocks import map_blocks
 
-    if weights is not None:
-        raise NotImplementedError("weights= is not supported yet")
     arr = x if isinstance(x, Array) else new_collection(x)
     axes = _axes_of(arr, axis)
-    se = _normalize_split_every(split_every, axes)
+    if dtype is None:
+        raise ValueError("Must specify dtype")
+    dtype = np.dtype(dtype)
 
-    if dtype is not None:
-        dtype = np.dtype(dtype)
+    chunk_func = chunk
+    if _accepts_named_kw(chunk_func, "dtype"):
+        chunk_func = functools.partial(chunk_func, dtype=dtype)
+    aggregate_func = aggregate
+    if _accepts_named_kw(aggregate_func, "dtype"):
+        aggregate_func = functools.partial(aggregate_func, dtype=dtype)
+    combine_func = combine
+    if combine_func is not None and _accepts_named_kw(combine_func, "dtype"):
+        combine_func = functools.partial(combine_func, dtype=dtype)
 
-    # per-block chunk phase (keepdims=True, each block -> size 1 on reduced axes)
-    def chunk_fn(block, **kw):
-        return chunk(block, axis=axes, keepdims=True)
+    weights_expr = None
+    if weights is not None:
+        from dask_array_tpu.ops._from_array import asanyarray
+        from dask_array_tpu.ops.manipulation import broadcast_to
 
-    from dask_array_tpu._blockwise import Blockwise, _normalize_kwargs
+        wgt = asanyarray(weights)
+        try:
+            wgt = broadcast_to(wgt, arr.shape)
+        except ValueError:
+            raise ValueError(
+                f"Weights with shape {wgt.shape} are not broadcastable "
+                f"to x with shape {arr.shape}"
+            )
+        wgt = wgt.rechunk(arr.chunks)
+        weights_expr = wgt.expr
 
-    out_ind = tuple(range(arr.ndim))
-    expr = Blockwise(
-        chunk_fn,
-        out_ind,
-        name or f"{getattr(chunk, '__name__', 'reduce')}-chunk",
-        dtype,
-        _normalize_kwargs({ax: 1 for ax in axes}),
-        None,
-        True,
-        (),
-        arr.expr,
-        out_ind,
+    expr = ChunkReduce(arr.expr, chunk_func, axes, int(output_size), dtype, weights_expr)
+    expr = _build_tree_reduce_expr(
+        expr, aggregate_func, axes, bool(keepdims), dtype, split_every,
+        combine_func, name, concatenate, int(output_size),
     )
-
-    comb = combine or aggregate
-    # tree: combine until <= split_every blocks remain along every reduced axis
-    def comb_fn(window, axis=None, keepdims=True, **kw):
-        return comb(window, axis=axis, keepdims=keepdims)
-
-    while builtins.max((len(expr.chunks[ax]) for ax in axes), default=1) > se:
-        expr = PartialReduce(expr, comb_fn, axes, se, True, dtype, ())
-
-    def agg_fn(window, axis=None, keepdims=False, **kw):
-        return aggregate(window, axis=axis, keepdims=keepdims)
-
-    expr = FinalReduce(expr, agg_fn, axes, bool(keepdims), dtype, ())
     return new_collection(expr)
 
 
 def _tree_reduce(x, aggregate, axis, keepdims, dtype, split_every=None, combine=None, name=None, concatenate=True, reduced_meta=None):
-    """Tree-reduce pre-chunked partials (parity helper)."""
+    """Tree-reduce pre-chunked partials (parity: ``_reduction.py:729``)."""
     from dask_array_tpu._collection import Array, new_collection
 
     arr = x if isinstance(x, Array) else new_collection(x)
     axes = _axes_of(arr, axis)
-    se = _normalize_split_every(split_every, axes)
-    expr = arr.expr
-    comb = combine or aggregate
-
-    def comb_fn(window, axis=None, keepdims=True, **kw):
-        return comb(window, axis=axis, keepdims=keepdims)
-
-    while builtins.max((len(expr.chunks[ax]) for ax in axes), default=1) > se:
-        expr = PartialReduce(expr, comb_fn, axes, se, True, np.dtype(dtype) if dtype else None, ())
-
-    def agg_fn(window, axis=None, keepdims=False, **kw):
-        return aggregate(window, axis=axis, keepdims=keepdims)
-
-    expr = FinalReduce(expr, agg_fn, axes, bool(keepdims), np.dtype(dtype) if dtype else None, ())
+    expr = _build_tree_reduce_expr(
+        arr.expr, aggregate, axes, bool(keepdims),
+        np.dtype(dtype) if dtype is not None else None,
+        split_every, combine, name, concatenate,
+    )
     return new_collection(expr)
 
 

@@ -135,7 +135,7 @@ def _normalize_callable(fn) -> str:
             parts: list = ["partial:", _normalize_callable(fn.func)]
             _normalize(fn.args, parts)
             _normalize(fn.keywords or {}, parts)
-            return "".join(parts)
+            return "\x00".join(parts)
         mod = getattr(fn, "__module__", None)
         qual = getattr(fn, "__qualname__", None)
         if mod and qual and "<locals>" not in qual and "<lambda>" not in qual:
@@ -158,7 +158,7 @@ def _normalize_callable(fn) -> str:
             h = hashlib.blake2b(digest_size=16)
             h.update(code.co_code)
             h.update(repr(code.co_consts).encode())
-            h.update("".join(cells).encode())
+            h.update("\x00".join(cells).encode())
             # defaults distinguish otherwise-identical wrappers (fn(*a, _i=0))
             defaults: list = []
             for d in (fn.__defaults__ or ()):
@@ -166,7 +166,7 @@ def _normalize_callable(fn) -> str:
             for k, v in sorted((fn.__kwdefaults__ or {}).items()):
                 defaults.append(k)
                 _normalize(v, defaults)
-            h.update("".join(defaults).encode())
+            h.update("\x00".join(defaults).encode())
             return f"lambda:{h.hexdigest()}"
         return f"callable:{_identity_token(fn)}"
     except Exception:
@@ -176,7 +176,9 @@ def _normalize_callable(fn) -> str:
 def _token_of_single(obj) -> str:
     parts: list = []
     _normalize(obj, parts)
-    return "".join(parts)
+    # join with a separator: part boundaries are significant — without one,
+    # e.g. {(1, 2)} and {(12,)} would normalize to the same string
+    return "\x00".join(parts)
 
 
 def tokenize(*args) -> str:

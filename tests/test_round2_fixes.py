@@ -1,0 +1,169 @@
+"""Regression tests for the round-1 VERDICT/ADVICE correctness fixes."""
+
+import math
+
+import numpy as np
+import pytest
+
+import dask_array_tpu as da
+from dask_array_tpu._test_utils import assert_eq
+
+
+# -- tokenize: container part-boundary collisions (ADVICE item 1) -----------
+
+
+def test_tokenize_set_boundary_no_collision():
+    from dask_array_tpu.utils._tokenize import tokenize
+
+    assert tokenize({(1, 2)}) != tokenize({(12,)})
+    assert tokenize(frozenset([(1, 2)])) != tokenize(frozenset([(12,)]))
+    assert tokenize({("a", "bc")}) != tokenize({("ab", "c")})
+    # still deterministic
+    assert tokenize({(1, 2)}) == tokenize({(1, 2)})
+
+
+def test_tokenize_partial_boundary_no_collision():
+    import functools
+
+    from dask_array_tpu.utils._tokenize import tokenize
+
+    p1 = functools.partial(np.sum, axis=(1, 2))
+    p2 = functools.partial(np.sum, axis=(12,))
+    assert tokenize(p1) != tokenize(p2)
+
+
+# -- graded _moved_fraction (VERDICT weak item 5) ----------------------------
+
+
+def test_moved_fraction_graded():
+    from dask_array_tpu._rechunk import _axis_moved_fraction, _moved_fraction
+
+    # heal a sliver: only the sliver moves
+    assert _axis_moved_fraction((1, 719, 720), (720, 720)) == pytest.approx(
+        1 / 1440
+    )
+    # true merge moves all but the largest member of each run
+    assert _axis_moved_fraction((10,) * 6, (30, 30)) == pytest.approx(2 / 3)
+    # splits are free
+    assert _axis_moved_fraction((30, 30), (10,) * 6) == 0.0
+    # half-chunk shift
+    assert _axis_moved_fraction((100,) * 4, (50, 100, 100, 100, 50)) == pytest.approx(0.375)
+    # identity
+    assert _axis_moved_fraction((5, 5), (5, 5)) == 0.0
+    # multi-axis composition: stay fractions multiply
+    f = _moved_fraction(((30, 30), (10,) * 6), ((10,) * 6, (30, 30)))
+    assert f == pytest.approx(1 - (1.0 * (1 - 2 / 3)))
+
+
+def test_rechunk_transfer_bytes_graded(rng):
+    x = da.from_array(rng.standard_normal((1440,)), chunks=(1, 719, 720))
+    r = x.rechunk((720, 720))
+    lo, hi = r.expr.transfer_bytes()
+    nbytes = 1440 * 8
+    assert lo == pytest.approx(nbytes / 1440, abs=1)  # ~one element moves
+    assert 0 < lo < nbytes / 100  # graded, not all-or-nothing
+    assert hi == nbytes
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(11)
+
+
+# -- compute_chunk_sizes preserves the grid (VERDICT weak item 7) ------------
+
+
+def test_compute_chunk_sizes_preserves_grid(rng):
+    x = rng.standard_normal((40,))
+    d = da.from_array(x, chunks=10)
+    mask = x > 0
+    dm = da.from_array(mask, chunks=10)
+    filtered = d[dm]
+    assert math.isnan(filtered.shape[0])
+    resolved = filtered.compute_chunk_sizes()
+    # grid preserved: one (now-known) chunk per original block
+    assert len(resolved.chunks[0]) == 4
+    assert all(isinstance(c, int) for c in resolved.chunks[0])
+    assert sum(resolved.chunks[0]) == int(mask.sum())
+    assert_eq(resolved, x[mask])
+    # downstream rechunk-dependent code now works
+    assert_eq(resolved.rechunk(5), x[mask])
+
+
+def test_compute_chunk_sizes_known_noop(rng):
+    d = da.from_array(rng.standard_normal((8,)), chunks=4)
+    assert d.compute_chunk_sizes() is d
+
+
+# -- lazy histogram range (VERDICT weak item 6) -------------------------------
+
+
+def test_histogram_lazy_range_no_eager_compute(rng, monkeypatch):
+    """Building histogram(a, bins=N) must not trigger computation."""
+    import dask_array_tpu._materialize as mat
+
+    x = rng.standard_normal((100,))
+    d = da.from_array(x, chunks=25)
+
+    calls = []
+    orig = mat.compute_expr
+
+    def spy(expr, optimize=True):
+        calls.append(expr)
+        return orig(expr, optimize)
+
+    monkeypatch.setattr(mat, "compute_expr", spy)
+    h, edges = da.histogram(d, bins=10)
+    assert calls == []  # graph build is compute-free
+    eh, ee = np.histogram(x, bins=10)
+    assert_eq(h, eh)
+    assert_eq(edges, ee)
+
+
+def test_histogram_lazy_dask_range(rng):
+    x = rng.standard_normal((64,))
+    d = da.from_array(x, chunks=16)
+    lo, hi = d.min(), d.max()
+    h, edges = da.histogram(d, bins=8, range=(lo, hi))
+    eh, ee = np.histogram(x, bins=8, range=(x.min(), x.max()))
+    assert_eq(h, eh)
+    assert_eq(edges, ee)
+
+
+def test_histogram_degenerate_range():
+    x = np.full(10, 3.0)
+    d = da.from_array(x, chunks=5)
+    h, edges = da.histogram(d, bins=4)
+    eh, ee = np.histogram(x, bins=4)
+    assert_eq(h, eh)
+    assert_eq(edges, ee)
+
+
+def test_histogramdd_lazy_range(rng):
+    x = rng.standard_normal((50,))
+    y = rng.standard_normal((50,))
+    dx = da.from_array(x, chunks=25)
+    dy = da.from_array(y, chunks=25)
+    h, edges = da.histogramdd((dx, dy), bins=(4, 5))
+    eh, ee = np.histogramdd((x, y), bins=(4, 5))
+    assert_eq(h, eh)
+    for got, exp in zip(edges, ee):
+        assert_eq(got, exp)
+
+
+# -- executor cache: stable mesh identity (ADVICE item 3) ---------------------
+
+
+def test_mesh_cache_key_stable():
+    import jax
+    from jax.sharding import Mesh
+
+    from dask_array_tpu._executor import _mesh_key
+
+    devs = np.asarray(jax.devices("cpu")[:4]).reshape(2, 2)
+    m1 = Mesh(devs, ("a", "b"))
+    m2 = Mesh(devs, ("a", "b"))
+    assert _mesh_key(m1) == _mesh_key(m2)  # identity survives re-creation
+    m3 = Mesh(devs.T, ("a", "b"))
+    assert _mesh_key(m1) != _mesh_key(m3)  # device order matters
+    assert _mesh_key(None) is None
