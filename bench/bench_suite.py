@@ -37,6 +37,7 @@ BUILDERS = {
     "blocked_matmul_8192": lambda: _persisted_matmul(),
     "stencil2d_4096": lambda: P.stencil2d(),
     "tsqr_svd_1e6x128": lambda: P.tall_skinny_svd(),
+    "rechunk_relayout_8192": lambda: P.rechunk_relayout(persist=True),
 }
 
 def _persisted_matmul():
@@ -51,7 +52,7 @@ def _persisted_matmul():
         expr = expr.substitute(leaf, Array(leaf).persist().expr)
     return Array(expr)
 
-iters = 1 if label == "tsqr_svd_1e6x128" else 3
+iters = 1 if label == "tsqr_svd_1e6x128" else (20 if label == "rechunk_relayout_8192" else 3)
 t0 = time.perf_counter(); out = BUILDERS[label]() ; t_build = time.perf_counter() - t0
 arrs = out if isinstance(out, tuple) else (out,)
 t0 = time.perf_counter(); [a.optimize() for a in arrs]; t_opt = time.perf_counter() - t0
@@ -64,8 +65,13 @@ for _i in range(iters):
     devs = [a.compute_device() for a in arrs]
 _ = [np.asarray(d.ravel()[0]) for d in devs]
 t_steady = (time.perf_counter() - t0) / iters
+extra = ""
+if label == "rechunk_relayout_8192":
+    nbytes = int(np.prod(arrs[0].shape)) * arrs[0].dtype.itemsize
+    gbps = 2 * nbytes / t_steady / 1e9  # one read + one write per byte
+    extra = f" | relayout {gbps:7.1f} GB/s effective (HBM roofline ~819)"
 print(f"{label:24s} build {t_build*1e3:8.2f} ms | optimize {t_opt*1e3:8.2f} ms | "
-      f"first(run+compile) {t_first:7.2f} s | steady {t_steady*1e3:9.2f} ms", flush=True)
+      f"first(run+compile) {t_first:7.2f} s | steady {t_steady*1e3:9.2f} ms{extra}", flush=True)
 """
 
 
@@ -77,6 +83,7 @@ def main():
         "blocked_matmul_8192",
         "stencil2d_4096",
         "tsqr_svd_1e6x128",
+        "rechunk_relayout_8192",
     ):
         try:
             r = subprocess.run(

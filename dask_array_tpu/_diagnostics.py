@@ -290,3 +290,38 @@ def tier_report(x, file=None):
     text = "\n".join(lines)
     print(text, file=file)
     return {"counts": dict(counts), "nodes": rows, "native": native.available()}
+
+
+def compiled_hlo(x, mesh=None):
+    """The optimized HLO text of the ONE compiled XLA program for ``x``.
+
+    The TPU analog of inspecting the reference's emitted task records
+    (``bench/diff_layers.py``): what the executor will actually run —
+    including the collectives GSPMD/shard_map placed (look for
+    ``all-to-all``, ``all-gather``, ``collective-permute``, ``all-reduce``).
+    """
+    import jax
+
+    from dask_array_tpu._collection import Array
+    from dask_array_tpu._executor import (
+        BuildContext,
+        _device_put_leaves,
+        collect_leaves,
+    )
+    from dask_array_tpu._materialize import optimize_expr
+    from dask_array_tpu.parallel.mesh import current_mesh
+
+    expr = x.expr if isinstance(x, Array) else x
+    lowered = optimize_expr(expr)
+    if mesh is None:
+        mesh = current_mesh()
+    leaf_pairs = collect_leaves(lowered)
+    keys = tuple(k for k, _ in leaf_pairs)
+    args = _device_put_leaves(leaf_pairs, mesh)
+
+    def compute_fn(*leaf_arrays):
+        ctx = BuildContext(dict(zip(keys, leaf_arrays)), mode="trace", mesh=mesh)
+        return ctx.build(lowered).dense()
+
+    compiled = jax.jit(compute_fn).lower(*args).compile()
+    return compiled.as_text()

@@ -61,7 +61,18 @@ class Rechunk(ArrayExpr):
 
     def _build(self, ctx):
         view = ctx.build(self.array)
-        return BlockView(self.chunks, dense=view.dense())
+        dense = view.dense()
+        if ctx.mesh is not None and ctx.mode == "trace":
+            from dask_array_tpu.parallel.collectives import mesh_collective_relayout
+
+            out = mesh_collective_relayout(
+                dense, self.array.chunks, self.target_chunks, ctx.mesh
+            )
+            if out is not None:
+                # explicit all-to-all schedule drove the relayout; the
+                # boundary constraint below is then a no-op re-statement
+                return BlockView(self.chunks, dense=out)
+        return BlockView(self.chunks, dense=dense)
 
     def transfer_bytes(self):
         """Between-block movement estimate (for explain / cost decisions).
@@ -264,14 +275,34 @@ def plan_rechunk(old_chunks, new_chunks, itemsize=8, threshold=None, block_size_
     return [mid, new_chunks]
 
 
-def _choose_rechunk_method(old_chunks, new_chunks, threshold=None):
-    """tasks vs collective ("p2p" analog): on a mesh, any rechunk whose
-    stage degree exceeds the threshold is best expressed as one all-to-all
-    (XLA collective); small-degree rechunks stay pure layout changes."""
+def _choose_rechunk_method(old_chunks, new_chunks, threshold=None, mesh=None):
+    """tasks vs collective (the reference's tasks-vs-p2p choice,
+    ``_rechunk.py:563``).
+
+    On a mesh the decisive question is whether the layout change MOVES a
+    mesh axis between array axes — if so, the executor emits an explicit
+    ``all_to_all`` schedule (``mesh_collective_relayout``); otherwise the
+    relayout is a local reslicing under an unchanged sharding and stays a
+    pure constraint.  Off-mesh, high stage degree picks "collective" for
+    cost reporting (the all-to-all bound applies in ``transfer_bytes``).
+    """
     from dask_array_tpu import config
 
-    method = config.get("array.rechunk.method", "tasks")
-    if method != "tasks":
-        return method
+    method = config.get("array.rechunk.method", "auto")
+    if method in ("tasks", "collective", "p2p"):
+        return "collective" if method == "p2p" else method
+    if mesh is not None:
+        from dask_array_tpu.parallel.layout import plan_layout
+
+        shape = tuple(sum(c) for c in old_chunks)
+        if not any(isinstance(s, float) and math.isnan(s) for s in shape):
+            in_spec = plan_layout(shape, old_chunks, mesh)
+            out_spec = plan_layout(shape, new_chunks, mesh)
+            for name in mesh.shape:
+                a = in_spec.index(name) if name in in_spec else None
+                b = out_spec.index(name) if name in out_spec else None
+                if a is not None and b is not None and a != b:
+                    return "collective"
+        return "tasks"
     deg = _stage_degree(old_chunks, new_chunks)
     return "collective" if deg > (threshold or config.get("array.rechunk.threshold", 32)) else "tasks"

@@ -14,7 +14,10 @@ from typing import Any
 _global: dict[str, Any] = {
     # -- optimizer / planner (reference-parity keys) --
     "array.rechunk.threshold": 32,
-    "array.rechunk.method": "tasks",  # "tasks" | "collective"
+    # "auto": explicit all_to_all when a mesh axis moves between array axes,
+    # constraint otherwise; "tasks": never explicit; "collective"/"p2p":
+    # always attempt the explicit schedule
+    "array.rechunk.method": "auto",
     "array.rechunk.degree-limit": None,
     "array.unify-chunks-policy": "auto",  # "auto" | "coarse" | "refine"
     "array.unify-chunks-limit": "512 MiB",

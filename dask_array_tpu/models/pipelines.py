@@ -79,3 +79,28 @@ def tall_skinny_svd(rows=1_000_000, cols=128, chunk_rows=100_000, dtype="float32
         (rows, cols), dtype=dtype, chunks=(chunk_rows, cols)
     )
     return da.linalg.svd(x)
+
+
+def rechunk_relayout(n=8192, chunk=1024, dtype="float32", seed=0, persist=False):
+    """Rows->cols block relayout of a transposed array (BASELINE metric 2).
+
+    On one chip this is the HBM-bandwidth-bound form of the rechunk
+    boundary (one physical transpose: read + write of every byte); on a
+    mesh the same expression emits an ICI ``all-to-all``
+    (``parallel/collectives.py:mesh_collective_relayout``, proven by
+    ``tests/test_rechunk_collective.py``).  Report effective GB/s as
+    ``2 * nbytes / t`` against the HBM roofline.
+    """
+    import dask_array_tpu as da
+
+    x = da.random.default_rng(seed).standard_normal(
+        (n, n), dtype=dtype, chunks=(chunk, n)
+    )
+    if persist:
+        # hold the input on-device so steady-state measures ONLY the
+        # relayout's read+write passes, not the RNG regeneration
+        x = x.persist()
+    # transpose makes the relayout physical (a bare rechunk is metadata-only
+    # inside one XLA program — itself a design win over task-based rechunk);
+    # the freeze keeps the rechunk boundary from being absorbed upstream
+    return x.T.freeze_chunks().rechunk((chunk, n))

@@ -69,20 +69,28 @@ def halo_exchange(x, mesh, axis_name: str, axis: int, depth: int, wrap: bool = F
     return fn(x)
 
 
-def alltoall_reshard(x, mesh, axis_name: str, from_axis: int, to_axis: int):
+def alltoall_reshard(x, mesh, axis_name: str, from_axis: int, to_axis: int, spec=None):
     """Move the sharded dimension from ``from_axis`` to ``to_axis``.
 
     One ``lax.all_to_all`` over ICI — the SPMD form of the reference's
     rechunk task plan for an axis-swap relayout
     (``/root/reference/dask_array/_rechunk.py`` TasksRechunk/P2PRechunk).
+
+    ``spec`` optionally carries the full partition assignment (one mesh-axis
+    name or None per array axis) so OTHER mesh axes stay sharded through the
+    exchange; only ``axis_name``'s assignment moves.
     """
     from jax.lax import all_to_all
     from jax.sharding import PartitionSpec as P
 
     shard_map = _shard_map()
-    spec_in = [None] * x.ndim
+    base = list(spec) if spec is not None else [None] * x.ndim
+    spec_in = list(base)
     spec_in[from_axis] = axis_name
-    spec_out = [None] * x.ndim
+    if spec_in[to_axis] == axis_name:
+        spec_in[to_axis] = None
+    spec_out = list(spec_in)
+    spec_out[from_axis] = None
     spec_out[to_axis] = axis_name
 
     def body(shard):
@@ -90,6 +98,79 @@ def alltoall_reshard(x, mesh, axis_name: str, from_axis: int, to_axis: int):
 
     fn = shard_map(body, mesh=mesh, in_specs=(P(*spec_in),), out_specs=P(*spec_out))
     return fn(x)
+
+
+def mesh_collective_relayout(dense, old_chunks, new_chunks, mesh, method=None):
+    """Explicit ICI collective schedule for a rechunk layout boundary.
+
+    Compares the mesh layouts of the OLD and NEW chunk grids
+    (``plan_layout``); every mesh axis whose array-axis assignment moves is
+    resharded with one explicit ``all_to_all`` stage (other mesh axes stay
+    sharded through each stage).  Returns the resharded traced value, or
+    ``None`` when no axis moves / the method forbids it — the caller then
+    falls back to a bare ``with_sharding_constraint`` and GSPMD's schedule.
+
+    This is the executor-wired form of the reference's rechunk planner
+    (``/root/reference/dask_array/_rechunk.py:442,563,1326``): its
+    copies-vs-tasks choice becomes constraint-vs-explicit-all-to-all, and
+    its multi-stage plan becomes one all_to_all per moving mesh axis.
+    """
+    import math
+
+    from dask_array_tpu import config
+    from dask_array_tpu.parallel.layout import plan_layout
+
+    if method is None:
+        method = config.get("array.rechunk.method", "auto")
+    if method == "tasks":
+        return None
+    shape = tuple(sum(c) for c in old_chunks)
+    if any(isinstance(s, float) and math.isnan(s) for s in shape):
+        return None
+    in_spec = list(plan_layout(shape, old_chunks, mesh))
+    out_spec = list(plan_layout(shape, new_chunks, mesh))
+    moves = []
+    for name in mesh.shape:
+        a = in_spec.index(name) if name in in_spec else None
+        b = out_spec.index(name) if name in out_spec else None
+        if a is not None and b is not None and a != b:
+            moves.append((name, a, b))
+    if not moves:
+        return None
+
+    # stage the moves so every destination axis is FREE when its all_to_all
+    # runs (a tiled all_to_all into an occupied axis interleaves stripes —
+    # not a block layout).  Cyclic move sets (mesh-axis swaps) fall back to
+    # the GSPMD constraint, which schedules its own collectives.
+    local = [
+        s // (mesh.shape[n] if n is not None else 1)
+        for s, n in zip(shape, in_spec)
+    ]
+    cur = list(in_spec)
+    ordered = []
+    pending = list(moves)
+    while pending:
+        progress = False
+        for mv in list(pending):
+            name, a, b = mv
+            if cur[b] is not None:
+                continue  # destination occupied; try after its occupant moves
+            n = mesh.shape[name]
+            if local[b] % n != 0:
+                return None  # unsplittable at this stage
+            ordered.append((name, a, b, list(cur)))
+            local[b] //= n
+            local[a] *= n
+            cur[a] = None
+            cur[b] = name
+            pending.remove(mv)
+            progress = True
+        if not progress:
+            return None  # cycle (axis swap): GSPMD's schedule handles it
+    out = dense
+    for name, a, b, spec in ordered:
+        out = alltoall_reshard(out, mesh, name, from_axis=a, to_axis=b, spec=spec)
+    return out
 
 
 def psum_reduce(x, mesh, axis_name: str, axis: int):
