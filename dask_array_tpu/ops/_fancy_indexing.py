@@ -96,11 +96,26 @@ def take(a, indices, axis=0):
 
 
 def _take_lazy(a, indices, axis):
-    """Take with a lazy integer Array of indices (1-D)."""
+    """Take with a lazy integer Array of indices (any ndim, known chunks).
+
+    Parity: int-dask-array slicing (``slicing/_basic.py:75,125``) — index
+    SHAPES are metadata, so the gather stays lazy/traceable.  ndim>1 lazy
+    indices route through ravel + reshape, like the eager path.
+    """
     from dask_array_tpu._collection import new_collection
 
     if indices.ndim != 1:
-        raise NotImplementedError("lazy index arrays must be 1-D")
+        from dask_array_tpu._chunks import has_unknown_chunks
+        from dask_array_tpu.ops._reshape import reshape
+
+        if has_unknown_chunks(indices.chunks):
+            raise ValueError(
+                "Slicing with a >1-D lazy index array of unknown chunks is "
+                "not supported; call compute_chunk_sizes() on the index first"
+            )
+        flat = _take_lazy(a, indices.ravel(), axis)
+        new_shape = a.shape[:axis] + indices.shape + a.shape[axis + 1:]
+        return reshape(flat, new_shape)
     return new_collection(TakeLazy(a.expr, indices.expr, axis))
 
 
@@ -122,6 +137,9 @@ class TakeLazy(ArrayExpr):
 
         view = ctx.build(self.array)
         idx = ctx.build(self.indices).dense()
+        dim = self.array.shape[self.axis]
+        if not (isinstance(dim, float) and math.isnan(dim)):
+            idx = jnp.where(idx < 0, idx + dim, idx)  # numpy wrap semantics
         dense = jnp.take(view.dense(), idx, axis=self.axis)
         return BlockView(self.chunks, dense=dense)
 
@@ -187,24 +205,34 @@ class BooleanIndex(ArrayExpr):
 
 
 class VIndex(ArrayExpr):
-    """Pointwise (coordinate) indexing: parity with ``vindex``
-    (``slicing/_vindex.py``).  Dense XLA gather."""
+    """Pointwise (coordinate) indexing: one XLA gather.
 
-    _parameters = ("array", "index")  # index: tuple of int-arrays / slices
+    Parity: ``vindex`` (``slicing/_vindex.py:31,143``), including LAZY
+    (dask) index arrays — index SHAPES are metadata, so the gather traces
+    into the compiled program without materializing the indices at graph
+    build.  ``pattern`` marks, per input axis, either a slice or the slot
+    number of an index operand (``operands[3 + slot]``); index operands are
+    expressions (eager numpy indices are lifted via ``from_array``).
+    Broadcast dims always LEAD in the output (the vindex contract).
+    """
 
-    @functools.cached_property
-    def _bcast_shape(self):
-        arrs = [np.asarray(i) for i in self.index if not isinstance(i, slice)]
-        return np.broadcast_shapes(*[a.shape for a in arrs])
+    _parameters = ("array", "pattern", "bshape")
+    # operands[3:] = index expressions, one per non-slice pattern slot
+
+    def _name_prefix(self):
+        return "vindex"
+
+    @property
+    def _index_exprs(self):
+        return self.operands[3:]
 
     @functools.cached_property
     def chunks(self):
-        # broadcast dims lead (single chunk each), remaining sliced axes follow
-        lead = tuple((s,) for s in self._bcast_shape)
+        lead = tuple((s,) for s in self.bshape)
         rest = tuple(
             self.array.chunks[ax]
-            for ax, i in enumerate(self.index)
-            if isinstance(i, slice)
+            for ax, p in enumerate(self.pattern)
+            if isinstance(p, slice)
         )
         return lead + rest
 
@@ -215,13 +243,29 @@ class VIndex(ArrayExpr):
     def _build(self, ctx):
         import jax.numpy as jnp
 
-        view = ctx.build(self.array)
-        dense = view.dense()
-        idx = tuple(
-            jnp.asarray(np.asarray(i)) if not isinstance(i, slice) else i
-            for i in self.index
-        )
-        return BlockView(self.chunks, dense=dense[idx])
+        dense = ctx.build(self.array).dense()
+        arr_axes = [ax for ax, p in enumerate(self.pattern) if not isinstance(p, slice)]
+        slice_axes = [ax for ax, p in enumerate(self.pattern) if isinstance(p, slice)]
+        # move indexed axes to the FRONT: adjacent index arrays put the
+        # broadcast dims first, honoring the vindex contract regardless of
+        # where the arrays sat in the original pattern
+        dense = jnp.transpose(dense, arr_axes + slice_axes)
+        idxs = []
+        for ax in arr_axes:
+            slot = self.pattern[ax]
+            arr = ctx.build(self._index_exprs[slot]).dense()
+            dim = self.array.shape[ax]
+            if not (isinstance(dim, float) and math.isnan(dim)):
+                arr = jnp.where(arr < 0, arr + dim, arr)
+            idxs.append(arr)
+        out = dense[tuple(idxs)]
+        return BlockView(self.chunks, dense=out)
+
+    def transfer_bytes(self):
+        nb = self.array.nbytes
+        if isinstance(nb, float) and math.isnan(nb):
+            return (0, 0)
+        return (0, int(nb))
 
 
 class VIndexAccessor:
@@ -230,18 +274,31 @@ class VIndexAccessor:
 
     def __getitem__(self, index):
         from dask_array_tpu._collection import Array, new_collection
+        from dask_array_tpu.ops._from_array import from_array
 
         if not isinstance(index, tuple):
             index = (index,)
         x = self._array
         if len(index) < x.ndim:
             index = index + (slice(None),) * (x.ndim - len(index))
-        norm = []
+        pattern = []
+        index_exprs = []
+        shapes = []
         for i, dim in zip(index, x.shape):
             if isinstance(i, slice):
-                norm.append(i)
-            elif isinstance(i, Array):
-                raise NotImplementedError("vindex with lazy index arrays is not supported yet")
+                if i != slice(None):
+                    raise NotImplementedError(
+                        "vindex only supports full slices alongside index arrays"
+                    )
+                pattern.append(i)
+                continue
+            if isinstance(i, Array):
+                if np.dtype(i.dtype) == bool:
+                    raise NotImplementedError(
+                        "vindex with lazy BOOLEAN arrays is not supported; "
+                        "materialize the mask or use x[mask]"
+                    )
+                expr = i.expr  # negatives normalized lazily in _build
             else:
                 arr = np.asarray(i)
                 if arr.dtype == bool:
@@ -249,15 +306,16 @@ class VIndexAccessor:
                 arr = np.where(arr < 0, arr + dim, arr)
                 if ((arr < 0) | (arr >= dim)).any():
                     raise IndexError("vindex index out of bounds")
-                norm.append(arr)
-        return new_collection(VIndex(x.expr, tuple(tuple(map(int, a.ravel())) if False else _freeze(a) for a in norm)))
-
-
-def _freeze(x):
-    if isinstance(x, slice):
-        return x
-    a = np.asarray(x)
-    return a  # tokenized by content (small) or identity
+                expr = from_array(arr, chunks=arr.shape or -1).expr
+            pattern.append(len(index_exprs))
+            index_exprs.append(expr)
+            shapes.append(expr.shape)
+        if not index_exprs:
+            return new_collection(x.expr)
+        bshape = tuple(int(s) for s in np.broadcast_shapes(*shapes))
+        return new_collection(
+            VIndex(x.expr, tuple(pattern), bshape, *index_exprs)
+        )
 
 
 def fancy_getitem(x, index):

@@ -242,31 +242,77 @@ def trim_overlap(x, depth, boundary=None):
 
 
 def map_overlap(func, *args, depth=None, boundary=None, trim=True, align_arrays=True, allow_rechunk=True, **kwargs):
-    """Apply ``func`` to blocks with ghost cells, then trim.
+    """Apply ``func`` to blocks (of one or MORE arrays) with ghost cells.
 
-    Parity: ``map_overlap`` (``_overlap.py:1041``); the lowering pipeline is
-    rechunk -> boundary pad -> overlap -> map_blocks -> trim (``:428-454``).
+    Parity: ``map_overlap`` (``_overlap.py:1041-1300``); the pipeline is
+    align -> overlap each array -> map_blocks -> trim (``:428-454``).
+    ``depth``/``boundary`` may be lists with one entry per array; arrays of
+    different ndim block-broadcast (right-aligned), and trimming uses the
+    highest-rank array's depth.  Trimming slices relative to each ACTUAL
+    output block, so funcs that change block sizes (declared via
+    ``chunks=``) trim correctly.
     """
     from dask_array_tpu._collection import Array
     from dask_array_tpu.ops._map_blocks import map_blocks
 
-    if callable(args[0]) and not callable(func):
+    if isinstance(func, Array) and args and callable(args[0]):
+        # legacy map_overlap(x, func, ...) signature
         func, args = args[0], (func,) + args[1:]
-    arrays = [a for a in args if isinstance(a, Array)]
-    if not arrays:
-        raise ValueError("map_overlap requires at least one Array")
-    x = arrays[0]
-    if len(arrays) > 1:
-        raise NotImplementedError("map_overlap over multiple arrays is not supported yet")
-    if depth is None:
-        depth = 0
-    dep, bd = _normalize(x, depth, boundary)
-    g = overlap(x, depth, boundary, allow_rechunk=allow_rechunk)
-    other = [a for a in args if not isinstance(a, Array)]
-    mapped = map_blocks(func, g, *other, **kwargs)
+    if not callable(func):
+        raise TypeError(
+            f"First argument must be callable function, not {type(func).__name__}\n"
+            "Usage:   da.map_overlap(function, x)\n"
+            "   or:   da.map_overlap(function, x, y, z)"
+        )
+    if not args or not all(isinstance(a, Array) for a in args):
+        raise TypeError(
+            "All variadic arguments must be arrays, not "
+            f"{[type(a).__name__ for a in args]}\n"
+            "Usage:   da.map_overlap(function, x)\n"
+            "   or:   da.map_overlap(function, x, y, z)"
+        )
+    arrays = list(args)
+
+    def coerce(xs, arg, fn):
+        if not isinstance(arg, list):
+            arg = [arg] * len(xs)
+        return [fn(x.ndim, a) for x, a in zip(xs, arg)]
+
+    depths = coerce(arrays, 0 if depth is None else depth, coerce_depth)
+    bounds = coerce(arrays, boundary, coerce_boundary)
+
+    if align_arrays and len(arrays) > 1:
+        from dask_array_tpu.ops.routines import unify_chunks
+
+        ndim = max(a.ndim for a in arrays)
+        uargs = []
+        for a in arrays:
+            uargs += [a, tuple(range(ndim - a.ndim, ndim))]
+        _, arrays = unify_chunks(*uargs)
+
+    # depth 0 everywhere: plain map_blocks (more efficient, parity :1271)
+    if all(lo == 0 and hi == 0 for d in depths for (lo, hi) in d.values()):
+        return map_blocks(func, *arrays, **kwargs)
+
+    for i, (a, d, b) in enumerate(zip(arrays, depths, bounds)):
+        for ax in range(a.ndim):
+            lo, hi = d[ax]
+            if lo != hi and b[ax] != "none":
+                raise NotImplementedError(
+                    "Asymmetric overlap is currently only implemented "
+                    "for boundary='none', however boundary for dimension "
+                    f"{ax} in array argument {i} is {b[ax]}"
+                )
+
+    overlapped = [
+        overlap(a, d, b, allow_rechunk=allow_rechunk)
+        for a, d, b in zip(arrays, depths, bounds)
+    ]
+    mapped = map_blocks(func, *overlapped, **kwargs)
     if trim:
-        # depth scaled if func changed block sizes? assume size-preserving
-        return trim_internal(mapped, depth, boundary)
+        # trim by the highest-rank array's halo (ties -> first; parity :448)
+        i = sorted(enumerate(arrays), key=lambda v: (v[1].ndim, -v[0]))[-1][0]
+        return trim_internal(mapped, depths[i], bounds[i])
     return mapped
 
 
