@@ -304,9 +304,9 @@ def compiled_hlo(x, mesh=None):
 
     from dask_array_tpu._collection import Array
     from dask_array_tpu._executor import (
-        BuildContext,
         _device_put_leaves,
         collect_leaves,
+        make_compute_fn,
     )
     from dask_array_tpu._materialize import optimize_expr
     from dask_array_tpu.parallel.mesh import current_mesh
@@ -318,10 +318,6 @@ def compiled_hlo(x, mesh=None):
     leaf_pairs = collect_leaves(lowered)
     keys = tuple(k for k, _ in leaf_pairs)
     args = _device_put_leaves(leaf_pairs, mesh)
-
-    def compute_fn(*leaf_arrays):
-        ctx = BuildContext(dict(zip(keys, leaf_arrays)), mode="trace", mesh=mesh)
-        return ctx.build(lowered).dense()
-
+    compute_fn = make_compute_fn(lowered, keys, mesh)
     compiled = jax.jit(compute_fn).lower(*args).compile()
     return compiled.as_text()

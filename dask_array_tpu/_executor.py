@@ -234,6 +234,32 @@ def _mesh_key(mesh):
     )
 
 
+def make_compute_fn(root: ArrayExpr, keys: tuple, mesh):
+    """The traced function computing root's dense value from leaf buffers.
+
+    Shared by the executor and ``diagnostics.compiled_hlo`` so inspected
+    HLO matches what actually runs.
+    """
+
+    def compute_fn(*leaf_arrays):
+        if mesh is not None:
+            # leaves whose dims don't divide the mesh arrive replicated
+            # (device_put forbids uneven shardings); an uneven CONSTRAINT
+            # here scatters them so downstream compute is sharded, not
+            # replicated — the pad-to-regular side of the chunks-vs-
+            # sharding duality
+            from dask_array_tpu.parallel.layout import constrain_to_mesh
+
+            leaf_arrays = tuple(
+                constrain_to_mesh(a, None, mesh) if getattr(a, "ndim", 0) else a
+                for a in leaf_arrays
+            )
+        ctx = BuildContext(dict(zip(keys, leaf_arrays)), mode="trace", mesh=mesh)
+        return ctx.build(root).dense()
+
+    return compute_fn
+
+
 def _trace_fn(root: ArrayExpr, keys: tuple, mesh, args):
     """The cached COMPILED executable computing root's dense value.
 
@@ -252,9 +278,7 @@ def _trace_fn(root: ArrayExpr, keys: tuple, mesh, args):
     if compiled is not None:
         return compiled, cache_key
 
-    def compute_fn(*leaf_arrays):
-        ctx = BuildContext(dict(zip(keys, leaf_arrays)), mode="trace", mesh=mesh)
-        return ctx.build(root).dense()
+    compute_fn = make_compute_fn(root, keys, mesh)
 
     donate = config.get("tpu.donate-leaves", False)
     fn = jax.jit(compute_fn, donate_argnums=tuple(range(len(keys))) if donate else ())
@@ -370,13 +394,20 @@ def execute(root: ArrayExpr, mode: str | None = None, want_view: bool = False):
                 RuntimeWarning,
                 stacklevel=2,
             )
-    # eager: concrete evaluation (handles unknown chunks / untraceable funcs)
+    # eager: concrete evaluation (handles unknown chunks / untraceable funcs).
+    # Mesh-aware: leaves are device_put with mesh shardings, and per-op
+    # dispatch follows input shardings, so even unknown-chunk pipelines
+    # compute sharded where their leaves could be sharded.
     import jax.numpy as jnp
 
-    vals = {}
-    for k, b in leaf_pairs:
-        b = _materialize_buf(b)
-        vals[k] = jnp.asarray(np.asarray(b)) if not hasattr(b, "dtype") or isinstance(b, np.ndarray) else b
-    ctx = BuildContext(vals, mode="eager", mesh=None)
+    if mesh is not None:
+        args = _device_put_leaves(leaf_pairs, mesh)
+        vals = dict(zip(keys, args))
+    else:
+        vals = {}
+        for k, b in leaf_pairs:
+            b = _materialize_buf(b)
+            vals[k] = jnp.asarray(np.asarray(b)) if not hasattr(b, "dtype") or isinstance(b, np.ndarray) else b
+    ctx = BuildContext(vals, mode="eager", mesh=mesh)
     view = ctx.build(root)
     return view if want_view else view.dense()

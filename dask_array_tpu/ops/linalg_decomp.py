@@ -223,8 +223,79 @@ def _single(expr, fn_name, which, out_shape, dtype, kwargs=(), extra=()):
     )
 
 
+class BlockedQR(ArrayExpr):
+    """QR of a 2-D-chunked matrix: block CGS2 panels + tall-skinny QR.
+
+    Parity target: the reference's block QR machinery
+    (``linalg/_qr.py:38-360``) extended to 2-D-chunked grids (its ``qr``
+    raises there).  The algorithm is classical block Gram-Schmidt with
+    reorthogonalization (CGS2): for each column panel, project out all
+    previous Q panels (two passes — tall MXU matmuls, row-sharded with
+    psums on a mesh), then factor the panel with the CholeskyQR cascade.
+    No whole-matrix gather: every step is a column-panel matmul.
+    """
+
+    _parameters = ("array", "which")  # which: "q" | "r"
+
+    @functools.cached_property
+    def chunks(self):
+        m_chunks, n_chunks = self.array.chunks
+        if self.which == "q":
+            return (m_chunks, n_chunks)
+        return (n_chunks, n_chunks)
+
+    @functools.cached_property
+    def _meta(self):
+        return np.empty((0, 0), dtype=_float_dtype(self.array.dtype))
+
+    def _build(self, ctx):
+        import jax.numpy as jnp
+
+        view = ctx.build(self.array)
+        dt = self.dtype
+        a = view.dense().astype(dt)
+        n_chunks = self.array.chunks[1]
+        col_bounds = np.cumsum([0] + list(n_chunks))
+        npanels = len(n_chunks)
+
+        q_panels: list = []
+        r_blocks: dict = {}
+        for k in range(npanels):
+            v = a[:, int(col_bounds[k]):int(col_bounds[k + 1])]
+            # CGS2: two projection passes against all previous panels
+            for pass_ in range(2):
+                for m in range(k):
+                    c = jnp.matmul(q_panels[m].T, v, precision="highest")
+                    r_blocks[(m, k)] = r_blocks.get((m, k), 0) + c
+                    v = v - jnp.matmul(q_panels[m], c, precision="highest")
+            qk, r1 = TSQR._cholqr_once(v, dt, shifted=True)
+            qk, r2 = TSQR._cholqr_once(qk, dt)
+            qk, r3 = TSQR._cholqr_once(qk, dt)
+            r_blocks[(k, k)] = jnp.matmul(
+                r3, jnp.matmul(r2, r1, precision="highest"), precision="highest"
+            )
+            q_panels.append(qk)
+
+        if self.which == "q":
+            return BlockView(self.chunks, dense=jnp.concatenate(q_panels, axis=1))
+        rows = []
+        for i in range(npanels):
+            row = []
+            for j in range(npanels):
+                if j < i:
+                    row.append(jnp.zeros((n_chunks[i], n_chunks[j]), dtype=dt))
+                else:
+                    row.append(r_blocks[(i, j)])
+            rows.append(jnp.concatenate(row, axis=1))
+        return BlockView(self.chunks, dense=jnp.concatenate(rows, axis=0))
+
+
 def qr(a, mode="reduced"):
-    """QR decomposition; tall-skinny inputs use the blocked TSQR path."""
+    """QR decomposition.
+
+    Tall-skinny inputs use the blocked TSQR path; short-fat use sfqr;
+    2-D-chunked grids use the blocked CGS2 panel algorithm (``BlockedQR``).
+    """
     from dask_array_tpu._collection import Array, new_collection
 
     if a.ndim != 2:
@@ -241,9 +312,14 @@ def qr(a, mode="reduced"):
         q = _single(a.expr, "jnp.linalg.qr", 0, (m, k), dt, kwargs=(("mode", "reduced"),))
         r = _single(a.expr, "jnp.linalg.qr", 1, (k, n), dt, kwargs=(("mode", "reduced"),))
         return q, r
-    raise NotImplementedError(
-        "qr of an array chunked along both axes is not supported; rechunk so "
-        "one axis has a single chunk (tall-skinny or short-fat)"
+    if m < n:
+        raise NotImplementedError(
+            "qr of a 2-D-chunked SHORT-FAT array is not supported; rechunk "
+            "rows to a single block (sfqr)"
+        )
+    return (
+        new_collection(BlockedQR(a.expr, "q")),
+        new_collection(BlockedQR(a.expr, "r")),
     )
 
 
@@ -348,11 +424,121 @@ def cholesky(a, lower=False):
     return conj(transpose(out))
 
 
+class BlockedLU(ArrayExpr):
+    """Right-looking block LU with block-local pivoting.
+
+    Parity: the reference's blocked ``lu`` (``linalg/_lu.py:265``) — the
+    permutation is block-diagonal (pivoting within each diagonal block, the
+    standard blocked relaxation; reconstruction ``P @ L @ U == A`` holds
+    exactly).  Per step: factor the diagonal block, retroactively permute
+    the L panel row, triangular-solve the row/column panels, then rank-b
+    update the trailing submatrix — the update matmuls are independent and
+    shard over a mesh (the FLOP bulk), unlike a whole-matrix in-core ``lu``
+    which is replicated-and-serial.
+    """
+
+    _parameters = ("array", "which")  # which: "p" | "l" | "u"
+
+    @functools.cached_property
+    def chunks(self):
+        return self.array.chunks
+
+    @functools.cached_property
+    def _meta(self):
+        return np.empty((0, 0), dtype=_float_dtype(self.array.dtype))
+
+    def _build(self, ctx):
+        import jax.numpy as jnp
+        import jax.scipy.linalg as jsl
+
+        view = ctx.build(self.array)
+        dt = self.dtype
+        nb = view.numblocks[0]
+        A = {
+            (i, j): view.block((i, j)).astype(dt)
+            for i in range(nb)
+            for j in range(nb)
+        }
+        P: dict = {}
+        L: dict = {}
+        U: dict = {}
+        for k in range(nb):
+            p_k, l_kk, u_kk = jsl.lu(A[(k, k)])
+            P[k] = p_k
+            L[(k, k)] = l_kk
+            U[(k, k)] = u_kk
+            # retroactively permute this block-row's already-computed L panel
+            for m in range(k):
+                L[(k, m)] = jnp.matmul(p_k.T, L[(k, m)], precision="highest")
+            for j in range(k + 1, nb):
+                U[(k, j)] = jsl.solve_triangular(
+                    l_kk,
+                    jnp.matmul(p_k.T, A[(k, j)], precision="highest"),
+                    lower=True,
+                    unit_diagonal=True,
+                )
+            for i in range(k + 1, nb):
+                # L[i,k] = A[i,k] @ inv(u_kk)  <=>  u_kk^T X^T = A[i,k]^T
+                L[(i, k)] = jsl.solve_triangular(
+                    u_kk.T, A[(i, k)].T, lower=True
+                ).T
+            for i in range(k + 1, nb):
+                for j in range(k + 1, nb):
+                    A[(i, j)] = A[(i, j)] - jnp.matmul(
+                        L[(i, k)], U[(k, j)], precision="highest"
+                    )
+
+        chunks0 = self.array.chunks[0]
+        blocks = {}
+        for i in range(nb):
+            for j in range(nb):
+                if self.which == "p":
+                    b = P[i] if i == j else jnp.zeros((chunks0[i], chunks0[j]), dtype=dt)
+                elif self.which == "l":
+                    if i == j:
+                        b = L[(i, j)]
+                    elif j < i:
+                        b = L[(i, j)]
+                    else:
+                        b = jnp.zeros((chunks0[i], chunks0[j]), dtype=dt)
+                else:
+                    if j >= i:
+                        b = U[(i, j)]
+                    else:
+                        b = jnp.zeros((chunks0[i], chunks0[j]), dtype=dt)
+                blocks[(i, j)] = b
+        return BlockView(self.chunks, blocks=blocks)
+
+
+# block grids past this edge trace O(nb^3) matmuls: fall back to the in-core
+# factorization (XLA's own blocked LU) rather than explode compile time
+_LU_MAX_BLOCKS = 16
+
+
 def lu(a):
     m, n = a.shape
     if m != n:
         raise ValueError("lu requires a square array")
     dt = _float_dtype(a.dtype)
+    m_chunks, n_chunks = a.chunks
+    nb = len(m_chunks)
+    if (
+        nb > 1
+        and nb <= _LU_MAX_BLOCKS
+        and m_chunks == n_chunks
+    ):
+        from dask_array_tpu._collection import new_collection
+
+        return (
+            new_collection(BlockedLU(a.expr, "p")),
+            new_collection(BlockedLU(a.expr, "l")),
+            new_collection(BlockedLU(a.expr, "u")),
+        )
+    if nb > 1 and m_chunks != n_chunks:
+        # square blocks required on the diagonal: align to the row grid
+        a = a.rechunk((m_chunks, m_chunks))
+        if len(m_chunks) <= _LU_MAX_BLOCKS:
+            return lu(a)
     p = _single(a.expr, "jsl.lu", 0, (m, m), dt)
     l = _single(a.expr, "jsl.lu", 1, (m, m), dt)
     u = _single(a.expr, "jsl.lu", 2, (m, m), dt)

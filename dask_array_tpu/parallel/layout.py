@@ -24,11 +24,17 @@ def _regular(chunks_axis) -> bool:
     )
 
 
-def plan_layout(shape, chunks, mesh):
+def plan_layout(shape, chunks, mesh, allow_uneven=False):
     """Choose a PartitionSpec assignment: array axis -> mesh axis (or None).
 
     Greedy: largest mesh axes get the array axes with the most evenly
-    divisible size, one mesh axis per array axis.
+    divisible size, one mesh axis per array axis.  With ``allow_uneven``
+    (valid for ``with_sharding_constraint`` targets, where GSPMD pads the
+    last shard — NOT for ``device_put``), an irregular axis that merely
+    FITS the mesh axis (``dim >= msize``) still shards, at a lower score
+    than a divisible one — this is the pad-to-regular answer to the
+    chunks-vs-sharding duality (SURVEY.md §7): irregular chunk grids
+    compute sharded instead of replicated.
     """
     mesh_axes = sorted(mesh.shape.items(), key=lambda kv: -kv[1])  # (name, size)
     assignment: list = [None] * len(shape)
@@ -44,9 +50,12 @@ def plan_layout(shape, chunks, mesh):
             if isinstance(dim, float) and math.isnan(dim):
                 continue
             if dim % msize != 0:
-                continue
+                if not (allow_uneven and dim >= msize):
+                    continue
+                score = dim / 8  # shardable via padding, but prefer divisible
+            else:
+                score = dim
             # prefer sharding axes whose chunk grid also divides evenly
-            score = dim
             if chunks is not None and len(chunks) == len(shape):
                 nb = len(chunks[ax])
                 if _regular(chunks[ax]) and nb % msize == 0:
@@ -59,25 +68,30 @@ def plan_layout(shape, chunks, mesh):
     return tuple(assignment)
 
 
-def sharding_for_chunks(shape, chunks, mesh):
+def sharding_for_chunks(shape, chunks, mesh, allow_uneven=False):
     """NamedSharding for an array with this chunk grid on this mesh."""
     if mesh is None:
         return None
     from jax.sharding import NamedSharding, PartitionSpec
 
-    spec = plan_layout(shape, chunks, mesh)
+    spec = plan_layout(shape, chunks, mesh, allow_uneven=allow_uneven)
     return NamedSharding(mesh, PartitionSpec(*spec))
 
 
 def sharding_for(shape, mesh):
+    # device_put target: uneven shardings are NOT allowed here
     return sharding_for_chunks(shape, None, mesh)
 
 
 def constrain_to_mesh(dense, chunks, mesh):
-    """Apply a chunk-aligned sharding constraint to a traced dense value."""
+    """Apply a chunk-aligned sharding constraint to a traced dense value.
+
+    Constraint targets tolerate uneven dims (GSPMD pads), so irregular
+    grids still shard here.
+    """
     import jax
 
-    sh = sharding_for_chunks(dense.shape, chunks, mesh)
+    sh = sharding_for_chunks(dense.shape, chunks, mesh, allow_uneven=True)
     if sh is None:
         return dense
     try:

@@ -1,0 +1,162 @@
+"""Blocked LU and 2-D-chunked QR (VERDICT round-1 item 6).
+
+Done-criterion: lu/qr on 2-D-chunked grids match scipy/numpy semantics on
+the CPU mesh WITHOUT a whole-matrix gather (the factor FLOPs stay blocked).
+Parity: reference ``linalg/_lu.py:265``, ``linalg/_qr.py:38-360``.
+"""
+
+import numpy as np
+import pytest
+
+import dask_array_tpu as da
+from dask_array_tpu._test_utils import assert_eq
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(17)
+
+
+def _assert_lu(p, l, u, x, atol=1e-9):
+    p, l, u = np.asarray(p.compute()), np.asarray(l.compute()), np.asarray(u.compute())
+    # reconstruction
+    np.testing.assert_allclose(p @ l @ u, x, atol=atol)
+    # triangularity + unit diagonal of L
+    np.testing.assert_allclose(np.triu(l, 1), 0, atol=atol)
+    np.testing.assert_allclose(np.diag(l), 1.0, atol=atol)
+    np.testing.assert_allclose(np.tril(u, -1), 0, atol=atol)
+    # P is a permutation matrix
+    np.testing.assert_allclose(p @ p.T, np.eye(len(p)), atol=atol)
+    assert set(np.unique(p)) <= {0.0, 1.0}
+
+
+def test_blocked_lu_reconstruction(rng):
+    x = rng.standard_normal((64, 64))
+    d = da.from_array(x, chunks=16)
+    p, l, u = da.linalg.lu(d)
+    from dask_array_tpu.ops.linalg_decomp import BlockedLU
+
+    assert isinstance(p.expr, BlockedLU)  # blocked path engaged
+    assert p.chunks == ((16,) * 4, (16,) * 4)
+    _assert_lu(p, l, u, x)
+
+
+def test_blocked_lu_uneven_blocks(rng):
+    x = rng.standard_normal((50, 50))
+    d = da.from_array(x, chunks=((20, 20, 10), (20, 20, 10)))
+    p, l, u = da.linalg.lu(d)
+    _assert_lu(p, l, u, x)
+
+
+def test_lu_single_block_fallback(rng):
+    x = rng.standard_normal((24, 24))
+    d = da.from_array(x, chunks=24)
+    p, l, u = da.linalg.lu(d)
+    _assert_lu(p, l, u, x)
+
+
+def test_lu_misaligned_grid_rechunks(rng):
+    x = rng.standard_normal((40, 40))
+    d = da.from_array(x, chunks=(20, 10))
+    p, l, u = da.linalg.lu(d)
+    _assert_lu(p, l, u, x)
+
+
+def test_lu_non_square_raises(rng):
+    d = da.from_array(rng.standard_normal((8, 4)), chunks=4)
+    with pytest.raises(ValueError, match="square"):
+        da.linalg.lu(d)
+
+
+def test_blocked_lu_solve_pipeline(rng):
+    # use the factors downstream: solve P L U x = b
+    x = rng.standard_normal((32, 32)) + 8 * np.eye(32)
+    b = rng.standard_normal((32,))
+    d = da.from_array(x, chunks=8)
+    p, l, u = da.linalg.lu(d)
+    y = da.linalg.solve_triangular(l, (p.T @ da.from_array(b, chunks=32)).rechunk(32), lower=True)
+    sol = da.linalg.solve_triangular(u, y, lower=False)
+    np.testing.assert_allclose(np.asarray(sol.compute()), np.linalg.solve(x, b), atol=1e-8)
+
+
+def test_blocked_lu_on_mesh(rng):
+    import jax
+    from jax.sharding import Mesh
+
+    from dask_array_tpu.parallel import use_mesh
+
+    devs = np.asarray(jax.devices("cpu")[:4]).reshape(2, 2)
+    mesh = Mesh(devs, ("x", "y"))
+    x = rng.standard_normal((64, 64))
+    d = da.from_array(x, chunks=16)
+    p, l, u = da.linalg.lu(d)
+    with use_mesh(mesh):
+        _assert_lu(p, l, u, x)
+
+
+# -- 2-D-chunked QR -----------------------------------------------------------
+
+
+def _assert_qr(q, r, x, atol=1e-8):
+    q, r = np.asarray(q.compute()), np.asarray(r.compute())
+    m, n = x.shape
+    assert q.shape == (m, n)
+    assert r.shape == (n, n)
+    np.testing.assert_allclose(q @ r, x, atol=atol)
+    np.testing.assert_allclose(q.T @ q, np.eye(n), atol=atol)
+    np.testing.assert_allclose(np.tril(r, -1), 0, atol=atol)
+
+
+def test_blocked_qr_square_grid(rng):
+    x = rng.standard_normal((64, 64))
+    d = da.from_array(x, chunks=16)
+    q, r = da.linalg.qr(d)
+    from dask_array_tpu.ops.linalg_decomp import BlockedQR
+
+    assert isinstance(q.expr, BlockedQR)
+    assert q.chunks == ((16,) * 4, (16,) * 4)
+    _assert_qr(q, r, x)
+
+
+def test_blocked_qr_tall_2d_grid(rng):
+    x = rng.standard_normal((96, 32))
+    d = da.from_array(x, chunks=(24, 16))
+    q, r = da.linalg.qr(d)
+    _assert_qr(q, r, x)
+
+
+def test_blocked_qr_uneven_panels(rng):
+    x = rng.standard_normal((60, 45))
+    d = da.from_array(x, chunks=((30, 30), (20, 20, 5)))
+    q, r = da.linalg.qr(d)
+    _assert_qr(q, r, x)
+
+
+def test_qr_short_fat_2d_raises(rng):
+    d = da.from_array(rng.standard_normal((8, 32)), chunks=(4, 8))
+    with pytest.raises(NotImplementedError, match="SHORT-FAT"):
+        da.linalg.qr(d)
+
+
+def test_blocked_qr_on_mesh_no_full_gather(rng):
+    """The HLO of a blocked QR on a row-sharded mesh must not all-gather
+    the FULL matrix (panels yes, matrix no)."""
+    import jax
+    from jax.sharding import Mesh
+
+    from dask_array_tpu._diagnostics import compiled_hlo
+    from dask_array_tpu.parallel import use_mesh
+
+    devs = np.asarray(jax.devices("cpu")[:8])
+    mesh = Mesh(devs, ("r",))
+    x = rng.standard_normal((256, 64))
+    d = da.from_array(x, chunks=(32, 16))
+    q, r = da.linalg.qr(d)
+    with use_mesh(mesh):
+        _assert_qr(q, r, x)
+        hlo = compiled_hlo(q)
+    # no all-gather of the full 256x64 input: only n x b panel-sized
+    # intermediates may be gathered
+    for line in hlo.splitlines():
+        if "all-gather" in line and "f64[256," in line.replace(" ", ""):
+            raise AssertionError(f"full-matrix all-gather in blocked QR: {line}")
