@@ -13,9 +13,62 @@ import numpy as np
 
 
 def _entrypoint_base():
-    from xarray.namedarray.parallelcompat import ChunkManagerEntrypoint
+    try:
+        from xarray.namedarray.parallelcompat import ChunkManagerEntrypoint
 
-    return ChunkManagerEntrypoint
+        return ChunkManagerEntrypoint
+    except ImportError:
+        # vendored stand-in with xarray's ABC surface
+        # (xarray/namedarray/parallelcompat.py), so the manager class is
+        # constructible and testable without the optional dependency —
+        # registration itself still requires real xarray
+        class ChunkManagerEntrypoint:
+            array_cls: type
+            available: bool = True
+
+            def is_chunked_array(self, data) -> bool:
+                return isinstance(data, self.array_cls)
+
+            def chunks(self, data):
+                raise NotImplementedError()
+
+            def normalize_chunks(self, chunks, shape=None, limit=None, dtype=None, previous_chunks=None):
+                raise NotImplementedError()
+
+            def from_array(self, data, chunks, **kwargs):
+                raise NotImplementedError()
+
+            def rechunk(self, data, chunks, **kwargs):
+                return data.rechunk(chunks, **kwargs)
+
+            def compute(self, *data, **kwargs):
+                raise NotImplementedError()
+
+            def persist(self, *data, **kwargs):
+                raise NotImplementedError()
+
+            def reduction(self, arr, func, combine_func=None, aggregate_func=None, axis=None, dtype=None, keepdims=False):
+                raise NotImplementedError()
+
+            def scan(self, func, binop, ident, arr, axis=None, dtype=None, **kwargs):
+                raise NotImplementedError()
+
+            def apply_gufunc(self, func, signature, *args, axes=None, keepdims=False, output_dtypes=None, vectorize=None, **kwargs):
+                raise NotImplementedError()
+
+            def map_blocks(self, func, *args, dtype=None, chunks=None, drop_axis=None, new_axis=None, **kwargs):
+                raise NotImplementedError()
+
+            def blockwise(self, func, out_ind, *args, adjust_chunks=None, new_axes=None, align_arrays=True, **kwargs):
+                raise NotImplementedError()
+
+            def unify_chunks(self, *args, **kwargs):
+                raise NotImplementedError()
+
+            def store(self, sources, targets, **kwargs):
+                raise NotImplementedError()
+
+        return ChunkManagerEntrypoint
 
 
 def make_manager_class():

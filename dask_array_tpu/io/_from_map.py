@@ -63,6 +63,61 @@ class FromMap(ArrayExpr):
         # is fixed by the chunk grid + dtype
         return [("frommap", self._dtype.str), self.chunks_]
 
+    def _accept_slice(self, index):
+        """Cull untouched blocks (the IO payoff of slice pushdown: only the
+        blocks a slice touches are host-loaded; parity with the reference's
+        ``FromArray._accept_slice``, ``io/_from_array.py:446``)."""
+        from dask_array_tpu._chunks import cached_cumsum
+        from dask_array_tpu._slicing import Slice, is_basic_index, normalize_slice
+
+        if not is_basic_index(index):
+            return None
+        keep_ranges = []
+        residual = []
+        outer = []
+        any_cull = False
+        for ax, ind in enumerate(index):
+            c = self.chunks_[ax]
+            dim = sum(c)
+            if isinstance(ind, Integral):
+                ind = slice(int(ind), int(ind) + 1, 1)
+                outer.append(0)
+            else:
+                outer.append(slice(None))
+            sl = normalize_slice(ind, dim)
+            start, stop, step = sl.indices(dim)
+            if step != 1 or stop <= start:
+                return None  # strided/empty: keep the slice above
+            bounds = cached_cumsum(c, initial_zero=True)
+            b0 = int(np.searchsorted(bounds, start, side="right")) - 1
+            b1 = int(np.searchsorted(bounds, stop, side="left"))
+            keep_ranges.append(range(b0, b1))
+            if b0 > 0 or b1 < len(c):
+                any_cull = True
+            off = int(bounds[b0])
+            residual.append(slice(start - off, stop - off, 1))
+        if not any_cull:
+            return None
+        new_chunks = tuple(
+            tuple(self.chunks_[ax][i] for i in r) for ax, r in enumerate(keep_ranges)
+        )
+        grid = tuple(len(c) for c in self.chunks_)
+        kept_args = []
+        for flat, idx in enumerate(iter_block_indices(grid)):
+            if all(idx[ax] in keep_ranges[ax] for ax in range(len(grid))):
+                kept_args.append(self.args_per_block[flat])
+        culled = FromMap(
+            self.func, tuple(kept_args), new_chunks, self._dtype, self.kwargs
+        )
+        out = culled
+        if any(
+            r != slice(0, sum(c), 1) for r, c in zip(residual, new_chunks)
+        ):
+            out = Slice(out, tuple(residual))
+        if any(isinstance(o, Integral) for o in outer):
+            out = Slice(out, tuple(outer))
+        return out
+
 
 class _LazyBlock:
     """Host buffer produced on demand (when the executor binds leaves)."""

@@ -15,13 +15,17 @@ import numpy as np
 
 
 def _require_zarr():
+    """The real zarr package when importable, else the vendored lite
+    backend (``io/_zarr_lite.py`` — v2/v3 local directory stores), so the
+    checkpoint path always RUNS."""
     try:
         import zarr
-    except ImportError as e:
-        raise ImportError(
-            "from_zarr/to_zarr require the optional dependency `zarr`"
-        ) from e
-    return zarr
+
+        return zarr
+    except ImportError:
+        from dask_array_tpu.io import _zarr_lite
+
+        return _zarr_lite
 
 
 def from_zarr(url, component=None, storage_options=None, chunks=None, name=None, inline_array=False, **kwargs):
@@ -81,6 +85,13 @@ def to_zarr(arr, url, component=None, storage_options=None, overwrite=False, reg
             )
     if isinstance(url, zarr.Array):
         z = url
+    elif region is not None:
+        # region writes target an EXISTING array (the patch's shape is a
+        # window of it, not the array's shape)
+        z = zarr.open_array(
+            url, mode="a", path=component,
+            storage_options=storage_options, **kwargs,
+        )
     else:
         z = zarr.open_array(
             url,
