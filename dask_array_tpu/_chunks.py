@@ -410,17 +410,30 @@ def unify_blockdims(candidates, policy="auto", limit_bytes=None, row_bytes=1.0):
     if backing > 0 and moved <= _MERGE_COST_RATIO * backing:
         return coarse
     if backing == 0:
-        # nobody backs the coarse layout: prefer the layout of the largest
-        # operand (move the smaller ones toward it) if it is itself coarse
-        # enough, else refine
-        biggest = max(non_trivial, key=lambda t: 0 if (isinstance(t[1], float) and math.isnan(t[1])) else t[1])
-        others = sum(
-            0 if (isinstance(nb, float) and math.isnan(nb)) else nb
-            for c, nb in non_trivial
-            if tuple(c) != tuple(biggest[0])  # equal layouts don't move
-        )
-        b_nb = 0 if (isinstance(biggest[1], float) and math.isnan(biggest[1])) else biggest[1]
-        if others <= _MERGE_COST_RATIO * b_nb:
-            return biggest[0]
+        # nobody sits at the coarsest common coarsening: audition every
+        # CANDIDATE layout as the target — operands already there back it,
+        # everyone else moves.  Qualify when movers <= ratio x backing;
+        # among qualifiers prefer the healthiest grid (fewest chunks, then
+        # the largest smallest-chunk — this is what heals roll slivers
+        # toward the clean source layout).  Parity: the reference's
+        # realignment choice (bench_rechunk_insertion.py cases).
+        best = None
+        best_key = None
+        for L in distinct:
+            backing_l = 0.0
+            movers_l = 0.0
+            for c, nb in non_trivial:
+                nb = 0.0 if (isinstance(nb, float) and math.isnan(nb)) else float(nb)
+                if tuple(c) == tuple(L):
+                    backing_l += nb
+                else:
+                    movers_l += nb
+            if backing_l <= 0 or movers_l > _MERGE_COST_RATIO * backing_l:
+                continue
+            key = (len(L), -min(L))
+            if best_key is None or key < best_key:
+                best, best_key = L, key
+        if best is not None:
+            return best
         return refined
     return refined

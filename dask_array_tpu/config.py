@@ -30,7 +30,10 @@ _global: dict[str, Any] = {
     "tpu.donate-leaves": False,   # donate leaf buffers into the jitted call
     "tpu.default-float": None,    # override default float dtype (e.g. "float32")
     "tpu.matmul-precision": "highest",  # jax.lax precision for contractions
-    "tpu.pallas-matmul": False,   # use the Pallas matmul kernel for block dots
+    # Pallas histogram/bincount kernel routing: "auto" engages on TPU for
+    # f32-exact inputs (XLA's scatter path measured ~6 s for 64M/256 bins);
+    # "pallas" forces it (interpret-mode on CPU, for tests); "xla" disables
+    "tpu.histogram-kernel": "auto",
     # PRNG implementation for random leaves: "rbg" compiles ~60x faster than
     # "threefry2x32" on TPU (threefry f64 takes minutes through the remote
     # compiler); both are deterministic per (seed, chunk grid)

@@ -53,7 +53,26 @@ class Histogram(ArrayExpr):
         else:
             edges = jnp.asarray(np.asarray(self.bins))
         w = ctx.build(self.weights).dense().ravel() if isinstance(self.weights, ArrayExpr) else None
-        hist, _ = jnp.histogram(dense, bins=edges, weights=w, density=self.density)
+
+        from dask_array_tpu.kernels.histogram import histogram as pallas_hist
+        from dask_array_tpu.kernels.histogram import use_pallas_histogram
+
+        use_pallas, interpret = use_pallas_histogram(
+            dense.dtype, None if w is None else w.dtype
+        )
+        if use_pallas:
+            # XLA's histogram is a serialized scatter on TPU (measured
+            # ~6 s for 64M/256 bins); the Pallas compare-accumulate kernel
+            # replaces it (kernels/histogram.py)
+            counts = pallas_hist(dense, edges, w, interpret=interpret)
+            if self.density:
+                widths = jnp.diff(edges.astype(jnp.float32))
+                total = jnp.sum(counts.astype(jnp.float32))
+                hist = counts.astype(jnp.float32) / widths / total
+            else:
+                hist = counts
+        else:
+            hist, _ = jnp.histogram(dense, bins=edges, weights=w, density=self.density)
         if hist.dtype != self.dtype:
             hist = hist.astype(self.dtype)
         return BlockView(self.chunks, dense=hist)

@@ -58,7 +58,9 @@ def coerce_boundary(ndim, boundary):
     return {ax: boundary.get(ax, "none") for ax in range(ndim)}
 
 
-_PAD_MODE = {"reflect": "reflect", "periodic": "wrap", "nearest": "edge"}
+# dask's "reflect" includes the edge element (x[depth-1::-1] — reference
+# ``_overlap.py:733``), which is numpy's "symmetric", NOT numpy's "reflect"
+_PAD_MODE = {"reflect": "symmetric", "periodic": "wrap", "nearest": "edge"}
 
 
 class Overlap(ArrayExpr):

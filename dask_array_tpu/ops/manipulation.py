@@ -245,6 +245,25 @@ class ExpandDims(ArrayExpr):
         view = ctx.build(self.array)
         return BlockView(self.chunks, dense=jnp.expand_dims(view.dense(), self.axes))
 
+    def _accept_rechunk(self, target_chunks):
+        """Push the rechunk past the size-1 new axes into the source
+        (parity: reference ``Rechunk._pushdown`` expand_dims case,
+        ``_rechunk.py:912``)."""
+        from dask_array_tpu._rechunk import Rechunk
+
+        inner = tuple(
+            tuple(c)
+            for ax, c in enumerate(target_chunks)
+            if ax not in self.axes
+        )
+        if any(
+            tuple(target_chunks[ax]) != (1,) for ax in self.axes
+        ):
+            return None
+        if inner == self.array.chunks:
+            return ExpandDims(self.array, self.axes)
+        return ExpandDims(Rechunk(self.array, inner), self.axes)
+
     def _accept_slice(self, index):
         if not is_basic_index(index):
             return None
@@ -341,6 +360,67 @@ class BroadcastTo(ArrayExpr):
         if type(self.array) is BroadcastTo:
             return BroadcastTo(self.array.array, self.shape_, self.chunks_)
         return None
+
+    def _accept_slice(self, index):
+        """Slices on NON-broadcast axes push to the source; broadcast/new
+        axes keep theirs on the (shrunken) broadcast (parity:
+        ``test_slice_through_broadcast_to_*``, reference test suite)."""
+        from numbers import Integral
+
+        from dask_array_tpu._slicing import (
+            Slice,
+            is_basic_index,
+            normalize_slice,
+            sliced_blockdim,
+        )
+
+        if not is_basic_index(index):
+            return None
+        ndim_new = len(self.shape_) - self.array.ndim
+        inner = []
+        outer = []
+        out_shape = []
+        pushed = False
+        for ax, ind in enumerate(index):
+            dim = self.shape_[ax]
+            src_ax = ax - ndim_new
+            is_bcast = src_ax < 0 or self.array.shape[src_ax] != dim
+            if isinstance(ind, Integral):
+                # rank change: keep the integer OUTSIDE, shrink via slice
+                ind = slice(int(ind), int(ind) + 1, 1)
+                outer.append(0)
+            else:
+                outer.append(slice(None))
+            norm = normalize_slice(ind, dim)
+            if is_bcast:
+                # applies to the broadcast extent only
+                start, stop, step = norm.indices(dim)
+                n = max(0, -(-(stop - start) // step)) if step > 0 else max(0, -(-(start - stop) // -step))
+                out_shape.append(n)
+                if src_ax >= 0:
+                    inner.append(slice(None))
+            else:
+                if norm != slice(None):
+                    pushed = True
+                inner.append(norm)
+                start, stop, step = norm.indices(dim)
+                n = max(0, -(-(stop - start) // step)) if step > 0 else max(0, -(-(start - stop) // -step))
+                out_shape.append(n)
+        if not pushed:
+            return None
+        src = Slice(self.array, tuple(inner)) if any(
+            i != slice(None) for i in inner
+        ) else self.array
+        new_chunks = tuple(
+            src.chunks[ax - ndim_new]
+            if ax - ndim_new >= 0 and self.array.shape[ax - ndim_new] == self.shape_[ax]
+            else (out_shape[ax],)
+            for ax in range(len(out_shape))
+        )
+        out = BroadcastTo(src, tuple(out_shape), new_chunks)
+        if any(isinstance(o, Integral) for o in outer):
+            return Slice(out, tuple(outer))
+        return out
 
     def _build(self, ctx):
         import jax.numpy as jnp

@@ -13,7 +13,17 @@ from hypothesis import given, settings, strategies as st
 import dask_array_tpu as da
 
 
-def _start(shape=(24, 18), chunks=(7, 5)):
+_STARTS = [
+    ((24, 18), (7, 5)),
+    ((24, 18), (24, 3)),
+    ((30,), 7),
+    ((8, 6, 5), (3, 2, 5)),
+    ((13, 11), (13, 11)),
+]
+
+
+def _start(which=0):
+    shape, chunks = _STARTS[which % len(_STARTS)]
     x = np.arange(np.prod(shape), dtype="f8").reshape(shape)
     return da.from_array(x, chunks=chunks), x
 
@@ -36,6 +46,21 @@ def op_chain(draw):
                     "neg",
                     "flip",
                     "expand_squeeze",
+                    "sqrt_abs",
+                    "maximum_const",
+                    "cumsum0",
+                    "max0",
+                    "broadcast_add",
+                    "concat_self",
+                    "pad_edge",
+                    "roll1",
+                    "astype32",
+                    "overlap_identity",
+                    "ravel",
+                    "stack_unstack",
+                    "clip",
+                    "where_pos",
+                    "diff0",
                 ]
             ),
             min_size=1,
@@ -77,6 +102,41 @@ def _apply(op, d, x, rng):
         return d[::-1], x[::-1]
     if op == "expand_squeeze":
         return da.expand_dims(d, 0).squeeze(0), x
+    if op == "sqrt_abs":
+        return da.sqrt(abs(d)), np.sqrt(np.abs(x))
+    if op == "maximum_const":
+        return da.maximum(d, 10.0), np.maximum(x, 10.0)
+    if op == "cumsum0" and d.ndim >= 1 and not _nan(d.shape[0]):
+        return d.cumsum(axis=0), np.cumsum(x, axis=0)
+    if op == "max0" and d.ndim >= 2:
+        return d.max(axis=0), x.max(axis=0)
+    if op == "broadcast_add" and d.ndim >= 1 and not any(_nan(s) for s in d.shape):
+        v = np.arange(d.shape[-1], dtype="f8")
+        return d + da.from_array(v, chunks=max(1, d.shape[-1] // 2)), x + v
+    if op == "concat_self" and d.ndim >= 1 and not any(_nan(s) for s in d.shape):
+        return da.concatenate([d, d], axis=0), np.concatenate([x, x], axis=0)
+    if op == "pad_edge" and d.ndim >= 1 and not any(_nan(s) for s in d.shape):
+        pw = [(1, 2)] + [(0, 0)] * (d.ndim - 1)
+        return da.pad(d, pw, mode="edge"), np.pad(x, pw, mode="edge")
+    if op == "roll1" and d.ndim >= 1 and not any(_nan(s) for s in d.shape):
+        return da.roll(d, 2, axis=0), np.roll(x, 2, axis=0)
+    if op == "astype32":
+        return d.astype("f4").astype("f8"), x.astype("f4").astype("f8")
+    if op == "overlap_identity" and d.ndim >= 1 and not any(_nan(s) for s in d.shape) and d.shape[0] >= 4:
+        return (
+            da.map_overlap(lambda b: b, d, depth={0: 1}, boundary="reflect", dtype=x.dtype),
+            x,
+        )
+    if op == "ravel" and not any(_nan(s) for s in d.shape):
+        return d.ravel(), x.ravel()
+    if op == "stack_unstack" and d.ndim >= 1 and not any(_nan(s) for s in d.shape):
+        return da.stack([d, d], axis=0)[1], x
+    if op == "clip":
+        return da.clip(d, 5.0, 200.0), np.clip(x, 5.0, 200.0)
+    if op == "where_pos":
+        return da.where(d > 50, d, 0.0), np.where(x > 50, x, 0.0)
+    if op == "diff0" and d.ndim >= 1 and not any(_nan(s) for s in d.shape) and d.shape[0] > 1:
+        return da.diff(d, axis=0), np.diff(x, axis=0)
     return d, x
 
 
@@ -84,11 +144,11 @@ def _nan(v):
     return isinstance(v, float) and np.isnan(v)
 
 
-@settings(max_examples=40, deadline=None)
-@given(ops=op_chain(), seed=st.integers(0, 2**31 - 1))
-def test_fuzz_chain_matches_numpy(ops, seed):
+@settings(max_examples=80, deadline=None)
+@given(ops=op_chain(), seed=st.integers(0, 2**31 - 1), start=st.integers(0, 4))
+def test_fuzz_chain_matches_numpy(ops, seed, start):
     rng = np.random.default_rng(seed)
-    d, x = _start()
+    d, x = _start(start)
     for op in ops:
         d, x = _apply(op, d, x, rng)
     got = d.compute()

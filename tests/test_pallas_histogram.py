@@ -1,0 +1,121 @@
+"""Pallas fused histogram/bincount kernel (VERDICT round-1 item 9).
+
+The losing Pallas matmul was DELETED; this kernel targets the op where
+XLA is genuinely weak on TPU — histogram/bincount lower to a serialized
+scatter (measured 6.2 s for 64M f32 / 256 bins vs ~20 ms for the kernel).
+On the CPU test mesh the kernel runs in interpret mode (forced via
+``tpu.histogram-kernel="pallas"``); the chip timing lives in
+``bench/bench_kernels.py``.
+"""
+
+import numpy as np
+import pytest
+
+import dask_array_tpu as da
+from dask_array_tpu import config
+from dask_array_tpu._test_utils import assert_eq
+from dask_array_tpu.kernels.histogram import histogram as khist
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(37)
+
+
+@pytest.mark.parametrize("n", [1, 100, 5000])
+@pytest.mark.parametrize("nbins", [1, 7, 129, 300])
+def test_kernel_matches_numpy(rng, n, nbins):
+    x = rng.standard_normal(n).astype("f4") * 2
+    edges = np.linspace(-4, 4, nbins + 1, dtype="f4")
+    got = np.asarray(khist(x, edges, interpret=True))
+    exp, _ = np.histogram(x, bins=edges)
+    np.testing.assert_array_equal(got, exp)
+    assert got.dtype == np.int32
+
+
+def test_kernel_nonuniform_edges(rng):
+    x = rng.standard_normal(3000).astype("f4")
+    edges = np.array([-3, -0.7, -0.1, 0.0, 0.25, 1.0, 2.75], dtype="f4")
+    got = np.asarray(khist(x, edges, interpret=True))
+    exp, _ = np.histogram(x, bins=edges)
+    np.testing.assert_array_equal(got, exp)
+
+
+def test_kernel_edge_semantics():
+    # values ON edges go right; last bin is CLOSED; NaN/out-of-range drop
+    edges = np.array([0.0, 1.0, 2.0, 3.0], dtype="f4")
+    x = np.array([0.0, 1.0, 2.0, 3.0, -0.5, 3.5, np.nan], dtype="f4")
+    got = np.asarray(khist(x, edges, interpret=True))
+    exp, _ = np.histogram(x, bins=edges)
+    np.testing.assert_array_equal(got, exp)
+
+
+def test_kernel_weighted(rng):
+    x = rng.standard_normal(4000).astype("f4")
+    w = rng.uniform(0, 3, 4000).astype("f4")
+    edges = np.linspace(-3, 3, 33, dtype="f4")
+    got = np.asarray(khist(x, edges, weights=w, interpret=True))
+    exp, _ = np.histogram(x, bins=edges, weights=w)
+    np.testing.assert_allclose(got, exp, rtol=2e-3)  # f32 accumulation order
+
+
+def test_da_histogram_routes_to_pallas(rng, monkeypatch):
+    import dask_array_tpu.ops._histogram as H
+
+    x = rng.standard_normal(2048).astype("f4")
+    d = da.from_array(x, chunks=512)
+    calls = []
+    import dask_array_tpu.kernels.histogram as K
+
+    orig = K.histogram
+
+    def spy(*a, **k):
+        calls.append(1)
+        return orig(*a, **k)
+
+    monkeypatch.setattr(K, "histogram", spy)
+    with config.set({"tpu.histogram-kernel": "pallas"}):
+        h, edges = da.histogram(d, bins=np.linspace(-3, 3, 17))
+        eh, _ = np.histogram(x, bins=np.linspace(-3, 3, 17))
+        assert_eq(h, eh, check_dtype=False)
+    assert calls  # the kernel path actually ran
+
+
+def test_da_histogram_density_pallas(rng):
+    x = rng.standard_normal(4096).astype("f4")
+    d = da.from_array(x, chunks=1024)
+    with config.set({"tpu.histogram-kernel": "pallas"}):
+        h, edges = da.histogram(d, bins=np.linspace(-3, 3, 11), density=True)
+        eh, _ = np.histogram(x, bins=np.linspace(-3, 3, 11), density=True)
+        np.testing.assert_allclose(np.asarray(h.compute()), eh, rtol=1e-5)
+
+
+def test_da_bincount_routes_to_pallas(rng):
+    ints = rng.integers(0, 50, size=3000)
+    d = da.from_array(ints, chunks=750)
+    with config.set({"tpu.histogram-kernel": "pallas"}):
+        got = np.asarray(da.bincount(d, minlength=60).compute())
+    np.testing.assert_array_equal(got, np.bincount(ints, minlength=60))
+
+
+def test_da_bincount_weighted_pallas(rng):
+    ints = rng.integers(0, 20, size=1000)
+    w = rng.uniform(0, 1, size=1000).astype("f4")
+    d = da.from_array(ints, chunks=250)
+    dw = da.from_array(w, chunks=250)
+    with config.set({"tpu.histogram-kernel": "pallas"}):
+        got = np.asarray(da.bincount(d, weights=dw).compute())
+    np.testing.assert_allclose(got, np.bincount(ints, weights=w), rtol=2e-3)
+
+
+def test_xla_route_on_cpu_by_default(rng):
+    # auto policy: CPU stays on XLA (interpret-mode pallas is test-only)
+    from dask_array_tpu.kernels.histogram import use_pallas_histogram
+
+    use, interp = use_pallas_histogram(np.dtype("f4"))
+    import jax
+
+    if jax.default_backend() == "cpu":
+        assert not use
+    use, interp = use_pallas_histogram(np.dtype("f8"))
+    assert not use  # f64 is never exact in the f32 kernel

@@ -164,7 +164,7 @@ def test_map_overlap_stencil(rng):
         )
 
     out = map_overlap(laplace, d, depth=1, boundary="reflect", dtype=x.dtype)
-    padded = np.pad(x, 1, mode="reflect")
+    padded = np.pad(x, 1, mode="symmetric")  # dask reflect = edge-inclusive
     expected = (
         padded[:-2, 1:-1] + padded[2:, 1:-1] + padded[1:-1, :-2] + padded[1:-1, 2:] - 4 * x
     )

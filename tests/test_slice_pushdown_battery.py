@@ -1,0 +1,416 @@
+"""Slice pushdown structural battery.
+
+Ports the CASES of the reference's ``tests/test_slice_pushdown.py`` (1235
+LoC, 80 tests) to this architecture: structure asserted on simplified
+trees (node types + leaf windows — the analog of the reference's
+simplified-name/task-count assertions), values against numpy.
+"""
+
+import numpy as np
+import pytest
+
+import dask_array_tpu as da
+from dask_array_tpu._slicing import Slice
+from dask_array_tpu._test_utils import assert_eq
+from dask_array_tpu.ops._from_array import FromArray
+from dask_array_tpu.ops.creation import BroadcastTrick, Full, Ones, Zeros
+from dask_array_tpu.ops.reductions import Reduction
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(41)
+
+
+def types_of(expr):
+    return [type(n).__name__ for n in expr.walk()]
+
+
+def leaf_chunks(expr, cls=FromArray):
+    return [n.chunks for n in expr.walk() if isinstance(n, cls)]
+
+
+def n_slices(expr):
+    return sum(1 for n in expr.walk() if isinstance(n, Slice))
+
+
+# ---------------------------------------------------------------------------
+# correctness grid (parity: test_slice_correctness / test_task_count)
+# ---------------------------------------------------------------------------
+
+_GRID = [
+    ((20,), 5, np.s_[3:17]),
+    ((20,), 5, np.s_[::2]),
+    ((20,), 5, np.s_[::-1]),
+    ((20,), 5, np.s_[17:3:-2]),
+    ((20,), 5, np.s_[0:0]),
+    ((20,), (3, 7, 5, 5), np.s_[4:16]),
+    ((12, 10), (4, 5), np.s_[2:10, 1:9]),
+    ((12, 10), (4, 5), np.s_[::3, ::-2]),
+    ((12, 10), (4, 5), np.s_[5]),
+    ((12, 10), (4, 5), np.s_[:, 7]),
+    ((12, 10), (4, 5), np.s_[None, 3:9]),
+    ((12, 10), (4, 5), np.s_[..., 2]),
+    ((6, 5, 4), 2, np.s_[1:5, ::2, ::-1]),
+    ((6, 5, 4), 2, np.s_[3, :, 1:3]),
+]
+
+
+@pytest.mark.parametrize("shape,chunks,slc", _GRID)
+def test_slice_correctness(rng, shape, chunks, slc):
+    x = rng.standard_normal(shape)
+    d = da.from_array(x, chunks=chunks)
+    assert_eq(d[slc], x[slc])
+
+
+@pytest.mark.parametrize("shape,chunks,slc", _GRID)
+def test_slice_through_elemwise_correctness(rng, shape, chunks, slc):
+    x = rng.standard_normal(shape)
+    d = da.from_array(x, chunks=chunks)
+    assert_eq((d + 1)[slc], (x + 1)[slc])
+
+
+# ---------------------------------------------------------------------------
+# slice o slice fusion (parity: test_slice_optimize_slice / nested_slices)
+# ---------------------------------------------------------------------------
+
+
+def test_slice_of_slice_fuses(rng):
+    x = rng.standard_normal((40,))
+    d = da.from_array(x, chunks=10)
+    y = d[2:38][3:30][::2]
+    opt = y.expr.simplify()
+    assert n_slices(opt) <= 1, opt.tree_repr()
+    assert_eq(y, x[2:38][3:30][::2])
+
+
+def test_nested_slices_many_layers(rng):
+    x = rng.standard_normal((64, 8))
+    d = da.from_array(x, chunks=(8, 8))
+    y = d[1:][1:][1:][1:]
+    opt = y.expr.simplify()
+    assert n_slices(opt) <= 1
+    assert_eq(y, x[4:])
+
+
+def test_deterministic_names(rng):
+    x = rng.standard_normal((16,))
+    a = da.from_array(x, chunks=4)[2:12].expr.simplify()
+    b = da.from_array(x, chunks=4)[2:12].expr.simplify()
+    assert a._name == b._name  # content-addressed determinism
+
+
+# ---------------------------------------------------------------------------
+# slice into FromArray (region deferral + culling)
+# ---------------------------------------------------------------------------
+
+
+def test_slice_pushes_into_from_array(rng):
+    x = rng.standard_normal((40, 40))
+    d = da.from_array(x, chunks=10)
+    y = (d[:10, :10] * 2).expr.simplify()
+    lcs = leaf_chunks(y)
+    assert lcs and lcs[0] == ((10,), (10,)), y.tree_repr()
+
+
+def test_full_slice_is_identity(rng):
+    x = rng.standard_normal((10, 10))
+    d = da.from_array(x, chunks=5)
+    y = d[:, :]
+    assert y.expr.simplify()._name == d.expr._name
+
+
+def test_slice_stays_above_computed_reduction_root(rng):
+    # slicing a node whose values are computed (cumsum) keeps correctness;
+    # the slice must not corrupt the computed values
+    x = rng.standard_normal((20, 8))
+    d = da.from_array(x, chunks=(5, 8))
+    y = d.cumsum(axis=0)[3:17]
+    assert_eq(y, np.cumsum(x, axis=0)[3:17])
+
+
+def test_shared_dependent_declines_push(rng):
+    # the child has a non-slice consumer: the push must decline (no
+    # duplicated reads), values stay right
+    x = rng.standard_normal((24,))
+    d = da.from_array(x, chunks=6) * 3
+    a = d[:6]
+    b = d.sum()
+    out = a + b
+    opt = out.expr.simplify()
+    assert_eq(out, (x * 3)[:6] + (x * 3).sum())
+
+
+# ---------------------------------------------------------------------------
+# slice through creation (parity: test_slice_ones/zeros/full/...)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "maker,cls",
+    [
+        (lambda: da.ones((20, 20), chunks=5), Ones),
+        (lambda: da.zeros((20, 20), chunks=5), Zeros),
+        (lambda: da.full((20, 20), 7.5, chunks=5), Full),
+    ],
+)
+def test_slice_creation_returns_smaller_creation(maker, cls):
+    d = maker()
+    y = d[2:12, :5]
+    opt = y.expr.simplify()
+    assert isinstance(opt, BroadcastTrick), opt.tree_repr()
+    assert opt.shape == (10, 5)
+
+
+def test_slice_creation_preserves_dtype():
+    d = da.ones((12, 12), chunks=4, dtype="f4")
+    y = d[:3, :3]
+    assert y.dtype == np.dtype("f4")
+    assert_eq(y, np.ones((3, 3), dtype="f4"))
+
+
+def test_slice_creation_correctness():
+    assert_eq(da.full((9, 9), 3, chunks=3)[1:8, ::2], np.full((9, 9), 3)[1:8, ::2])
+
+
+def test_broadcast_to_empty_slice():
+    d = da.broadcast_to(da.ones((4,), chunks=2), (3, 4))
+    y = d[0:0]
+    assert y.shape == (0, 4)
+    assert np.asarray(y.compute()).shape == (0, 4)
+
+
+# ---------------------------------------------------------------------------
+# slice through concatenate / stack (parity: test_slice_through_concat_*)
+# ---------------------------------------------------------------------------
+
+
+def test_slice_through_concat_same_axis_first_array(rng):
+    x = rng.standard_normal((10, 4))
+    y = rng.standard_normal((6, 4))
+    dx, dy = da.from_array(x, chunks=5), da.from_array(y, chunks=3)
+    c = da.concatenate([dx, dy], axis=0)
+    s = c[:8]
+    opt = s.expr.simplify()
+    # entirely inside the first part: the second part must be culled
+    leaves = leaf_chunks(opt)
+    assert all(sum(lc[0]) <= 10 for lc in leaves), opt.tree_repr()
+    assert_eq(s, np.concatenate([x, y])[:8])
+
+
+def test_slice_through_concat_spans_arrays(rng):
+    x = rng.standard_normal((10, 4))
+    y = rng.standard_normal((6, 4))
+    c = da.concatenate([da.from_array(x, chunks=5), da.from_array(y, chunks=3)], axis=0)
+    s = c[6:14]
+    assert_eq(s, np.concatenate([x, y])[6:14])
+
+
+def test_slice_through_concat_different_axis(rng):
+    x = rng.standard_normal((6, 8))
+    y = rng.standard_normal((6, 8))
+    c = da.concatenate([da.from_array(x, chunks=3), da.from_array(y, chunks=3)], axis=0)
+    s = c[:, 2:6]
+    opt = s.expr.simplify()
+    # the column slice distributes into both parts
+    assert all(lc[1] in (((4,),), ((4,),)) or sum(lc[1]) == 4 for lc in leaf_chunks(opt)), opt.tree_repr()
+    assert_eq(s, np.concatenate([x, y])[:, 2:6])
+
+
+def test_slice_through_stack_selects_subset(rng):
+    xs = [rng.standard_normal((4, 4)) for _ in range(5)]
+    ds = [da.from_array(x, chunks=2) for x in xs]
+    st = da.stack(ds, axis=0)
+    s = st[1:3]
+    opt = s.expr.simplify()
+    assert len(leaf_chunks(opt)) <= 2, opt.tree_repr()  # culled to 2 parts
+    assert_eq(s, np.stack(xs)[1:3])
+
+
+def test_slice_through_stack_other_axis(rng):
+    xs = [rng.standard_normal((4, 6)) for _ in range(3)]
+    st = da.stack([da.from_array(x, chunks=2) for x in xs], axis=0)
+    assert_eq(st[:, 1:3, ::2], np.stack(xs)[:, 1:3, ::2])
+
+
+def test_slice_through_stack_integer_selects_one(rng):
+    xs = [rng.standard_normal((4, 4)) for _ in range(4)]
+    st = da.stack([da.from_array(x, chunks=2) for x in xs], axis=0)
+    s = st[2]
+    opt = s.expr.simplify()
+    assert len(leaf_chunks(opt)) == 1, opt.tree_repr()
+    assert_eq(s, xs[2])
+
+
+# ---------------------------------------------------------------------------
+# slice through broadcast_to (parity: test_slice_through_broadcast_to_*)
+# ---------------------------------------------------------------------------
+
+
+def test_slice_through_broadcast_new_dim(rng):
+    x = rng.standard_normal((6,))
+    d = da.broadcast_to(da.from_array(x, chunks=3), (4, 6))
+    s = d[1:3]
+    opt = s.expr.simplify()
+    assert opt.shape == (2, 6)
+    assert_eq(s, np.broadcast_to(x, (4, 6))[1:3])
+
+
+def test_slice_through_broadcast_existing_dim(rng):
+    x = rng.standard_normal((6,))
+    d = da.broadcast_to(da.from_array(x, chunks=3), (4, 6))
+    s = d[:, 2:5]
+    opt = s.expr.simplify()
+    # the slice reaches the 1-D source
+    lcs = leaf_chunks(opt)
+    assert lcs and sum(lcs[0][0]) == 3, opt.tree_repr()
+    assert_eq(s, np.broadcast_to(x, (4, 6))[:, 2:5])
+
+
+def test_slice_through_broadcast_both_dims(rng):
+    x = rng.standard_normal((6,))
+    d = da.broadcast_to(da.from_array(x, chunks=3), (4, 6))
+    assert_eq(d[1:3, 2:5], np.broadcast_to(x, (4, 6))[1:3, 2:5])
+
+
+def test_slice_through_broadcast_size_one_source(rng):
+    x = rng.standard_normal((1, 6))
+    d = da.broadcast_to(da.from_array(x, chunks=(1, 3)), (5, 6))
+    assert_eq(d[2:4, 1:5], np.broadcast_to(x, (5, 6))[2:4, 1:5])
+
+
+# ---------------------------------------------------------------------------
+# slice through reductions (parity: test_slice_through_reduction_*)
+# ---------------------------------------------------------------------------
+
+
+def test_slice_through_reduction_axis0(rng):
+    x = rng.standard_normal((40, 40))
+    d = da.from_array(x, chunks=10)
+    y = d.sum(axis=0)[:10]
+    opt = y.expr.simplify()
+    red = [n for n in opt.walk() if isinstance(n, Reduction)]
+    assert red and red[0].array.shape == (40, 10), opt.tree_repr()
+    assert_eq(y, x.sum(axis=0)[:10])
+
+
+def test_slice_through_reduction_axis1(rng):
+    x = rng.standard_normal((40, 40))
+    d = da.from_array(x, chunks=10)
+    y = d.sum(axis=1)[5:25]
+    opt = y.expr.simplify()
+    red = [n for n in opt.walk() if isinstance(n, Reduction)]
+    assert red and red[0].array.shape == (20, 40), opt.tree_repr()
+    assert_eq(y, x.sum(axis=1)[5:25])
+
+
+def test_slice_through_reduction_3d(rng):
+    x = rng.standard_normal((12, 10, 8))
+    d = da.from_array(x, chunks=4)
+    y = d.sum(axis=1)[2:9, 1:7]
+    opt = y.expr.simplify()
+    red = [n for n in opt.walk() if isinstance(n, Reduction)]
+    assert red and red[0].array.shape == (7, 10, 6), opt.tree_repr()
+    assert_eq(y, x.sum(axis=1)[2:9, 1:7])
+
+
+def test_slice_through_reduction_multiple_axes(rng):
+    x = rng.standard_normal((10, 12, 8))
+    d = da.from_array(x, chunks=4)
+    y = d.sum(axis=(0, 2))[3:9]
+    opt = y.expr.simplify()
+    red = [n for n in opt.walk() if isinstance(n, Reduction)]
+    assert red and red[0].array.shape == (10, 6, 8), opt.tree_repr()
+    assert_eq(y, x.sum(axis=(0, 2))[3:9])
+
+
+def test_slice_through_reduction_integer_index(rng):
+    x = rng.standard_normal((20, 16))
+    d = da.from_array(x, chunks=4)
+    y = d.sum(axis=0)[7]
+    opt = y.expr.simplify()
+    red = [n for n in opt.walk() if isinstance(n, Reduction)]
+    assert red and red[0].array.shape == (20, 1), opt.tree_repr()
+    assert_eq(y, x.sum(axis=0)[7])
+
+
+def test_slice_through_reduction_keepdims(rng):
+    x = rng.standard_normal((16, 12))
+    d = da.from_array(x, chunks=4)
+    y = d.sum(axis=0, keepdims=True)[:, 2:8]
+    assert_eq(y, x.sum(axis=0, keepdims=True)[:, 2:8])
+
+
+def test_slice_of_reduced_axis_stays_outside(rng):
+    # slicing WITHIN a keepdims-reduced axis can't push into the input
+    x = rng.standard_normal((8, 8))
+    d = da.from_array(x, chunks=4)
+    y = d.sum(axis=0, keepdims=True)[0:1, :]
+    assert_eq(y, x.sum(axis=0, keepdims=True)[0:1, :])
+
+
+def test_mean_var_slice_pushdown_values(rng):
+    x = rng.standard_normal((24, 24))
+    d = da.from_array(x, chunks=8)
+    assert_eq(d.mean(axis=0)[:6], x.mean(axis=0)[:6])
+    assert_eq(d.var(axis=1)[3:20], x.var(axis=1)[3:20])
+    assert_eq(d.max(axis=0)[::2], x.max(axis=0)[::2])
+
+
+# ---------------------------------------------------------------------------
+# non-pushdown / edge cases (parity: test_non_pushdown_cases, steps...)
+# ---------------------------------------------------------------------------
+
+
+def test_steps_and_reverse_values(rng):
+    x = rng.standard_normal((30,))
+    d = da.from_array(x, chunks=7)
+    for slc in (np.s_[::2], np.s_[::-1], np.s_[25:3:-3], np.s_[1::4]):
+        assert_eq(d[slc], x[slc])
+
+
+def test_newaxis_not_pushed_but_correct(rng):
+    x = rng.standard_normal((10, 6))
+    d = da.from_array(x, chunks=(5, 3))
+    y = (d * 2)[None, 2:8]
+    assert_eq(y, (x * 2)[None, 2:8])
+
+
+def test_ellipsis_expansion(rng):
+    x = rng.standard_normal((4, 5, 6))
+    d = da.from_array(x, chunks=2)
+    assert_eq(d[..., 1:4], x[..., 1:4])
+    assert_eq(d[1, ...], x[1, ...])
+
+
+def test_empty_slice_result(rng):
+    x = rng.standard_normal((10,))
+    d = da.from_array(x, chunks=5)
+    y = d[4:4]
+    assert y.shape == (0,)
+    assert np.asarray(y.compute()).shape == (0,)
+
+
+def test_out_of_bounds_integer_raises(rng):
+    d = da.from_array(rng.standard_normal((5,)), chunks=5)
+    with pytest.raises(IndexError):
+        d[7]
+
+
+def test_slice_then_reduction(rng):
+    x = rng.standard_normal((30, 30))
+    d = da.from_array(x, chunks=10)
+    y = d[5:25].sum(axis=0)
+    opt = y.expr.simplify()
+    lcs = leaf_chunks(opt)
+    assert lcs and sum(lcs[0][0]) == 20, opt.tree_repr()
+    assert_eq(y, x[5:25].sum(axis=0))
+
+
+def test_masked_leaf_unknown_dims_no_crash(rng):
+    # slicing after a mask: metadata unknown, values right (eager path)
+    x = rng.standard_normal((12,))
+    d = da.from_array(x, chunks=4)
+    m = d[da.from_array(x > 0, chunks=4)]
+    total = m.sum()
+    assert_eq(total, x[x > 0].sum())

@@ -1,0 +1,273 @@
+"""Transpose-slice, slice-through-reshape, and stable-name batteries.
+
+Ports the CASES of the reference's ``test_transpose_slice_pushdown.py``
+(12 tests), ``test_slice_through_reshape.py`` (16), and
+``test_stable_names.py`` (13).
+"""
+
+import numpy as np
+import pytest
+
+import dask_array_tpu as da
+from dask_array_tpu._slicing import Slice
+from dask_array_tpu._test_utils import assert_eq
+from dask_array_tpu.ops._from_array import FromArray
+from dask_array_tpu.ops.manipulation import Transpose
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(53)
+
+
+def leaf_chunks(expr):
+    return [n.chunks for n in expr.walk() if isinstance(n, FromArray)]
+
+
+# ---------------------------------------------------------------------------
+# transpose x slice (parity: test_transpose_slice_pushdown.py)
+# ---------------------------------------------------------------------------
+
+
+def test_transpose_integer_slice_2d(rng):
+    x = rng.standard_normal((12, 8))
+    d = da.from_array(x, chunks=4)
+    y = d.T[3]
+    opt = y.expr.simplify()
+    lcs = leaf_chunks(opt)
+    # the integer composed into the leaf read: ONE source column remains
+    assert lcs and int(np.prod([sum(c) for c in lcs[0]])) == 12, opt.tree_repr()
+    assert_eq(y, x.T[3])
+
+
+def test_transpose_integer_slice_scalar(rng):
+    x = rng.standard_normal((6, 6))
+    d = da.from_array(x, chunks=3)
+    assert_eq(d.T[2, 4], x.T[2, 4])
+
+
+def test_transpose_integer_slice_3d(rng):
+    x = rng.standard_normal((6, 8, 4))
+    d = da.from_array(x, chunks=2)
+    y = d.transpose(2, 0, 1)[1]
+    assert_eq(y, x.transpose(2, 0, 1)[1])
+
+
+def test_transpose_mixed_slice_integer(rng):
+    x = rng.standard_normal((10, 12))
+    d = da.from_array(x, chunks=(5, 4))
+    y = d.T[2:10, 7]
+    opt = y.expr.simplify()
+    lcs = leaf_chunks(opt)
+    # one source row x 8 columns survive in the leaf read
+    assert lcs and int(np.prod([sum(c) for c in lcs[0]])) == 8, opt.tree_repr()
+    assert_eq(y, x.T[2:10, 7])
+
+
+def test_transpose_custom_axes_slice(rng):
+    x = rng.standard_normal((4, 6, 8))
+    d = da.from_array(x, chunks=2)
+    y = d.transpose(1, 2, 0)[2:5, ::2]
+    assert_eq(y, x.transpose(1, 2, 0)[2:5, ::2])
+
+
+def test_transpose_slice_shrinks_leaf(rng):
+    x = rng.standard_normal((40, 40))
+    d = da.from_array(x, chunks=10)
+    y = d.T[:10, :20]
+    opt = y.expr.simplify()
+    lcs = leaf_chunks(opt)
+    assert lcs and (sum(lcs[0][0]), sum(lcs[0][1])) == (20, 10), opt.tree_repr()
+    assert_eq(y, x.T[:10, :20])
+
+
+def test_transpose_pushes_through_elemwise(rng):
+    # (a + b).T simplifies to aT + bT (transposes sink toward leaves)
+    x = rng.standard_normal((8, 6))
+    a = da.from_array(x, chunks=2)
+    assert_eq((a + a).T, (x + x).T)
+    assert_eq((a * 3).T, (x * 3).T)
+    assert_eq((-a).T, (-x).T)
+
+
+def test_transpose_of_transpose_collapses(rng):
+    x = rng.standard_normal((6, 8))
+    d = da.from_array(x, chunks=2)
+    y = d.T.T
+    opt = y.expr.simplify()
+    assert not any(isinstance(n, Transpose) for n in opt.walk()), opt.tree_repr()
+    assert_eq(y, x)
+
+
+def test_transpose_3d_roundtrip_collapses(rng):
+    x = rng.standard_normal((4, 5, 6))
+    d = da.from_array(x, chunks=2)
+    y = d.transpose(2, 0, 1).transpose(1, 2, 0)
+    opt = y.expr.simplify()
+    assert not any(isinstance(n, Transpose) for n in opt.walk()), opt.tree_repr()
+    assert_eq(y, x)
+
+
+# ---------------------------------------------------------------------------
+# slice through reshape (parity: test_slice_through_reshape.py)
+# ---------------------------------------------------------------------------
+
+
+def test_slice_through_reshape_leading_dim_preserved(rng):
+    x = rng.standard_normal((8, 6, 4))
+    d = da.from_array(x, chunks=(2, 6, 4))
+    r = d.reshape(8, 24)
+    y = r[2:6]
+    assert_eq(y, x.reshape(8, 24)[2:6])
+
+
+def test_slice_through_reshape_flatten_trailing(rng):
+    x = rng.standard_normal((6, 4, 2))
+    d = da.from_array(x, chunks=(3, 4, 2))
+    assert_eq(d.reshape(6, 8)[1:5], x.reshape(6, 8)[1:5])
+
+
+def test_slice_through_reshape_middle(rng):
+    x = rng.standard_normal((10, 6))
+    d = da.from_array(x, chunks=(5, 6))
+    assert_eq(d.reshape(10, 2, 3)[3:8], x.reshape(10, 2, 3)[3:8])
+
+
+def test_slice_on_reshaped_axis_correct(rng):
+    x = rng.standard_normal((6, 4))
+    d = da.from_array(x, chunks=(3, 4))
+    assert_eq(d.reshape(24)[5:19], x.reshape(24)[5:19])
+
+
+def test_reshape_expand_only(rng):
+    x = rng.standard_normal((12,))
+    d = da.from_array(x, chunks=4)
+    assert_eq(d.reshape(12, 1), x.reshape(12, 1))
+    assert_eq(d.reshape(1, 12), x.reshape(1, 12))
+    assert_eq(d.reshape(3, 4), x.reshape(3, 4))
+
+
+def test_reshape_minus_one(rng):
+    x = rng.standard_normal((4, 6))
+    d = da.from_array(x, chunks=2)
+    assert_eq(d.reshape(-1), x.reshape(-1))
+    assert_eq(d.reshape(-1, 6), x.reshape(-1, 6))
+
+
+def test_reshape_interleaved_raises_like_reference(rng):
+    # (4, 6) -> (2, 12) interleaves axis boundaries; the reference's
+    # reshape_rechunk raises NotImplementedError here too
+    d = da.from_array(rng.standard_normal((4, 6)), chunks=2)
+    with pytest.raises(NotImplementedError):
+        d.reshape(2, 12).compute()
+
+
+def test_reshape_roundtrip_identity(rng):
+    x = rng.standard_normal((8, 3))
+    d = da.from_array(x, chunks=(4, 3))
+    y = d.reshape(24).reshape(8, 3)
+    assert_eq(y, x)
+
+
+@pytest.mark.parametrize(
+    "in_shape,out_shape,slc",
+    [
+        ((12, 4), (48,), np.s_[7:30]),
+        ((2, 3, 4), (6, 4), np.s_[1:5, ::2]),
+        ((24,), (4, 6), np.s_[2, 1:4]),
+        ((4, 9), (4, 3, 3), np.s_[::2]),
+    ],
+)
+def test_slice_through_reshape_correctness(rng, in_shape, out_shape, slc):
+    x = rng.standard_normal(in_shape)
+    d = da.from_array(x, chunks=3)
+    assert_eq(d.reshape(out_shape)[slc], x.reshape(out_shape)[slc])
+
+
+def test_ravel(rng):
+    x = rng.standard_normal((6, 5))
+    d = da.from_array(x, chunks=(2, 5))
+    assert_eq(d.ravel(), x.ravel())
+    assert_eq(da.ravel(d), x.ravel())
+
+
+# ---------------------------------------------------------------------------
+# stable names / persist identity (parity: test_stable_names.py)
+# ---------------------------------------------------------------------------
+
+
+def _pipeline(rng):
+    x = rng.standard_normal((16, 16))
+    d = da.from_array(x, chunks=4)
+    return x, (d + d.T)[:8] * 2
+
+
+def test_name_is_cheap_no_lowering(rng):
+    x, y = _pipeline(rng)
+    name = y.expr._name
+    assert isinstance(name, str) and name
+    assert y.expr._name == name  # cached, stable
+
+
+def test_name_survives_optimization(rng):
+    x, y = _pipeline(rng)
+    before = y.expr._name
+    y.optimize()
+    assert y.expr._name == before
+
+
+def test_identical_pipelines_share_names(rng):
+    x = np.random.default_rng(99).standard_normal((8, 8))
+    a = (da.from_array(x, chunks=4) + 1).expr
+    b = (da.from_array(x, chunks=4) + 1).expr
+    assert a._name == b._name
+    assert a is b  # singleton registry
+
+
+def test_persist_preserves_identity_and_composes(rng):
+    x, y = _pipeline(rng)
+    p = y.persist()
+    assert p.expr.shape == y.expr.shape
+    # composing on the persisted value computes from device buffers
+    assert_eq(p + 1, (x + x.T)[:8] * 2 + 1)
+
+
+def test_persist_twice_is_stable(rng):
+    x, y = _pipeline(rng)
+    p1 = y.persist()
+    p2 = p1.persist()
+    assert_eq(p2, (x + x.T)[:8] * 2)
+
+
+def test_compute_after_persist_same_expression(rng):
+    x, y = _pipeline(rng)
+    p = y.persist()
+    a = np.asarray(y.compute())
+    b = np.asarray(p.compute())
+    np.testing.assert_allclose(a, b)
+
+
+def test_scalar_name_and_compute(rng):
+    x, y = _pipeline(rng)
+    s = y.sum()
+    assert s.shape == ()
+    assert_eq(s, ((x + x.T)[:8] * 2).sum())
+
+
+def test_optimize_returns_new_collection_same_value(rng):
+    x, y = _pipeline(rng)
+    opt = y.optimize()
+    assert_eq(opt, (x + x.T)[:8] * 2)
+
+
+def test_rebuilt_pipeline_hits_executable_cache(rng):
+    from dask_array_tpu import _executor
+
+    x = np.random.default_rng(7).standard_normal((12, 12))
+    y1 = (da.from_array(x, chunks=4) * 2).sum(axis=0)
+    _ = y1.compute()
+    before = dict(_executor._fn_cache)
+    y2 = (da.from_array(x + 1, chunks=4) * 2).sum(axis=0)  # same STRUCTURE
+    _ = y2.compute()
+    # no new executable was compiled for the same program structure
+    assert len(_executor._fn_cache) == len(before)
