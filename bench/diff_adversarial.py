@@ -1,0 +1,87 @@
+"""Adversarial differential: optimized vs unoptimized vs numpy.
+
+Port of the reference's ``bench/diff_adversarial`` harness role: build
+randomized hostile pipelines (sharing, slivers, mixed layouts, boundary
+modes, masks) and assert three-way agreement — numpy ground truth, the
+optimized compute, and the UNOPTIMIZED compute (optimizer off) — so any
+divergence bisects immediately to the optimizer or the executor.
+
+Run: python bench/diff_adversarial.py [n_cases]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def build_case(rng, da):
+    """One randomized hostile pipeline; returns (collection, numpy)."""
+    n = int(rng.integers(16, 60))
+    m = int(rng.integers(8, 40))
+    x = rng.standard_normal((n, m))
+    c0 = int(rng.integers(1, max(2, n // 2)))
+    c1 = int(rng.integers(1, max(2, m // 2)))
+    d = da.from_array(x, chunks=(c0, c1))
+    ref = x
+    steps = int(rng.integers(2, 7))
+    for _ in range(steps):
+        op = rng.integers(0, 10)
+        if op == 0 and not any(np.isnan(s) for s in (d.shape[0],)):
+            a = int(rng.integers(0, max(1, d.shape[0] - 1)))
+            b = int(rng.integers(a + 1, d.shape[0] + 1))
+            d, ref = d[a:b], ref[a:b]
+        elif op == 1:
+            d, ref = d + d, ref + ref  # sharing
+        elif op == 2 and d.ndim == 2:
+            d, ref = d.T, ref.T
+        elif op == 3:
+            k = int(rng.integers(1, 5))
+            d, ref = da.roll(d, k, axis=0), np.roll(ref, k, axis=0)
+        elif op == 4 and d.ndim == 2 and d.shape[0] >= 4:
+            d = da.map_overlap(
+                lambda b: b * 1.0, d, depth={0: 1}, boundary="reflect", dtype=ref.dtype
+            )
+        elif op == 5:
+            nc = int(rng.integers(1, max(2, d.shape[0])))
+            d = d.rechunk({0: nc})
+        elif op == 6 and d.ndim == 2:
+            d, ref = d.sum(axis=1, keepdims=True) + d, ref.sum(axis=1, keepdims=True) + ref
+        elif op == 7:
+            d, ref = da.where(d > 0, d, -d), np.where(ref > 0, ref, -ref)
+        elif op == 8 and d.ndim == 2:
+            d, ref = da.concatenate([d, d], axis=1), np.concatenate([ref, ref], axis=1)
+        else:
+            d, ref = np.sin(d), np.sin(ref)
+    return d.sum(axis=0), ref.sum(axis=0)
+
+
+def main(n_cases=50):
+    import dask_array_tpu as da
+    from dask_array_tpu import config
+
+    failures = 0
+    for i in range(n_cases):
+        rng = np.random.default_rng(1000 + i)
+        d, ref = build_case(rng, da)
+        opt = np.asarray(d.compute())
+        with config.set({"array.optimize-graph": False}):
+            raw = np.asarray(d.compute())
+        ok_opt = np.allclose(opt, ref, rtol=1e-9, atol=1e-9)
+        ok_raw = np.allclose(raw, ref, rtol=1e-9, atol=1e-9)
+        if not (ok_opt and ok_raw):
+            failures += 1
+            which = "optimizer" if (ok_raw and not ok_opt) else (
+                "executor" if (not ok_raw and not ok_opt) else "lowering-only"
+            )
+            print(f"case {i}: MISMATCH ({which})")
+    print(f"diff_adversarial: {n_cases - failures}/{n_cases} agree (3-way)")
+    return failures
+
+
+if __name__ == "__main__":
+    sys.exit(1 if main(int(sys.argv[1]) if len(sys.argv) > 1 else 50) else 0)

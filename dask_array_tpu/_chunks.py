@@ -380,10 +380,24 @@ def unify_blockdims(candidates, policy="auto", limit_bytes=None, row_bytes=1.0):
         return refined
 
     # coarsest common coarsening: intersection of all boundary sets
-    inter = None
-    for s in bound_sets.values():
-        inter = set(s) if inter is None else (inter & s)
-    coarse = _from_boundaries(sorted(inter))
+    layouts = sorted(distinct, key=len)
+    if sum(map(len, layouts)) > 256:
+        from dask_array_tpu import native
+
+        coarse = layouts[0]
+        for other in layouts[1:]:
+            got = native.coarse_axis(coarse, other)
+            if got is None:
+                coarse = None
+                break
+            coarse = got
+    else:
+        coarse = None
+    if coarse is None:
+        inter = None
+        for s in bound_sets.values():
+            inter = set(s) if inter is None else (inter & s)
+        coarse = _from_boundaries(sorted(inter))
 
     if limit_bytes is not None and coarse and max(coarse) * row_bytes > limit_bytes:
         warnings.warn(

@@ -105,6 +105,12 @@ def _axis_moved_fraction(src, dst):
         return 0.0
     if sum(dst) != total:
         return 0.0
+    if len(src) + len(dst) > 256:
+        from dask_array_tpu import native
+
+        out = native.moved_fraction_axis(src, dst)
+        if out is not None:
+            return out
     moved = 0.0
     i = 0
     src_lo = 0
@@ -238,8 +244,18 @@ def intersect_chunks(old_chunks, new_chunks):
 def _stage_degree(old, new):
     """Max number of old blocks feeding one new block along any axis."""
     deg = 1
-    for axis in old_to_new(old, new):
-        deg = max(deg, max((len(pieces) for pieces in axis), default=1))
+    for o, n in zip(old, new):
+        if len(o) + len(n) > 256 and not any(
+            isinstance(c, float) and math.isnan(c) for c in tuple(o) + tuple(n)
+        ):
+            from dask_array_tpu import native
+
+            d = native.stage_degree_axis(o, n)
+            if d is not None:
+                deg = max(deg, d)
+                continue
+        mapping = old_to_new((o,), (n,))[0]
+        deg = max(deg, max((len(pieces) for pieces in mapping), default=1))
     return deg
 
 

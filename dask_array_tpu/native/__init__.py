@@ -18,7 +18,7 @@ import warnings
 import numpy as np
 
 # must match plankit_generation() in plankit.cpp
-PLANKIT_GENERATION = 3
+PLANKIT_GENERATION = 4
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_HERE, "plankit.cpp")
@@ -83,6 +83,12 @@ def _load():
     lib.hash_bytes.argtypes = [ctypes.c_char_p, i64]
     lib.expand_grid.restype = i64
     lib.expand_grid.argtypes = [p64, i64, p64, i64]
+    lib.moved_fraction_axis.restype = ctypes.c_double
+    lib.moved_fraction_axis.argtypes = [p64, i64, p64, i64]
+    lib.coarse_axis.restype = i64
+    lib.coarse_axis.argtypes = [p64, i64, p64, i64, p64, i64]
+    lib.stage_degree_axis.restype = i64
+    lib.stage_degree_axis.argtypes = [p64, i64, p64, i64]
     _lib = lib
     return _lib
 
@@ -165,3 +171,41 @@ def expand_grid(nblocks):
     if n < 0:
         return None
     return coords[:, : len(nb)]
+
+
+def moved_fraction_axis(src, dst):
+    """Min-model moved fraction along one axis, or None to decline."""
+    lib = _load()
+    if lib is None:
+        return None
+    s = np.asarray(src, dtype=np.int64)
+    d = np.asarray(dst, dtype=np.int64)
+    out = lib.moved_fraction_axis(s, len(s), d, len(d))
+    if out < 0:
+        return None
+    return float(out)
+
+
+def coarse_axis(a, b):
+    """Coarsest common coarsening of two blockdims, or None to decline."""
+    lib = _load()
+    if lib is None:
+        return None
+    aa = np.asarray(a, dtype=np.int64)
+    bb = np.asarray(b, dtype=np.int64)
+    max_out = min(len(aa), len(bb)) + 1
+    out = np.empty(max_out, dtype=np.int64)
+    n = lib.coarse_axis(aa, len(aa), bb, len(bb), out, max_out)
+    if n < 0:
+        return None
+    return tuple(int(x) for x in out[:n])
+
+
+def stage_degree_axis(old_chunks, new_chunks):
+    """Max old-blocks-per-new-block fan-in along one axis, or None."""
+    lib = _load()
+    if lib is None:
+        return None
+    o = np.asarray(old_chunks, dtype=np.int64)
+    n = np.asarray(new_chunks, dtype=np.int64)
+    return int(lib.stage_degree_axis(o, len(o), n, len(n)))

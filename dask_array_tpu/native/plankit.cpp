@@ -19,7 +19,7 @@
 extern "C" {
 
 // bumped on every ABI/semantic change; checked by the Python wrapper
-int64_t plankit_generation() { return 3; }
+int64_t plankit_generation() { return 4; }
 
 static inline int64_t ceil_div(int64_t a, int64_t b) {
     return (a + b - 1) / b;  // b > 0, a >= 0
@@ -140,6 +140,116 @@ int64_t refine_axis(
         }
     }
     return k;
+}
+
+// --- moved fraction (rechunk cost model) ----------------------------------------
+// Min-model fraction of one axis's elements a src->dst relayout moves:
+// each dst chunk is assembled where its largest single-src piece lives.
+// Mirrors _rechunk._axis_moved_fraction (and the reference's moved_fraction,
+// _expr.py:675); hot in explain/transfer estimates and the unify audition.
+// Returns moved fraction in [0,1]; -1.0 on total mismatch.
+double moved_fraction_axis(
+    const int64_t* src, int64_t n_src,
+    const int64_t* dst, int64_t n_dst)
+{
+    int64_t total = 0;
+    for (int64_t i = 0; i < n_src; ++i) total += src[i];
+    int64_t total_d = 0;
+    for (int64_t j = 0; j < n_dst; ++j) total_d += dst[j];
+    if (total == 0) return 0.0;
+    if (total != total_d) return -1.0;
+    if (n_src == n_dst) {
+        bool same = true;
+        for (int64_t i = 0; i < n_src; ++i) if (src[i] != dst[i]) { same = false; break; }
+        if (same) return 0.0;
+    }
+    double moved = 0.0;
+    int64_t i = 0;
+    int64_t src_lo = 0;
+    int64_t dst_lo = 0;
+    for (int64_t j = 0; j < n_dst; ++j) {
+        int64_t dst_hi = dst_lo + dst[j];
+        int64_t best = 0;
+        for (;;) {
+            int64_t src_hi = src_lo + src[i];
+            int64_t lo = src_lo > dst_lo ? src_lo : dst_lo;
+            int64_t hi = src_hi < dst_hi ? src_hi : dst_hi;
+            int64_t overlap = hi - lo;
+            if (overlap > best) best = overlap;
+            if (src_hi <= dst_hi && i + 1 < n_src) {
+                ++i;
+                src_lo = src_hi;
+            } else {
+                break;
+            }
+        }
+        moved += (double)(dst[j] - best);
+        dst_lo = dst_hi;
+    }
+    return moved / (double)total;
+}
+
+// --- boundary intersection (coarsest common coarsening) ---------------------------
+// Chunks whose boundaries appear in BOTH inputs; equal totals required.
+// Writes coarse chunks to out; returns length, -1 if max_out too small,
+// -2 on total mismatch.
+int64_t coarse_axis(
+    const int64_t* a, int64_t na,
+    const int64_t* b, int64_t nb,
+    int64_t* out, int64_t max_out)
+{
+    int64_t enda = 0, endb = 0;
+    for (int64_t i = 0; i < na; ++i) enda += a[i];
+    for (int64_t i = 0; i < nb; ++i) endb += b[i];
+    if (enda != endb) return -2;
+    int64_t ia = 0, ib = 0;
+    int64_t pa = 0, pb = 0;
+    int64_t prev = 0, k = 0;
+    while (ia < na && ib < nb) {
+        int64_t ba = pa + a[ia];
+        int64_t bb = pb + b[ib];
+        if (ba == bb) {
+            if (k >= max_out) return -1;
+            out[k++] = ba - prev;
+            prev = ba;
+            pa = ba; ++ia;
+            pb = bb; ++ib;
+        } else if (ba < bb) {
+            pa = ba; ++ia;
+        } else {
+            pb = bb; ++ib;
+        }
+    }
+    return k;
+}
+
+// --- rechunk stage degree ------------------------------------------------------
+// Max number of old blocks feeding any single new block along one axis
+// (the planner's fan-in bound; reference _rechunk.py:395 _bound_degree).
+int64_t stage_degree_axis(
+    const int64_t* oldc, int64_t n_old,
+    const int64_t* newc, int64_t n_new)
+{
+    int64_t deg = 1;
+    int64_t pos = 0;
+    int64_t ob = 0, ob_start = 0;
+    for (int64_t j = 0; j < n_new; ++j) {
+        int64_t lo = pos;
+        int64_t hi = pos + newc[j];
+        while (ob < n_old && ob_start + oldc[ob] <= lo) {
+            ob_start += oldc[ob];
+            ++ob;
+        }
+        int64_t b = ob, b_start = ob_start, count = 0;
+        while (b < n_old && b_start < hi) {
+            ++count;
+            b_start += oldc[b];
+            ++b;
+        }
+        if (count > deg) deg = count;
+        pos = hi;
+    }
+    return deg;
 }
 
 // --- fingerprint hash -----------------------------------------------------------

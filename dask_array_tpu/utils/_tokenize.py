@@ -158,6 +158,10 @@ def _normalize_callable(fn) -> str:
             h = hashlib.blake2b(digest_size=16)
             h.update(code.co_code)
             h.update(repr(code.co_consts).encode())
+            # co_names is load-bearing: LOAD_ATTR/LOAD_GLOBAL reference names
+            # by index, so `jnp.frexp(v)[0]` and `jnp.modf(v)[0]` share
+            # co_code and differ ONLY here
+            h.update(repr(code.co_names).encode())
             h.update("\x00".join(cells).encode())
             # defaults distinguish otherwise-identical wrappers (fn(*a, _i=0))
             defaults: list = []

@@ -1,0 +1,120 @@
+"""Engagement spy: the fast paths must actually ENGAGE.
+
+The reference's ``bench/_spy.py`` discipline as pytest: flagship pipelines
+must run through the compiled trace (not the eager fallback), the
+optimizer must fire its rewrite rules (not silently no-op), the native
+planning library must be loaded, and the structural executable cache must
+hit on re-execution.
+"""
+
+import numpy as np
+import pytest
+
+import dask_array_tpu as da
+from dask_array_tpu._diagnostics import trace_rewrites
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(67)
+
+
+def _spy(monkeypatch):
+    import dask_array_tpu._executor as ex
+
+    state = {"trace": 0, "eager": 0, "compiles": 0}
+    orig = ex._trace_fn
+
+    def spy(root, keys, mesh, args):
+        before = len(ex._fn_cache)
+        compiled, ck = orig(root, keys, mesh, args)
+        state["trace" if compiled is not None else "eager"] += 1
+        state["compiles"] += len(ex._fn_cache) - before
+        return compiled, ck
+
+    monkeypatch.setattr(ex, "_trace_fn", spy)
+    return state
+
+
+def test_readme_pipeline_stays_compiled(rng, monkeypatch):
+    state = _spy(monkeypatch)
+    x = da.ones((100, 100), chunks=(10, 10))
+    y = (x + x.T)[:10, :10]
+    assert np.allclose(np.asarray(y.compute()), 2.0)
+    assert state["trace"] == 1 and state["eager"] == 0
+
+
+def test_flagship_pipelines_stay_compiled(monkeypatch):
+    state = _spy(monkeypatch)
+    from dask_array_tpu.models import pipelines as P
+
+    for out in (P.readme_example(n=100, chunk=20), P.stencil2d(n=64, chunk=16)):
+        np.asarray(out.compute())
+    assert state["eager"] == 0, "a flagship pipeline silently fell back to eager"
+
+
+def test_optimizer_fires_rules_on_readme(rng):
+    x = da.ones((100, 100), chunks=(10, 10))
+    y = (x + x.T)[:10, :10]
+    with trace_rewrites() as tr:
+        y.expr.simplify()
+    fired = tr.counter()
+    assert fired, "simplify fired no rewrite rules on the README pipeline"
+    assert any("_accept_slice" in rule for rule in fired), fired
+
+
+def test_untraceable_pipeline_falls_back_once_then_memoizes(rng, monkeypatch):
+    state = _spy(monkeypatch)
+
+    def host_fn(b):
+        return np.asarray(b) * 2  # numpy on tracer -> trace error
+
+    x = rng.standard_normal((12,))
+    d = da.from_array(x, chunks=4)
+    y = d.map_blocks(host_fn, dtype=x.dtype)
+    with pytest.warns(RuntimeWarning, match="not jax-traceable"):
+        np.testing.assert_allclose(np.asarray(y.compute()), x * 2)
+    # second run of the same structure: straight to eager, no warning
+    y2 = da.from_array(x + 1, chunks=4).map_blocks(host_fn, dtype=x.dtype)
+    np.testing.assert_allclose(np.asarray(y2.compute()), (x + 1) * 2)
+
+
+def test_executable_cache_hit_on_new_data(rng, monkeypatch):
+    state = _spy(monkeypatch)
+    x = rng.standard_normal((24, 24))
+    a = (da.from_array(x, chunks=8) * 3).sum(axis=1)
+    np.asarray(a.compute())
+    compiles_first = state["compiles"]
+    b = (da.from_array(x * 5, chunks=8) * 3).sum(axis=1)
+    np.asarray(b.compute())
+    assert state["compiles"] == compiles_first, "structural cache missed"
+
+
+def test_native_plankit_engaged():
+    from dask_array_tpu import native
+
+    assert native.available(), (
+        "the C++ plankit library is not loaded — run "
+        "`python -m dask_array_tpu.native` to rebuild"
+    )
+
+
+def test_fusion_engages_on_blockwise_chain(rng):
+    from dask_array_tpu._blockwise import FusedBlockwise
+
+    x = rng.standard_normal((20, 20))
+    d = da.from_array(x, chunks=5)
+    y = ((d + 1) * 2 - 3) / 4
+    opt = y.expr.optimize()
+    assert any(isinstance(n, FusedBlockwise) for n in opt.walk()), opt.tree_repr()
+
+
+def test_explain_reports_all_phases(rng, capsys):
+    from dask_array_tpu._diagnostics import explain
+
+    x = da.ones((40, 40), chunks=10)
+    y = (x + x.T)[:10].sum(axis=0)
+    explain(y)
+    out = capsys.readouterr().out
+    for phase in ("simplify", "lower", "fuse"):
+        assert phase in out, out

@@ -115,3 +115,68 @@ def test_hash_bytes_stable():
     h2 = native.hash_bytes(b"hello world")
     h3 = native.hash_bytes(b"hello worle")
     assert h1 == h2 != h3
+
+
+def test_native_moved_fraction_matches_python(rng):
+    from dask_array_tpu import native
+    from dask_array_tpu._rechunk import _axis_moved_fraction
+
+    if not native.available():
+        pytest.skip("plankit not built")
+    cases = [
+        ((1, 719, 720), (720, 720)),
+        ((10,) * 6, (30, 30)),
+        ((30, 30), (10,) * 6),
+        ((100,) * 4, (50, 100, 100, 100, 50)),
+        ((5, 5), (5, 5)),
+        ((3, 7, 5, 5), (10, 10)),
+    ]
+    for src, dst in cases:
+        got = native.moved_fraction_axis(src, dst)
+        want = _axis_moved_fraction(src, dst)
+        assert got == pytest.approx(want), (src, dst)
+    # randomized differential
+    for seed in range(25):
+        r = np.random.default_rng(seed)
+        n = int(r.integers(20, 400))
+        cuts_a = np.sort(r.choice(np.arange(1, n), size=min(n - 1, int(r.integers(1, 30))), replace=False))
+        cuts_b = np.sort(r.choice(np.arange(1, n), size=min(n - 1, int(r.integers(1, 30))), replace=False))
+        a = tuple(np.diff(np.concatenate([[0], cuts_a, [n]])).tolist())
+        b = tuple(np.diff(np.concatenate([[0], cuts_b, [n]])).tolist())
+        assert native.moved_fraction_axis(a, b) == pytest.approx(_axis_moved_fraction(a, b))
+
+
+def test_native_coarse_axis_matches_python(rng):
+    from dask_array_tpu import native
+    from dask_array_tpu._chunks import _boundaries, _from_boundaries
+
+    if not native.available():
+        pytest.skip("plankit not built")
+    for seed in range(25):
+        r = np.random.default_rng(100 + seed)
+        n = int(r.integers(20, 300))
+        cuts_a = np.sort(r.choice(np.arange(1, n), size=min(n - 1, int(r.integers(1, 25))), replace=False))
+        cuts_b = np.sort(r.choice(np.arange(1, n), size=min(n - 1, int(r.integers(1, 25))), replace=False))
+        a = tuple(np.diff(np.concatenate([[0], cuts_a, [n]])).tolist())
+        b = tuple(np.diff(np.concatenate([[0], cuts_b, [n]])).tolist())
+        inter = set(_boundaries(a)) & set(_boundaries(b))
+        want = _from_boundaries(sorted(inter))
+        assert native.coarse_axis(a, b) == want, (a, b)
+
+
+def test_native_stage_degree_matches_python(rng):
+    from dask_array_tpu import native
+    from dask_array_tpu._rechunk import old_to_new
+
+    if not native.available():
+        pytest.skip("plankit not built")
+    for seed in range(25):
+        r = np.random.default_rng(200 + seed)
+        n = int(r.integers(20, 300))
+        cuts_a = np.sort(r.choice(np.arange(1, n), size=min(n - 1, int(r.integers(1, 25))), replace=False))
+        cuts_b = np.sort(r.choice(np.arange(1, n), size=min(n - 1, int(r.integers(1, 25))), replace=False))
+        a = tuple(np.diff(np.concatenate([[0], cuts_a, [n]])).tolist())
+        b = tuple(np.diff(np.concatenate([[0], cuts_b, [n]])).tolist())
+        mapping = old_to_new((a,), (b,))[0]
+        want = max((len(p) for p in mapping), default=1)
+        assert native.stage_degree_axis(a, b) == want, (a, b)
