@@ -250,12 +250,23 @@ class Blockwise(ArrayExpr):
             else:
                 # contracted index: all blocks along this axis
                 coords_per_pos.append(tuple(range(nb[pos])))
+        contracted = {pos for pos, label in enumerate(ind) if label not in coord_of}
+        if not self.concatenate and contracted:
+            # dask semantics (reference blockwise concatenate=False): the
+            # function receives nested LISTS of blocks over contracted dims
+            # (outermost list = first contracted position), even singletons
+            def rec_list(pos, prefix):
+                if pos == len(coords_per_pos):
+                    return arr_view.block(prefix)
+                if pos in contracted:
+                    return [rec_list(pos + 1, prefix + (c,)) for c in coords_per_pos[pos]]
+                return rec_list(pos + 1, prefix + (coords_per_pos[pos][0],))
+
+            return rec_list(0, ())
         if all(len(c) == 1 for c in coords_per_pos):
             return arr_view.block(tuple(c[0] for c in coords_per_pos))
-        # concatenate contracted axes (innermost first)
-        if not self.concatenate:
-            raise NotImplementedError("concatenate=False blockwise is not supported")
 
+        # concatenate contracted axes (innermost first)
         def rec(pos, prefix):
             if pos == len(coords_per_pos):
                 return arr_view.block(prefix)
@@ -670,7 +681,9 @@ def blockwise(
         np.dtype(dtype) if dtype is not None else None,
         adjust,
         naxes,
-        True if concatenate is None else concatenate,
+        # dask parity: concatenate=None (the default) passes contracted dims
+        # as LISTS of blocks; pass True to concatenate them first
+        bool(concatenate),
         _normalize_kwargs(kwargs),
         *pairs,
     )

@@ -10,6 +10,7 @@ from dask_array_tpu.io._from_map import (
     from_delayed,
     from_map,
 )
+from dask_array_tpu.io._from_graph import GraphEvaluator, from_graph
 from dask_array_tpu.io._hdf5_read import from_hdf5
 from dask_array_tpu.io._npy_stack import from_npy_stack, to_npy_stack
 from dask_array_tpu.io._store import SerializableLock, store, to_hdf5
@@ -22,6 +23,7 @@ __all__ = [
     "delayed",
     "from_blocks",
     "from_delayed",
+    "from_graph",
     "from_hdf5",
     "from_map",
     "from_npy_stack",

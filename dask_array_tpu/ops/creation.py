@@ -405,12 +405,24 @@ class Pad(ArrayExpr):
     def _meta(self):
         return self.array._meta
 
+    @property
+    def _traceable(self):
+        # a callable pad mode is arbitrary host code: run eagerly
+        return not callable(self.mode)
+
     def _build(self, ctx):
         import jax.numpy as jnp
 
         dense = ctx.build(self.array).dense()
         kw = dict(self.kwargs or ())
-        out = jnp.pad(dense, self.pad_width, mode=self.mode, **kw)
+        if callable(self.mode):
+            # numpy's function-mode contract (np.pad docs): the callable
+            # mutates each padded 1-D vector in place per axis
+            out = jnp.asarray(
+                np.pad(np.asarray(dense), self.pad_width, self.mode, **kw)
+            )
+        else:
+            out = jnp.pad(dense, self.pad_width, mode=self.mode, **kw)
         if out.dtype != self.dtype:
             out = out.astype(self.dtype)
         return BlockView(self.chunks, dense=out)
@@ -433,8 +445,6 @@ def pad(array, pad_width, mode="constant", **kwargs):
         norm = tuple((int(lo), int(hi)) for lo, hi in pw)
     if len(norm) != array.ndim:
         raise ValueError("pad_width does not match array ndim")
-    if callable(mode):
-        raise NotImplementedError("callable pad modes are not supported")
     kw = tuple(sorted(
         (k, tuple(v) if isinstance(v, list) else v) for k, v in kwargs.items()
     ))

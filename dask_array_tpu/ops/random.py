@@ -205,11 +205,43 @@ def _make_kernels():
         return jr.weibull_min(key, 1.0, p["a"], shape=shape, dtype=dtype)
 
     def vonmises(key, shape, dtype, p):
-        # wrapped normal approximation is wrong; use rejection-free von Mises
-        # via the inverse-CDF of a wrapped Cauchy proposal is involved — use
-        # jax's generalized approach: sample via tfp-free Best-Fisher needs a
-        # loop; approximate with scipy-free fallback:
-        raise NotImplementedError("vonmises is not implemented")
+        # Best & Fisher (1979) rejection sampler (the algorithm numpy uses),
+        # vectorized: a lax.while_loop resamples only the rejected lanes.
+        import jax
+        import jax.numpy as jnp
+
+        mu = jnp.asarray(p["mu"], dtype)
+        kappa = jnp.broadcast_to(jnp.asarray(p["kappa"], dtype), shape)
+        safe_k = jnp.maximum(kappa, 1e-7)
+        tau = 1.0 + jnp.sqrt(1.0 + 4.0 * safe_k * safe_k)
+        rho = (tau - jnp.sqrt(2.0 * tau)) / (2.0 * safe_k)
+        r = (1.0 + rho * rho) / (2.0 * rho)
+
+        def cond(state):
+            _, _, done = state
+            return ~jnp.all(done)
+
+        def body(state):
+            key, f, done = state
+            key, k1, k2 = jr.split(key, 3)
+            u1 = jr.uniform(k1, shape, dtype)
+            u2 = jr.uniform(k2, shape, dtype, minval=1e-12)
+            z = jnp.cos(jnp.pi * u1)
+            fc = (1.0 + r * z) / (r + z)
+            c = safe_k * (r - fc)
+            acc = (c * (2.0 - c) - u2 > 0.0) | (jnp.log(c / u2) + 1.0 - c >= 0.0)
+            f = jnp.where(~done & acc, fc, f)
+            return key, f, done | acc
+
+        key, k0, k3 = jr.split(key, 3)
+        init = (k0, jnp.zeros(shape, dtype), jnp.zeros(shape, bool))
+        _, f, _ = jax.lax.while_loop(cond, body, init)
+        u3 = jr.uniform(k3, shape, dtype)
+        theta = mu + jnp.sign(u3 - 0.5) * jnp.arccos(jnp.clip(f, -1.0, 1.0))
+        # kappa ~ 0 degenerates to the uniform circle
+        theta = jnp.where(kappa < 1e-6, (2.0 * u3 - 1.0) * jnp.pi + mu * 0, theta)
+        # numpy returns samples wrapped onto [-pi, pi]
+        return jnp.mod(theta + jnp.pi, 2.0 * jnp.pi) - jnp.pi
 
     def negative_binomial(key, shape, dtype, p):
         k1, k2 = jr.split(key)
@@ -355,6 +387,9 @@ class Generator:
 
     def triangular(self, left, mode, right, size=None, chunks="auto", **kw):
         return self._draw("triangular", size, float, chunks, left=float(left), mode=float(mode), right=float(right))
+
+    def vonmises(self, mu, kappa, size=None, chunks="auto", **kw):
+        return self._draw("vonmises", size, float, chunks, mu=float(mu), kappa=float(kappa))
 
     def wald(self, mean, scale, size=None, chunks="auto", **kw):
         return self._draw("wald", size, float, chunks, mean=float(mean), scale=float(scale))

@@ -490,6 +490,9 @@ class Searchsorted(ArrayExpr):
         jnp = _jnp()
         a = ctx.build(self.array).dense()
         v = ctx.build(self.values).dense()
+        if isinstance(self.sorter, ArrayExpr):
+            # numpy semantics: sorter permutes `a` into sorted order
+            a = jnp.take(a, ctx.build(self.sorter).dense())
         out = jnp.searchsorted(a, v, side=self.side)
         return BlockView(self.chunks, dense=out.astype(np.intp))
 
@@ -497,12 +500,11 @@ class Searchsorted(ArrayExpr):
 def searchsorted(a, v, side="left", sorter=None):
     from dask_array_tpu._collection import new_collection
 
-    if sorter is not None:
-        raise NotImplementedError("searchsorted with sorter= is not supported")
     a, v = _asarray(a), _asarray(v)
     if a.ndim != 1:
         raise ValueError("a must be 1-dimensional")
-    return new_collection(Searchsorted(a.expr, v.expr, side, None))
+    sorter_expr = _asarray(sorter).expr if sorter is not None else None
+    return new_collection(Searchsorted(a.expr, v.expr, side, sorter_expr))
 
 
 def isin(element, test_elements, assume_unique=False, invert=False):

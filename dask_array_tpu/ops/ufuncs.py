@@ -234,10 +234,32 @@ def iscomplex(x):
 
 
 def frompyfunc(func, nin, nout, *, identity=None):
-    """Wrap an arbitrary python scalar function as a (vectorized) ufunc."""
-    if nout != 1:
-        raise NotImplementedError("frompyfunc with nout != 1 is not supported")
+    """Wrap an arbitrary python scalar function as a (vectorized) ufunc.
+
+    ``nout > 1`` returns a callable producing a TUPLE of lazy arrays, one
+    elemwise expression per output (numpy frompyfunc parity).
+    """
     import jax
+
+    if nout != 1:
+        base_name = getattr(func, "__name__", "frompyfunc")
+
+        def multi(*args):
+            from dask_array_tpu._blockwise import elemwise as _ew
+
+            outs = []
+            for i in range(nout):
+                def pick(*blocks, _i=i):
+                    import jax.numpy as jnp
+
+                    return jnp.vectorize(func)(*blocks)[_i]
+
+                pick.__name__ = f"{base_name}-out{i}"
+                outs.append(_ew(pick, *args))
+            return tuple(outs)
+
+        multi.__name__ = base_name
+        return multi
 
     def vec(*args):
         import jax.numpy as jnp

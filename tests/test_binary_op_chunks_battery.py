@@ -247,3 +247,52 @@ def test_where_three_operand_unify(rng):
     c = da.from_array(x > 0, chunks=6)
     out = da.where(c, a, b)
     assert_eq(out, np.where(x > 0, x, x * 2))
+
+
+# -- blockwise concatenate semantics (parity: dask blockwise docs) ---------------
+
+
+def test_blockwise_concatenate_true_contracts(rng):
+    x = rng.standard_normal((6, 8))
+    d = da.from_array(x, chunks=(3, 4))
+
+    def inner(a, b):
+        return np.tensordot(a, b, axes=((1,), (0,)))
+
+    out = da.blockwise(
+        inner, "ik", d, "ij", d.T, "jk", dtype="f8", concatenate=True
+    )
+    assert_eq(out, x @ x.T, rtol=1e-10)
+
+
+def test_blockwise_concatenate_none_gives_lists(rng):
+    x = rng.standard_normal((6, 8))
+    d = da.from_array(x, chunks=(3, 4))
+    seen = []
+
+    def inner(parts):
+        # default concatenate=None: contracted dim arrives as a LIST
+        assert isinstance(parts, list)
+        seen.append(len(parts))
+        return sum(np.sum(np.asarray(p), axis=1, keepdims=True) for p in parts)
+
+    out = da.blockwise(inner, "i", d, "ij", dtype="f8")
+    got = np.asarray(out.compute()).ravel()
+    np.testing.assert_allclose(got, x.sum(axis=1))
+    assert seen and all(n == 2 for n in seen)  # 2 column blocks per call
+
+
+def test_blockwise_concatenate_false_doc_example(rng):
+    # the dask docstring example: sum a contracted dim from a list
+    def sequence_dot(x_blocks, y_blocks):
+        result = 0
+        for xb, yb in zip(x_blocks, y_blocks):
+            result += np.asarray(xb).dot(np.asarray(yb))
+        return result
+
+    x = rng.standard_normal((8,))
+    y = rng.standard_normal((8,))
+    dx = da.from_array(x, chunks=4)
+    dy = da.from_array(y, chunks=4)
+    out = da.blockwise(sequence_dot, "", dx, "i", dy, "i", dtype="f8")
+    np.testing.assert_allclose(float(out.compute()), x @ y)

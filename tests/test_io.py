@@ -150,3 +150,54 @@ def test_review_fixes_io(rng, tmp_path):
     a, b = map_blocks_multi_output(lambda blk, s: (blk + s, blk * s), d, 2.0, dtypes=["f8", "f8"])
     np.testing.assert_allclose(a.compute(), x + 2.0)
     np.testing.assert_allclose(b.compute(), x * 2.0)
+
+
+def test_from_graph_external_task_graph(rng):
+    """Interop: a hand-built dask-style task graph (parity:
+    /root/reference/dask_array/io/_from_graph.py:133)."""
+    from dask_array_tpu.io import from_graph
+
+    x = rng.standard_normal((4, 6))
+
+    def half(i):
+        return x[i * 2:(i + 1) * 2]
+
+    graph = {
+        ("src", 0, 0): (half, 0),
+        ("src", 1, 0): (half, 1),
+        # nested task + key reference + literal arg
+        ("out", 0, 0): (np.add, ("src", 0, 0), (np.multiply, ("src", 0, 0), 0.5)),
+        ("out", 1, 0): (np.add, ("src", 1, 0), 1.0),
+    }
+    arr = from_graph(
+        graph, np.empty((0, 0)), ((2, 2), (6,)),
+        [("out", 0, 0), ("out", 1, 0)], "out",
+    )
+    want = np.concatenate([x[:2] * 1.5, x[2:] + 1.0])
+    assert_eq(arr, want)
+    # graph-built arrays join normal pipelines
+    assert_eq(arr.sum(axis=0), want.sum(axis=0))
+
+
+def test_from_graph_with_dependencies(rng):
+    from dask_array_tpu.io import from_graph
+
+    x = rng.standard_normal((6,))
+    dep = da.from_array(x, chunks=3) * 2  # lazy dependency collection
+    dep_name = dep.expr._name
+    graph = {
+        ("o", 0): (np.negative, (dep_name, 0)),
+        ("o", 1): (np.negative, (dep_name, 1)),
+    }
+    arr = from_graph(
+        graph, np.empty((0,)), ((3, 3),), [("o", 0), ("o", 1)], "o",
+        dependencies=(dep,),
+    )
+    assert_eq(arr, -(x * 2))
+
+
+def test_from_graph_key_count_mismatch(rng):
+    from dask_array_tpu.io import from_graph
+
+    with pytest.raises(ValueError, match="keys"):
+        from_graph({}, np.empty((0,)), ((3, 3),), [("o", 0)], "o")

@@ -441,3 +441,61 @@ def test_svd_compressed_low_rank_and_illconditioned_tsqr(rng):
     assert np.isfinite(qc).all()
     np.testing.assert_allclose(qc.T @ qc, np.eye(12), atol=5e-5)
     np.testing.assert_allclose(qc @ r.compute(), b, atol=2e-4 * np.abs(b).max())
+
+
+def test_vonmises_statistics(rng):
+    # Best-Fisher sampler: circular mean ~ mu, mean resultant length
+    # ~ I1(kappa)/I0(kappa)
+    mu, kappa = 0.7, 3.0
+    r = da.random.default_rng(5)
+    s = np.asarray(r.vonmises(mu, kappa, size=(20000,), chunks=5000).compute())
+    assert s.min() >= -np.pi - 1e-6 and s.max() <= np.pi + 1e-6
+    circ_mean = np.angle(np.exp(1j * s).mean())
+    assert abs(circ_mean - mu) < 0.05
+    resultant = np.abs(np.exp(1j * s).mean())
+    expected_r = np.i0(kappa) and (lambda: __import__("scipy.special", fromlist=["iv"]))
+    from numpy import i0
+    # I1/I0 via numpy's i0 and a finite difference-free identity is awkward;
+    # compare against numpy's own sampler instead
+    ns = np.random.default_rng(5).vonmises(mu, kappa, size=200000)
+    np.testing.assert_allclose(resultant, np.abs(np.exp(1j * ns).mean()), atol=0.02)
+
+
+def test_vonmises_kappa_zero_uniform():
+    r = da.random.default_rng(2)
+    s = np.asarray(r.vonmises(0.0, 1e-9, size=(20000,), chunks=10000).compute())
+    # uniform on the circle: resultant length ~ 0
+    assert np.abs(np.exp(1j * s).mean()) < 0.03
+
+
+def test_pad_callable_mode(rng):
+    x = rng.standard_normal((8, 6))
+    d = da.from_array(x, chunks=(4, 3))
+
+    def fill_mean(vector, pad_width, iaxis, kwargs):
+        vector[:pad_width[0]] = vector[pad_width[0]:pad_width[0] + 1].mean() if pad_width[0] else 0
+        if pad_width[1]:
+            vector[-pad_width[1]:] = 9.0
+        return vector
+
+    got = da.pad(d, ((1, 2), (0, 0)), mode=fill_mean)
+    want = np.pad(x, ((1, 2), (0, 0)), fill_mean)
+    assert_eq(got, want)
+
+
+def test_searchsorted_sorter(rng):
+    a = rng.standard_normal((30,))
+    sorter = np.argsort(a)
+    v = rng.standard_normal((12,))
+    da_a = da.from_array(a, chunks=10)
+    da_v = da.from_array(v, chunks=4)
+    got = da.searchsorted(da_a, da_v, sorter=sorter)
+    assert_eq(got, np.searchsorted(a, v, sorter=sorter))
+
+
+def test_frompyfunc_multi_output(rng):
+    f = da.frompyfunc(lambda a: (a + 1.0, a * 2.0), 1, 2)
+    x = rng.standard_normal((9,))
+    o1, o2 = f(da.from_array(x, chunks=3))
+    np.testing.assert_allclose(np.asarray(o1.compute()), x + 1.0)
+    np.testing.assert_allclose(np.asarray(o2.compute()), x * 2.0)
