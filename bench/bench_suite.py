@@ -5,14 +5,19 @@ can abort (SIGABRT, `Check failed: buffer != nullptr`) after many
 compilations in one process, and isolation keeps one flaky compile from
 killing the suite.
 
-Decision record (v5e-1, axon tunnel, 2026-08-16):
-  readme_slice_pushdown    optimize 1.4 ms | first 2.0 s  | steady 15 ms
-  reduction_tree_10k       optimize 1.2 ms | first 12 s   | steady 38 ms
-  blocked_matmul_8192      optimize 2.7 ms | first 6.9 s  | steady 6 ms/GEMM
-                           (persisted inputs; unpersisted from_array pays
-                           ~5 s/iter of host->device tunnel transfer)
-  stencil2d_4096           optimize 0.3 ms | first 4.0 s  | steady 11 ms
-  tsqr_svd_1e6x128         (CholeskyQR2) ~70 s end-to-end incl. compiles
+Decision record (v5e-1, axon tunnel, 2026-08-16, round 2):
+  readme_slice_pushdown    optimize 1.4 ms | first  2.0 s | steady  17 ms
+  reduction_tree_10k       optimize 1.0 ms | first 74 s   | steady  35 ms
+  blocked_matmul_8192      optimize 29 ms  | first  7.0 s | steady  16 ms
+                           (persisted inputs; 3-iter loop amortizes one
+                           ~24 ms tunnel fetch -> ~8 ms/GEMM true;
+                           bench.py pins the roofline number)
+  stencil2d_4096           optimize 0.5 ms | first  5.2 s | steady  11 ms
+  tsqr_svd_1e6x128         (CholeskyQR2) ~85 s end-to-end incl. compiles
+  rechunk_relayout_8192    steady 2.5 ms -> 213.9 GB/s effective
+                           (persisted input; HBM roofline ~819 GB/s;
+                           on a mesh the same boundary emits an ICI
+                           all-to-all — tests/test_rechunk_collective.py)
 """
 
 from __future__ import annotations
