@@ -71,10 +71,18 @@ for _i in range(iters):
 _ = [np.asarray(d.ravel()[0]) for d in devs]
 t_steady = (time.perf_counter() - t0) / iters
 extra = ""
-if label == "rechunk_relayout_8192":
-    nbytes = int(np.prod(arrs[0].shape)) * arrs[0].dtype.itemsize
-    gbps = 2 * nbytes / t_steady / 1e9  # one read + one write per byte
-    extra = f" | relayout {gbps:7.1f} GB/s effective (HBM roofline ~819)"
+# roofline framing: bytes each workload must move through HBM per run
+_ROOFLINE_BYTES = {
+    # relayout: read + write every element (f32 8192^2)
+    "rechunk_relayout_8192": 2 * 8192 * 8192 * 4,
+    # tree reduction: one read of the 10000^2 f32 input
+    "reduction_tree_10k": 10000 * 10000 * 4,
+    # depth-1 stencil: read input (+halo ~0) and write output (f32 4096^2)
+    "stencil2d_4096": 2 * 4096 * 4096 * 4,
+}
+if label in _ROOFLINE_BYTES:
+    gbps = _ROOFLINE_BYTES[label] / t_steady / 1e9
+    extra = f" | {gbps:7.1f} GB/s effective (HBM roofline ~819)"
 print(f"{label:24s} build {t_build*1e3:8.2f} ms | optimize {t_opt*1e3:8.2f} ms | "
       f"first(run+compile) {t_first:7.2f} s | steady {t_steady*1e3:9.2f} ms{extra}", flush=True)
 """
