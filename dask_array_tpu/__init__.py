@@ -23,6 +23,25 @@ import jax as _jax
 
 _jax.config.update("jax_enable_x64", True)
 
+# persistent executable cache: first-compile times through the axon remote
+# helper swing 2 s <-> 300 s; the on-disk cache survives processes (measured
+# 1.6 s -> 0.3 s across fresh processes on the tunneled v5e).  Respect any
+# cache dir the user already configured.
+if not _jax.config.jax_compilation_cache_dir:
+    import os as _os
+
+    _cache = _os.environ.get(
+        "DASK_ARRAY_TPU_COMPILE_CACHE",
+        _os.path.join(_os.path.expanduser("~"), ".cache", "dask_array_tpu", "xla"),
+    )
+    if _cache and _cache.lower() != "off":
+        try:
+            _os.makedirs(_cache, exist_ok=True)
+            _jax.config.update("jax_compilation_cache_dir", _cache)
+            _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        except Exception:
+            pass  # unwritable filesystem: in-memory cache only
+
 import numpy as _np
 
 from dask_array_tpu import config

@@ -545,6 +545,70 @@ def lu(a):
     return p, l, u
 
 
+class BlockedTriSolve(ArrayExpr):
+    """Blocked forward/backward substitution: solve ``T x = b`` per block row.
+
+    Parity: the reference's blocked triangular solves inside ``solve``
+    (``linalg/_solve.py:125,163``).  Each block-row update is a panel
+    matmul (MXU, shards over a mesh); only the diagonal-block solves are
+    small in-core triangular solves.
+    """
+
+    _parameters = ("tmat", "rhs", "lower", "unit_diagonal")
+
+    @functools.cached_property
+    def chunks(self):
+        return self.rhs.chunks
+
+    @functools.cached_property
+    def _meta(self):
+        return np.empty(
+            (0,) * self.rhs.ndim,
+            dtype=_float_dtype(np.promote_types(self.tmat.dtype, self.rhs.dtype)),
+        )
+
+    def _build(self, ctx):
+        import jax.numpy as jnp
+        import jax.scipy.linalg as jsl
+
+        tview = ctx.build(self.tmat)
+        bview = ctx.build(self.rhs)
+        dt = self.dtype
+        nb = tview.numblocks[0]
+        vec = self.rhs.ndim == 1
+        ncol = 1 if vec else bview.numblocks[1]
+
+        out_blocks = {}
+        for k in range(ncol):
+            x: dict = {}
+            order = range(nb) if self.lower else range(nb - 1, -1, -1)
+            for i in order:
+                b_i = (bview.block((i,)) if vec else bview.block((i, k))).astype(dt)
+                acc = b_i
+                js = range(i) if self.lower else range(i + 1, nb)
+                for j in js:
+                    t_ij = tview.block((i, j)).astype(dt)
+                    acc = acc - jnp.matmul(t_ij, x[j], precision="highest")
+                t_ii = tview.block((i, i)).astype(dt)
+                rhs_i = acc[:, None] if vec else acc
+                sol = jsl.solve_triangular(
+                    t_ii, rhs_i, lower=self.lower, unit_diagonal=self.unit_diagonal
+                )
+                x[i] = sol[:, 0] if vec else sol
+            for i in range(nb):
+                out_blocks[(i,) if vec else (i, k)] = x[i]
+        return BlockView(self.chunks, blocks=out_blocks)
+
+
+def _blocked_tri_applicable(a, b):
+    m_chunks, n_chunks = a.chunks
+    if m_chunks != n_chunks or len(m_chunks) <= 1 or len(m_chunks) > _LU_MAX_BLOCKS:
+        return False
+    if b.chunks[0] != m_chunks:
+        return False
+    return True
+
+
 def solve(a, b, sym_pos=None, assume_a="gen"):
     from dask_array_tpu._collection import new_collection
 
@@ -553,21 +617,40 @@ def solve(a, b, sym_pos=None, assume_a="gen"):
     if assume_a == "pos" or sym_pos:
         fn = "jsl.solve"
         kwargs = (("assume_a", "pos"),)
-    else:
-        fn = "jnp.linalg.solve"
-        kwargs = ()
-    return _single(a.expr, fn, None, out_shape, dt, kwargs=kwargs, extra=(b.expr,))
+        return _single(a.expr, fn, None, out_shape, dt, kwargs=kwargs, extra=(b.expr,))
+    m_chunks = a.chunks[0]
+    if (
+        a.chunks[0] == a.chunks[1]
+        and 1 < len(m_chunks) <= _LU_MAX_BLOCKS
+    ):
+        # blocked path: P L U x = b  (panel matmuls shard over a mesh)
+        p, l, u = lu(a)
+        pb = p.T @ b
+        pb = pb.rechunk((m_chunks,) + tuple(pb.chunks[1:]))
+        y = solve_triangular(l, pb, lower=True, unit_diagonal=True)
+        return solve_triangular(u, y, lower=False)
+    return _single(a.expr, "jnp.linalg.solve", None, out_shape, dt, extra=(b.expr,))
 
 
 def solve_triangular(a, b, lower=False, trans=0, unit_diagonal=False):
+    from dask_array_tpu._collection import new_collection
+
     dt = _float_dtype(np.promote_types(a.dtype, b.dtype))
+    if trans in (1, "T", 2, "C"):
+        return solve_triangular(
+            a.T, b, lower=not lower, trans=0, unit_diagonal=unit_diagonal
+        )
+    if _blocked_tri_applicable(a, b):
+        return new_collection(
+            BlockedTriSolve(a.expr, b.expr, bool(lower), bool(unit_diagonal))
+        )
     return _single(
         a.expr,
         "jsl.solve_triangular",
         None,
         b.shape,
         dt,
-        kwargs=(("lower", bool(lower)), ("trans", trans), ("unit_diagonal", bool(unit_diagonal))),
+        kwargs=(("lower", bool(lower)), ("trans", 0), ("unit_diagonal", bool(unit_diagonal))),
         extra=(b.expr,),
     )
 

@@ -160,3 +160,80 @@ def test_blocked_qr_on_mesh_no_full_gather(rng):
     for line in hlo.splitlines():
         if "all-gather" in line and "f64[256," in line.replace(" ", ""):
             raise AssertionError(f"full-matrix all-gather in blocked QR: {line}")
+
+
+# -- blocked triangular solve / solve -----------------------------------------
+
+
+def test_blocked_tri_solve_lower(rng):
+    from dask_array_tpu.ops.linalg_decomp import BlockedTriSolve
+
+    L = np.tril(rng.standard_normal((32, 32))) + 8 * np.eye(32)
+    b = rng.standard_normal((32, 6))
+    dl = da.from_array(L, chunks=8)
+    db = da.from_array(b, chunks=(8, 3))
+    out = da.linalg.solve_triangular(dl, db, lower=True)
+    assert isinstance(out.expr, BlockedTriSolve)  # blocked path engaged
+    import scipy.linalg as sl
+
+    np.testing.assert_allclose(np.asarray(out.compute()), sl.solve_triangular(L, b, lower=True), atol=1e-8)
+
+
+def test_blocked_tri_solve_upper_vector(rng):
+    U = np.triu(rng.standard_normal((24, 24))) + 6 * np.eye(24)
+    b = rng.standard_normal((24,))
+    out = da.linalg.solve_triangular(
+        da.from_array(U, chunks=6), da.from_array(b, chunks=6), lower=False
+    )
+    import scipy.linalg as sl
+
+    np.testing.assert_allclose(np.asarray(out.compute()), sl.solve_triangular(U, b, lower=False), atol=1e-8)
+
+
+def test_blocked_tri_solve_trans(rng):
+    L = np.tril(rng.standard_normal((16, 16))) + 5 * np.eye(16)
+    b = rng.standard_normal((16,))
+    out = da.linalg.solve_triangular(
+        da.from_array(L, chunks=4), da.from_array(b, chunks=4), lower=True, trans=1
+    )
+    import scipy.linalg as sl
+
+    np.testing.assert_allclose(np.asarray(out.compute()), sl.solve_triangular(L, b, lower=True, trans=1), atol=1e-8)
+
+
+def test_blocked_solve_matches_numpy(rng):
+    x = rng.standard_normal((40, 40)) + 10 * np.eye(40)
+    b = rng.standard_normal((40, 3))
+    d = da.from_array(x, chunks=10)
+    out = da.linalg.solve(d, da.from_array(b, chunks=(10, 3)))
+    np.testing.assert_allclose(np.asarray(out.compute()), np.linalg.solve(x, b), atol=1e-7)
+
+
+def test_blocked_solve_vector_rhs(rng):
+    x = rng.standard_normal((24, 24)) + 8 * np.eye(24)
+    b = rng.standard_normal((24,))
+    out = da.linalg.solve(da.from_array(x, chunks=6), da.from_array(b, chunks=6))
+    np.testing.assert_allclose(np.asarray(out.compute()), np.linalg.solve(x, b), atol=1e-7)
+
+
+def test_blocked_solve_on_mesh(rng):
+    import jax
+    from jax.sharding import Mesh
+
+    from dask_array_tpu.parallel import use_mesh
+
+    devs = np.asarray(jax.devices("cpu")[:4]).reshape(2, 2)
+    mesh = Mesh(devs, ("x", "y"))
+    x = rng.standard_normal((32, 32)) + 9 * np.eye(32)
+    b = rng.standard_normal((32, 4))
+    out = da.linalg.solve(da.from_array(x, chunks=8), da.from_array(b, chunks=(8, 2)))
+    with use_mesh(mesh):
+        np.testing.assert_allclose(np.asarray(out.compute()), np.linalg.solve(x, b), atol=1e-7)
+
+
+def test_solve_pos_definite_path(rng):
+    a = rng.standard_normal((12, 12))
+    spd = a @ a.T + 12 * np.eye(12)
+    b = rng.standard_normal((12,))
+    out = da.linalg.solve(da.from_array(spd, chunks=12), da.from_array(b, chunks=12), assume_a="pos")
+    np.testing.assert_allclose(np.asarray(out.compute()), np.linalg.solve(spd, b), atol=1e-8)
