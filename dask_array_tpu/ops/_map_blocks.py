@@ -207,6 +207,16 @@ def map_blocks(
                 norm.append((int(c),) * nb)
             else:
                 raise ValueError(f"unsupported chunks entry {c!r}")
+        # explicit chunks declare block SIZES; the block GRID is fixed by
+        # the inputs — a mismatched count would mis-key blocks downstream
+        for pos, c in enumerate(norm):
+            if pos < len(expr.chunks) and len(c) != len(expr.chunks[pos]):
+                raise ValueError(
+                    f"map_blocks chunks= declares {len(c)} blocks along axis "
+                    f"{pos} but the computation produces "
+                    f"{len(expr.chunks[pos])}; chunks= can change block "
+                    "SIZES, not the block count"
+                )
         out = new_collection(ChunksOverride(expr, tuple(norm)))
     return out
 

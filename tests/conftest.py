@@ -22,6 +22,14 @@ jax.config.update("jax_platforms", "cpu")
 import numpy as np
 import pytest
 
+# second-execution-backend lane (the reference's --scheduler=dask/frisky/both
+# discipline, conftest.py:42-63): DA_TPU_MODE=eager re-runs the whole suite
+# through the eager per-value executor instead of the compiled trace
+if os.environ.get("DA_TPU_MODE") == "eager":
+    from dask_array_tpu import config as _config
+
+    _config.set_global({"tpu.jit": False})
+
 
 @pytest.fixture
 def rng():

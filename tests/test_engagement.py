@@ -11,7 +11,14 @@ import numpy as np
 import pytest
 
 import dask_array_tpu as da
+from dask_array_tpu import config
 from dask_array_tpu._diagnostics import trace_rewrites
+
+# these tests assert COMPILED-path engagement; the DA_TPU_MODE=eager lane
+# deliberately disables that path
+pytestmark = pytest.mark.skipif(
+    not config.get("tpu.jit", True), reason="eager lane: compiled path off"
+)
 
 
 @pytest.fixture

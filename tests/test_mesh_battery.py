@@ -53,6 +53,10 @@ def _spy_trace_engaged(monkeypatch):
 
 
 def test_elemwise_reduction_on_mesh(ring8, rng, monkeypatch):
+    from dask_array_tpu import config
+
+    if not config.get("tpu.jit", True):
+        pytest.skip("eager lane: compiled path off")
     spy = _spy_trace_engaged(monkeypatch)
     x = rng.standard_normal((64, 32))
     d = da.from_array(x, chunks=(8, 32))
