@@ -397,13 +397,23 @@ def svd_compressed(a, k, iterator="power", n_power_iter=0, n_oversamples=10, see
         size=(n, comp_level), chunks=(a.chunks[1], -1)
     ).astype(_float_dtype(a.dtype))
     mat_h = a @ omega
-    for _ in range(n_power_iter):
-        if iterator == "power":
-            q, _ = tsqr(mat_h)
-            mat_h = a @ (a.T @ q)
-        else:
+    if iterator == "power":
+        # plain power iteration, ONE orthonormalization at the end
+        # (parity: compression_matrix power branch, _svd.py)
+        for _ in range(n_power_iter):
             mat_h = a @ (a.T @ mat_h)
-    q, _ = tsqr(mat_h)
+        q, _ = tsqr(mat_h)
+    elif iterator == "QR":
+        # re-orthonormalize via TSQR every half-step (stable for large
+        # n_power_iter; parity: compression_matrix QR branch)
+        q, _ = tsqr(mat_h)
+        for _ in range(n_power_iter):
+            q, _ = tsqr(a.T @ q)
+            q, _ = tsqr(a @ q)
+    else:
+        raise ValueError(
+            f"Compression matrix iterator must be 'power' or 'QR', got {iterator!r}"
+        )
     b = q.T @ a
     u_inner, s, vh = svd(b.rechunk((b.shape[0], b.chunks[1])))
     u = q @ u_inner

@@ -237,3 +237,26 @@ def test_solve_pos_definite_path(rng):
     b = rng.standard_normal((12,))
     out = da.linalg.solve(da.from_array(spd, chunks=12), da.from_array(b, chunks=12), assume_a="pos")
     np.testing.assert_allclose(np.asarray(out.compute()), np.linalg.solve(spd, b), atol=1e-8)
+
+
+@pytest.mark.parametrize("iterator,n_iter", [("power", 0), ("power", 2), ("QR", 1), ("QR", 2)])
+def test_svd_compressed_iterators(rng, iterator, n_iter):
+    # low-rank matrix: compressed SVD recovers the spectrum
+    u0 = np.linalg.qr(rng.standard_normal((120, 5)))[0]
+    v0 = np.linalg.qr(rng.standard_normal((80, 5)))[0]
+    s0 = np.array([20.0, 10.0, 5.0, 2.0, 1.0])
+    x = (u0 * s0) @ v0.T
+    d = da.from_array(x, chunks=(30, 40))
+    u, s, vh = da.linalg.svd_compressed(
+        d, k=5, iterator=iterator, n_power_iter=n_iter, seed=0
+    )
+    sv = np.asarray(s.compute())
+    np.testing.assert_allclose(sv, s0, rtol=1e-3)
+    recon = np.asarray(u.compute()) * sv @ np.asarray(vh.compute())
+    np.testing.assert_allclose(recon, x, atol=1e-4)
+
+
+def test_svd_compressed_bad_iterator(rng):
+    d = da.from_array(rng.standard_normal((20, 10)), chunks=5)
+    with pytest.raises(ValueError, match="power"):
+        da.linalg.svd_compressed(d, k=3, iterator="bogus", n_power_iter=1)
