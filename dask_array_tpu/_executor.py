@@ -190,6 +190,10 @@ def structural_key(root: ArrayExpr) -> str:
     the cached closure binds leaves positionally."""
     from dask_array_tpu.utils._tokenize import tokenize
 
+    cached = getattr(root, "_skey_memo", None)
+    if cached is not None:
+        return cached
+
     memo: dict[str, str] = {}
     leaf_ordinal: dict[str, int] = {}
 
@@ -214,7 +218,12 @@ def structural_key(root: ArrayExpr) -> str:
         memo[node._name] = tok
         return tok
 
-    return rec(root)
+    out = rec(root)
+    try:
+        root._skey_memo = out
+    except Exception:
+        pass
+    return out
 
 
 # structural keys whose programs proved untraceable: go straight to eager

@@ -17,9 +17,27 @@ from dask_array_tpu._expr import ArrayExpr
 
 
 def optimize_expr(expr: ArrayExpr, fuse: bool = True) -> ArrayExpr:
-    if not config.get("array.optimize-graph", True):
-        return expr.lower_completely()
-    return expr.optimize(fuse=fuse)
+    """Optimize with a per-expression memo.
+
+    Repeated computes of the SAME collection (steady-state dispatch) skip
+    the simplify/lower/fuse walk; the memo lives on the singleton expr (so
+    its lifetime tracks the user's collection) and keys on the config
+    EPOCH, since policy keys change optimization results.
+    """
+    opt_flag = config.get("array.optimize-graph", True)
+    key = (fuse, bool(opt_flag), config.epoch())
+    cached = getattr(expr, "_opt_memo", None)
+    if cached is not None and cached[0] == key:
+        return cached[1]
+    if not opt_flag:
+        out = expr.lower_completely()
+    else:
+        out = expr.optimize(fuse=fuse)
+    try:
+        expr._opt_memo = (key, out)
+    except Exception:
+        pass  # exotic expr with __slots__: skip the memo
+    return out
 
 
 def compute_expr(expr: ArrayExpr, optimize: bool = True):

@@ -54,6 +54,19 @@ _global: dict[str, Any] = {
 
 _local = threading.local()
 
+# bumped on every mutation: optimization caches key on this so a config
+# change (unify policy, rechunk method, ...) invalidates cached plans
+_epoch = 0
+
+
+def epoch() -> int:
+    return _epoch
+
+
+def _bump() -> None:
+    global _epoch
+    _epoch += 1
+
 
 def _overrides() -> list[dict]:
     if not hasattr(_local, "stack"):
@@ -70,6 +83,7 @@ def get(key: str, default: Any = None) -> Any:
 
 def set_global(values: dict[str, Any]) -> None:
     _global.update(values)
+    _bump()
 
 
 _MISSING = object()
@@ -96,6 +110,7 @@ class set(contextlib.AbstractContextManager):
             vals[key] = v
         self._saved = {k: _global.get(k, _MISSING) for k in vals}
         _global.update(vals)
+        _bump()
 
     def __enter__(self):
         return self
@@ -106,6 +121,7 @@ class set(contextlib.AbstractContextManager):
                 _global.pop(k, None)
             else:
                 _global[k] = old
+        _bump()
         return False
 
 
@@ -114,7 +130,9 @@ def scoped(values: dict[str, Any]):
     """Context-scoped override (thread-local)."""
     stack = _overrides()
     stack.append(dict(values))
+    _bump()
     try:
         yield
     finally:
         stack.pop()
+        _bump()

@@ -399,9 +399,17 @@ def svd_compressed(a, k, iterator="power", n_power_iter=0, n_oversamples=10, see
     mat_h = a @ omega
     if iterator == "power":
         # plain power iteration, ONE orthonormalization at the end
-        # (parity: compression_matrix power branch, _svd.py)
+        # (parity: compression_matrix power branch, _svd.py).  Each step is
+        # rescaled by its max-abs — a scalar, so the spanned subspace is
+        # untouched — because singular values grow as sigma^(2k+1) and the
+        # final CholeskyQR squares them again: without the rescale a float32
+        # panel overflows to inf/NaN for even mildly conditioned inputs.
+        from dask_array_tpu.ops.reductions import max as _max
+        from dask_array_tpu.ops.ufuncs import abs as _abs
+
         for _ in range(n_power_iter):
             mat_h = a @ (a.T @ mat_h)
+            mat_h = mat_h / _max(_abs(mat_h))
         q, _ = tsqr(mat_h)
     elif iterator == "QR":
         # re-orthonormalize via TSQR every half-step (stable for large

