@@ -87,13 +87,23 @@ class ZarrLiteArray:
     def create(cls, root, shape, dtype, chunks, zarr_format=2, fill_value=0, compressor=None, overwrite=False):
         meta_name = ".zarray" if zarr_format == 2 else "zarr.json"
         meta_path = os.path.join(root, meta_name)
-        if os.path.exists(meta_path) and not overwrite:
+        exists = os.path.exists(os.path.join(root, ".zarray")) or os.path.exists(
+            os.path.join(root, "zarr.json")
+        )
+        if exists and not overwrite:
             existing = cls.open(root)
             if existing.shape != tuple(shape) or existing.dtype != np.dtype(dtype):
                 raise ValueError(
                     f"array exists at {root!r} with different shape/dtype"
                 )
             return existing
+        if exists and overwrite:
+            # mode="w" must leave NO trace of the previous array: stale chunk
+            # files would otherwise be read back as data (or old metadata of
+            # the other format would shadow the new zarr.json/.zarray)
+            import shutil
+
+            shutil.rmtree(root)
         os.makedirs(root, exist_ok=True)
         dtype = np.dtype(dtype)
         arr = cls(root, shape, dtype, chunks, zarr_format, fill_value, compressor)
@@ -314,6 +324,12 @@ def open_array(url, mode="r", path=None, shape=None, dtype=None, chunks=None, za
     if mode == "r":
         return ZarrLiteArray.open(root)
     if mode in ("a", "w", "w-"):
+        if mode == "w-" and (
+            os.path.exists(os.path.join(root, ".zarray"))
+            or os.path.exists(os.path.join(root, "zarr.json"))
+        ):
+            # exclusive create: zarr raises ContainsArrayError here
+            raise FileExistsError(f"array already exists at {root!r} (mode='w-')")
         if shape is None:
             try:
                 return ZarrLiteArray.open(root)

@@ -72,7 +72,7 @@ class TSQR(ArrayExpr):
         return np.empty((0, 0), dtype=_float_dtype(self.array.dtype))
 
     @staticmethod
-    def _cholqr_once(a, dt, shifted=False):
+    def _cholqr_once(a, dt):
         import jax.numpy as jnp
         import jax.scipy.linalg as jsl
 
@@ -115,24 +115,29 @@ class TSQR(ArrayExpr):
                 rs.append(r)
             stacked = jnp.concatenate(rs, axis=0)
             q_inner, r_final = jnp.linalg.qr(stacked, mode="reduced")
-            n = r_final.shape[0]
             sign = jnp.sign(jnp.diagonal(r_final))
             sign = jnp.where(sign == 0, 1.0, sign).astype(dt)
             r_final = r_final * sign[:, None]
             q_inner = q_inner * sign[None, :]
             if self.which == "r":
                 return BlockView(self.chunks, dense=r_final)
+            # per-block R factors have min(rows_i, n) rows: slice q_inner at
+            # the CUMULATIVE offsets, not a fixed n stride (short tail blocks)
             blocks = {}
+            off = 0
             for i in range(nb):
-                inner = q_inner[i * n:(i + 1) * n, :]
+                rows_i = rs[i].shape[0]
+                inner = q_inner[off:off + rows_i, :]
+                off += rows_i
                 blocks[(i, 0)] = qs[i] @ inner
             return BlockView(self.chunks, blocks=blocks)
 
-        # shifted CholeskyQR3 on the whole tall matrix: the shifted first
-        # pass tolerates ill-conditioned panels (cond^2 > 1/eps), the two
-        # unshifted repeats restore Householder-level orthogonality
+        # eigenvalue-clamped CholeskyQR3 on the whole tall matrix: the
+        # clamp keeps the first pass positive-definite for ill-conditioned
+        # panels (cond^2 > 1/eps), the two repeats restore Householder-level
+        # orthogonality
         a = view.dense().astype(dt)
-        q1, r1 = self._cholqr_once(a, dt, shifted=True)
+        q1, r1 = self._cholqr_once(a, dt)
         q2, r2 = self._cholqr_once(q1, dt)
         q, r3 = self._cholqr_once(q2, dt)
         r = jnp.matmul(
@@ -268,7 +273,7 @@ class BlockedQR(ArrayExpr):
                     c = jnp.matmul(q_panels[m].T, v, precision="highest")
                     r_blocks[(m, k)] = r_blocks.get((m, k), 0) + c
                     v = v - jnp.matmul(q_panels[m], c, precision="highest")
-            qk, r1 = TSQR._cholqr_once(v, dt, shifted=True)
+            qk, r1 = TSQR._cholqr_once(v, dt)
             qk, r2 = TSQR._cholqr_once(qk, dt)
             qk, r3 = TSQR._cholqr_once(qk, dt)
             r_blocks[(k, k)] = jnp.matmul(
@@ -300,6 +305,11 @@ def qr(a, mode="reduced"):
 
     if a.ndim != 2:
         raise ValueError("qr requires a 2-D array")
+    if mode != "reduced":
+        raise NotImplementedError(
+            f"qr mode={mode!r} is not supported (only 'reduced'; parity with "
+            "the reference, linalg/_qr.py:560)"
+        )
     m_blocks, n_blocks = len(a.chunks[0]), len(a.chunks[1])
     dt = _float_dtype(a.dtype)
     m, n = a.shape
@@ -363,6 +373,18 @@ def sfqr(a, name=None):
     return q, r
 
 
+def svd_flip(u, v, u_based_decision=False):
+    """Deterministic singular-vector signs (parity: ``svd_flip``,
+    ``/root/reference/dask_array/_utils.py:187``): orient each singular pair
+    so the chosen side's component sums are non-negative."""
+    if u_based_decision:
+        signs_row = u.sum(axis=0, keepdims=True)  # (1, k)
+    else:
+        signs_row = v.sum(axis=1, keepdims=True).T  # (1, k)
+    signs = 2.0 * ((signs_row >= 0).astype(u.dtype) - 0.5)
+    return u * signs, v * signs.T
+
+
 def svd(a, coerce_signs=True):
     """SVD; tall/short inputs use the TSQR reduction (parity: ``svd``)."""
     m, n = a.shape
@@ -373,16 +395,19 @@ def svd(a, coerce_signs=True):
         u = _single(a.expr, "svd", 0, (m, k), dt, kwargs=(("full_matrices", False),))
         s = _single(a.expr, "svd", 1, (k,), dt, kwargs=(("full_matrices", False),))
         vh = _single(a.expr, "svd", 2, (k, n), dt, kwargs=(("full_matrices", False),))
-        return u, s, vh
-    if m >= n and n_blocks == 1:
-        return tsqr(a, compute_svd=True)
-    if m < n and m_blocks == 1:
+    elif m >= n and n_blocks == 1:
+        u, s, vh = tsqr(a, compute_svd=True)
+    elif m < n and m_blocks == 1:
         u_t, s, vh_t = tsqr(a.T, compute_svd=True)
-        return vh_t.T, s, u_t.T
-    raise NotImplementedError(
-        "svd of an array chunked along both axes is not supported; rechunk "
-        "so one axis has a single chunk, or use svd_compressed"
-    )
+        u, vh = vh_t.T, u_t.T
+    else:
+        raise NotImplementedError(
+            "svd of an array chunked along both axes is not supported; rechunk "
+            "so one axis has a single chunk, or use svd_compressed"
+        )
+    if coerce_signs:
+        u, vh = svd_flip(u, vh)
+    return u, s, vh
 
 
 def svd_compressed(a, k, iterator="power", n_power_iter=0, n_oversamples=10, seed=None, compute=False, coerce_signs=True):
@@ -423,9 +448,18 @@ def svd_compressed(a, k, iterator="power", n_power_iter=0, n_oversamples=10, see
             f"Compression matrix iterator must be 'power' or 'QR', got {iterator!r}"
         )
     b = q.T @ a
-    u_inner, s, vh = svd(b.rechunk((b.shape[0], b.chunks[1])))
+    if comp_level >= b.shape[1]:
+        # square-ish compressed panel: the m>=n svd path needs ONE column
+        # block (b is comp x n, small either way)
+        b = b.rechunk((b.shape[0], b.shape[1]))
+    else:
+        b = b.rechunk((b.shape[0], b.chunks[1]))
+    u_inner, s, vh = svd(b, coerce_signs=False)
     u = q @ u_inner
-    return u[:, :k], s[:k], vh[:k, :]
+    u, s, vh = u[:, :k], s[:k], vh[:k, :]
+    if coerce_signs:
+        u, vh = svd_flip(u, vh)
+    return u, s, vh
 
 
 def cholesky(a, lower=False):
@@ -654,9 +688,15 @@ def solve_triangular(a, b, lower=False, trans=0, unit_diagonal=False):
     from dask_array_tpu._collection import new_collection
 
     dt = _float_dtype(np.promote_types(a.dtype, b.dtype))
-    if trans in (1, "T", 2, "C"):
+    if trans in (1, "T"):
         return solve_triangular(
             a.T, b, lower=not lower, trans=0, unit_diagonal=unit_diagonal
+        )
+    if trans in (2, "C"):
+        from dask_array_tpu.ops.ufuncs import conj
+
+        return solve_triangular(
+            conj(a).T, b, lower=not lower, trans=0, unit_diagonal=unit_diagonal
         )
     if _blocked_tri_applicable(a, b):
         return new_collection(

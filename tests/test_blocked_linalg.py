@@ -260,3 +260,63 @@ def test_svd_compressed_bad_iterator(rng):
     d = da.from_array(rng.standard_normal((20, 10)), chunks=5)
     with pytest.raises(ValueError, match="power"):
         da.linalg.svd_compressed(d, k=3, iterator="bogus", n_power_iter=1)
+
+
+def test_solve_triangular_conjugate_trans(rng):
+    # trans='C'/2 must use the CONJUGATE transpose (review finding)
+    import scipy.linalg as sl
+
+    L = np.tril(rng.standard_normal((8, 8)) + 1j * rng.standard_normal((8, 8)))
+    L = L + 6 * np.eye(8)
+    b = rng.standard_normal((8,)) + 1j * rng.standard_normal((8,))
+    out = da.linalg.solve_triangular(
+        da.from_array(L, chunks=8), da.from_array(b, chunks=8), lower=True, trans="C"
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.compute()), sl.solve_triangular(L, b, lower=True, trans="C"), atol=1e-10
+    )
+
+
+def test_tsqr_householder_uneven_tail_block(rng):
+    # review finding: q_inner sliced at fixed n strides misaligned when the
+    # tail block has fewer than n rows
+    from dask_array_tpu import config
+
+    x = rng.standard_normal((1048, 64))
+    d = da.from_array(x, chunks=((512, 512, 24), (64,)))
+    with config.set({"tpu.qr-method": "householder"}):
+        q, r = da.linalg.tsqr(d)
+        qv, rv = np.asarray(q.compute()), np.asarray(r.compute())
+    np.testing.assert_allclose(qv @ rv, x, atol=1e-8)
+    np.testing.assert_allclose(qv.T @ qv, np.eye(64), atol=1e-8)
+
+
+def test_qr_mode_not_reduced_raises(rng):
+    d = da.from_array(rng.standard_normal((8, 4)), chunks=(4, 4))
+    with pytest.raises(NotImplementedError, match="mode"):
+        da.linalg.qr(d, mode="complete")
+
+
+def test_svd_coerce_signs_deterministic(rng):
+    # svd_flip: component sums of vh rows are non-negative, stable reruns
+    x = rng.standard_normal((64, 8))
+    d = da.from_array(x, chunks=(16, 8))
+    u1, s1, vh1 = da.linalg.svd(d)
+    v = np.asarray(vh1.compute())
+    assert (v.sum(axis=1) >= -1e-10).all()
+    u2, s2, vh2 = da.linalg.svd(da.from_array(x.copy(), chunks=(16, 8)))
+    np.testing.assert_allclose(np.asarray(vh2.compute()), v, atol=1e-9)
+    # reconstruction unaffected by the flip
+    np.testing.assert_allclose(
+        np.asarray(u1.compute()) * np.asarray(s1.compute()) @ v, x, atol=1e-8
+    )
+
+
+def test_svd_compressed_square_comp_level(rng):
+    # review finding: comp_level == n hit svd()'s 2-D-chunked guard
+    x = rng.standard_normal((512, 64))
+    d = da.from_array(x, chunks=(128, 32))  # column chunks of 32
+    u, s, vh = da.linalg.svd_compressed(d, k=60, n_oversamples=10, seed=0)
+    sv = np.asarray(s.compute())
+    ref = np.linalg.svd(x, compute_uv=False)[:60]
+    np.testing.assert_allclose(sv, ref, rtol=1e-4)

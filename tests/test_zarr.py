@@ -160,3 +160,28 @@ def test_checkpoint_resume_cycle(tmp_path, rng):
     # "restart": rebuild the pipeline from the checkpoint
     resumed = da.from_zarr(str(tmp_path / "ckpt.zarr"))
     assert_eq(resumed.sum(axis=0), (x * 2).sum(axis=0))
+
+
+def test_overwrite_wipes_previous_store(tmp_path, rng):
+    """mode='w' must leave NO trace: stale chunks or old-format metadata
+    (code-review finding: v2 .zarray shadowed a new v3 zarr.json)."""
+    url = str(tmp_path / "ow.zarr")
+    big = rng.standard_normal((12,))
+    da.to_zarr(da.from_array(big, chunks=4), url, zarr_format=2)
+    small = rng.standard_normal((6,))
+    da.to_zarr(da.from_array(small, chunks=3), url, zarr_format=3, overwrite=True)
+    back = da.from_zarr(url)
+    assert back.shape == (6,)
+    assert_eq(back, small)
+    # the old v2 metadata and stale chunk files are gone
+    assert not os.path.exists(os.path.join(url, ".zarray"))
+    assert not os.path.exists(os.path.join(url, "2"))
+
+
+def test_w_minus_exclusive_create(tmp_path, rng):
+    from dask_array_tpu.io._zarr_lite import open_array
+
+    url = str(tmp_path / "x.zarr")
+    open_array(url, mode="w-", shape=(4,), dtype="f8", chunks=(2,))
+    with pytest.raises(FileExistsError):
+        open_array(url, mode="w-", shape=(4,), dtype="f8", chunks=(2,))
