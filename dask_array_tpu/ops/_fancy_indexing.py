@@ -92,7 +92,10 @@ def take(a, indices, axis=0):
     ngroups = max(1, -(-len(idx) // mean))
     sizes = [len(g) for g in np.array_split(idx, ngroups)]
     out_axis = tuple(s for s in sizes if s) or (0,)
-    return new_collection(Take(a.expr, tuple(int(i) for i in idx), axis, out_axis))
+    # the indices stay an ndarray operand: a Python tuple of 50M boxed ints
+    # would cost GBs and re-hash on every simplify pass (tokenize content-
+    # hashes small arrays and identity-tokens big ones)
+    return new_collection(Take(a.expr, np.ascontiguousarray(idx), axis, out_axis))
 
 
 def _take_lazy(a, indices, axis):
@@ -279,6 +282,11 @@ class VIndexAccessor:
         if not isinstance(index, tuple):
             index = (index,)
         x = self._array
+        if len(index) > x.ndim:
+            raise IndexError(
+                f"too many indices for vindex: array is {x.ndim}-dimensional, "
+                f"but {len(index)} were indexed"
+            )
         if len(index) < x.ndim:
             index = index + (slice(None),) * (x.ndim - len(index))
         pattern = []
@@ -328,6 +336,17 @@ def fancy_getitem(x, index):
     for pos, i in enumerate(index):
         mask_like = (isinstance(i, (np.ndarray, Array)) and getattr(i, "dtype", None) is not None and np.dtype(i.dtype) == bool)
         if mask_like and getattr(i, "ndim", 1) == x.ndim and all(j == slice(None) for k, j in enumerate(index) if k != pos):
+            def _known_mismatch(a, b):
+                nan = lambda v: isinstance(v, float) and math.isnan(v)
+                return not nan(a) and not nan(b) and a != b
+
+            if len(i.shape) != len(x.shape) or any(
+                _known_mismatch(a, b) for a, b in zip(i.shape, x.shape)
+            ):
+                raise IndexError(
+                    f"boolean index shape {tuple(i.shape)} did not match "
+                    f"indexed array shape {tuple(x.shape)}"
+                )
             # ravel both sides first (global C order, like the reference's
             # x.ravel() path) so per-block extraction preserves element order
             from dask_array_tpu.ops._reshape import ravel

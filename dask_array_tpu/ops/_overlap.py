@@ -278,6 +278,11 @@ def map_overlap(func, *args, depth=None, boundary=None, trim=True, align_arrays=
     def coerce(xs, arg, fn):
         if not isinstance(arg, list):
             arg = [arg] * len(xs)
+        if len(arg) != len(xs):
+            raise ValueError(
+                f"got {len(arg)} entries for {len(xs)} array arguments; a "
+                "list-form depth/boundary needs one entry per array"
+            )
         return [fn(x.ndim, a) for x, a in zip(xs, arg)]
 
     depths = coerce(arrays, 0 if depth is None else depth, coerce_depth)

@@ -712,6 +712,8 @@ def nanquantile(a, q, axis=None, method="linear", keepdims=False, **kwargs):
     expr = a.expr if isinstance(a, Array) else a
     if axis is not None:
         axis = validate_axis(axis, expr.ndim)
+        if isinstance(axis, tuple):
+            raise NotImplementedError("nanquantile over multiple axes is not supported")
     return new_collection(Quantile(expr, q if np.ndim(q) == 0 else tuple(np.asarray(q).tolist()), axis, method, "nanquantile", bool(keepdims)))
 
 
@@ -908,7 +910,9 @@ def _normalize_split_every(split_every, axes):
     """Canonical ``{axis: n}`` form (parity: ``_reduction.py:715``)."""
     split_every = split_every or config.get("split_every", None) or 16
     if isinstance(split_every, dict):
-        return {k: split_every.get(k, 2) for k in axes}
+        # clamp to >= 2: a fan-in of 1 would never reduce (and the final
+        # step's 1-block groups would collide on one output key)
+        return {k: builtins.max(2, int(split_every.get(k, 2))) for k in axes}
     if isinstance(split_every, Integral):
         n = builtins.max(int(split_every ** (1 / (len(axes) or 1))), 2)
         return dict.fromkeys(axes, n)

@@ -167,3 +167,50 @@ def test_mesh_cache_key_stable():
     m3 = Mesh(devs.T, ("a", "b"))
     assert _mesh_key(m1) != _mesh_key(m3)  # device order matters
     assert _mesh_key(None) is None
+
+
+# -- second code-review round fixes -------------------------------------------
+
+
+def test_map_overlap_short_depth_list_raises(rng):
+    import dask_array_tpu as da2
+
+    a = da.from_array(rng.standard_normal((8,)), chunks=4)
+    b = da.from_array(rng.standard_normal((8,)), chunks=4)
+    with pytest.raises(ValueError, match="one entry per array"):
+        da.map_overlap(lambda x, y: x + y, a, b, depth=[1], boundary="none")
+
+
+def test_reduction_split_every_one_clamped(rng):
+    x = rng.standard_normal((12,))
+    d = da.from_array(x, chunks=2)
+    out = da.reduction(d, np.sum, np.sum, axis=0, dtype="f8", split_every={0: 1})
+    assert_eq(out, x.sum())  # a fan-in of 1 used to collapse to ONE block
+
+
+def test_vindex_too_many_indices(rng):
+    d = da.from_array(rng.standard_normal((6,)), chunks=3)
+    with pytest.raises(IndexError, match="too many"):
+        d.vindex[np.array([0, 1]), np.array([2, 3])]
+
+
+def test_nanquantile_tuple_axis_raises(rng):
+    d = da.from_array(rng.standard_normal((4, 4)), chunks=2)
+    with pytest.raises(NotImplementedError, match="multiple axes"):
+        da.nanquantile(d, 0.5, axis=(0, 1))
+
+
+def test_bool_mask_wrong_shape_raises(rng):
+    d = da.from_array(rng.standard_normal((4, 4)), chunks=2)
+    with pytest.raises(IndexError, match="did not match"):
+        d[np.ones((2, 8), dtype=bool)]
+
+
+def test_take_large_index_is_ndarray_operand(rng):
+    from dask_array_tpu.ops._fancy_indexing import Take
+
+    d = da.from_array(rng.standard_normal((100,)), chunks=20)
+    out = da.take(d, np.arange(50))
+    take_nodes = [n for n in out.expr.walk() if isinstance(n, Take)]
+    assert take_nodes and isinstance(take_nodes[0].indices, np.ndarray)
+    assert_eq(out, np.asarray(d.compute())[:50])
