@@ -15,6 +15,7 @@ blocks; irregular grids fall back to per-block dispatch.
 
 from __future__ import annotations
 
+import functools
 import math
 import warnings
 from numbers import Integral, Number
@@ -119,6 +120,9 @@ def normalize_chunks(chunks, shape=None, limit=None, dtype=None, previous_chunks
     out = []
     for i, c in enumerate(chunks):
         if isinstance(c, (tuple, list)):
+            for x in c:
+                if not (isinstance(x, float) and math.isnan(x)) and int(x) != x:
+                    raise ValueError(f"chunks can only contain integers, got {x!r}")
             out.append(tuple(int(x) if not math.isnan(x) else np.nan for x in c))
         elif isinstance(c, Number):
             if shape is None:
@@ -127,6 +131,8 @@ def normalize_chunks(chunks, shape=None, limit=None, dtype=None, previous_chunks
             if isinstance(s, float) and math.isnan(s):
                 out.append((np.nan,))
             else:
+                if int(c) != c:
+                    raise ValueError(f"chunks can only contain integers, got {c!r}")
                 c = int(c)
                 if c <= 0:
                     raise ValueError(f"Chunk sizes must be positive, got {c}")
@@ -221,8 +227,7 @@ def common_blockdim(blockdims):
     """
     if not any(blockdims):
         return ()
-    non_trivial = {b for b in blockdims if len(b) > 1 or (len(b) == 1 and b[0] != 0)}
-    non_trivial = {b for b in non_trivial if len(b) > 1}
+    non_trivial = {b for b in blockdims if len(b) > 1}
     if len(non_trivial) == 0:
         return max(blockdims, key=len)
     if len(non_trivial) == 1:
@@ -272,13 +277,22 @@ def common_blockdim(blockdims):
     return tuple(out)
 
 
-def cached_cumsum(seq, initial_zero=False):
-    """Cumulative sum of a chunks tuple (with a leading 0 if requested)."""
+@functools.lru_cache(maxsize=4096)
+def _cumsum_cached(seq, initial_zero):
     if any(isinstance(x, float) and math.isnan(x) for x in seq):
         arr = np.cumsum([0] + list(seq)) if initial_zero else np.cumsum(list(seq))
         return tuple(arr.tolist())
     it = np.cumsum([0] + list(seq)) if initial_zero else np.cumsum(list(seq))
     return tuple(int(x) for x in it)
+
+
+def cached_cumsum(seq, initial_zero=False):
+    """Cumulative sum of a chunks tuple (with a leading 0 if requested).
+
+    LRU-cached: per-block loops (block_slices over a 100x100 grid) hit the
+    same axis tuples thousands of times per trace.
+    """
+    return _cumsum_cached(tuple(seq), bool(initial_zero))
 
 
 def validate_axis(axis, ndim):

@@ -267,6 +267,11 @@ class Array:
             fn = mapping.get(getattr(ufunc, "__name__", None))
             if fn is None or len(inputs) != 1:
                 return NotImplemented
+            if kwargs.get("out") is not None:
+                # numpy's reduce contract WRITES out; we can't honor that
+                # lazily — decline so numpy raises instead of silently
+                # leaving the buffer unwritten
+                return NotImplemented
             kwargs.pop("out", None)
             kwargs.setdefault("axis", 0)  # numpy's ufunc.reduce default
             return fn(inputs[0], **kwargs)

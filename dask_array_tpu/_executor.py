@@ -279,23 +279,32 @@ def _trace_fn(root: ArrayExpr, keys: tuple, mesh, args):
     """
     import jax
 
-    skey = structural_key(root)
-    cache_key = (skey, len(keys), _mesh_key(mesh))
+    donate = config.get("tpu.donate-leaves", False)
+    cache_key = _program_key(root, keys, mesh, donate)
     if cache_key in _eager_keys:
         return None, cache_key
     compiled = _fn_cache.get(cache_key)
     if compiled is not None:
+        _fn_cache[cache_key] = _fn_cache.pop(cache_key)  # LRU touch
         return compiled, cache_key
 
     compute_fn = make_compute_fn(root, keys, mesh)
 
-    donate = config.get("tpu.donate-leaves", False)
     fn = jax.jit(compute_fn, donate_argnums=tuple(range(len(keys))) if donate else ())
     compiled = fn.lower(*args).compile()
-    if len(_fn_cache) > _FN_CACHE_LIMIT:
-        _fn_cache.clear()
+    while len(_fn_cache) >= _FN_CACHE_LIMIT:
+        # evict least-recently-used: remote compiles are seconds-to-minutes,
+        # so a full wipe would recompile every hot program
+        _fn_cache.pop(next(iter(_fn_cache)))
     _fn_cache[cache_key] = compiled
     return compiled, cache_key
+
+
+def _program_key(root, keys, mesh, donate):
+    """Executable identity: structure + leaf count + mesh + DONATION (a
+    donating executable must never serve a non-donating config, or it
+    deletes the caller's buffers)."""
+    return (structural_key(root), len(keys), _mesh_key(mesh), bool(donate))
 
 
 def _materialize_buf(b):
@@ -373,11 +382,13 @@ def execute(root: ArrayExpr, mode: str | None = None, want_view: bool = False):
 
     leaf_pairs = collect_leaves(root)
     keys = tuple(k for k, _ in leaf_pairs)
+    donate = config.get("tpu.donate-leaves", False)
+
+    if mode == "trace" and _program_key(root, keys, mesh, donate) in _eager_keys:
+        mode = "eager"  # known-untraceable: skip the wasted device_put pass
 
     if mode == "trace":
-        args = _device_put_leaves(
-            leaf_pairs, mesh, donate=config.get("tpu.donate-leaves", False)
-        )
+        args = _device_put_leaves(leaf_pairs, mesh, donate=donate)
         try:
             compiled, cache_key = _trace_fn(root, keys, mesh, args)
             if compiled is not None:
@@ -393,7 +404,9 @@ def execute(root: ArrayExpr, mode: str | None = None, want_view: bool = False):
             # (the reference's fallback-ladder discipline)
             if not _is_trace_error(e):
                 raise
-            _eager_keys.add((structural_key(root), len(keys), _mesh_key(mesh)))
+            if len(_eager_keys) > 4096:
+                _eager_keys.clear()  # bounded memo; re-proving is cheap
+            _eager_keys.add(_program_key(root, keys, mesh, donate))
             import warnings
 
             warnings.warn(

@@ -214,3 +214,75 @@ def test_take_large_index_is_ndarray_operand(rng):
     take_nodes = [n for n in out.expr.walk() if isinstance(n, Take)]
     assert take_nodes and isinstance(take_nodes[0].indices, np.ndarray)
     assert_eq(out, np.asarray(d.compute())[:50])
+
+
+# -- third review round fixes ---------------------------------------------------
+
+
+def test_ufunc_reduce_out_declined(rng):
+    d = da.from_array(rng.standard_normal((4,)), chunks=2)
+    buf = np.zeros(())
+    with pytest.raises(TypeError):
+        np.add.reduce(d, out=buf)
+
+
+def test_normalize_chunks_rejects_fractional():
+    from dask_array_tpu._chunks import normalize_chunks
+
+    with pytest.raises(ValueError, match="integers"):
+        normalize_chunks(100.5, shape=(1000,))
+    with pytest.raises(ValueError, match="integers"):
+        normalize_chunks(((2.5, 2.5),), shape=(5,))
+    assert normalize_chunks(100.0, shape=(1000,)) == ((100,) * 10,)
+
+
+def test_cached_cumsum_is_cached():
+    from dask_array_tpu._chunks import _cumsum_cached, cached_cumsum
+
+    _cumsum_cached.cache_clear()
+    cached_cumsum((5, 5, 5), initial_zero=True)
+    cached_cumsum((5, 5, 5), initial_zero=True)
+    info = _cumsum_cached.cache_info()
+    assert info.hits >= 1
+
+
+def test_executable_cache_keys_on_donation(rng):
+    from dask_array_tpu import config
+    from dask_array_tpu._executor import _program_key
+
+    x = rng.standard_normal((8,))
+    d = (da.from_array(x, chunks=4) * 2).optimize()
+    from dask_array_tpu._executor import collect_leaves
+
+    keys = tuple(k for k, _ in collect_leaves(d.expr))
+    k1 = _program_key(d.expr, keys, None, True)
+    k2 = _program_key(d.expr, keys, None, False)
+    assert k1 != k2  # a donating executable must not serve non-donating calls
+
+
+def test_eager_program_no_double_device_put(rng, monkeypatch):
+    from dask_array_tpu import config as _cfg
+
+    if not _cfg.get("tpu.jit", True):
+        pytest.skip("eager lane: no trace attempt to memoize")
+    import dask_array_tpu._executor as ex
+
+    calls = []
+    orig = ex._device_put_leaves
+
+    def spy(pairs, mesh, donate=False):
+        calls.append(1)
+        return orig(pairs, mesh, donate)
+
+    monkeypatch.setattr(ex, "_device_put_leaves", spy)
+    x = rng.standard_normal((8,))
+    d = da.from_array(x, chunks=4)
+    y = d.map_blocks(lambda b: np.asarray(b) * 2, dtype=x.dtype)  # untraceable
+    with pytest.warns(RuntimeWarning):
+        np.testing.assert_allclose(np.asarray(y.compute()), x * 2)
+    first = len(calls)
+    # second run of the same structure: known-eager, ONE leaf pass only
+    y2 = da.from_array(x + 1, chunks=4).map_blocks(lambda b: np.asarray(b) * 2, dtype=x.dtype)
+    calls.clear()
+    np.testing.assert_allclose(np.asarray(y2.compute()), (x + 1) * 2)
+    assert len(calls) <= 1
