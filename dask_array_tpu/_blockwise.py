@@ -327,14 +327,7 @@ class Elemwise(Blockwise):
     def args(self):
         return self.operands[2:]
 
-    @property
-    def array_args(self):
-        out_ind = self.out_ind
-        res = []
-        for a in self.args:
-            if isinstance(a, ArrayExpr):
-                res.append((a, tuple(out_ind[len(out_ind) - a.ndim:])))
-        return res
+    # array_args is inherited from Blockwise (it derives from arg_pairs)
 
     @property
     def arg_pairs(self):
@@ -448,16 +441,23 @@ class Elemwise(Blockwise):
         axis = shuffle_expr.axis
         out_ind = self.out_ind
         new_args = []
+        changed = False
         for a in self.args:
             if isinstance(a, ArrayExpr):
                 pos = axis - (len(out_ind) - a.ndim)
                 if pos < 0:
                     pass  # broadcast: the axis doesn't exist on this operand
                 elif len(a.chunks[pos]) == 1 and sum(a.chunks[pos]) in (0, 1):
-                    pass  # size-1 broadcast dim: shuffle is a no-op on it
+                    pass  # size-1 broadcast dim: values repeat either way
                 else:
                     a = Shuffle(a, shuffle_expr.indexer, pos)
+                    changed = True
             new_args.append(a)
+        if not changed:
+            # EVERY operand is broadcast along the shuffled axis: pushing
+            # would erase the shuffle's output length (an indexer can grow
+            # a size-1 axis); leave the Shuffle above
+            return None
         return type(self)(*self.operands[:2], *new_args)
 
     # rechunk pushdown: rechunk(op(a, b)) == op(rechunk(a), rechunk(b))

@@ -394,8 +394,9 @@ class ArrayExpr:
         return None
 
     def lower_once(self, cache):
-        if self._name in cache:
-            return cache[self._name]
+        hit = cache.get(self._name)
+        if hit is not None:
+            return hit
         expr = self
         out = expr._lower()
         if out is not None and out._name != expr._name:
@@ -453,16 +454,23 @@ class ArrayExpr:
         return ()
 
 
-# shared weak-value lowering cache keyed per-process; purged when nodes die
+# shared weak-value lowering cache; entries die with their exprs, so leaf
+# host buffers are never pinned by the cache itself, and the cache epoch
+# guards against config-sensitive lowering (unify policy) serving stale
+# lowered forms after a config change
 _LOWER_CACHE_LOCK = threading.Lock()
-_LOWER_CACHE: dict = {}
-_LOWER_CACHE_LIMIT = 4096
+_LOWER_CACHE: "weakref.WeakValueDictionary[str, ArrayExpr]" = weakref.WeakValueDictionary()
+_LOWER_CACHE_EPOCH = [None]
 
 
 def _lower_cache():
+    from dask_array_tpu import config
+
     with _LOWER_CACHE_LOCK:
-        if len(_LOWER_CACHE) > _LOWER_CACHE_LIMIT:
+        ep = config.epoch()
+        if _LOWER_CACHE_EPOCH[0] != ep:
             _LOWER_CACHE.clear()
+            _LOWER_CACHE_EPOCH[0] = ep
     return _LOWER_CACHE
 
 

@@ -45,13 +45,6 @@ class Rechunk(ArrayExpr):
             return Rechunk(self.array.array, self.target_chunks)
         return None
 
-    def _simplify_up(self, parent, dependents):
-        # default gates first (slice/rechunk/shuffle parents)
-        out = super()._simplify_up(parent, dependents)
-        if out is not None:
-            return out
-        return None
-
     def _lower(self):
         # give the child a chance to absorb the rechunk (IO leaves, creation)
         absorbed = self.array._accept_rechunk(self.target_chunks)

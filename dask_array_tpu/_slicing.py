@@ -263,7 +263,16 @@ def slice_for_ndim(index, out_ndim, arg_ndim, arg_shape):
                 out.append(0)
                 trivial = False
             else:
-                out.append(slice(None))
+                # a slice on a size-1 broadcast dim selects 0 or 1 elements;
+                # EMPTY slices must propagate (dropping them would silently
+                # restore the pre-slice shape through an all-broadcast op)
+                start, stop, step = ind.indices(1)
+                count = len(range(start, stop, step))
+                if count == 0:
+                    out.append(slice(0, 0, 1))
+                    trivial = False
+                else:
+                    out.append(slice(None))
         else:
             out.append(ind)
             if ind != slice(None):

@@ -38,14 +38,13 @@ def plan_layout(shape, chunks, mesh, allow_uneven=False):
     """
     mesh_axes = sorted(mesh.shape.items(), key=lambda kv: -kv[1])  # (name, size)
     assignment: list = [None] * len(shape)
-    used = set()
     for name, msize in mesh_axes:
         if msize == 1:
             continue
         best = None
         best_score = 0
         for ax, dim in enumerate(shape):
-            if assignment[ax] is not None or ax in used:
+            if assignment[ax] is not None:
                 continue
             if isinstance(dim, float) and math.isnan(dim):
                 continue
@@ -64,7 +63,6 @@ def plan_layout(shape, chunks, mesh, allow_uneven=False):
                 best, best_score = ax, score
         if best is not None:
             assignment[best] = name
-            used.add(best)
     return tuple(assignment)
 
 

@@ -286,3 +286,32 @@ def test_eager_program_no_double_device_put(rng, monkeypatch):
     calls.clear()
     np.testing.assert_allclose(np.asarray(y2.compute()), (x + 1) * 2)
     assert len(calls) <= 1
+
+
+def test_empty_slice_on_size1_broadcast_dim(rng):
+    # review pass 4: slice_for_ndim used to map a zero-length slice on a
+    # size-1 broadcast operand dim to slice(None), so (x + y)[:, 0:0]
+    # produced shape (3, 1) instead of (3, 0)
+    xs = rng.standard_normal((3, 1))
+    ys = rng.standard_normal((3, 4))
+    x = da.from_array(xs, chunks=(3, 1))
+    y = da.from_array(ys, chunks=(3, 2))
+    z = (x + y)[:, 0:0]
+    assert z.shape == (3, 0)
+    out = np.asarray(z.compute())
+    np.testing.assert_allclose(out, (xs + ys)[:, 0:0])
+
+
+def test_shuffle_on_all_broadcast_axis(rng):
+    # review pass 4: Elemwise._accept_shuffle returned the unmodified
+    # elemwise (dropping the shuffle) when every operand broadcast along
+    # the shuffled axis; it must decline instead so Shuffle materializes
+    xs = rng.standard_normal((3, 1))
+    ys = rng.standard_normal((3, 1))
+    x = da.from_array(xs, chunks=(3, 1))
+    y = da.from_array(ys, chunks=(3, 1))
+    z = da.shuffle(x + y, [[0], [0]], axis=1)
+    assert z.shape == (3, 2)
+    out = np.asarray(z.compute())
+    expect = (xs + ys)[:, [0, 0]]
+    np.testing.assert_allclose(out, expect)
