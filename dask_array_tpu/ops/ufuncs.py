@@ -142,8 +142,11 @@ isinf = _make("isinf")
 isnan = _make("isnan")
 isneginf = ufunc(lambda x: _jnp_mod.isneginf(x), name="isneginf", nin=1)
 isposinf = ufunc(lambda x: _jnp_mod.isposinf(x), name="isposinf", nin=1)
-signbit = _make("signbit")
-spacing = _make("spacing")
+# 64-bit bitcast ufuncs: TPU-safe formulations (see ops/_bitsafe.py)
+from dask_array_tpu.ops import _bitsafe as _bs
+
+signbit = ufunc(_bs.signbit, name="signbit")
+spacing = ufunc(_bs.spacing, name="spacing")
 real = _make("real")
 imag = _make("imag")
 angle = _make("angle")
@@ -172,9 +175,9 @@ maximum = _make("maximum")
 minimum = _make("minimum")
 fmax = _make("fmax")
 fmin = _make("fmin")
-copysign = _make("copysign")
-nextafter = _make("nextafter")
-ldexp = _make("ldexp")
+copysign = ufunc(_bs.copysign, name="copysign")
+nextafter = ufunc(_bs.nextafter, name="nextafter")
+ldexp = ufunc(_bs.ldexp, name="ldexp")
 heaviside = _make("heaviside")
 bitwise_and = _make("bitwise_and")
 bitwise_or = _make("bitwise_or")
@@ -205,8 +208,8 @@ def frexp(x):
     jnp = _jnp()
     from dask_array_tpu._blockwise import elemwise as _ew
 
-    m = _ew(lambda v: jnp.frexp(v)[0], x)
-    e = _ew(lambda v: jnp.frexp(v)[1], x)
+    m = _ew(_bs.frexp_mantissa, x)
+    e = _ew(_bs.frexp_exponent, x)
     return m, e
 
 
