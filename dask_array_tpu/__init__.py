@@ -51,6 +51,7 @@ from dask_array_tpu._diagnostics import (
     tier_report,
     explain,
     expr_table,
+    plan_table,
     trace_rewrites,
     xla_profile,
 )

@@ -53,6 +53,17 @@ def _unify_index_chunks(array_args):
     out = {}
     for label, cands in by_label.items():
         real = [(c, nb) for c, nb, is_bcast in cands if not is_bcast]
+        # numpy broadcasting contract: every non-broadcast operand sharing a
+        # label must agree on its total size (unknown/nan sizes are checked
+        # at compute time instead)
+        totals = {
+            int(sum(c)) for c, _ in real if not math.isnan(sum(c))
+        }
+        if len(totals) > 1:
+            raise ValueError(
+                "operands could not be broadcast together: axis sizes "
+                f"{sorted(totals)} differ along one dimension"
+            )
         if not real:
             out[label] = cands[0][0]
             continue
@@ -616,6 +627,7 @@ def elemwise(op, *args, dtype=None, name=None, where=True, out=None, **kwargs):
 
     exprs = [coerce(a) for a in args]
     expr = Elemwise(op, _normalize_kwargs(kwargs), *exprs)
+    expr.chunks  # validate broadcastability NOW (numpy raises at call time)
     if dtype is not None and np.dtype(dtype) != expr.dtype:
         from dask_array_tpu.ops._casting import astype_expr
 

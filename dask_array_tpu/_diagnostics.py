@@ -164,6 +164,23 @@ def explain(x, fuse: bool = True, file=None):
 
     emit(f"  compiled-program cache: {len(_fn_cache)} entries")
 
+    plan_fp = None
+    try:
+        from dask_array_tpu import native
+        from dask_array_tpu._planrec import plan_fingerprint, plan_records
+
+        rec = plan_records(fused)
+        if rec is not None:
+            blob, stable = rec
+            plan_fp = plan_fingerprint(fused)[0]
+            emit(
+                f"  plan record: {len(blob)} bytes, fingerprint {plan_fp}"
+                f" ({'process-stable' if stable else 'in-process only'},"
+                f" {'native' if native.available() else 'python'} encoder)"
+            )
+    except Exception:
+        pass
+
     text = "\n".join(out)
     print(text, file=file)
     return {
@@ -173,6 +190,7 @@ def explain(x, fuse: bool = True, file=None):
         "times_ms": {"simplify": t_simplify * 1e3, "lower": t_lower * 1e3},
         "transfer_bytes": (lo, hi),
         "rewrites": {"simplify": tr_s.counter(), "lower": tr_l.counter()},
+        "plan_fingerprint": plan_fp,
     }
 
 
@@ -290,6 +308,48 @@ def tier_report(x, file=None):
     text = "\n".join(lines)
     print(text, file=file)
     return {"counts": dict(counts), "nodes": rows, "native": native.available()}
+
+
+def plan_table(x, file=None):
+    """Decode and display the binary plan record of ``x``'s optimized plan.
+
+    The TPU analog of inspecting the reference's emitted layer records
+    (``_frisky/collect.py`` chunk groups + ``tests/test_frisky_protocol.py``
+    re-decoder): the node table exactly as the executor's structural cache
+    key sees it.  Returns the decoded dict, or None if the plan is not
+    expressible in the grammar.
+    """
+    from dask_array_tpu._collection import Array
+    from dask_array_tpu._planrec import decode_plan, plan_records
+
+    expr = x.expr if isinstance(x, Array) else x
+    expr = expr.optimize()
+    rec = plan_records(expr)
+    if rec is None:
+        print("plan not expressible in the records grammar", file=file)
+        return None
+    blob, stable = rec
+    decoded = decode_plan(blob)
+    lines = [
+        f"plan record: {len(decoded['nodes'])} nodes, {len(blob)} bytes, "
+        f"grammar v{decoded['version']}"
+        f" ({'process-stable' if stable else 'in-process only'})"
+    ]
+    for i, node in enumerate(decoded["nodes"]):
+        nblocks = tuple(len(c) for c in node["chunks"])
+        ops = []
+        for op in node["ops"]:
+            if isinstance(op, tuple) and len(op) == 2 and op[0] == "expr":
+                ops.append(f"@{op[1]}")
+            elif isinstance(op, tuple) and len(op) == 2 and op[0] == "leaf":
+                ops.append(f"leaf#{op[1]}")
+            else:
+                r = repr(op)
+                ops.append(r if len(r) <= 24 else r[:21] + "...")
+        lines.append(f"  [{i}] {node['type']} blocks={nblocks} ops=({', '.join(ops)})")
+    text = "\n".join(lines)
+    print(text, file=file)
+    return decoded
 
 
 def compiled_hlo(x, mesh=None):

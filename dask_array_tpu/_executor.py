@@ -187,12 +187,33 @@ def structural_key(root: ArrayExpr) -> str:
     operand — including scalar literals, which get baked into the trace as
     constants — stays in the key.  Leaf nodes carry their first-visit
     ORDINAL so that sharing patterns (f(A,A,B) vs f(A,B,B)) key differently:
-    the cached closure binds leaves positionally."""
+    the cached closure binds leaves positionally.
+
+    Fast path: the native plan-records fingerprint (``_planrec``) — the
+    binary plan grammar is injective over the same structure this walk
+    hashes, and is process-stable for expressible plans.  Plans the grammar
+    declines fall back to the legacy tokenize walk (prefix-disjoint keys,
+    so the two schemes can never alias each other).
+    """
     from dask_array_tpu.utils._tokenize import tokenize
 
     cached = getattr(root, "_skey_memo", None)
     if cached is not None:
         return cached
+
+    try:
+        from dask_array_tpu._planrec import plan_fingerprint
+
+        pf = plan_fingerprint(root)
+    except Exception:
+        pf = None
+    if pf is not None:
+        out = "plan:" + pf[0]
+        try:
+            root._skey_memo = out
+        except Exception:
+            pass
+        return out
 
     memo: dict[str, str] = {}
     leaf_ordinal: dict[str, int] = {}

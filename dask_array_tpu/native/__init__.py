@@ -18,7 +18,7 @@ import warnings
 import numpy as np
 
 # must match plankit_generation() in plankit.cpp
-PLANKIT_GENERATION = 4
+PLANKIT_GENERATION = 5
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_HERE, "plankit.cpp")
@@ -89,6 +89,17 @@ def _load():
     lib.coarse_axis.argtypes = [p64, i64, p64, i64, p64, i64]
     lib.stage_degree_axis.restype = i64
     lib.stage_degree_axis.argtypes = [p64, i64, p64, i64]
+    pu8 = np.ctypeslib.ndpointer(dtype=np.uint8, flags="C_CONTIGUOUS")
+    lib.plan_encode.restype = i64
+    lib.plan_encode.argtypes = [p64, i64, pu8, p64, i64, pu8, i64]
+    lib.plan_validate.restype = i64
+    lib.plan_validate.argtypes = [pu8, i64, p64]
+    lib.fingerprint128.restype = None
+    lib.fingerprint128.argtypes = [
+        pu8,
+        i64,
+        np.ctypeslib.ndpointer(dtype=np.uint64, flags="C_CONTIGUOUS"),
+    ]
     _lib = lib
     return _lib
 
@@ -209,3 +220,67 @@ def stage_degree_axis(old_chunks, new_chunks):
     o = np.asarray(old_chunks, dtype=np.int64)
     n = np.asarray(new_chunks, dtype=np.int64)
     return int(lib.stage_degree_axis(o, len(o), n, len(n)))
+
+
+def plan_encode(codes, strblob: bytes, stroffs):
+    """Encode a plan tape into the versioned binary grammar, or None.
+
+    Returns the encoded blob (bytes) or None to decline (native library
+    unavailable).  A malformed tape raises: the tape is produced by our own
+    flattener, so malformation is a bug, not an input condition.
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    codes = np.ascontiguousarray(codes, dtype=np.int64)
+    offs = np.ascontiguousarray(stroffs, dtype=np.int64)
+    blob = np.frombuffer(strblob, dtype=np.uint8) if strblob else np.empty(0, np.uint8)
+    blob = np.ascontiguousarray(blob)
+    # worst case: every tape int becomes 8 output bytes, plus string table
+    cap = 16 + 8 * len(codes) + len(blob) + 8 * len(offs)
+    out = np.empty(cap, dtype=np.uint8)
+    n = lib.plan_encode(codes, len(codes), blob, offs, len(offs) - 1, out, cap)
+    if n == -1:  # pragma: no cover - cap is a proven upper bound
+        raise RuntimeError("plan_encode capacity underestimate (bug)")
+    if n == -2:
+        raise ValueError("malformed plan tape (flattener bug)")
+    return out[:n].tobytes()
+
+
+def plan_validate(blob: bytes):
+    """Re-parse an encoded plan.  Returns an info dict, or None to decline
+    (native unavailable).  Raises ValueError on a malformed blob or an
+    unknown grammar version — never guesses (reference discipline:
+    common.rs grammar-version rejection)."""
+    lib = _load()
+    if lib is None:
+        return None
+    arr = np.frombuffer(blob, dtype=np.uint8) if blob else np.empty(0, np.uint8)
+    arr = np.ascontiguousarray(arr)
+    info = np.zeros(4, dtype=np.int64)
+    n = lib.plan_validate(arr, len(arr), info)
+    if n == -2:
+        raise ValueError(
+            f"unknown plan grammar version {blob[0] if blob else '?'} "
+            "(library/wrapper skew)"
+        )
+    if n < 0:
+        raise ValueError("malformed plan blob")
+    return {
+        "version": int(info[0]),
+        "n_strings": int(info[1]),
+        "n_nodes": int(info[2]),
+        "n_ops": int(info[3]),
+    }
+
+
+def fingerprint128(data: bytes):
+    """128-bit FNV-1a fingerprint as a 32-hex string, or None to decline."""
+    lib = _load()
+    if lib is None:
+        return None
+    arr = np.frombuffer(data, dtype=np.uint8) if data else np.empty(0, np.uint8)
+    arr = np.ascontiguousarray(arr)
+    out = np.zeros(2, dtype=np.uint64)
+    lib.fingerprint128(arr, len(arr), out)
+    return f"{int(out[0]):016x}{int(out[1]):016x}"

@@ -19,7 +19,7 @@
 extern "C" {
 
 // bumped on every ABI/semantic change; checked by the Python wrapper
-int64_t plankit_generation() { return 4; }
+int64_t plankit_generation() { return 5; }
 
 static inline int64_t ceil_div(int64_t a, int64_t b) {
     return (a + b - 1) / b;  // b > 0, a >= 0
@@ -285,6 +285,343 @@ int64_t expand_grid(
         }
     }
     return total;
+}
+
+// ===========================================================================
+// plan records: versioned binary snapshot of a lowered expression plan.
+//
+// The TPU-native analog of the reference's Rust records grammar
+// (/root/reference/crates/dask-array-python/src/common.rs:436-459,
+// RECORDS_PROTOCOL_VERSION): where the reference ships per-layer task
+// records to its scheduler, this runtime has no scheduler — the plan
+// record is the program's structural identity (the executor's compiled-
+// executable cache key) and its diagnostics snapshot.  Same discipline:
+// the blob self-describes its grammar version in the leading byte; a
+// version the decoder does not know is REJECTED (callers fall back to the
+// Python tokenize path) rather than misparsed.
+//
+// Binary grammar (little-endian):
+//   PLAN  := u8 version, u32 n_strings, STR*n, u32 n_nodes, NODE*n
+//   NODE  := u32 type_idx, u8 ndim, AXIS*ndim, u16 n_ops, OP*n
+//   AXIS  := u32 nblk, i64*nblk          (chunk sizes; -1 encodes unknown)
+//   OP    := u8 tag,
+//            0 Expr{u32 node_id}         (node_id < this node's id)
+//            1 Int{i64}
+//            2 Float{f64 bits}
+//            3 Str{u32 str_idx}
+//            4 Bool{u8}
+//            5 None{}
+//            6 Slice{u8 mask, i64 * popcount(mask&7)}   (start/stop/step)
+//            7 Tuple{u16 n, OP*n}        (nested; depth-capped)
+//            8 Dtype{u32 str_idx}
+//            9 Token{u32 str_idx}        (opaque operand, pre-tokenized)
+//           10 Leaf{u32 ordinal}         (buffer placeholder, positional)
+//           11 List{u16 n, OP*n}         (like Tuple; distinct so a list
+//                                          operand never aliases a tuple)
+//   STR   := u32 len, utf8
+//
+// The encoder consumes a flat int64 tape (built by Python, see
+// dask_array_tpu/_planrec.py) mirroring the OP structure one int per
+// field; all indices/counts/ids are bounds-checked so a malformed tape
+// declines (negative return) instead of emitting a corrupt blob.
+// ===========================================================================
+
+const unsigned char PLAN_GRAMMAR_VERSION = 1;
+
+namespace planrec {
+
+struct Writer {
+    unsigned char* out;
+    int64_t cap;
+    int64_t pos;
+    bool overflow;
+
+    void u8(uint64_t v) {
+        if (pos + 1 > cap) { overflow = true; return; }
+        out[pos++] = (unsigned char)(v & 0xff);
+    }
+    void u16(uint64_t v) {
+        if (pos + 2 > cap) { overflow = true; return; }
+        out[pos++] = (unsigned char)(v & 0xff);
+        out[pos++] = (unsigned char)((v >> 8) & 0xff);
+    }
+    void u32(uint64_t v) {
+        if (pos + 4 > cap) { overflow = true; return; }
+        for (int i = 0; i < 4; ++i) out[pos++] = (unsigned char)((v >> (8 * i)) & 0xff);
+    }
+    void i64v(int64_t v) {
+        if (pos + 8 > cap) { overflow = true; return; }
+        uint64_t u = (uint64_t)v;
+        for (int i = 0; i < 8; ++i) out[pos++] = (unsigned char)((u >> (8 * i)) & 0xff);
+    }
+    void bytes(const unsigned char* p, int64_t n) {
+        if (pos + n > cap) { overflow = true; return; }
+        for (int64_t i = 0; i < n; ++i) out[pos++] = p[i];
+    }
+};
+
+struct Reader {
+    const unsigned char* in;
+    int64_t n;
+    int64_t pos;
+    bool fail;
+
+    bool need(int64_t k) {
+        if (pos + k > n) { fail = true; return false; }
+        return true;
+    }
+    uint64_t u8() {
+        if (!need(1)) return 0;
+        return in[pos++];
+    }
+    uint64_t u16() {
+        if (!need(2)) return 0;
+        uint64_t v = in[pos] | ((uint64_t)in[pos + 1] << 8);
+        pos += 2;
+        return v;
+    }
+    uint64_t u32() {
+        if (!need(4)) return 0;
+        uint64_t v = 0;
+        for (int i = 0; i < 4; ++i) v |= (uint64_t)in[pos + i] << (8 * i);
+        pos += 4;
+        return v;
+    }
+    int64_t i64v() {
+        if (!need(8)) return 0;
+        uint64_t v = 0;
+        for (int i = 0; i < 8; ++i) v |= (uint64_t)in[pos + i] << (8 * i);
+        pos += 8;
+        return (int64_t)v;
+    }
+};
+
+struct Tape {
+    const int64_t* codes;
+    int64_t n;
+    int64_t pos;
+    bool fail;
+
+    int64_t next() {
+        if (pos >= n) { fail = true; return 0; }
+        return codes[pos++];
+    }
+};
+
+const int MAX_OP_DEPTH = 32;
+
+// encode one OP from the tape; returns false on malformed tape
+static bool encode_op(Tape& t, Writer& w, int64_t node_id, int64_t n_strings, int depth) {
+    if (depth > MAX_OP_DEPTH) return false;
+    int64_t tag = t.next();
+    if (t.fail || tag < 0 || tag > 11) return false;
+    w.u8((uint64_t)tag);
+    switch (tag) {
+        case 0: {  // Expr
+            int64_t id = t.next();
+            if (t.fail || id < 0 || id >= node_id) return false;
+            w.u32((uint64_t)id);
+            break;
+        }
+        case 1: w.i64v(t.next()); break;            // Int
+        case 2: w.i64v(t.next()); break;            // Float (f64 bits)
+        case 3: case 8: case 9: {                   // Str / Dtype / Token
+            int64_t idx = t.next();
+            if (t.fail || idx < 0 || idx >= n_strings) return false;
+            w.u32((uint64_t)idx);
+            break;
+        }
+        case 4: {                                   // Bool
+            int64_t v = t.next();
+            if (t.fail || (v != 0 && v != 1)) return false;
+            w.u8((uint64_t)v);
+            break;
+        }
+        case 5: break;                              // None
+        case 6: {                                   // Slice
+            int64_t mask = t.next();
+            if (t.fail || mask < 0 || mask > 7) return false;
+            w.u8((uint64_t)mask);
+            for (int b = 0; b < 3; ++b)
+                if (mask & (1 << b)) w.i64v(t.next());
+            break;
+        }
+        case 7: case 11: {                          // Tuple / List
+            int64_t cnt = t.next();
+            if (t.fail || cnt < 0 || cnt > 65535) return false;
+            w.u16((uint64_t)cnt);
+            for (int64_t i = 0; i < cnt; ++i)
+                if (!encode_op(t, w, node_id, n_strings, depth + 1)) return false;
+            break;
+        }
+        case 10: {                                  // Leaf
+            int64_t ord = t.next();
+            if (t.fail || ord < 0 || ord > 0xffffffffLL) return false;
+            w.u32((uint64_t)ord);
+            break;
+        }
+    }
+    return !t.fail && !w.overflow;
+}
+
+// decode (skip) one OP, validating; returns false on malformed blob
+static bool decode_op(Reader& r, int64_t n_nodes_so_far, int64_t n_strings,
+                      int64_t* op_count, int depth) {
+    if (depth > MAX_OP_DEPTH) return false;
+    uint64_t tag = r.u8();
+    if (r.fail || tag > 11) return false;
+    ++*op_count;
+    switch (tag) {
+        case 0: {
+            uint64_t id = r.u32();
+            if (r.fail || (int64_t)id >= n_nodes_so_far) return false;
+            break;
+        }
+        case 1: case 2: r.i64v(); break;
+        case 3: case 8: case 9: {
+            uint64_t idx = r.u32();
+            if (r.fail || (int64_t)idx >= n_strings) return false;
+            break;
+        }
+        case 4: {
+            uint64_t v = r.u8();
+            if (r.fail || v > 1) return false;
+            break;
+        }
+        case 5: break;
+        case 6: {
+            uint64_t mask = r.u8();
+            if (r.fail || mask > 7) return false;
+            for (int b = 0; b < 3; ++b)
+                if (mask & (1u << b)) r.i64v();
+            break;
+        }
+        case 7: case 11: {
+            uint64_t cnt = r.u16();
+            if (r.fail) return false;
+            for (uint64_t i = 0; i < cnt; ++i)
+                if (!decode_op(r, n_nodes_so_far, n_strings, op_count, depth + 1))
+                    return false;
+            break;
+        }
+        case 10: r.u32(); break;
+    }
+    return !r.fail;
+}
+
+}  // namespace planrec
+
+// Encode a plan tape into the binary grammar.  Returns the encoded byte
+// length, -1 if cap is too small, -2 on a malformed tape.
+int64_t plan_encode(
+    const int64_t* codes, int64_t n_codes,
+    const unsigned char* strblob, const int64_t* stroffs, int64_t n_strings,
+    unsigned char* out, int64_t cap)
+{
+    using namespace planrec;
+    if (n_strings < 0 || n_strings > 0xffffffffLL) return -2;
+    Writer w{out, cap, 0, false};
+    Tape t{codes, n_codes, 0, false};
+
+    w.u8(PLAN_GRAMMAR_VERSION);
+    w.u32((uint64_t)n_strings);
+    for (int64_t s = 0; s < n_strings; ++s) {
+        int64_t lo = stroffs[s], hi = stroffs[s + 1];
+        if (lo < 0 || hi < lo) return -2;
+        w.u32((uint64_t)(hi - lo));
+        w.bytes(strblob + lo, hi - lo);
+    }
+
+    int64_t n_nodes = t.next();
+    if (t.fail || n_nodes < 0 || n_nodes > 0xffffffffLL) return -2;
+    w.u32((uint64_t)n_nodes);
+    for (int64_t node = 0; node < n_nodes; ++node) {
+        int64_t type_idx = t.next();
+        if (t.fail || type_idx < 0 || type_idx >= n_strings) return -2;
+        w.u32((uint64_t)type_idx);
+        int64_t ndim = t.next();
+        if (t.fail || ndim < 0 || ndim > 255) return -2;
+        w.u8((uint64_t)ndim);
+        for (int64_t d = 0; d < ndim; ++d) {
+            int64_t nblk = t.next();
+            if (t.fail || nblk < 0 || nblk > 0xffffffffLL) return -2;
+            w.u32((uint64_t)nblk);
+            for (int64_t b = 0; b < nblk; ++b) w.i64v(t.next());
+        }
+        int64_t n_ops = t.next();
+        if (t.fail || n_ops < 0 || n_ops > 65535) return -2;
+        w.u16((uint64_t)n_ops);
+        for (int64_t i = 0; i < n_ops; ++i)
+            if (!encode_op(t, w, node, n_strings, 0))
+                return w.overflow ? -1 : -2;
+    }
+    if (t.fail || t.pos != t.n) return -2;  // trailing garbage on the tape
+    if (w.overflow) return -1;
+    return w.pos;
+}
+
+// Validate an encoded plan blob (full independent re-parse).  On success
+// returns n_nodes and fills info[0..3] = version, n_strings, n_nodes,
+// total_op_count.  Returns -1 on a malformed blob, -2 on an unknown
+// grammar version (the caller must fall back, never guess).
+int64_t plan_validate(const unsigned char* blob, int64_t n, int64_t* info)
+{
+    using namespace planrec;
+    Reader r{blob, n, 0, false};
+    uint64_t version = r.u8();
+    if (r.fail) return -1;
+    if (version != PLAN_GRAMMAR_VERSION) return -2;
+    uint64_t n_strings = r.u32();
+    if (r.fail) return -1;
+    for (uint64_t s = 0; s < n_strings; ++s) {
+        uint64_t len = r.u32();
+        if (r.fail || !r.need((int64_t)len)) return -1;
+        r.pos += (int64_t)len;
+    }
+    uint64_t n_nodes = r.u32();
+    if (r.fail) return -1;
+    int64_t total_ops = 0;
+    for (uint64_t node = 0; node < n_nodes; ++node) {
+        uint64_t type_idx = r.u32();
+        if (r.fail || type_idx >= n_strings) return -1;
+        uint64_t ndim = r.u8();
+        if (r.fail) return -1;
+        for (uint64_t d = 0; d < ndim; ++d) {
+            uint64_t nblk = r.u32();
+            if (r.fail || !r.need((int64_t)nblk * 8)) return -1;
+            r.pos += (int64_t)nblk * 8;
+        }
+        uint64_t n_ops = r.u16();
+        if (r.fail) return -1;
+        for (uint64_t i = 0; i < n_ops; ++i)
+            if (!decode_op(r, (int64_t)node, (int64_t)n_strings, &total_ops, 0))
+                return -1;
+    }
+    if (r.fail || r.pos != n) return -1;  // trailing bytes are malformed
+    if (info) {
+        info[0] = (int64_t)version;
+        info[1] = (int64_t)n_strings;
+        info[2] = (int64_t)n_nodes;
+        info[3] = total_ops;
+    }
+    return (int64_t)n_nodes;
+}
+
+// 128-bit FNV-1a over a byte buffer (fast structural fingerprint; the
+// executor's cache key hashes the blob with blake2b on the Python side —
+// this is the cheap in-process dedup/diagnostics variant).
+void fingerprint128(const unsigned char* data, int64_t n, uint64_t* out2)
+{
+    unsigned __int128 h = ((unsigned __int128)0x6c62272e07bb0142ULL << 64)
+                          | 0x62b821756295c58dULL;           // FNV-128 offset
+    const unsigned __int128 prime = ((unsigned __int128)0x1000000ULL << 64)
+                                    | 0x000000000000013bULL;  // FNV-128 prime
+    for (int64_t i = 0; i < n; ++i) {
+        h ^= data[i];
+        h *= prime;
+    }
+    out2[0] = (uint64_t)(h >> 64);
+    out2[1] = (uint64_t)h;
 }
 
 }  // extern "C"

@@ -32,9 +32,19 @@ _token_registry: dict[int, str] = {}
 _registry_lock = threading.Lock()
 _counter = itertools.count()
 
+# bumped every time an identity token is CONSULTED; lets callers (the plan
+# flattener) detect that a normalization is stable in-process only
+_identity_uses = 0
+
+
+def identity_epoch() -> int:
+    return _identity_uses
+
 
 def _identity_token(obj) -> str:
     """Stable-per-object random token (objects too big/opaque to hash)."""
+    global _identity_uses
+    _identity_uses += 1
     key = id(obj)
     with _registry_lock:
         existing = _object_tokens.get(key)
@@ -129,6 +139,13 @@ def _normalize_callable(fn) -> str:
     try:
         if isinstance(fn, np.ufunc):
             return f"ufunc:{fn.__name__}"
+        # jnp.ufunc instances (jnp.add, jnp.sin, ...) are module-level
+        # singletons but carry no __qualname__/__code__; name-keying them
+        # keeps elemwise expression tokens process-stable
+        if type(fn).__name__ == "ufunc" and getattr(fn, "__name__", None):
+            mod = type(fn).__module__ or ""
+            if mod.startswith("jax"):
+                return f"jufunc:{fn.__name__}:{getattr(fn, 'nin', '?')}"
         import functools
 
         if isinstance(fn, functools.partial):

@@ -315,3 +315,22 @@ def test_shuffle_on_all_broadcast_axis(rng):
     out = np.asarray(z.compute())
     expect = (xs + ys)[:, [0, 0]]
     np.testing.assert_allclose(out, expect)
+
+
+# -- broadcast shape mismatch must raise (found by /verify round 2) ----------
+
+
+def test_elemwise_mismatched_shapes_raise():
+    a = da.ones((512, 512), chunks=128)
+    b = da.ones((7, 7), chunks=7)
+    with pytest.raises(ValueError, match="broadcast"):
+        a + b
+    with pytest.raises(ValueError, match="broadcast"):
+        da.ones((4, 5), chunks=2) * da.ones((6,), chunks=3)
+
+
+def test_elemwise_legitimate_broadcasts_still_work():
+    assert (da.ones((5, 1), chunks=2) + da.ones((5, 7), chunks=3)).shape == (5, 7)
+    assert (da.ones((4, 6), chunks=2) + da.ones((6,), chunks=3)).shape == (4, 6)
+    out = (da.ones((3, 1), chunks=1) + da.ones((1, 4), chunks=2)).compute()
+    np.testing.assert_array_equal(np.asarray(out), np.full((3, 4), 2.0))
