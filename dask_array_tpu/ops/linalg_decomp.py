@@ -177,6 +177,62 @@ def _svd_fn(a, full_matrices=False):
     return u, s, v.T
 
 
+def _pivoted_lu(a):
+    """Partial-pivot LU of one in-core block in pure jax ops.
+
+    Portable replacement for ``jax.scipy.linalg.lu``: XLA's LuDecomposition
+    expander is F32/C64-only on TPU, so f64 (the numpy-parity default dtype)
+    would fail to compile on-chip.  Returns ``(p, l, u)`` with
+    ``a == p @ l @ u`` — the jsl.lu contract.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    n = a.shape[0]
+    dt = a.dtype
+    idx = jnp.arange(n)
+
+    def step(k, state):
+        A, perm = state
+        mag = jnp.where(idx >= k, jnp.abs(A[:, k]), -jnp.inf)
+        piv = jnp.argmax(mag)
+        # swap rows k <-> piv (in A and in the permutation record)
+        rk, rp = A[k], A[piv]
+        A = A.at[k].set(rp).at[piv].set(rk)
+        pk, pp = perm[k], perm[piv]
+        perm = perm.at[k].set(pp).at[piv].set(pk)
+        pivot = A[k, k]
+        safe = jnp.where(pivot == 0, jnp.ones((), dt), pivot)
+        factors = jnp.where(idx > k, A[:, k] / safe, jnp.zeros((), dt))
+        # eliminate columns right of k, then pack factors into column k
+        A = A - factors[:, None] * jnp.where(idx[None, :] > k, A[k][None, :], 0)
+        A = A.at[:, k].set(jnp.where(idx > k, factors, A[:, k]))
+        return A, perm
+
+    packed, perm = jax.lax.fori_loop(0, n, step, (a, idx))
+    l = jnp.tril(packed, -1) + jnp.eye(n, dtype=dt)
+    u = jnp.triu(packed)
+    # row k of LU is original row perm[k]:  a = P @ l @ u with P[perm[k], k]=1
+    p = jnp.zeros((n, n), dtype=dt).at[perm, idx].set(1)
+    return p, l, u
+
+
+def _lu_block_fn(dtype):
+    """The in-core block-LU kernel for this dtype/backend.
+
+    CPU uses LAPACK via jsl.lu; on TPU, f32/c64 use XLA's native expander
+    and everything else the portable formulation above.
+    """
+    import jax
+    import jax.scipy.linalg as jsl
+
+    if jax.default_backend() == "cpu":
+        return jsl.lu
+    if np.dtype(dtype) in (np.dtype(np.float32), np.dtype(np.complex64)):
+        return jsl.lu
+    return _pivoted_lu
+
+
 class DenseLinalg(ArrayExpr):
     """One whole-matrix linalg op inside the trace (single logical block)."""
 
@@ -207,6 +263,8 @@ class DenseLinalg(ArrayExpr):
         denses = [ctx.build(a).dense() for a in self.arrays]
         if self.fn_name == "svd":
             fn = _svd_fn
+        elif self.fn_name == "jsl.lu":
+            fn = _lu_block_fn(self.dtype)
         else:
             ns = {"jnp.linalg": jnp.linalg, "jsl": jsl, "jnp": jnp}
             mod_name, fn_name = self.fn_name.rsplit(".", 1) if "." in self.fn_name else ("jnp", self.fn_name)
@@ -506,6 +564,10 @@ class BlockedLU(ArrayExpr):
         view = ctx.build(self.array)
         dt = self.dtype
         nb = view.numblocks[0]
+        chunks0 = self.array.chunks[0]
+        if nb > _LU_MAX_BLOCKS and len(set(chunks0)) == 1:
+            # large uniform grids: O(nb) traced loop instead of O(nb^3)
+            return self._build_scan(ctx, view, dt, nb, int(chunks0[0]))
         A = {
             (i, j): view.block((i, j)).astype(dt)
             for i in range(nb)
@@ -514,8 +576,9 @@ class BlockedLU(ArrayExpr):
         P: dict = {}
         L: dict = {}
         U: dict = {}
+        lu_block = _lu_block_fn(dt)
         for k in range(nb):
-            p_k, l_kk, u_kk = jsl.lu(A[(k, k)])
+            p_k, l_kk, u_kk = lu_block(A[(k, k)])
             P[k] = p_k
             L[(k, k)] = l_kk
             U[(k, k)] = u_kk
@@ -562,8 +625,79 @@ class BlockedLU(ArrayExpr):
         return BlockView(self.chunks, blocks=blocks)
 
 
-# block grids past this edge trace O(nb^3) matmuls: fall back to the in-core
-# factorization (XLA's own blocked LU) rather than explode compile time
+    def _build_scan(self, ctx, view, dt, nb, b):
+        """Panel LU as a ``lax.fori_loop`` over block columns.
+
+        The unrolled form above traces O(nb^3) matmuls; this form traces ONE
+        step and loops it, so compile time is O(1) in the grid.  The price is
+        masked full-width panels (fixed shapes for XLA): each step solves and
+        updates width-n strips instead of the shrinking trailing submatrix,
+        ~3x the exact LU FLOPs — the MXU-friendly trade, and the panel
+        matmuls still shard over a mesh.  Same block-diagonal pivoting
+        contract as the unrolled form (reference ``linalg/_lu.py:265``).
+        """
+        import jax
+        import jax.numpy as jnp
+        import jax.scipy.linalg as jsl
+
+        n = nb * b
+        A0 = view.dense().astype(dt)
+        P0 = jnp.zeros((nb, b, b), dtype=dt)
+        rows = jnp.arange(n)
+
+        lu_block = _lu_block_fn(dt)
+
+        def step(k, state):
+            A, P = state
+            off = k * b
+            diag = jax.lax.dynamic_slice(A, (off, off), (b, b))
+            p_k, l_kk, u_kk = lu_block(diag)
+
+            # row strip: permute whole strip (retro-permutes the finished L
+            # panels on the left, preps the U panels on the right), then
+            # unit-lower solve; keep the solve only right of the diagonal
+            R = jax.lax.dynamic_slice(A, (off, 0), (b, n))
+            R = jnp.matmul(p_k.T, R, precision="highest")
+            S = jsl.solve_triangular(l_kk, R, lower=True, unit_diagonal=True)
+            right = rows[None, :] >= off + b
+            row_new = jnp.where(right, S, R)
+            A = jax.lax.dynamic_update_slice(A, row_new, (off, 0))
+
+            # column strip: right-solve against u_kk; keep below the diagonal
+            C = jax.lax.dynamic_slice(A, (0, off), (n, b))
+            T = jsl.solve_triangular(u_kk.T, C.T, lower=True).T
+            below = rows[:, None] >= off + b
+            col_new = jnp.where(below, T, C)
+            A = jax.lax.dynamic_update_slice(A, col_new, (0, off))
+
+            # packed diagonal block: strict-lower holds L, upper holds U
+            A = jax.lax.dynamic_update_slice(
+                A, jnp.tril(l_kk, -1) + u_kk, (off, off)
+            )
+
+            # rank-b trailing update; masks confine it to the trailing block
+            Lp = jnp.where(below, T, 0)
+            Up = jnp.where(right, S, 0)
+            A = A - jnp.matmul(Lp, Up, precision="highest")
+            P = P.at[k].set(p_k)
+            return A, P
+
+        A, P = jax.lax.fori_loop(0, nb, step, (A0, P0))
+
+        if self.which == "l":
+            dense = jnp.tril(A, -1) + jnp.eye(n, dtype=dt)
+        elif self.which == "u":
+            dense = jnp.triu(A)
+        else:
+            dense = jnp.zeros((n, n), dtype=dt)
+            for i in range(nb):
+                dense = jax.lax.dynamic_update_slice(dense, P[i], (i * b, i * b))
+        return BlockView(self.chunks, dense=dense)
+
+
+# block grids past this edge would trace O(nb^3) matmuls if unrolled; uniform
+# grids switch to the lax.fori_loop panel formulation (_build_scan), and
+# non-uniform ones fall back to the in-core factorization (XLA's blocked LU)
 _LU_MAX_BLOCKS = 16
 
 
@@ -574,11 +708,12 @@ def lu(a):
     dt = _float_dtype(a.dtype)
     m_chunks, n_chunks = a.chunks
     nb = len(m_chunks)
-    if (
-        nb > 1
-        and nb <= _LU_MAX_BLOCKS
-        and m_chunks == n_chunks
-    ):
+    def _blocked_ok(chunks_axis):
+        # small grids unroll exactly; large ones need the fori_loop panel
+        # formulation, which requires a uniform block size
+        return len(chunks_axis) <= _LU_MAX_BLOCKS or len(set(chunks_axis)) == 1
+
+    if nb > 1 and m_chunks == n_chunks and _blocked_ok(m_chunks):
         from dask_array_tpu._collection import new_collection
 
         return (
@@ -589,7 +724,7 @@ def lu(a):
     if nb > 1 and m_chunks != n_chunks:
         # square blocks required on the diagonal: align to the row grid
         a = a.rechunk((m_chunks, m_chunks))
-        if len(m_chunks) <= _LU_MAX_BLOCKS:
+        if _blocked_ok(m_chunks):
             return lu(a)
     p = _single(a.expr, "jsl.lu", 0, (m, m), dt)
     l = _single(a.expr, "jsl.lu", 1, (m, m), dt)

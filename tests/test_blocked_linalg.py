@@ -320,3 +320,52 @@ def test_svd_compressed_square_comp_level(rng):
     sv = np.asarray(s.compute())
     ref = np.linalg.svd(x, compute_uv=False)[:60]
     np.testing.assert_allclose(sv, ref, rtol=1e-4)
+
+
+def test_scan_lu_large_grid(rng):
+    # nb > 16 with a uniform grid: the lax.fori_loop panel formulation
+    # (O(nb) trace instead of O(nb^3)); same reconstruction contract
+    x = rng.standard_normal((100, 100))
+    d = da.from_array(x, chunks=5)  # nb = 20
+    p, l, u = da.linalg.lu(d)
+    from dask_array_tpu.ops.linalg_decomp import BlockedLU
+
+    assert isinstance(p.expr, BlockedLU)  # did NOT fall back in-core
+    _assert_lu(p, l, u, x)
+
+
+def test_scan_lu_very_large_grid(rng):
+    x = rng.standard_normal((256, 256))
+    p, l, u = da.linalg.lu(da.from_array(x, chunks=4))  # nb = 64
+    _assert_lu(p, l, u, x, atol=1e-7)
+
+
+def test_lu_large_nonuniform_grid_falls_back_incore(rng):
+    # nb > 16 and non-uniform: in-core (still correct)
+    x = rng.standard_normal((90, 90))
+    chunks = (5,) * 4 + (7,) * 10  # 14... make 18 blocks, non-uniform
+    chunks = (5,) * 8 + (10,) * 5  # 18 blocks? 40+50=90, 13 blocks
+    chunks = (4,) * 5 + (7,) * 10  # 20+70=90, 15 blocks -> unrolled ok
+    chunks = (3,) * 10 + (6,) * 10  # 30+60=90, 20 blocks non-uniform
+    d = da.from_array(x, chunks=(chunks, chunks))
+    p, l, u = da.linalg.lu(d)
+    _assert_lu(p, l, u, x)
+
+
+def test_pivoted_lu_block_matches_contract(rng):
+    import jax.numpy as jnp
+
+    from dask_array_tpu.ops.linalg_decomp import _pivoted_lu
+
+    for n in (1, 2, 9, 33):
+        a = jnp.asarray(rng.standard_normal((n, n)))
+        p, l, u = _pivoted_lu(a)
+        np.testing.assert_allclose(np.asarray(p @ l @ u), np.asarray(a), atol=1e-11)
+        L, U, P = np.asarray(l), np.asarray(u), np.asarray(p)
+        assert np.allclose(np.triu(L, 1), 0) and np.allclose(np.diag(L), 1)
+        assert np.allclose(np.tril(U, -1), 0)
+        np.testing.assert_allclose(P @ P.T, np.eye(n), atol=1e-13)
+    # complex input follows the same contract
+    a = jnp.asarray(rng.standard_normal((6, 6)) + 1j * rng.standard_normal((6, 6)))
+    p, l, u = _pivoted_lu(a)
+    np.testing.assert_allclose(np.asarray(p @ l @ u), np.asarray(a), atol=1e-11)
