@@ -50,6 +50,11 @@ _global: dict[str, Any] = {
     # intermittently crashes the axon client after RNG-bearing programs and
     # eigh is the faster TPU kernel anyway) | "jacobi" (jnp.linalg.svd)
     "tpu.svd-method": "eigh",
+    # map_overlap execution: "auto" = per-block halos (GSPMD inserts the
+    # collective-permutes); "shard" = one shard_map stencil with an explicit
+    # minimal ppermute ring per sharded halo axis (assumes the map_overlap
+    # locality contract; see ops/_overlap.ShardStencil)
+    "tpu.overlap-method": "auto",
 }
 
 _local = threading.local()

@@ -187,6 +187,189 @@ class TrimInternal(ArrayExpr):
         return BlockView(self.chunks, blocks=blocks)
 
 
+class ShardStencil(ArrayExpr):
+    """``map_overlap`` as ONE shard-level stencil with explicit collectives.
+
+    Opt-in via config ``tpu.overlap-method="shard"``.  The per-block halo
+    pipeline reads neighbor slices out of the sharded dense array and GSPMD
+    inserts a collective-permute per read — correct, but a depth-1 stencil
+    over 8 shards compiles to hundreds of small permutes.  This node instead
+    ``shard_map``s the dense array once: each shard ring-exchanges exactly
+    one lo/hi halo per sharded axis (TWO ppermutes — the minimal ICI
+    schedule, SURVEY §2.6 "halo exchange"), realizes the boundary locally on
+    the edge shards, applies ``func`` to its whole shard, and trims.
+
+    Contract: ``func`` must be local (output at a point depends only on
+    inputs within ``depth``) and size-preserving — the standard
+    ``map_overlap`` assumption (reference ``_overlap.py:1041``); block
+    boundaries inside a shard are simply never cut, so interior halo work
+    disappears entirely.
+    """
+
+    _parameters = ("array", "func", "depth", "boundary", "kwargs", "_dtype")
+
+    @functools.cached_property
+    def chunks(self):
+        return self.array.chunks
+
+    @functools.cached_property
+    def _meta(self):
+        return np.empty((0,) * self.array.ndim, dtype=self._dtype)
+
+    def transfer_bytes(self):
+        itemsize = self.dtype.itemsize
+        total = 0
+        shape = self.array.shape
+        for ax, (lo, hi) in enumerate(self.depth):
+            other = 1
+            for ax2, s in enumerate(shape):
+                if ax2 != ax:
+                    other *= s
+            total += (lo + hi) * other * itemsize
+        return (0, total)
+
+    @staticmethod
+    def _edge_fill(shard, ax, width, bd, side):
+        """Boundary halo realized from the shard's own edge (global edges)."""
+        jnp = _jnp()
+        import jax.lax as lax
+
+        size = shard.shape[ax]
+        if bd == "reflect":  # dask reflect == numpy symmetric
+            if side == "lo":
+                return jnp.flip(lax.slice_in_dim(shard, 0, width, axis=ax), axis=ax)
+            return jnp.flip(lax.slice_in_dim(shard, size - width, size, axis=ax), axis=ax)
+        if bd == "nearest":
+            if side == "lo":
+                edge = lax.slice_in_dim(shard, 0, 1, axis=ax)
+            else:
+                edge = lax.slice_in_dim(shard, size - 1, size, axis=ax)
+            return jnp.repeat(edge, width, axis=ax)
+        # constant fill value (periodic never reaches here: the ring wraps)
+        halo_shape = list(shard.shape)
+        halo_shape[ax] = width
+        return jnp.full(tuple(halo_shape), bd, dtype=shard.dtype)
+
+    def _apply_global(self, dense):
+        """Mesh-free form: pad -> func -> trim over the whole array (equal
+        to the per-block form under the locality contract)."""
+        jnp = _jnp()
+
+        out = dense
+        for ax, (lo, hi) in enumerate(self.depth):
+            if not (lo or hi):
+                continue
+            bd = self.boundary[ax]
+            pw = [(0, 0)] * out.ndim
+            pw[ax] = (lo, hi)
+            if bd in _PAD_MODE:
+                out = jnp.pad(out, pw, mode=_PAD_MODE[bd])
+            else:
+                out = jnp.pad(out, pw, mode="constant", constant_values=bd)
+        out = self.func(out, **dict(self.kwargs or ()))
+        sl = tuple(
+            slice(lo, out.shape[ax] - hi) for ax, (lo, hi) in enumerate(self.depth)
+        )
+        return out[sl].astype(self._dtype)
+
+    def _build(self, ctx):
+        import jax
+        import jax.lax as lax
+
+        jnp = _jnp()
+        view = ctx.build(self.array)
+        dense = view.dense()
+        mesh = ctx.mesh if ctx.mode == "trace" else None
+        if mesh is not None:
+            from dask_array_tpu.parallel.layout import plan_layout
+
+            spec = plan_layout(self.array.shape, self.array.chunks, mesh)
+            # a sharded halo axis needs shards at least as deep as the halo
+            for ax, name in enumerate(spec):
+                lo, hi = self.depth[ax]
+                if name is not None and (lo or hi):
+                    if self.array.shape[ax] // mesh.shape[name] < max(lo, hi):
+                        spec = None
+                        break
+        else:
+            spec = None
+        if spec is None or all(s is None for s in spec):
+            return BlockView(self.chunks, dense=self._apply_global(dense))
+
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        from dask_array_tpu.parallel.collectives import _shard_map
+
+        depth = self.depth
+        boundary = self.boundary
+        func = self.func
+        fkw = dict(self.kwargs or ())
+        out_dtype = self._dtype
+
+        def body(shard):
+            for ax, (lo, hi) in enumerate(depth):
+                if not (lo or hi):
+                    continue
+                bd = boundary[ax]
+                name = spec[ax]
+                if name is None:
+                    # full axis lives on this shard: realize the boundary
+                    pw = [(0, 0)] * shard.ndim
+                    pw[ax] = (lo, hi)
+                    if bd in _PAD_MODE:
+                        shard = jnp.pad(shard, pw, mode=_PAD_MODE[bd])
+                    else:
+                        shard = jnp.pad(shard, pw, mode="constant", constant_values=bd)
+                    continue
+                n = mesh.shape[name]
+                wrap = bd == "periodic"
+                size = shard.shape[ax]
+                parts = []
+                idx = lax.axis_index(name)
+                if lo:
+                    tail = lax.slice_in_dim(shard, size - lo, size, axis=ax)
+                    fwd = [(i, (i + 1) % n) for i in range(n if wrap else n - 1)]
+                    from_left = lax.ppermute(tail, name, fwd)
+                    if not wrap:
+                        fill = self._edge_fill(shard, ax, lo, bd, "lo")
+                        from_left = jnp.where(idx == 0, fill, from_left)
+                    parts.append(from_left)
+                parts.append(shard)
+                if hi:
+                    head = lax.slice_in_dim(shard, 0, hi, axis=ax)
+                    bwd = [(i, (i - 1) % n) for i in range(n) if wrap or i > 0]
+                    from_right = lax.ppermute(head, name, bwd)
+                    if not wrap:
+                        fill = self._edge_fill(shard, ax, hi, bd, "hi")
+                        from_right = jnp.where(idx == n - 1, fill, from_right)
+                    parts.append(from_right)
+                shard = jnp.concatenate(parts, axis=ax) if len(parts) > 1 else parts[0]
+            out = func(shard, **fkw)
+            sl = tuple(
+                slice(lo, out.shape[ax] - hi) for ax, (lo, hi) in enumerate(depth)
+            )
+            return out[sl].astype(out_dtype)
+
+        pspec = PartitionSpec(*spec)
+        fn = _shard_map()(body, mesh=mesh, in_specs=(pspec,), out_specs=pspec)
+        dense = jax.lax.with_sharding_constraint(dense, NamedSharding(mesh, pspec))
+        return BlockView(self.chunks, dense=fn(dense))
+
+
+def _shard_stencil_eligible(arrays, depths, bounds, trim, kwargs):
+    """Route map_overlap through ShardStencil?  (opt-in method="shard")"""
+    if len(arrays) != 1 or not trim:
+        return False
+    if any(k in kwargs for k in ("chunks", "new_axis", "drop_axis", "meta")):
+        return False  # shape-changing funcs keep the per-block pipeline
+    d, b = depths[0], bounds[0]
+    for ax in range(arrays[0].ndim):
+        lo, hi = d[ax]
+        if (lo or hi) and b[ax] == "none":
+            return False  # 'none' shrinks edge halos: inherently per-block
+    return True
+
+
 def _normalize(x, depth, boundary):
     depth_map = coerce_depth(x.ndim, depth)
     bd_map = coerce_boundary(x.ndim, boundary)
@@ -310,6 +493,28 @@ def map_overlap(func, *args, depth=None, boundary=None, trim=True, align_arrays=
                     "for boundary='none', however boundary for dimension "
                     f"{ax} in array argument {i} is {b[ax]}"
                 )
+
+    from dask_array_tpu import config
+
+    if config.get("tpu.overlap-method", "auto") == "shard" and _shard_stencil_eligible(
+        arrays, depths, bounds, trim, kwargs
+    ):
+        from dask_array_tpu._collection import new_collection
+        from dask_array_tpu._expr import compute_meta
+
+        a = arrays[0]
+        dep = tuple(depths[0][ax] for ax in range(a.ndim))
+        bd = tuple(bounds[0][ax] for ax in range(a.ndim))
+        dtype = kwargs.pop("dtype", None)
+        fkw = {k: v for k, v in kwargs.items() if k not in ("name", "token")}
+        if dtype is None:
+            meta = compute_meta(func, a.ndim, a.expr, **fkw)
+            dtype = getattr(meta, "dtype", a.dtype) if meta is not None else a.dtype
+        from dask_array_tpu._blockwise import _normalize_kwargs
+
+        return new_collection(
+            ShardStencil(a.expr, func, dep, bd, _normalize_kwargs(fkw), np.dtype(dtype))
+        )
 
     overlapped = [
         overlap(a, d, b, allow_rechunk=allow_rechunk)
