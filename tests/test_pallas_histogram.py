@@ -118,4 +118,90 @@ def test_xla_route_on_cpu_by_default(rng):
     if jax.default_backend() == "cpu":
         assert not use
     use, interp = use_pallas_histogram(np.dtype("f8"))
-    assert not use  # f64 is never exact in the f32 kernel
+    if jax.default_backend() == "cpu":
+        assert not use  # CPU stays on XLA
+    # f64 WEIGHTS always decline (f32 accumulation loses big sums)
+    use, interp = use_pallas_histogram(np.dtype("f4"), np.dtype("f8"))
+    assert not use
+
+
+
+# -- f64 two-float exact path (roadmap item 5) --------------------------------
+
+
+def test_kernel_f64_matches_numpy(rng):
+    from dask_array_tpu.kernels.histogram import histogram as khist
+    import jax.numpy as jnp
+
+    data = rng.standard_normal(100_000)
+    edges = np.linspace(-3, 3, 65)
+    got = np.asarray(khist(jnp.asarray(data), jnp.asarray(edges), interpret=True))
+    ref, _ = np.histogram(data, bins=edges)
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_kernel_f64_edge_exactness(rng):
+    """Values exactly ON f64 edges (and one-f64-ulp neighbors beyond f32
+    resolution) bin like numpy — the case the f32 path cannot resolve."""
+    from dask_array_tpu.kernels.histogram import histogram as khist
+    import jax.numpy as jnp
+
+    edges = np.linspace(-3, 3, 65)
+    tricky = np.concatenate(
+        [
+            edges.repeat(7),
+            edges + 1e-12,
+            edges - 1e-12,
+            np.array([np.nan, np.inf, -np.inf, edges[-1]]),
+        ]
+    )
+    got = np.asarray(khist(jnp.asarray(tricky), jnp.asarray(edges), interpret=True))
+    ref, _ = np.histogram(tricky, bins=edges)
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_kernel_f64_sub_f32_resolution():
+    from dask_array_tpu.kernels.histogram import histogram as khist
+    import jax.numpy as jnp
+
+    base = 1.0
+    vals = np.array([base + k * 2**-40 for k in range(-50, 50)])
+    edges = np.array([base - 2**-41, base + 2**-41, base + 10 * 2**-40])
+    got = np.asarray(khist(jnp.asarray(vals), jnp.asarray(edges), interpret=True))
+    ref, _ = np.histogram(vals, bins=edges)
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_kernel_f64_inf_edges():
+    from dask_array_tpu.kernels.histogram import histogram as khist
+    import jax.numpy as jnp
+
+    edges = np.array([0.0, 1.0, np.inf])
+    vals = np.array([0.5, 2.0, np.inf, np.nan, -1.0])
+    got = np.asarray(khist(jnp.asarray(vals), jnp.asarray(edges), interpret=True))
+    ref, _ = np.histogram(vals, bins=edges)
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_kernel_f64_weighted(rng):
+    from dask_array_tpu.kernels.histogram import histogram as khist
+    import jax.numpy as jnp
+
+    data = rng.standard_normal(20_000)
+    w = rng.uniform(0, 1, size=20_000).astype("f4")
+    edges = np.linspace(-3, 3, 33)
+    got = np.asarray(
+        khist(jnp.asarray(data), jnp.asarray(edges), jnp.asarray(w), interpret=True)
+    )
+    ref, _ = np.histogram(data, bins=edges, weights=w.astype("f8"))
+    np.testing.assert_allclose(got, ref, rtol=1e-3)
+
+
+def test_da_histogram_f64_routes_to_pallas(rng):
+    data = rng.standard_normal(4096)  # f64 default
+    d = da.from_array(data, chunks=1024)
+    with config.set({"tpu.histogram-kernel": "pallas"}):
+        got, edges = (np.asarray(v.compute()) for v in da.histogram(d, bins=32, range=(-3, 3)))
+    ref, redges = np.histogram(data, bins=32, range=(-3, 3))
+    np.testing.assert_array_equal(got, ref)
+    np.testing.assert_allclose(edges, redges)
