@@ -326,6 +326,75 @@ class VIndexAccessor:
         )
 
 
+def _multi_fancy(x, index):
+    """``x[idx...]`` with MULTIPLE advanced indices, numpy semantics.
+
+    numpy's advanced-indexing rules (which the reference declines — its
+    ``slicing/_basic.py`` routing suggests ``.vindex``): every non-slice
+    entry (arrays AND integer scalars) broadcasts together; the broadcast
+    dims land in place when the advanced entries are consecutive, else
+    first.  Realized as basic pre-slicing + one ``vindex`` gather + a
+    moveaxis for the placement rule.
+    """
+    from dask_array_tpu._collection import Array
+
+    adv_pos = [k for k, j in enumerate(index) if not isinstance(j, slice)]
+
+    # pre-apply the basic slices (they act on distinct axes, so the advanced
+    # index values still address the original coordinates of their own axes)
+    basic = tuple(j if isinstance(j, slice) else slice(None) for j in index)
+    y = x if all(j == slice(None) for j in basic) else x[basic]
+
+    vargs = []
+    for k, j in enumerate(index):
+        if isinstance(j, slice):
+            vargs.append(slice(None))
+        elif isinstance(j, Integral):
+            vargs.append(np.asarray(j))  # 0-d advanced index (broadcasts)
+        elif isinstance(j, Array):
+            if np.dtype(j.dtype) == bool:
+                raise NotImplementedError(
+                    "lazy boolean arrays among multiple advanced indices are "
+                    "not supported; materialize the mask first"
+                )
+            vargs.append(j)
+        else:
+            arr = np.asarray(j)
+            if arr.dtype == bool:
+                # a boolean among multiple advanced indices acts as nonzero()
+                if arr.ndim != 1:
+                    raise IndexError(
+                        "multi-dimensional boolean index among multiple "
+                        "advanced indices is not supported"
+                    )
+                if arr.shape[0] != x.shape[k]:
+                    raise IndexError(
+                        f"boolean index length {arr.shape[0]} does not match "
+                        f"axis {k} size {x.shape[k]}"
+                    )
+                arr = np.nonzero(arr)[0]
+            vargs.append(arr)
+
+    v = y.vindex[tuple(vargs)]
+
+    # placement: consecutive advanced entries put the broadcast dims IN
+    # PLACE (after the slice axes that precede them); separated ones lead
+    n_slices = sum(1 for j in index if isinstance(j, slice))
+    n_b = v.ndim - n_slices
+    consecutive = adv_pos == list(range(adv_pos[0], adv_pos[-1] + 1))
+    if consecutive and n_b:
+        lead_slices = sum(1 for j in index[: adv_pos[0]] if isinstance(j, slice))
+        if lead_slices:
+            from dask_array_tpu.ops.manipulation import moveaxis
+
+            v = moveaxis(
+                v,
+                tuple(range(n_b)),
+                tuple(range(lead_slices, lead_slices + n_b)),
+            )
+    return v
+
+
 def fancy_getitem(x, index):
     """Route a normalized index containing arrays/lists to the right expr."""
     from dask_array_tpu._collection import Array, new_collection
@@ -364,11 +433,12 @@ def fancy_getitem(x, index):
         for pos, i in enumerate(index)
         if not (isinstance(i, slice) or isinstance(i, Integral))
     ]
-    if len(fancy_pos) != 1:
-        raise NotImplementedError(
-            "indexing with multiple index arrays is only supported through "
-            ".vindex (pointwise) indexing"
-        )
+    if len(fancy_pos) > 1:
+        # numpy semantics via vindex (the reference raises here,
+        # slicing/_basic.py routing — this is a capability extension)
+        return _multi_fancy(x, index)
+    if not fancy_pos:  # pragma: no cover - routed to basic indexing upstream
+        raise NotImplementedError("fancy_getitem without index arrays")
     (pos,) = fancy_pos
     i = index[pos]
     rest = [j for k, j in enumerate(index) if k != pos]

@@ -182,3 +182,60 @@ def test_vindex_on_mesh(rng):
     out = d.vindex[i, j]
     with use_mesh(mesh):
         assert_eq(out, x[[63, 0, 32, 5], [15, 3, 8, 0]])
+
+
+# -- multiple advanced indices in __getitem__ (capability extension: the
+# -- reference raises here and suggests .vindex) ------------------------------
+
+
+class TestMultiFancyGetitem:
+    def setup_method(self):
+        self.rng = np.random.default_rng(0)
+        self.x = self.rng.standard_normal((7, 8, 9))
+        self.d = da.from_array(self.x, chunks=(3, 4, 5))
+
+    def check(self, idx):
+        ref = self.x[idx]
+        got = np.asarray(self.d[idx].compute())
+        assert got.shape == ref.shape
+        np.testing.assert_allclose(got, ref)
+
+    def test_two_arrays_consecutive(self):
+        self.check((np.array([0, 2, 5]), np.array([1, 3, 7])))
+
+    def test_arrays_separated_broadcast_leads(self):
+        self.check((np.array([0, 2]), slice(None), np.array([1, 3])))
+
+    def test_broadcasting_2d_indices(self):
+        self.check((np.array([[0, 2], [1, 3]]), np.array([[1], [5]])))
+
+    def test_array_plus_scalar_int(self):
+        self.check((np.array([0, 2, 5]), 3))
+        self.check((np.array([0, 2]), slice(None), 4))
+
+    def test_leading_slice_inplace_broadcast(self):
+        self.check((slice(1, 6), np.array([0, 2]), np.array([1, 1])))
+        self.check((slice(None), np.array([0, 2]), np.array([1, 1])))
+        self.check((slice(2, 7, 2), np.array([1, 2]), np.array([0, 0])))
+
+    def test_boolean_among_advanced(self):
+        mask = np.array([True, False, True, False, True, False, True])
+        self.check((mask, np.array([0, 1, 2, 3])))
+
+    def test_negative_indices(self):
+        self.check((np.array([-1, -7]), np.array([0, 1])))
+
+    def test_lazy_index_pair(self):
+        li = da.from_array(np.array([0, 2, 5]), chunks=2)
+        lj = da.from_array(np.array([1, 3, 7]), chunks=2)
+        ref = self.x[np.array([0, 2, 5]), np.array([1, 3, 7])]
+        got = np.asarray(self.d[li, lj].compute())
+        np.testing.assert_allclose(got, ref)
+
+    def test_out_of_bounds_raises(self):
+        with pytest.raises(IndexError):
+            self.d[np.array([0, 99]), np.array([1, 2])]
+
+    def test_mismatched_broadcast_raises(self):
+        with pytest.raises(ValueError):
+            self.d[np.array([0, 1, 2]), np.array([0, 1])]

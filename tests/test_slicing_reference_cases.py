@@ -68,10 +68,12 @@ def test_boolean_list_and_numpy_slicing(rng):
     assert_eq(d[np.asarray(mask)], x[np.asarray(mask)])
 
 
-def test_multiple_list_slicing_routes_to_vindex_error(rng):
-    d = da.from_array(rng.standard_normal((5, 5)), chunks=2)
-    with pytest.raises(NotImplementedError, match="vindex"):
-        d[[1, 2], [3, 4]]
+def test_multiple_list_slicing_is_pointwise(rng):
+    # capability extension over the reference: where it raises and suggests
+    # .vindex, multiple advanced indices follow numpy semantics directly
+    x = rng.standard_normal((5, 5))
+    d = da.from_array(x, chunks=2)
+    assert_eq(d[[1, 2], [3, 4]], x[[1, 2], [3, 4]])
 
 
 def test_uneven_chunks_slicing(rng):
