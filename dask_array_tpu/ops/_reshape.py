@@ -123,13 +123,25 @@ def reshape_rechunk(inshape, outshape, inchunks):
 
 
 class Reshape(ArrayExpr):
-    """Logical reshape; lowers to pre-rechunk + ReshapeLowered."""
+    """Logical reshape; lowers to pre-rechunk + ReshapeLowered.
+
+    When the axis products interleave (e.g. ``(4, 6) -> (6, 4)``) no block
+    mapping exists and the reference raises (``manipulation/_reshape.py``);
+    here the dense executor makes ANY reshape one XLA op, so the plan falls
+    back to no pre-rechunk + auto output chunks (capability extension).
+    """
 
     _parameters = ("array", "shape_")
 
     @functools.cached_property
     def _plan(self):
-        return reshape_rechunk(self.array.shape, self.shape_, self.array.chunks)
+        try:
+            return reshape_rechunk(self.array.shape, self.shape_, self.array.chunks)
+        except NotImplementedError:
+            from dask_array_tpu._chunks import normalize_chunks
+
+            out = normalize_chunks("auto", self.shape_, dtype=self.array.dtype)
+            return None, out
 
     @functools.cached_property
     def chunks(self):
@@ -151,7 +163,7 @@ class Reshape(ArrayExpr):
 
         in_chunks, out_chunks = self._plan
         arr = self.array
-        if in_chunks != arr.chunks:
+        if in_chunks is not None and in_chunks != arr.chunks:
             arr = Rechunk(arr, in_chunks)
         return ReshapeLowered(arr, self.shape_, out_chunks)
 

@@ -154,12 +154,15 @@ def test_reshape_minus_one(rng):
     assert_eq(d.reshape(-1, 6), x.reshape(-1, 6))
 
 
-def test_reshape_interleaved_raises_like_reference(rng):
+def test_reshape_interleaved_now_computes(rng):
     # (4, 6) -> (2, 12) interleaves axis boundaries; the reference's
-    # reshape_rechunk raises NotImplementedError here too
-    d = da.from_array(rng.standard_normal((4, 6)), chunks=2)
-    with pytest.raises(NotImplementedError):
-        d.reshape(2, 12).compute()
+    # reshape_rechunk raises NotImplementedError — here the dense executor
+    # computes it (capability extension; plan falls back to auto chunks)
+    x = rng.standard_normal((4, 6))
+    d = da.from_array(x, chunks=2)
+    np.testing.assert_allclose(
+        np.asarray(d.reshape(2, 12).compute()), x.reshape(2, 12)
+    )
 
 
 def test_reshape_roundtrip_identity(rng):
@@ -271,3 +274,35 @@ def test_rebuilt_pipeline_hits_executable_cache(rng):
     _ = y2.compute()
     # no new executable was compiled for the same program structure
     assert len(_executor._fn_cache) == len(before)
+
+
+# -- interleaved-boundary reshape: dense fallback (capability extension;
+# -- the reference raises here, manipulation/_reshape.py) ---------------------
+
+
+@pytest.mark.parametrize(
+    "inshape,outshape,chunks",
+    [
+        ((4, 6), (6, 4), (2, 3)),
+        ((6, 10), (4, 15), (3, 5)),
+        ((3, 5, 7), (7, 15), (2, 2, 3)),
+        ((12,), (2, 3, 2), (5,)),
+        ((30,), (6, 5), (7,)),
+    ],
+)
+def test_interleaved_reshape_dense_fallback(rng, inshape, outshape, chunks):
+    x = rng.standard_normal(inshape)
+    d = da.from_array(x, chunks=chunks)
+    out = d.reshape(outshape)
+    assert out.shape == outshape
+    np.testing.assert_allclose(np.asarray(out.compute()), x.reshape(outshape))
+
+
+def test_interleaved_reshape_composes(rng):
+    # downstream ops over the fallback grid still work
+    x = rng.standard_normal((4, 6))
+    d = da.from_array(x, chunks=(2, 3))
+    out = (d.reshape((6, 4)) + 1).sum(axis=0)
+    np.testing.assert_allclose(
+        np.asarray(out.compute()), (x.reshape((6, 4)) + 1).sum(axis=0)
+    )
