@@ -57,7 +57,6 @@ def _persisted_matmul():
         expr = expr.substitute(leaf, Array(leaf).persist().expr)
     return Array(expr)
 
-iters = 1 if label == "tsqr_svd_1e6x128" else (20 if label == "rechunk_relayout_8192" else 3)
 t0 = time.perf_counter(); out = BUILDERS[label]() ; t_build = time.perf_counter() - t0
 arrs = out if isinstance(out, tuple) else (out,)
 t0 = time.perf_counter(); [a.optimize() for a in arrs]; t_opt = time.perf_counter() - t0
@@ -65,11 +64,31 @@ t0 = time.perf_counter()
 devs = [a.compute_device() for a in arrs]
 _ = [np.asarray(d.ravel()[0]) for d in devs]
 t_first = time.perf_counter() - t0
-t0 = time.perf_counter()
-for _i in range(iters):
-    devs = [a.compute_device() for a in arrs]
-_ = [np.asarray(d.ravel()[0]) for d in devs]
-t_steady = (time.perf_counter() - t0) / iters
+
+# the axon tunnel's host<->device fetch RTT is latency, not device time:
+# measure it so the steady-state loop can exclude it (same method as the
+# top-level bench.py)
+def _fetch_once():
+    t0 = time.perf_counter()
+    _ = np.asarray(devs[0].ravel()[0])
+    return time.perf_counter() - t0
+
+rtt = min(_fetch_once() for _ in range(5))
+
+def _loop(iters):
+    t0 = time.perf_counter()
+    for _i in range(iters):
+        ds = [a.compute_device() for a in arrs]
+    _ = [np.asarray(d.ravel()[0]) for d in ds]
+    return (time.perf_counter() - t0 - rtt) / iters
+
+# adaptive iteration count: grow until the loop body dwarfs the one
+# excluded fetch (>=1 s of steady work), so dispatch pipelining is real
+iters = 1 if label == "tsqr_svd_1e6x128" else 5
+t_steady = _loop(iters)
+while label != "tsqr_svd_1e6x128" and t_steady * iters < 1.0 and iters < 400:
+    iters = min(400, max(iters * 4, int(1.5 / max(t_steady, 1e-4))))
+    t_steady = _loop(iters)
 extra = ""
 # roofline framing: bytes each workload must move through HBM per run
 _ROOFLINE_BYTES = {

@@ -134,9 +134,10 @@ def normalize_chunks(chunks, shape=None, limit=None, dtype=None, previous_chunks
                 if int(c) != c:
                     raise ValueError(f"chunks can only contain integers, got {c!r}")
                 c = int(c)
-                if c <= 0:
+                if c <= 0 and not (c == 0 and s == 0):
                     raise ValueError(f"Chunk sizes must be positive, got {c}")
-                out.append(blockdims_from_blockshape((s,), (c,))[0])
+                # a zero-size dimension is one empty block regardless of c
+                out.append(blockdims_from_blockshape((s,), (max(c, 1),))[0])
         else:
             raise ValueError(f"Unrecognized chunk value {c!r}")
     out = tuple(out)

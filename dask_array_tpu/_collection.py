@@ -64,6 +64,9 @@ class Array:
             raise TypeError(f"Array() takes an ArrayExpr, got {type(expr)}")
         object.__setattr__(self, "_expr", expr)
 
+    def __reduce__(self):
+        return (Array, (self._expr,))
+
     # -- expression / metadata ------------------------------------------------
 
     @property

@@ -16,6 +16,18 @@ from dask_array_tpu._slicing import Slice, is_basic_index, normalize_index
 def getitem_router(x, index):
     from dask_array_tpu._collection import Array, new_collection
 
+    if isinstance(index, str) or (
+        isinstance(index, list) and index and all(isinstance(i, str) for i in index)
+    ):
+        # reference supports structured-dtype field access
+        # (tests/test_collection.py::test_field_access); jax has no
+        # structured dtypes, so blocks cannot hold record data on device
+        raise NotImplementedError(
+            "structured-dtype field access is not supported: jax arrays "
+            "have no record dtypes. Split fields into separate arrays "
+            "before wrapping (e.g. da.from_array(x['a']))."
+        )
+
     index = normalize_index(index, x.shape)
 
     # split out newaxes (None)

@@ -135,12 +135,46 @@ def full(shape, fill_value, dtype=None, chunks="auto", name=None, meta=None):
 
 
 def _like(maker, a, dtype=None, chunks=None, shape=None, **kw):
+    import math
+
     from dask_array_tpu._collection import Array
 
+    same_shape = shape is None
     if shape is None:
         shape = a.shape
     if dtype is None:
         dtype = a.dtype
+
+    def _eq_dim(s, t):
+        both_nan = (
+            isinstance(s, float) and math.isnan(s) and isinstance(t, float) and math.isnan(t)
+        )
+        return both_nan or s == t
+
+    same_shape = same_shape or (
+        len(tuple(shape)) == len(a.shape)
+        and all(_eq_dim(s, t) for s, t in zip(shape, a.shape))
+    )
+    if (
+        isinstance(a, Array)
+        and chunks is None
+        and same_shape
+        and any(isinstance(s, float) and math.isnan(s) for s in a.shape)
+    ):
+        # unknown (nan) chunks: build per-block on the source so the grid
+        # carries over (reference: tests/test_creation.py::test_nan_zeros_ones_like)
+        fill = kw.get("fill_value")
+        if fill is None:
+            fill = 1 if maker is ones else 0
+        dt = np.dtype(dtype)
+
+        def _block_fill(b):
+            import jax.numpy as jnp
+
+            return jnp.full(b.shape, fill, dtype=dt)
+
+        return a.map_blocks(_block_fill, dtype=dt)
+
     if chunks is None:
         chunks = a.chunks if isinstance(a, Array) and shape == a.shape else "auto"
     return maker(shape, dtype=dtype, chunks=chunks, **kw)
@@ -159,15 +193,9 @@ def empty_like(a, dtype=None, chunks=None, shape=None, name=None):
 
 
 def full_like(a, fill_value, dtype=None, chunks=None, shape=None, name=None):
-    from dask_array_tpu._collection import Array
-
-    if shape is None:
-        shape = a.shape
-    if dtype is None:
+    if dtype is None and hasattr(a, "dtype"):
         dtype = a.dtype
-    if chunks is None:
-        chunks = a.chunks if isinstance(a, Array) and shape == a.shape else "auto"
-    return full(shape, fill_value, dtype=dtype, chunks=chunks)
+    return _like(full, a, dtype, chunks, shape, fill_value=fill_value)
 
 
 # ---------------------------------------------------------------------------

@@ -137,7 +137,12 @@ def average(a, axis=None, weights=None, returned=False, keepdims=False):
     return avg
 
 
-def cov(m, y=None, rowvar=1, bias=0, ddof=None):
+def cov(m, y=None, rowvar=1, bias=0, ddof=None, fweights=None, aweights=None):
+    """Weighted covariance (numpy semantics incl. fweights/aweights).
+
+    Parity: reference ``routines/_statistics.py`` ``cov`` (frequency and
+    reliability weights follow ``np.cov``'s normalization rules).
+    """
     if ddof is not None and ddof != int(ddof):
         raise ValueError("ddof must be integer")
     m = _asarray(m)
@@ -157,13 +162,47 @@ def cov(m, y=None, rowvar=1, bias=0, ddof=None):
     N = X.shape[1]
     if ddof is None:
         ddof = 1 if bias == 0 else 0
-    fact = N - ddof
-    mean_ = X.mean(axis=1, keepdims=True)
-    Xc = X - mean_
+
+    w = None
+    if fweights is not None:
+        fweights = _asarray(fweights)
+        if fweights.ndim > 1:
+            raise RuntimeError("cannot handle multidimensional fweights")
+        if fweights.shape[0] != N:
+            raise RuntimeError("incompatible numbers of samples and fweights")
+        if not np.issubdtype(fweights.dtype, np.integer):
+            raise TypeError("fweights must be integer")
+        w = fweights
+    if aweights is not None:
+        aweights = _asarray(aweights)
+        if aweights.ndim > 1:
+            raise RuntimeError("cannot handle multidimensional aweights")
+        if aweights.shape[0] != N:
+            raise RuntimeError("incompatible numbers of samples and aweights")
+        w = aweights if w is None else w * aweights
+
     from dask_array_tpu.ops.linalg import dot
     from dask_array_tpu.ops.ufuncs import conj
 
-    return dot(Xc, conj(Xc).T) / fact
+    if w is None:
+        fact = N - ddof
+        mean_ = X.mean(axis=1, keepdims=True)
+        Xc = X - mean_
+        return dot(Xc, conj(Xc).T) / fact
+
+    w = w.astype("float64")
+    v1 = w.sum()
+    # np.cov's normalization: v1 for ddof=0; v1-ddof for fweights-only;
+    # v1 - ddof*sum(w*a)/v1 when reliability weights are present
+    if ddof == 0:
+        fact = v1
+    elif aweights is None:
+        fact = v1 - ddof
+    else:
+        fact = v1 - ddof * (w * aweights).sum() / v1
+    mean_ = ((X * w).sum(axis=1, keepdims=True)) / v1
+    Xc = X - mean_
+    return dot(Xc * w, conj(Xc).T) / fact
 
 
 def corrcoef(x, y=None, rowvar=1):

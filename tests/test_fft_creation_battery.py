@@ -207,3 +207,21 @@ def test_like_family(rng):
     assert_eq(da.full_like(d, 2.5), np.full_like(x, 2.5))
     assert da.empty_like(d).shape == x.shape
     assert da.empty_like(d).dtype == x.dtype
+
+
+def test_like_family_unknown_chunks(rng):
+    # reference: tests/test_creation.py::test_nan_zeros_ones_like —
+    # *_like of a boolean-masked (nan-chunk) array builds per-block on the
+    # source so the unknown grid carries over
+    x = rng.standard_normal((8, 3))
+    d = da.from_array(x, chunks=(4, 3))
+    m = d[d[:, 0] > 0]
+    nm = x[x[:, 0] > 0]
+    for fn, npfn in ((da.zeros_like, np.zeros_like), (da.ones_like, np.ones_like)):
+        got = np.asarray(fn(m, dtype="f4").compute())
+        want = npfn(nm, dtype="f4")
+        assert got.dtype == want.dtype
+        assert np.array_equal(got, want)
+    got = np.asarray(da.full_like(m, 7).compute())
+    assert np.array_equal(got, np.full_like(nm, 7))
+    assert np.asarray(da.empty_like(m).compute()).shape == nm.shape

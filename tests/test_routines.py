@@ -119,6 +119,38 @@ def test_cov_corrcoef_average(rng):
     assert_eq(rt.ptp(d, axis=1), np.ptp(x, axis=1))
 
 
+def test_cov_fweights_aweights(rng):
+    # reference: tests/test_routines.py::test_cov_fweights/_aweights/_combined
+    x = rng.standard_normal((4, 9))
+    d = d_of(x, (2, 3))
+    fw = rng.integers(1, 5, size=9)
+    aw = rng.random(9) + 0.25
+
+    assert_eq(rt.cov(d, fweights=fw), np.cov(x, fweights=fw), rtol=1e-8)
+    assert_eq(rt.cov(d, aweights=aw), np.cov(x, aweights=aw), rtol=1e-8)
+    assert_eq(
+        rt.cov(d, fweights=fw, aweights=aw),
+        np.cov(x, fweights=fw, aweights=aw),
+        rtol=1e-8,
+    )
+    assert_eq(rt.cov(d, bias=1, fweights=fw), np.cov(x, bias=1, fweights=fw), rtol=1e-8)
+    # lazy weights work too
+    assert_eq(rt.cov(d, fweights=d_of(fw, 3)), np.cov(x, fweights=fw), rtol=1e-8)
+
+    import pytest
+
+    with pytest.raises(RuntimeError):
+        rt.cov(d, fweights=np.ones((2, 9), dtype=np.int64))
+    with pytest.raises(RuntimeError):
+        rt.cov(d, fweights=np.ones(2, dtype=np.int64))
+    with pytest.raises(RuntimeError):
+        rt.cov(d, aweights=np.ones((2, 9)))
+    with pytest.raises(RuntimeError):
+        rt.cov(d, aweights=np.ones(2))
+    with pytest.raises(TypeError):
+        rt.cov(d, fweights=np.ones(9))  # non-integer fweights
+
+
 def test_select_choose_compress(rng):
     x = rng.standard_normal((6, 6))
     d = d_of(x, 3)
