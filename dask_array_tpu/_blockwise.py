@@ -83,6 +83,16 @@ from dask_array_tpu.utils._tokenize import tokenize
 _NHEAD = 8  # number of fixed leading operands before the (arg, ind) pairs
 
 
+def _shim_host_operand(a):
+    """Convert host datetime64/timedelta64 operands to their int64 tick view
+    (datetime shim): jax cannot promote M8/m8 values."""
+    if isinstance(a, np.ndarray) and a.dtype.kind in "Mm":
+        return a.view("i8")
+    if isinstance(a, (np.datetime64, np.timedelta64)):
+        return a.view("i8")
+    return a
+
+
 class Blockwise(ArrayExpr):
     """Apply ``func`` block-wise following an index pattern.
 
@@ -304,7 +314,7 @@ class Blockwise(ArrayExpr):
             args = []
             for arr, ind in self.arg_pairs:
                 if ind is None or not isinstance(arr, ArrayExpr):
-                    args.append(arr)
+                    args.append(_shim_host_operand(arr))
                 else:
                     args.append(self._arg_block(ctx, views[arr._name], ind, out_coord, coord_of))
             out = self._call(args, kwargs, out_coord)
@@ -314,7 +324,11 @@ class Blockwise(ArrayExpr):
                 except Exception:
                     want = None
                 if want is not None and out.dtype != want:
-                    out = out.astype(want)
+                    from dask_array_tpu._chunks import device_dtype
+
+                    want = device_dtype(want)
+                    if out.dtype != want:
+                        out = out.astype(want)
             blocks[tuple(out_coord)] = out
         return BlockView(self.chunks, blocks=blocks)
 
@@ -418,14 +432,18 @@ class Elemwise(Blockwise):
         # dense path: XLA broadcasts and fuses
         if not has_unknown_chunks(self.chunks):
             args = [
-                ctx.build(a).dense() if isinstance(a, ArrayExpr) else a
+                ctx.build(a).dense() if isinstance(a, ArrayExpr) else _shim_host_operand(a)
                 for a in self.args
             ]
             dense = self.func(*args, **self._kwargs_dict)
             # numpy dtype-rule parity: jax may promote differently (e.g.
             # int32+float32); the declared meta dtype wins
             if hasattr(dense, "dtype") and dense.dtype != self.dtype:
-                dense = dense.astype(self.dtype)
+                from dask_array_tpu._chunks import device_dtype
+
+                want = device_dtype(self.dtype)
+                if dense.dtype != want:
+                    dense = dense.astype(want)
             return BlockView(self.chunks, dense=dense)
         return super()._build(ctx)
 

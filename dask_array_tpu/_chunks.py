@@ -52,6 +52,16 @@ def parse_bytes(s) -> int:
     return int(float(s))
 
 
+def device_dtype(dt):
+    """The dtype blocks carry ON DEVICE for a logical numpy dtype.
+
+    jax has no datetime64/timedelta64; those ship as int64 tick views (the
+    datetime shim — see _executor._materialize_buf / _materialize.compute_to_numpy).
+    """
+    dt = np.dtype(dt)
+    return np.dtype("i8") if dt.kind in "Mm" else dt
+
+
 def is_integer(x) -> bool:
     return isinstance(x, Integral) or (isinstance(x, float) and x.is_integer())
 

@@ -25,10 +25,40 @@ def new_collection(expr: ArrayExpr) -> "Array":
     return Array(expr)
 
 
+def handle_out(out, result: "Array") -> "Array":
+    """numpy-style ``out=`` for lazy results (reference ``handle_out``,
+    ``_collection.py``): ``out`` must be an ``Array``; its expression is
+    replaced in place with the (dtype-cast) result's."""
+    if isinstance(out, tuple):
+        if len(out) == 1:
+            out = out[0]
+        elif len(out) > 1:
+            raise NotImplementedError("The out parameter is not fully supported")
+        else:
+            out = None
+    if out is None:
+        return result
+    if not isinstance(out, Array):
+        raise NotImplementedError(
+            f"The out parameter is not fully supported. Received type "
+            f"{type(out).__name__}, expected dask Array"
+        )
+    if out.shape != result.shape:
+        raise ValueError(
+            "Mismatched shapes between result and out parameter. "
+            f"out={out.shape}, result={result.shape}"
+        )
+    if out.dtype != result.dtype:
+        result = result.astype(out.dtype)
+    out._replace_expr(result.expr)
+    return out
+
+
 class Persisted(ArrayExpr):
     """A computed on-device buffer pinned to the original collection name."""
 
-    _parameters = ("buffer", "chunks_", "pinned_name")
+    _parameters = ("buffer", "chunks_", "pinned_name", "dtype_")
+    _defaults = {"dtype_": None}
 
     _fusable_leaf = True
 
@@ -42,13 +72,16 @@ class Persisted(ArrayExpr):
 
     @functools.cached_property
     def _meta(self):
-        return np.empty((0,) * len(self.chunks_), dtype=np.dtype(self.buffer.dtype))
+        # dtype_ carries the logical dtype when it differs from the device
+        # buffer's (datetime shim: M8/m8 buffers live on device as int64)
+        dt = np.dtype(self.dtype_) if self.dtype_ is not None else np.dtype(self.buffer.dtype)
+        return np.empty((0,) * len(self.chunks_), dtype=dt)
 
     def _leaf_buffers(self):
         yield (f"persist-{self.pinned_name}", self.buffer)
 
     def _structural_operands(self):
-        return [("buf", np.dtype(self.buffer.dtype).str), self.chunks_]
+        return [("buf", np.dtype(self.buffer.dtype).str, self._meta.dtype.str), self.chunks_]
 
     def _build(self, ctx):
         from dask_array_tpu._executor import BlockView
@@ -227,7 +260,9 @@ class Array:
             )
         else:
             chunks = self.chunks
-        return new_collection(Persisted(buf, chunks, self.name))
+        dt = self.dtype
+        logical = dt if np.dtype(getattr(buf, "dtype", dt)) != np.dtype(dt) else None
+        return new_collection(Persisted(buf, chunks, self.name, logical))
 
     def visualize(self, *args, **kwargs):
         from dask_array_tpu._diagnostics import expr_table
@@ -719,72 +754,72 @@ class Array:
 
     # -- reductions -------------------------------------------------------------------
 
-    def sum(self, axis=None, dtype=None, keepdims=False, split_every=None):
+    def sum(self, axis=None, dtype=None, keepdims=False, split_every=None, out=None):
         from dask_array_tpu.ops.reductions import sum as _sum
 
-        return _sum(self, axis=axis, dtype=dtype, keepdims=keepdims, split_every=split_every)
+        return _sum(self, axis=axis, dtype=dtype, keepdims=keepdims, split_every=split_every, out=out)
 
-    def prod(self, axis=None, dtype=None, keepdims=False, split_every=None):
+    def prod(self, axis=None, dtype=None, keepdims=False, split_every=None, out=None):
         from dask_array_tpu.ops.reductions import prod as _prod
 
-        return _prod(self, axis=axis, dtype=dtype, keepdims=keepdims, split_every=split_every)
+        return _prod(self, axis=axis, dtype=dtype, keepdims=keepdims, split_every=split_every, out=out)
 
-    def mean(self, axis=None, dtype=None, keepdims=False, split_every=None):
+    def mean(self, axis=None, dtype=None, keepdims=False, split_every=None, out=None):
         from dask_array_tpu.ops.reductions import mean as _mean
 
-        return _mean(self, axis=axis, dtype=dtype, keepdims=keepdims, split_every=split_every)
+        return _mean(self, axis=axis, dtype=dtype, keepdims=keepdims, split_every=split_every, out=out)
 
-    def std(self, axis=None, dtype=None, keepdims=False, ddof=0, split_every=None):
+    def std(self, axis=None, dtype=None, keepdims=False, ddof=0, split_every=None, out=None):
         from dask_array_tpu.ops.reductions import std as _std
 
-        return _std(self, axis=axis, dtype=dtype, keepdims=keepdims, ddof=ddof, split_every=split_every)
+        return _std(self, axis=axis, dtype=dtype, keepdims=keepdims, ddof=ddof, split_every=split_every, out=out)
 
-    def var(self, axis=None, dtype=None, keepdims=False, ddof=0, split_every=None):
+    def var(self, axis=None, dtype=None, keepdims=False, ddof=0, split_every=None, out=None):
         from dask_array_tpu.ops.reductions import var as _var
 
-        return _var(self, axis=axis, dtype=dtype, keepdims=keepdims, ddof=ddof, split_every=split_every)
+        return _var(self, axis=axis, dtype=dtype, keepdims=keepdims, ddof=ddof, split_every=split_every, out=out)
 
-    def min(self, axis=None, keepdims=False, split_every=None):
+    def min(self, axis=None, keepdims=False, split_every=None, out=None):
         from dask_array_tpu.ops.reductions import min as _min
 
-        return _min(self, axis=axis, keepdims=keepdims, split_every=split_every)
+        return _min(self, axis=axis, keepdims=keepdims, split_every=split_every, out=out)
 
-    def max(self, axis=None, keepdims=False, split_every=None):
+    def max(self, axis=None, keepdims=False, split_every=None, out=None):
         from dask_array_tpu.ops.reductions import max as _max
 
-        return _max(self, axis=axis, keepdims=keepdims, split_every=split_every)
+        return _max(self, axis=axis, keepdims=keepdims, split_every=split_every, out=out)
 
-    def any(self, axis=None, keepdims=False, split_every=None):
+    def any(self, axis=None, keepdims=False, split_every=None, out=None):
         from dask_array_tpu.ops.reductions import any as _any
 
-        return _any(self, axis=axis, keepdims=keepdims, split_every=split_every)
+        return _any(self, axis=axis, keepdims=keepdims, split_every=split_every, out=out)
 
-    def all(self, axis=None, keepdims=False, split_every=None):
+    def all(self, axis=None, keepdims=False, split_every=None, out=None):
         from dask_array_tpu.ops.reductions import all as _all
 
-        return _all(self, axis=axis, keepdims=keepdims, split_every=split_every)
+        return _all(self, axis=axis, keepdims=keepdims, split_every=split_every, out=out)
 
-    def argmin(self, axis=None, keepdims=False, split_every=None):
+    def argmin(self, axis=None, keepdims=False, split_every=None, out=None):
         from dask_array_tpu.ops.reductions import argmin as _argmin
 
-        return _argmin(self, axis=axis, keepdims=keepdims, split_every=split_every)
+        return _argmin(self, axis=axis, keepdims=keepdims, split_every=split_every, out=out)
 
-    def argmax(self, axis=None, keepdims=False, split_every=None):
+    def argmax(self, axis=None, keepdims=False, split_every=None, out=None):
         from dask_array_tpu.ops.reductions import argmax as _argmax
 
-        return _argmax(self, axis=axis, keepdims=keepdims, split_every=split_every)
+        return _argmax(self, axis=axis, keepdims=keepdims, split_every=split_every, out=out)
 
-    def cumsum(self, axis=None, dtype=None, method="sequential"):
+    def cumsum(self, axis=None, dtype=None, method="sequential", out=None):
         from dask_array_tpu.ops.reductions import cumsum as _cumsum
 
-        return _cumsum(self, axis=axis, dtype=dtype, method=method)
+        return _cumsum(self, axis=axis, dtype=dtype, method=method, out=out)
 
-    def cumprod(self, axis=None, dtype=None, method="sequential"):
+    def cumprod(self, axis=None, dtype=None, method="sequential", out=None):
         from dask_array_tpu.ops.reductions import cumprod as _cumprod
 
-        return _cumprod(self, axis=axis, dtype=dtype, method=method)
+        return _cumprod(self, axis=axis, dtype=dtype, method=method, out=out)
 
-    def moment(self, order, axis=None, dtype=None, keepdims=False, ddof=0, split_every=None):
+    def moment(self, order, axis=None, dtype=None, keepdims=False, ddof=0, split_every=None, out=None):
         from dask_array_tpu.ops.reductions import moment as _moment
 
-        return _moment(self, order, axis=axis, dtype=dtype, keepdims=keepdims, ddof=ddof, split_every=split_every)
+        return _moment(self, order, axis=axis, dtype=dtype, keepdims=keepdims, ddof=ddof, split_every=split_every, out=out)

@@ -330,13 +330,20 @@ def _program_key(root, keys, mesh, donate):
 
 def _materialize_buf(b):
     """Host-side IO leaves (from_map) produce their block on first use;
-    array-likes (h5py datasets, memmaps, duck arrays) coerce to numpy."""
+    array-likes (h5py datasets, memmaps, duck arrays) coerce to numpy.
+
+    datetime64/timedelta64 ship as their int64 tick view (jax has no
+    datetime dtypes); the logical dtype lives in expression metadata and
+    is restored at ``compute_to_numpy`` (the "datetime shim")."""
     if hasattr(b, "materialize"):
-        return b.materialize()
-    if isinstance(b, np.ndarray) or hasattr(b, "devices"):
+        b = b.materialize()
+    if isinstance(b, np.ndarray):
+        return b.view("i8") if b.dtype.kind in "Mm" else b
+    if hasattr(b, "devices"):
         return b
     if hasattr(b, "__array__") or hasattr(b, "dtype"):
-        return np.asarray(b)
+        b = np.asarray(b)
+        return b.view("i8") if b.dtype.kind in "Mm" else b
     return b
 
 

@@ -15,6 +15,7 @@ buffers, sharded on a ``jax.sharding.Mesh`` when one is active.
 
 from __future__ import annotations
 
+import builtins
 import functools
 import math
 import threading
@@ -636,19 +637,32 @@ def compute_meta(func, out_ndim, *args, **kwargs):
             return meta_from_array(out, ndim=nd)
         except Exception:
             pass
-    try:
-        out = jax.eval_shape(lambda *xs: func(*xs, **kwargs), *sds)
-        if isinstance(out, (tuple, list)):
-            return tuple(np.empty((0,) * len(o.shape), dtype=o.dtype) for o in out)
-        return np.empty((0,) * (out_ndim if out_ndim is not None else len(out.shape)), dtype=out.dtype)
-    except Exception:
-        pass
-    try:
+    def _host_call():
         with np.errstate(all="ignore"):
             out = func(*metas, **kwargs)
         if isinstance(out, (tuple, list)):
             return tuple(meta_from_array(o) for o in out)
         nd = out_ndim if out_ndim is not None else getattr(out, "ndim", 0)
         return meta_from_array(out, ndim=nd)
-    except Exception:
-        return None
+
+    def _eval_shape():
+        out = jax.eval_shape(lambda *xs: func(*xs, **kwargs), *sds)
+        if isinstance(out, (tuple, list)):
+            return tuple(np.empty((0,) * len(o.shape), dtype=o.dtype) for o in out)
+        return np.empty((0,) * (out_ndim if out_ndim is not None else len(out.shape)), dtype=out.dtype)
+
+    # datetime64/timedelta64 inputs: the device path runs on int64 tick
+    # views (datetime shim), so only the host numpy call shows the logical
+    # dtype — try it first.  Otherwise prefer abstract eval_shape (no
+    # concrete dispatch at graph-build time).
+    host_first = builtins.any(
+        isinstance(m, np.ndarray) and m.dtype.kind in "Mm" for m in metas
+    ) or builtins.any(
+        isinstance(m, (np.datetime64, np.timedelta64)) for m in metas
+    )
+    for attempt in ((_host_call, _eval_shape) if host_first else (_eval_shape, _host_call)):
+        try:
+            return attempt()
+        except Exception:
+            pass
+    return None

@@ -49,6 +49,11 @@ def compute_expr(expr: ArrayExpr, optimize: bool = True):
 def compute_to_numpy(expr: ArrayExpr):
     out = compute_expr(expr)
     arr = np.asarray(out)
+    dt = expr.dtype
+    if getattr(dt, "kind", "") in "Mm" and arr.dtype != dt:
+        # datetime shim: device blocks are int64 tick views; restore the
+        # logical datetime64/timedelta64 dtype recorded in metadata
+        arr = arr.view(dt) if arr.dtype.itemsize == dt.itemsize else arr.astype("i8").view(dt)
     return arr
 
 

@@ -28,8 +28,17 @@ from dask_array_tpu import config
 from dask_array_tpu._blockwise import Blockwise, elemwise
 from dask_array_tpu._chunks import cached_cumsum, validate_axis
 from dask_array_tpu._executor import BlockView, iter_block_indices
+
+
 from dask_array_tpu._expr import ArrayExpr
 from dask_array_tpu._slicing import is_basic_index
+
+
+def handle_out(out, result):
+    """numpy-style ``out=`` (lazy): defer to the collection-layer helper."""
+    from dask_array_tpu._collection import handle_out as _handle_out
+
+    return _handle_out(out, result)
 
 
 def _jnp():
@@ -98,14 +107,16 @@ class Reduction(ArrayExpr):
         jnp_name, _, takes_dtype = _DENSE_KERNELS[self.kind]
         fn = getattr(jnp, jnp_name)
         x = ctx.build(self.array).dense()
+        from dask_array_tpu._chunks import device_dtype
+
         kwargs = {"axis": self.axes, "keepdims": self.keepdims}
         if takes_dtype:
-            kwargs["dtype"] = self.dtype
+            kwargs["dtype"] = device_dtype(self.dtype)
         extra = dict(self.extra or ())
         kwargs.update(extra)
         dense = fn(x, **kwargs)
-        if dense.dtype != self.dtype:
-            dense = dense.astype(self.dtype)
+        if dense.dtype != device_dtype(self.dtype):
+            dense = dense.astype(device_dtype(self.dtype))
         return BlockView(self.chunks, dense=dense)
 
     def _accept_slice(self, index):
@@ -176,59 +187,59 @@ def _reduce(x, kind, axis=None, dtype=None, keepdims=False, split_every=None, ex
 
 
 def sum(a, axis=None, dtype=None, keepdims=False, split_every=None, out=None):
-    return _reduce(a, "sum", axis, dtype, keepdims, split_every)
+    return handle_out(out, _reduce(a, "sum", axis, dtype, keepdims, split_every))
 
 
 def prod(a, axis=None, dtype=None, keepdims=False, split_every=None, out=None):
-    return _reduce(a, "prod", axis, dtype, keepdims, split_every)
+    return handle_out(out, _reduce(a, "prod", axis, dtype, keepdims, split_every))
 
 
 def min(a, axis=None, keepdims=False, split_every=None, out=None):
-    return _reduce(a, "min", axis, None, keepdims, split_every)
+    return handle_out(out, _reduce(a, "min", axis, None, keepdims, split_every))
 
 
 def max(a, axis=None, keepdims=False, split_every=None, out=None):
-    return _reduce(a, "max", axis, None, keepdims, split_every)
+    return handle_out(out, _reduce(a, "max", axis, None, keepdims, split_every))
 
 
 def any(a, axis=None, keepdims=False, split_every=None, out=None):
-    return _reduce(a, "any", axis, None, keepdims, split_every)
+    return handle_out(out, _reduce(a, "any", axis, None, keepdims, split_every))
 
 
 def all(a, axis=None, keepdims=False, split_every=None, out=None):
-    return _reduce(a, "all", axis, None, keepdims, split_every)
+    return handle_out(out, _reduce(a, "all", axis, None, keepdims, split_every))
 
 
 def mean(a, axis=None, dtype=None, keepdims=False, split_every=None, out=None):
-    return _reduce(a, "mean", axis, dtype, keepdims, split_every)
+    return handle_out(out, _reduce(a, "mean", axis, dtype, keepdims, split_every))
 
 
 def nansum(a, axis=None, dtype=None, keepdims=False, split_every=None, out=None):
-    return _reduce(a, "nansum", axis, dtype, keepdims, split_every)
+    return handle_out(out, _reduce(a, "nansum", axis, dtype, keepdims, split_every))
 
 
 def nanprod(a, axis=None, dtype=None, keepdims=False, split_every=None, out=None):
-    return _reduce(a, "nanprod", axis, dtype, keepdims, split_every)
+    return handle_out(out, _reduce(a, "nanprod", axis, dtype, keepdims, split_every))
 
 
 def nanmin(a, axis=None, keepdims=False, split_every=None, out=None):
-    return _reduce(a, "nanmin", axis, None, keepdims, split_every)
+    return handle_out(out, _reduce(a, "nanmin", axis, None, keepdims, split_every))
 
 
 def nanmax(a, axis=None, keepdims=False, split_every=None, out=None):
-    return _reduce(a, "nanmax", axis, None, keepdims, split_every)
+    return handle_out(out, _reduce(a, "nanmax", axis, None, keepdims, split_every))
 
 
 def nanmean(a, axis=None, dtype=None, keepdims=False, split_every=None, out=None):
-    return _reduce(a, "nanmean", axis, dtype, keepdims, split_every)
+    return handle_out(out, _reduce(a, "nanmean", axis, dtype, keepdims, split_every))
 
 
 def median(a, axis=None, keepdims=False, out=None):
-    return _reduce(a, "median", axis, None, keepdims, None)
+    return handle_out(out, _reduce(a, "median", axis, None, keepdims, None))
 
 
 def nanmedian(a, axis=None, keepdims=False, out=None):
-    return _reduce(a, "nanmedian", axis, None, keepdims, None)
+    return handle_out(out, _reduce(a, "nanmedian", axis, None, keepdims, None))
 
 
 # -- variance family ----------------------------------------------------------
@@ -262,7 +273,7 @@ def moment(a, order, axis=None, dtype=None, keepdims=False, ddof=0, split_every=
     centered = (a.astype(dt) - mu) ** order
     m = sum(centered, axis=axis, dtype=dt, keepdims=keepdims, split_every=split_every)
     denom = _count(a, axis, keepdims=keepdims, split_every=split_every) - ddof
-    return m / denom
+    return handle_out(out, m / denom)
 
 
 def _axes_of(a, axis):
@@ -294,13 +305,13 @@ def var(a, axis=None, dtype=None, keepdims=False, ddof=0, split_every=None, out=
     mu = sum(x, axis=axis, dtype=dt, keepdims=True, split_every=split_every) / n
     m2 = sum((x - mu) * (x - mu), axis=axis, dtype=dt, keepdims=keepdims, split_every=split_every)
     denom = _count(a, axis, keepdims=keepdims, split_every=split_every, dtype=dt) - ddof
-    return m2 / denom
+    return handle_out(out, m2 / denom)
 
 
 def std(a, axis=None, dtype=None, keepdims=False, ddof=0, split_every=None, out=None):
     import jax.numpy as jnp
 
-    return elemwise(jnp.sqrt, var(a, axis=axis, dtype=dtype, keepdims=keepdims, ddof=ddof, split_every=split_every))
+    return handle_out(out, elemwise(jnp.sqrt, var(a, axis=axis, dtype=dtype, keepdims=keepdims, ddof=ddof, split_every=split_every)))
 
 
 def nanvar(a, axis=None, dtype=None, keepdims=False, ddof=0, split_every=None, out=None):
@@ -314,13 +325,13 @@ def nanvar(a, axis=None, dtype=None, keepdims=False, ddof=0, split_every=None, o
     filled = elemwise(jnp.where, elemwise(jnp.isnan, x), mu, x)
     m2 = sum((filled - mu) * (filled - mu), axis=axis, dtype=dt, keepdims=keepdims, split_every=split_every)
     denom = _nancount(a, axis, keepdims=keepdims, split_every=split_every, dtype=dt) - ddof
-    return m2 / denom
+    return handle_out(out, m2 / denom)
 
 
 def nanstd(a, axis=None, dtype=None, keepdims=False, ddof=0, split_every=None, out=None):
     import jax.numpy as jnp
 
-    return elemwise(jnp.sqrt, nanvar(a, axis=axis, dtype=dtype, keepdims=keepdims, ddof=ddof, split_every=split_every))
+    return handle_out(out, elemwise(jnp.sqrt, nanvar(a, axis=axis, dtype=dtype, keepdims=keepdims, ddof=ddof, split_every=split_every)))
 
 
 # -- arg reductions --------------------------------------------------------------
@@ -377,19 +388,19 @@ def _argreduce(a, kind, axis=None, keepdims=False, split_every=None, out=None):
 
 
 def argmin(a, axis=None, keepdims=False, split_every=None, out=None):
-    return _argreduce(a, "argmin", axis, keepdims, split_every)
+    return handle_out(out, _argreduce(a, "argmin", axis, keepdims, split_every))
 
 
 def argmax(a, axis=None, keepdims=False, split_every=None, out=None):
-    return _argreduce(a, "argmax", axis, keepdims, split_every)
+    return handle_out(out, _argreduce(a, "argmax", axis, keepdims, split_every))
 
 
 def nanargmin(a, axis=None, keepdims=False, split_every=None, out=None):
-    return _argreduce(a, "nanargmin", axis, keepdims, split_every)
+    return handle_out(out, _argreduce(a, "nanargmin", axis, keepdims, split_every))
 
 
 def nanargmax(a, axis=None, keepdims=False, split_every=None, out=None):
-    return _argreduce(a, "nanargmax", axis, keepdims, split_every)
+    return handle_out(out, _argreduce(a, "nanargmax", axis, keepdims, split_every))
 
 
 class ArgChunk(ArrayExpr):
@@ -472,7 +483,7 @@ def arg_reduction(x, chunk, combine, agg, axis=None, keepdims=False, split_every
         tmp, agg, axis_t, bool(keepdims), np.dtype(np.intp), split_every, combine,
         "arg", True,
     )
-    return new_collection(expr)
+    return handle_out(out, new_collection(expr))
 
 
 # -- cumulative -----------------------------------------------------------------
@@ -532,19 +543,19 @@ def _cum(a, kind, axis=None, dtype=None, method="sequential", out=None):
 
 
 def cumsum(a, axis=None, dtype=None, method="sequential", out=None):
-    return _cum(a, "cumsum", axis, dtype, method)
+    return handle_out(out, _cum(a, "cumsum", axis, dtype, method))
 
 
 def cumprod(a, axis=None, dtype=None, method="sequential", out=None):
-    return _cum(a, "cumprod", axis, dtype, method)
+    return handle_out(out, _cum(a, "cumprod", axis, dtype, method))
 
 
 def nancumsum(a, axis=None, dtype=None, method="sequential", out=None):
-    return _cum(a, "nancumsum", axis, dtype, method)
+    return handle_out(out, _cum(a, "nancumsum", axis, dtype, method))
 
 
 def nancumprod(a, axis=None, dtype=None, method="sequential", out=None):
-    return _cum(a, "nancumprod", axis, dtype, method)
+    return handle_out(out, _cum(a, "nancumprod", axis, dtype, method))
 
 
 def cumreduction(func, binop, ident, x, axis=None, dtype=None, out=None, method="sequential", preop=None):
@@ -561,9 +572,9 @@ def cumreduction(func, binop, ident, x, axis=None, dtype=None, out=None, method=
 
     name = getattr(func, "__name__", "")
     if func in (np.cumsum, jnp.cumsum) or name == "cumsum":
-        return cumsum(x, axis=axis, dtype=dtype, method=method)
+        return cumsum(x, axis=axis, dtype=dtype, method=method, out=out)
     if func in (np.cumprod, jnp.cumprod) or name == "cumprod":
-        return cumprod(x, axis=axis, dtype=dtype, method=method)
+        return cumprod(x, axis=axis, dtype=dtype, method=method, out=out)
     if method == "blelloch":
         if preop is None:
             raise TypeError(
@@ -580,12 +591,12 @@ def cumreduction(func, binop, ident, x, axis=None, dtype=None, out=None, method=
     axis = validate_axis(axis, x.ndim)
     from dask_array_tpu._collection import new_collection
 
-    return new_collection(
+    return handle_out(out, new_collection(
         _GenericCumLowered(
             x.expr, func, binop, ident, axis, np.dtype(dtype) if dtype else None,
             method, preop,
         )
-    )
+    ))
 
 
 class _GenericCumLowered(ArrayExpr):
@@ -689,10 +700,40 @@ class Quantile(ArrayExpr):
     def _build(self, ctx):
         jnp = _jnp()
         x = ctx.build(self.array).dense()
-        fn = jnp.nanquantile if self.kind.startswith("nan") else jnp.quantile
         q = jnp.asarray(self.q)
-        dense = fn(x, q, axis=self.axis, method=self.method, keepdims=self.keepdims)
+        if self.method == "nearest":
+            dense = self._nearest(jnp, x, q)
+        else:
+            fn = jnp.nanquantile if self.kind.startswith("nan") else jnp.quantile
+            dense = fn(x, q, axis=self.axis, method=self.method, keepdims=self.keepdims)
         return BlockView(self.chunks, dense=dense.astype(self.dtype))
+
+    def _nearest(self, jnp, x, q):
+        """numpy's 'nearest' rounds the virtual index half-to-even;
+        jax's builtin resolves ties differently — do it by hand."""
+        axis = self.axis
+        if axis is None:
+            x = x.reshape(-1)
+            axis = 0
+        xs = jnp.sort(x, axis=axis)  # nans sort last
+        if self.kind.startswith("nan"):
+            n = jnp.sum(~jnp.isnan(x), axis=axis, keepdims=True)
+        else:
+            n = x.shape[axis]
+        qv = jnp.atleast_1d(q)
+        out = []
+        for i in range(qv.shape[0]):
+            pos = qv[i] * (n - 1)
+            idx = jnp.round(pos).astype(jnp.int32)  # ties to even, as numpy
+            idx = jnp.clip(idx, 0, x.shape[axis] - 1)
+            if isinstance(n, int):
+                taken = jnp.take(xs, idx, axis=axis)
+                taken = jnp.expand_dims(taken, axis)
+            else:
+                taken = jnp.take_along_axis(xs, jnp.broadcast_to(idx, idx.shape), axis=axis)
+            out.append(taken if self.keepdims else jnp.squeeze(taken, axis=axis))
+        dense = out[0] if self._scalar_q else jnp.stack(out, axis=0)
+        return dense
 
 
 def quantile(a, q, axis=None, method="linear", keepdims=False, **kwargs):
@@ -718,19 +759,41 @@ def nanquantile(a, q, axis=None, method="linear", keepdims=False, **kwargs):
 
 
 def percentile(a, q, method="linear", internal_method=None, **kwargs):
-    """Approximate percentiles of a 1-D array (dask signature)."""
+    """Percentiles of a 1-D array (dask signature: result is 1-D, len(q)).
+
+    Parity: ``reductions/_percentile.py:71`` — ``interpolation=`` is the
+    deprecated alias of ``method=``; ``internal_method`` selects the
+    dask/tdigest backend there and is accepted-and-ignored here (the dense
+    computation is exact, superseding both).
+    """
+    import warnings
+
+    if "interpolation" in kwargs:
+        warnings.warn(
+            "The `interpolation=` argument to percentile was renamed to `method=`",
+            FutureWarning,
+        )
+        method = kwargs.pop("interpolation")
     if a.ndim != 1:
         raise NotImplementedError("Percentiles only implemented for 1-d arrays")
     q01 = np.true_divide(q, 100)
-    out = quantile(a, tuple(np.atleast_1d(q01).tolist()), axis=0)
+    out = quantile(a, tuple(np.atleast_1d(q01).tolist()), axis=0, method=method)
     return out
 
 
 def nanpercentile(a, q, method="linear", **kwargs):
+    import warnings
+
+    if "interpolation" in kwargs:
+        warnings.warn(
+            "The `interpolation=` argument to nanpercentile was renamed to `method=`",
+            FutureWarning,
+        )
+        method = kwargs.pop("interpolation")
     if a.ndim != 1:
         raise NotImplementedError("Percentiles only implemented for 1-d arrays")
     q01 = np.true_divide(q, 100)
-    return nanquantile(a, tuple(np.atleast_1d(q01).tolist()), axis=0)
+    return nanquantile(a, tuple(np.atleast_1d(q01).tolist()), axis=0, method=method)
 
 
 # -- generic reduction framework ------------------------------------------------------
@@ -1023,7 +1086,7 @@ def reduction(
         expr, aggregate_func, axes, bool(keepdims), dtype, split_every,
         combine_func, name, concatenate, int(output_size),
     )
-    return new_collection(expr)
+    return handle_out(out, new_collection(expr))
 
 
 def _tree_reduce(x, aggregate, axis, keepdims, dtype, split_every=None, combine=None, name=None, concatenate=True, reduced_meta=None):

@@ -86,7 +86,10 @@ class Concatenate(ArrayExpr):
 
         parts = [ctx.build(a).dense() for a in self.arrays]
         dtype = self.dtype
-        parts = [p.astype(dtype) if p.dtype != dtype else p for p in parts]
+        from dask_array_tpu._chunks import device_dtype
+
+        _dd = device_dtype(dtype)
+        parts = [p.astype(_dd) if p.dtype != _dd else p for p in parts]
         return BlockView(self.chunks, dense=jnp.concatenate(parts, axis=self.axis))
 
     def _accept_slice(self, index):
