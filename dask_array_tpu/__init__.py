@@ -269,11 +269,32 @@ __version__ = "0.1.0"
 
 
 def compute(*collections, **kwargs):
-    """Compute one or more lazy collections (returns a tuple)."""
-    out = tuple(
-        c.compute(**kwargs) if isinstance(c, Array) else c for c in collections
-    )
-    return out
+    """Compute one or more lazy collections (returns a tuple).
+
+    Multiple arrays compute as ONE jitted program: shared ancestry is
+    built once and every leaf ships to the device once (the reference
+    shares work through its common task graph —
+    ``tests/test_collection.py:143``; here the sharing is inside one XLA
+    program, ``_executor.execute_many``).
+    """
+    from dask_array_tpu._executor import execute_many
+    from dask_array_tpu._materialize import optimize_expr
+
+    arrays = [(i, c) for i, c in enumerate(collections) if isinstance(c, Array)]
+    out = list(collections)
+    if len(arrays) > 1:
+        lowered = [optimize_expr(c.expr) for _, c in arrays]
+        denses = execute_many(lowered)
+        for (i, c), dense in zip(arrays, denses):
+            arr = _np.asarray(dense)
+            dt = c.dtype
+            if getattr(dt, "kind", "") in "Mm" and arr.dtype != dt:
+                arr = arr.view(dt)
+            out[i] = arr[()] if arr.ndim == 0 else arr
+    else:
+        for i, c in arrays:
+            out[i] = c.compute(**kwargs)
+    return tuple(out)
 
 
 def optimize(x, keys=None, **kwargs):

@@ -372,6 +372,116 @@ def _device_put_leaves(leaf_pairs, mesh, donate=False):
     return out
 
 
+def execute_many(roots, mode: str | None = None):
+    """Execute several lowered trees as ONE jitted program (tuple output).
+
+    Shared ancestry builds once (BuildContext memoizes by node name, and
+    the singleton registry makes shared subtrees the same node), and every
+    leaf ships to the device once — the reference shares work across
+    collections through its common task graph
+    (``tests/test_collection.py::test_lowering_shares_work_across_collections_with_shared_ancestry``);
+    here the sharing is inside one XLA program.
+    """
+    import jax
+
+    from dask_array_tpu.parallel.mesh import current_mesh
+
+    roots = list(roots)
+    if len(roots) == 1:
+        return [execute(roots[0])]
+
+    mesh = current_mesh()
+    traceable = all(
+        r.known_chunks and all(getattr(n, "_traceable", True) for n in r.walk())
+        for r in roots
+    )
+    if mode is None:
+        mode = "trace" if (config.get("tpu.jit", True) and traceable) else "eager"
+
+    # union of leaves, first-visit order; remember each root's positions so
+    # sharing patterns key the cache correctly (leaves bind positionally)
+    union = []
+    pos = {}
+    patterns = []
+    for r in roots:
+        ks = []
+        for k, b in collect_leaves(r):
+            if k not in pos:
+                pos[k] = len(union)
+                union.append((k, b))
+            ks.append(pos[k])
+        patterns.append(tuple(ks))
+    keys = tuple(k for k, _ in union)
+    donate = config.get("tpu.donate-leaves", False)
+    cache_key = (
+        "multi",
+        tuple(structural_key(r) for r in roots),
+        tuple(patterns),
+        len(keys),
+        _mesh_key(mesh),
+        bool(donate),
+    )
+
+    if mode == "trace" and cache_key in _eager_keys:
+        mode = "eager"
+
+    if mode == "trace":
+        args = _device_put_leaves(union, mesh, donate=donate)
+        try:
+            compiled = _fn_cache.get(cache_key)
+            if compiled is not None:
+                _fn_cache[cache_key] = _fn_cache.pop(cache_key)  # LRU touch
+            else:
+                def compute_fn(*leaf_arrays):
+                    if mesh is not None:
+                        from dask_array_tpu.parallel.layout import constrain_to_mesh
+
+                        leaf_arrays = tuple(
+                            constrain_to_mesh(a, None, mesh) if getattr(a, "ndim", 0) else a
+                            for a in leaf_arrays
+                        )
+                    ctx = BuildContext(dict(zip(keys, leaf_arrays)), mode="trace", mesh=mesh)
+                    return tuple(ctx.build(r).dense() for r in roots)
+
+                fn = jax.jit(
+                    compute_fn,
+                    donate_argnums=tuple(range(len(keys))) if donate else (),
+                )
+                compiled = fn.lower(*args).compile()
+                while len(_fn_cache) >= _FN_CACHE_LIMIT:
+                    _fn_cache.pop(next(iter(_fn_cache)))
+                _fn_cache[cache_key] = compiled
+            return list(compiled(*args))
+        except Exception as e:
+            if not _is_trace_error(e):
+                raise
+            if len(_eager_keys) > 4096:
+                _eager_keys.clear()
+            _eager_keys.add(cache_key)
+            import warnings
+
+            warnings.warn(
+                f"joint computation is not jax-traceable ({type(e).__name__}); "
+                "falling back to eager per-value execution",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+
+    # eager: one shared BuildContext so ancestry still computes once
+    import jax.numpy as jnp
+
+    if mesh is not None:
+        args = _device_put_leaves(union, mesh)
+        vals = dict(zip(keys, args))
+    else:
+        vals = {}
+        for k, b in union:
+            b = _materialize_buf(b)
+            vals[k] = jnp.asarray(np.asarray(b)) if not hasattr(b, "dtype") or isinstance(b, np.ndarray) else b
+    ctx = BuildContext(vals, mode="eager", mesh=mesh)
+    return [ctx.build(r).dense() for r in roots]
+
+
 def _is_trace_error(e: Exception) -> bool:
     import jax.errors
 
