@@ -313,6 +313,15 @@ class Array:
             kwargs.pop("out", None)
             kwargs.setdefault("axis", 0)  # numpy's ufunc.reduce default
             return fn(inputs[0], **kwargs)
+        if method == "outer":
+            # reference: __array_ufunc__ routes outer to the wrapped
+            # ufunc's .outer (_collection.py:1728)
+            from dask_array_tpu.ops import ufuncs as _uf
+
+            da_ufunc = getattr(_uf, getattr(ufunc, "__name__", ""), None)
+            if da_ufunc is None or not hasattr(da_ufunc, "outer"):
+                return NotImplemented
+            return da_ufunc.outer(*inputs, **kwargs)
         if method != "__call__":
             return NotImplemented
         out = kwargs.pop("out", None)

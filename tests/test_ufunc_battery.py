@@ -153,3 +153,17 @@ def test_clip_round_promotion(rng):
     assert (di + 0.5).dtype == (xi + 0.5).dtype
     assert da.sqrt(di).dtype == np.sqrt(xi).dtype
     assert (di + di).dtype == (xi + xi).dtype
+
+
+def test_ufunc_outer_nep13(rng):
+    # reference: __array_ufunc__ method == "outer" (_collection.py:1728)
+    x = rng.standard_normal(5)
+    y = rng.standard_normal(4)
+    dx = da.from_array(x, chunks=2)
+    dy = da.from_array(y, chunks=3)
+    np.testing.assert_allclose(
+        np.asarray(np.multiply.outer(dx, dy).compute()), np.multiply.outer(x, y), rtol=1e-8
+    )
+    np.testing.assert_allclose(
+        np.asarray(np.add.outer(dx, dy).compute()), np.add.outer(x, y), rtol=1e-8
+    )
