@@ -83,6 +83,33 @@ from dask_array_tpu.utils._tokenize import tokenize
 _NHEAD = 8  # number of fixed leading operands before the (arg, ind) pairs
 
 
+def _check_broadcastable(exprs):
+    """Raise (numpy-style) if operand shapes cannot broadcast.
+
+    Reads only operand shapes — already computed on the children — so the
+    freshly built node's own chunk metadata stays untouched."""
+    import math as _math
+
+    shapes = [e.shape for e in exprs if isinstance(e, ArrayExpr)]
+    if len(shapes) < 2:
+        return
+    ndim = max(len(s) for s in shapes)
+    for ax in range(1, ndim + 1):
+        sizes = set()
+        for s in shapes:
+            if ax <= len(s):
+                d = s[-ax]
+                if isinstance(d, float) and _math.isnan(d):
+                    continue
+                if d != 1:
+                    sizes.add(d)
+        if len(sizes) > 1:
+            raise ValueError(
+                "operands could not be broadcast together with shapes "
+                + " ".join(str(tuple(s)) for s in shapes)
+            )
+
+
 def _shim_host_operand(a):
     """Convert host datetime64/timedelta64 operands to their int64 tick view
     (datetime shim): jax cannot promote M8/m8 values."""
@@ -645,7 +672,10 @@ def elemwise(op, *args, dtype=None, name=None, where=True, out=None, **kwargs):
 
     exprs = [coerce(a) for a in args]
     expr = Elemwise(op, _normalize_kwargs(kwargs), *exprs)
-    expr.chunks  # validate broadcastability NOW (numpy raises at call time)
+    # validate broadcastability NOW (numpy raises at call time) — from the
+    # operand SHAPES, which are already cached, so the new node's own
+    # chunks/meta stay lazy (reference: tests/test_lazy_metadata.py)
+    _check_broadcastable(exprs)
     if dtype is not None and np.dtype(dtype) != expr.dtype:
         from dask_array_tpu.ops._casting import astype_expr
 
