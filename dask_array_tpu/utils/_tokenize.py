@@ -41,6 +41,23 @@ def identity_epoch() -> int:
     return _identity_uses
 
 
+def _big_array_policy() -> str:
+    """Token policy for arrays above the content-hash limit.
+
+    ``identity`` (default): per-object uuid — O(1), process-local.
+    ``sample``: head+tail+strided digest — process-stable, tiny collision
+    window (interior-only diffs).  ``content``: full blake2b — process-
+    stable and exact, O(nbytes) at tokenize time.
+    Config key: ``tokenize.big-arrays``.
+    """
+    try:
+        from dask_array_tpu import config
+
+        return config.get("tokenize.big-arrays", "identity")
+    except Exception:
+        return "identity"
+
+
 def _identity_token(obj) -> str:
     """Stable-per-object random token (objects too big/opaque to hash)."""
     global _identity_uses
@@ -105,14 +122,39 @@ def _normalize(obj, out: list) -> None:
             out.append(f"nd:{arr.dtype.str}:{arr.shape}:")
             out.append(hashlib.blake2b(arr.tobytes(), digest_size=16).hexdigest())
         else:
-            # identity of the OWNING buffer plus this view's window (data
-            # pointer + strides): sibling views of one base must not collide
-            owner = obj.base if obj.base is not None else obj
-            ptr = obj.__array_interface__["data"][0]
-            out.append(
-                f"ndbig:{obj.dtype.str}:{obj.shape}:{obj.strides}:{ptr}:"
-                f"{_identity_token(owner)}"
-            )
+            policy = _big_array_policy()
+            if policy == "content":
+                arr = np.ascontiguousarray(obj)
+                out.append(f"ndc:{arr.dtype.str}:{arr.shape}:")
+                out.append(hashlib.blake2b(arr.tobytes(), digest_size=16).hexdigest())
+            elif policy == "sample":
+                # process-stable sampled digest: head + tail + a strided
+                # middle sample. Collides only for arrays differing
+                # exclusively in un-sampled interior bytes — an explicit
+                # opt-in tradeoff for cross-process caching.
+                h = hashlib.blake2b(digest_size=16)
+                if obj.flags.c_contiguous:
+                    flat = obj.reshape(-1)
+                    step = max(1, flat.shape[0] // 4096)
+                    h.update(flat[:8192].tobytes())
+                    h.update(flat[-8192:].tobytes())
+                    h.update(np.ascontiguousarray(flat[::step][:8192]).tobytes())
+                else:
+                    # strided view: per-axis subsample bounded to ~64k elems
+                    # (reshape(-1) would copy the whole buffer)
+                    factor = max(1.0, (obj.size / 65536.0) ** (1.0 / max(1, obj.ndim)))
+                    sub = obj[tuple(slice(None, None, max(1, int(factor))) for _ in obj.shape)]
+                    h.update(np.ascontiguousarray(sub).tobytes())
+                out.append(f"nds:{obj.dtype.str}:{obj.shape}:{obj.strides}:{h.hexdigest()}")
+            else:
+                # identity of the OWNING buffer plus this view's window (data
+                # pointer + strides): sibling views of one base must not collide
+                owner = obj.base if obj.base is not None else obj
+                ptr = obj.__array_interface__["data"][0]
+                out.append(
+                    f"ndbig:{obj.dtype.str}:{obj.shape}:{obj.strides}:{ptr}:"
+                    f"{_identity_token(owner)}"
+                )
     elif hasattr(obj, "_name") and hasattr(obj, "operands"):
         # an expression node: content-addressed by its deterministic token,
         # NOT its _name — name-pinned nodes (Persisted) share the original's

@@ -24,15 +24,25 @@ def test_one_program_for_many_outputs(rng):
     x = rng.standard_normal((6, 8))
     d = da.from_array(x, chunks=(3, 4))
     s, m, v = d.sum(axis=0), d.mean(axis=0), d.std(axis=0)
-    before = len(_executor._fn_cache)
+    multi_before = sum(
+        1 for k in _executor._fn_cache if isinstance(k, tuple) and k and k[0] == "multi"
+    )
     rs, rm, rv = da.compute(s, m, v)
-    assert len(_executor._fn_cache) == before + 1  # ONE compiled program
+    multi_after = sum(
+        1 for k in _executor._fn_cache if isinstance(k, tuple) and k and k[0] == "multi"
+    )
+    # ONE joint program was compiled and cached (absolute cache size can't
+    # be asserted: the LRU may be at its limit during a full-suite run)
+    assert multi_after == multi_before + 1
     np.testing.assert_allclose(rs, x.sum(axis=0), rtol=1e-8)
     np.testing.assert_allclose(rm, x.mean(axis=0), rtol=1e-8)
     np.testing.assert_allclose(rv, x.std(axis=0), rtol=1e-8)
     # recompute hits the same executable
     rs2, _, _ = da.compute(s, m, v)
-    assert len(_executor._fn_cache) == before + 1
+    assert (
+        sum(1 for k in _executor._fn_cache if isinstance(k, tuple) and k and k[0] == "multi")
+        == multi_after
+    )
     np.testing.assert_allclose(rs2, rs)
 
 
