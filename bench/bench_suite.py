@@ -5,17 +5,23 @@ can abort (SIGABRT, `Check failed: buffer != nullptr`) after many
 compilations in one process, and isolation keeps one flaky compile from
 killing the suite.
 
-Decision record (v5e-1, axon tunnel, 2026-08-16, round 2):
-  readme_slice_pushdown    optimize 1.4 ms | first  2.0 s | steady  17 ms
-  reduction_tree_10k       optimize 1.0 ms | first 74 s   | steady  35 ms
-  blocked_matmul_8192      optimize 29 ms  | first  7.0 s | steady  16 ms
-                           (persisted inputs; 3-iter loop amortizes one
-                           ~24 ms tunnel fetch -> ~8 ms/GEMM true;
-                           bench.py pins the roofline number)
-  stencil2d_4096           optimize 0.5 ms | first  5.2 s | steady  11 ms
-  tsqr_svd_1e6x128         (CholeskyQR2) ~85 s end-to-end incl. compiles
-  rechunk_relayout_8192    steady 2.5 ms -> 213.9 GB/s effective
-                           (persisted input; HBM roofline ~819 GB/s;
+Decision record (v5e-1, axon tunnel, 2026-08-17, round 2 late —
+RTT-excluded steady state, adaptive iters, multi-output workloads as ONE
+program via execute_many; the earlier 2026-08-16 numbers were dominated
+by per-call tunnel fetch overhead):
+  readme_slice_pushdown    optimize 1.5 ms | steady   0.62 ms
+  reduction_tree_10k       optimize 0.8 ms | steady   2.56 ms -> 156 GB/s
+                           (sum+mean+std of 10000^2 f32 in one program;
+                           was 35 ms as three programs with fetch)
+  blocked_matmul_8192      steady 6.08 ms/GEMM (persisted bf16 inputs;
+                           bench.py pins the roofline number: 186-192
+                           TFLOP/s = 94-97.5 % of v5e peak)
+  stencil2d_4096           steady 2.14 ms -> 63 GB/s
+  tsqr_svd_1e6x128         steady 108 ms (u+s+vh of 1e6x128; first run
+                           incl. remote compiles 85-700 s, tunnel-health
+                           dependent)
+  rechunk_relayout_8192    steady 0.88 ms -> 609 GB/s effective = 74 % of
+                           the ~819 GB/s HBM roofline (persisted input;
                            on a mesh the same boundary emits an ICI
                            all-to-all — tests/test_rechunk_collective.py)
 """
