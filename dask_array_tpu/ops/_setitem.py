@@ -92,4 +92,35 @@ def setitem(x, index, value):
         value = value[()]
     # frozen arrays in the index tokenize by content/identity
     index = tuple(np.asarray(i) if isinstance(i, (list, np.ndarray)) else i for i in index)
+
+    # errors raise AT ASSIGNMENT, not at compute (reference:
+    # tests/test_slicing.py::test_setitem_errors_raise_at_assignment_time):
+    # for a fully basic index over known dims, the selected region's shape
+    # is static — validate the value broadcasts into it now
+    import math
+
+    region = []
+    basic = True
+    for i, dim in zip(index, x.shape):
+        if isinstance(dim, float) and math.isnan(dim):
+            basic = False
+            break
+        if isinstance(i, slice):
+            region.append(len(range(*i.indices(int(dim)))))
+        elif isinstance(i, (int, np.integer)):
+            continue  # int index drops the axis
+        else:
+            basic = False  # fancy/bool index: dynamic selection
+            break
+    vshape = tuple(getattr(value, "shape", ()) or ())
+    if basic and vshape and not any(isinstance(s, float) and math.isnan(s) for s in vshape):
+        rshape = tuple(region)
+        for ax in range(1, len(vshape) + 1):
+            v = vshape[-ax]
+            r = rshape[-ax] if ax <= len(rshape) else 1
+            if v != 1 and (ax > len(rshape) or (v != r)):
+                raise ValueError(
+                    f"shape mismatch: value array of shape {vshape} could not "
+                    f"be broadcast to indexing result of shape {rshape}"
+                )
     return new_collection(SetItem(x.expr, index, value))
