@@ -31,6 +31,20 @@ if os.environ.get("DA_TPU_MODE") == "eager":
     _config.set_global({"tpu.jit": False})
 
 
+def pytest_collection_modifyitems(config, items):
+    if os.environ.get("DA_TPU_MODE") != "eager":
+        return
+    import pytest as _pytest
+
+    skip = _pytest.mark.skip(
+        reason="optimizer-structure test: identical in the eager lane "
+        "(and hypothesis x eager per-value execution is minutes per case)"
+    )
+    for item in items:
+        if "test_fuzz_optimize" in item.nodeid:
+            item.add_marker(skip)
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(42)
