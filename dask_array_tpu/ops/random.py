@@ -213,16 +213,24 @@ def _make_kernels():
         mu = jnp.asarray(p["mu"], dtype)
         kappa = jnp.broadcast_to(jnp.asarray(p["kappa"], dtype), shape)
         safe_k = jnp.maximum(kappa, 1e-7)
-        tau = 1.0 + jnp.sqrt(1.0 + 4.0 * safe_k * safe_k)
-        rho = (tau - jnp.sqrt(2.0 * tau)) / (2.0 * safe_k)
+        s = jnp.sqrt(1.0 + 4.0 * safe_k * safe_k)
+        tau = 1.0 + s
+        # rho = (tau - sqrt(2 tau)) / (2 k) cancels catastrophically for
+        # small k (f32: rho -> 0, r -> inf, NaN acceptance => the rejection
+        # loop never terminates). Conjugate form, exact and stable:
+        #   tau - sqrt(2 tau) = tau (tau - 2) / (tau + sqrt(2 tau)),
+        #   tau - 2 = s - 1 = 4 k^2 / (s + 1)
+        rho = 2.0 * safe_k * tau / ((s + 1.0) * (tau + jnp.sqrt(2.0 * tau)))
         r = (1.0 + rho * rho) / (2.0 * rho)
 
         def cond(state):
-            _, _, done = state
-            return ~jnp.all(done)
+            _, _, done, it = state
+            # acceptance is O(1) per round; the iteration bound only
+            # guarantees termination if numerics ever degenerate
+            return (~jnp.all(done)) & (it < 200)
 
         def body(state):
-            key, f, done = state
+            key, f, done, it = state
             key, k1, k2 = jr.split(key, 3)
             u1 = jr.uniform(k1, shape, dtype)
             u2 = jr.uniform(k2, shape, dtype, minval=1e-12)
@@ -231,11 +239,11 @@ def _make_kernels():
             c = safe_k * (r - fc)
             acc = (c * (2.0 - c) - u2 > 0.0) | (jnp.log(c / u2) + 1.0 - c >= 0.0)
             f = jnp.where(~done & acc, fc, f)
-            return key, f, done | acc
+            return key, f, done | acc, it + 1
 
         key, k0, k3 = jr.split(key, 3)
-        init = (k0, jnp.zeros(shape, dtype), jnp.zeros(shape, bool))
-        _, f, _ = jax.lax.while_loop(cond, body, init)
+        init = (k0, jnp.zeros(shape, dtype), jnp.zeros(shape, bool), 0)
+        _, f, _, _ = jax.lax.while_loop(cond, body, init)
         u3 = jr.uniform(k3, shape, dtype)
         theta = mu + jnp.sign(u3 - 0.5) * jnp.arccos(jnp.clip(f, -1.0, 1.0))
         # kappa ~ 0 degenerates to the uniform circle

@@ -71,6 +71,11 @@ def test_scalar_and_zero_d():
 def test_untraceable_host_function_falls_back(rng):
     import scipy.ndimage
 
+    from dask_array_tpu import config
+
+    if not config.get("tpu.jit", True):
+        pytest.skip("eager lane never attempts a trace, so no fallback warning")
+
     x = rng.standard_normal((8, 8))
     d = da.from_array(x, chunks=4)
 

@@ -21,6 +21,10 @@ def rng():
 
 
 def test_one_program_for_many_outputs(rng):
+    from dask_array_tpu import config
+
+    if not config.get("tpu.jit", True):
+        pytest.skip("eager lane compiles no programs")
     x = rng.standard_normal((6, 8))
     d = da.from_array(x, chunks=(3, 4))
     s, m, v = d.sum(axis=0), d.mean(axis=0), d.std(axis=0)

@@ -508,3 +508,19 @@ def test_frompyfunc_multi_output(rng):
     o1, o2 = f(da.from_array(x, chunks=3))
     np.testing.assert_allclose(np.asarray(o1.compute()), x + 1.0)
     np.testing.assert_allclose(np.asarray(o2.compute()), x * 2.0)
+
+
+def test_vonmises_tiny_kappa_terminates_in_f32():
+    # regression: rho = (tau - sqrt(2 tau))/(2 k) cancels to 0 in f32 for
+    # small kappa -> r = inf -> NaN acceptance -> the Best-Fisher rejection
+    # loop never terminated (caught by the eager lane). The conjugate-form
+    # rho is exact; the loop is also iteration-bounded as insurance.
+    import jax.numpy as jnp
+
+    from dask_array_tpu.ops import random as R
+
+    r = da.random.default_rng(11)
+    for kappa in (1e-9, 1e-7, 1e-5):
+        s = np.asarray(r.vonmises(0.0, kappa, size=(2000,), chunks=1000).compute())
+        assert np.all(np.isfinite(s))
+        assert np.all((s >= -np.pi) & (s <= np.pi))
