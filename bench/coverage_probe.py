@@ -31,7 +31,29 @@ def probe_one(da, name):
     x = da.from_array(np.linspace(0.2, 0.8, 24).reshape(4, 6), chunks=(2, 3))
     xi = da.from_array(np.arange(24).reshape(4, 6), chunks=(2, 3))
     x1 = da.from_array(np.linspace(0.2, 0.8, 12), chunks=4)
-    attempts = [
+    sq = da.from_array(np.eye(4) * 2.0 + 0.1, chunks=2)  # well-conditioned square
+    special = {
+        "matmul": [(x, x.T)],
+        "solve": [(sq, da.from_array(np.linspace(1, 2, 4), chunks=2))],
+        "solve_triangular": [
+            (da.from_array(np.tril(np.eye(4) + 0.5), chunks=4),
+             da.from_array(np.linspace(1, 2, 4), chunks=2)),
+        ],
+        "quantile": [(x, 0.5)],
+        "nanquantile": [(x, 0.5)],
+        "ravel_multi_index": [
+            ((da.from_array(np.array([1, 2]), chunks=1),
+              da.from_array(np.array([3, 4]), chunks=1)), (4, 6)),
+        ],
+        "fromfunction": [
+            ((lambda i, j: i + j),),
+        ],
+        "elemwise": [((np.add), x, x)],
+        "blockwise": [
+            ((lambda a: a + 1), "ij", x, "ij"),
+        ],
+    }
+    attempts = special.get(name) or [
         (x, x),       # binary float
         (x,),         # unary
         (xi, xi),     # binary integer (bitwise/shift family)
