@@ -17,8 +17,11 @@ by per-call tunnel fetch overhead):
                            bench.py pins the roofline number: 186-192
                            TFLOP/s = 94-97.5 % of v5e peak)
   stencil2d_4096           steady 2.14 ms -> 63 GB/s
-  tsqr_svd_1e6x128         steady 108 ms (u+s+vh of 1e6x128; first run
-                           incl. remote compiles 85-700 s, tunnel-health
+  tsqr_svd_1e6x128         steady 81 ms (u+s+vh of 1e6x128, incl. rbg
+                           regeneration of the 512 MB input each iter;
+                           was 108 ms with the f64 eigh-clamped Gram —
+                           shifted Cholesky QR3 is f64-free. First run
+                           incl. remote compiles 75-700 s, tunnel-health
                            dependent)
   rechunk_relayout_8192    steady 0.88 ms -> 609 GB/s effective = 74 % of
                            the ~819 GB/s HBM roofline (persisted input;

@@ -321,11 +321,37 @@ def _trace_fn(root: ArrayExpr, keys: tuple, mesh, args):
     return compiled, cache_key
 
 
+# config keys read INSIDE _build/kernels at trace time: their value is baked
+# into the compiled program, so it must be part of the executable identity
+# (a cached program compiled under qr-gram="eigh-clamp" must not serve a
+# session that switched to "shifted")
+_TRACE_CONFIG_KEYS = (
+    "tpu.matmul-precision",
+    "tpu.qr-method",
+    "tpu.qr-gram",
+    "tpu.svd-method",
+    "tpu.prng-impl",
+    "tpu.random-precision",
+    "tpu.histogram-kernel",
+    "tpu.overlap-method",
+)
+
+
+def _trace_config_key():
+    return tuple(config.get(k, None) for k in _TRACE_CONFIG_KEYS)
+
+
 def _program_key(root, keys, mesh, donate):
     """Executable identity: structure + leaf count + mesh + DONATION (a
     donating executable must never serve a non-donating config, or it
-    deletes the caller's buffers)."""
-    return (structural_key(root), len(keys), _mesh_key(mesh), bool(donate))
+    deletes the caller's buffers) + the trace-affecting config values."""
+    return (
+        structural_key(root),
+        len(keys),
+        _mesh_key(mesh),
+        bool(donate),
+        _trace_config_key(),
+    )
 
 
 def _materialize_buf(b):
@@ -420,6 +446,7 @@ def execute_many(roots, mode: str | None = None):
         len(keys),
         _mesh_key(mesh),
         bool(donate),
+        _trace_config_key(),
     )
 
     if mode == "trace" and cache_key in _eager_keys:

@@ -72,28 +72,54 @@ class TSQR(ArrayExpr):
         return np.empty((0, 0), dtype=_float_dtype(self.array.dtype))
 
     @staticmethod
-    def _cholqr_once(a, dt):
+    def _cholqr_once(a, dt, shift=16.0):
+        """One CholeskyQR pass.  Plain CholeskyQR NaNs whenever cond(A)^2
+        exceeds 1/eps (Gram matrix numerically indefinite — exactly the
+        svd_compressed compression-panel case); two robustifications:
+
+        * ``shifted`` (default, config ``tpu.qr-gram``): shifted Cholesky
+          (Fukaya et al. 2020) — ``chol(G + shift * eps * ||G||_F I)``;
+          guaranteed positive-definite, all native-precision matmuls + one
+          tiny chol.  The QR3 schedule passes ``shift=(16, 1, 0)``: the
+          heavy first shift regularizes arbitrarily ill-conditioned (even
+          rank-deficient) panels, and the UNSHIFTED final pass removes the
+          shift's orthogonality bias (measured: ortho error 2.4e-7 on a
+          cond^2 >> 1/eps_f32 panel, equal to the eigh clamp).
+        * ``eigh-clamp``: clamp G's spectrum at ``eps * lambda_max`` via a
+          float64 eigendecomposition.  Bitwise-closest to the exact
+          factor, but f64 eigh is ~100x emulated on TPU (it made the
+          1e6x128 TSQR 108 ms; shifted runs the same workload at
+          matmul-bound speed).
+        """
         import jax.numpy as jnp
         import jax.scipy.linalg as jsl
 
+        from dask_array_tpu import config
+
         g = jnp.matmul(a.T, a, precision="highest")
-        # The Gram matrix is tiny (n x n): factor it in f64, after clamping
-        # its spectrum at eps_f32 * ||G||.  Plain CholeskyQR NaNs whenever
-        # cond(A)^2 exceeds 1/eps (G numerically indefinite — exactly the
-        # svd_compressed compression-panel case); clamping keeps Cholesky
-        # positive-definite in every pass while leaving well-conditioned
-        # directions untouched (the follow-up passes re-orthonormalize the
-        # clamped ones).
+        g = (g + g.T) / 2
         n = a.shape[1]
-        gd = g.astype(jnp.float64)
-        gd = (gd + gd.T) / 2
-        w, v = jnp.linalg.eigh(gd)
-        floor = float(jnp.finfo(dt).eps) * jnp.maximum(w[-1], 1e-300)
-        w = jnp.maximum(w, floor)
-        gd_psd = (v * w[None, :]) @ v.T
-        l = jnp.linalg.cholesky(gd_psd).astype(dt)  # lower; R = L^T, diag > 0
-        # Q = A R^-1  <=>  solve R^T Q^T = A^T with R^T = L (lower)
-        q = jsl.solve_triangular(l, a.T, lower=True).T
+        if config.get("tpu.qr-gram", "shifted") == "eigh-clamp":
+            gd = g.astype(jnp.float64)
+            w, v = jnp.linalg.eigh(gd)
+            floor = float(jnp.finfo(dt).eps) * jnp.maximum(w[-1], 1e-300)
+            w = jnp.maximum(w, floor)
+            gd_psd = (v * w[None, :]) @ v.T
+            l = jnp.linalg.cholesky(gd_psd).astype(dt)
+        elif shift:
+            # ||G||_F >= ||G||_2 bounds the shift from above
+            eps = float(jnp.finfo(dt).eps)
+            s = shift * eps * jnp.sqrt(jnp.sum(g * g)) + float(np.finfo(np.float64).tiny)
+            l = jnp.linalg.cholesky(g + s * jnp.eye(n, dtype=g.dtype)).astype(dt)
+        else:
+            l = jnp.linalg.cholesky(g).astype(dt)
+        # Q = A R^-1.  A triangular solve against 10^6 RHS columns is the
+        # slow path on TPU (substitution doesn't map to the MXU); invert the
+        # TINY (n x n) factor instead and apply it as one big matmul.  The
+        # inv's u*cond(L) rounding is within what the later QR3 passes
+        # already clean up (cond(L) is bounded by the pass-1 shift).
+        linv = jsl.solve_triangular(l, jnp.eye(n, dtype=l.dtype), lower=True)
+        q = jnp.matmul(a, linv.T, precision="highest")
         return q, l.T
 
     def _build(self, ctx):
@@ -137,9 +163,9 @@ class TSQR(ArrayExpr):
         # panels (cond^2 > 1/eps), the two repeats restore Householder-level
         # orthogonality
         a = view.dense().astype(dt)
-        q1, r1 = self._cholqr_once(a, dt)
-        q2, r2 = self._cholqr_once(q1, dt)
-        q, r3 = self._cholqr_once(q2, dt)
+        q1, r1 = self._cholqr_once(a, dt, shift=16.0)
+        q2, r2 = self._cholqr_once(q1, dt, shift=1.0)
+        q, r3 = self._cholqr_once(q2, dt, shift=0.0)
         r = jnp.matmul(
             r3, jnp.matmul(r2, r1, precision="highest"), precision="highest"
         )
@@ -331,9 +357,9 @@ class BlockedQR(ArrayExpr):
                     c = jnp.matmul(q_panels[m].T, v, precision="highest")
                     r_blocks[(m, k)] = r_blocks.get((m, k), 0) + c
                     v = v - jnp.matmul(q_panels[m], c, precision="highest")
-            qk, r1 = TSQR._cholqr_once(v, dt)
-            qk, r2 = TSQR._cholqr_once(qk, dt)
-            qk, r3 = TSQR._cholqr_once(qk, dt)
+            qk, r1 = TSQR._cholqr_once(v, dt, shift=16.0)
+            qk, r2 = TSQR._cholqr_once(qk, dt, shift=1.0)
+            qk, r3 = TSQR._cholqr_once(qk, dt, shift=0.0)
             r_blocks[(k, k)] = jnp.matmul(
                 r3, jnp.matmul(r2, r1, precision="highest"), precision="highest"
             )
