@@ -88,3 +88,23 @@ def test_substitute_with_persisted(rng):
     np.testing.assert_allclose(
         np.asarray(da.new_collection(swapped).compute()), (x * 3).sum(axis=0)
     )
+
+
+def test_trace_config_changes_do_not_reuse_stale_executables(rng):
+    # regression: tpu.* config read at TRACE time is baked into the
+    # compiled program; switching it mid-session must not serve the old
+    # executable (qr-gram switch silently returned eigh-clamp results
+    # after setting "shifted")
+    import dask_array_tpu as da
+    from dask_array_tpu import config
+    from dask_array_tpu._executor import _program_key, collect_leaves
+
+    x = da.from_array(np.arange(24.0).reshape(4, 6), chunks=(2, 3))
+    expr = (x + 1).expr
+    keys = tuple(k for k, _ in collect_leaves(expr))
+    k1 = _program_key(expr, keys, None, False)
+    with config.set({"tpu.qr-gram": "eigh-clamp"}):
+        k2 = _program_key(expr, keys, None, False)
+    k3 = _program_key(expr, keys, None, False)
+    assert k1 != k2
+    assert k1 == k3  # reverting the config re-hits the original executable
