@@ -5,28 +5,28 @@ can abort (SIGABRT, `Check failed: buffer != nullptr`) after many
 compilations in one process, and isolation keeps one flaky compile from
 killing the suite.
 
-Decision record (v5e-1, axon tunnel, 2026-08-17, round 2 late —
-RTT-excluded steady state, adaptive iters, multi-output workloads as ONE
-program via execute_many; the earlier 2026-08-16 numbers were dominated
-by per-call tunnel fetch overhead):
-  readme_slice_pushdown    optimize 1.5 ms | steady   0.62 ms
-  reduction_tree_10k       optimize 0.8 ms | steady   2.56 ms -> 156 GB/s
-                           (sum+mean+std of 10000^2 f32 in one program;
-                           was 35 ms as three programs with fetch)
-  blocked_matmul_8192      steady 6.08 ms/GEMM (persisted bf16 inputs;
-                           bench.py pins the roofline number: 186-192
-                           TFLOP/s = 94-97.5 % of v5e peak)
-  stencil2d_4096           steady 2.14 ms -> 63 GB/s
-  tsqr_svd_1e6x128         steady 81 ms (u+s+vh of 1e6x128, incl. rbg
-                           regeneration of the 512 MB input each iter;
-                           was 108 ms with the f64 eigh-clamped Gram —
-                           shifted Cholesky QR3 is f64-free. First run
-                           incl. remote compiles 75-700 s, tunnel-health
-                           dependent)
-  rechunk_relayout_8192    steady 0.88 ms -> 609 GB/s effective = 74 % of
-                           the ~819 GB/s HBM roofline (persisted input;
-                           on a mesh the same boundary emits an ICI
-                           all-to-all — tests/test_rechunk_collective.py)
+Decision record (v5e-1, axon tunnel, 2026-08-17, round-2 FINAL — one
+clean end-to-end run of all six workloads; RTT-excluded steady state,
+adaptive iters, multi-output workloads as ONE program via execute_many):
+  readme_slice_pushdown    steady  0.21 ms
+  reduction_tree_10k       steady  2.55 ms -> 157 GB/s (sum+mean+std of
+                           10000^2 f32 in one program; 35 ms at round
+                           start)
+  blocked_matmul_8192      steady  5.89 ms/GEMM ~= 187-192 TFLOP/s
+                           (persisted bf16; 94-97.5 % of v5e peak —
+                           bench.py pins the headline number)
+  stencil2d_4096           steady  2.07 ms (~1 ms of which is rbg
+                           regeneration of the input; the stencil itself
+                           runs at XLA's roll-formulation bound, ~100 GB/s
+                           — a Pallas halo kernel measured only 1.3x
+                           better and was not shipped, see bench/README)
+  tsqr_svd_1e6x128         steady 72.3 ms (u+s+vh incl. 512 MB rbg input
+                           regeneration; 108 ms at round start — shifted
+                           Cholesky QR3 removed all emulated-f64 work)
+  rechunk_relayout_8192    steady  0.84 ms -> 639 GB/s = 78 % of the
+                           ~819 GB/s HBM roofline (on a mesh the same
+                           boundary emits an ICI all-to-all —
+                           tests/test_rechunk_collective.py)
 """
 
 from __future__ import annotations
