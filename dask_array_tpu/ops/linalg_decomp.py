@@ -96,8 +96,8 @@ class TSQR(ArrayExpr):
 
         from dask_array_tpu import config
 
-        g = jnp.matmul(a.T, a, precision="highest")
-        g = (g + g.T) / 2
+        g = jnp.matmul(a.conj().T, a, precision="highest")
+        g = (g + g.conj().T) / 2
         n = a.shape[1]
         if config.get("tpu.qr-gram", "shifted") == "eigh-clamp":
             gd = g.astype(jnp.float64)
@@ -108,8 +108,9 @@ class TSQR(ArrayExpr):
             l = jnp.linalg.cholesky(gd_psd).astype(dt)
         elif shift:
             # ||G||_F >= ||G||_2 bounds the shift from above
-            eps = float(jnp.finfo(dt).eps)
-            s = shift * eps * jnp.sqrt(jnp.sum(g * g)) + float(np.finfo(np.float64).tiny)
+            eps = float(jnp.finfo(jnp.real(jnp.zeros((), dt)).dtype).eps)
+            normf = jnp.sqrt(jnp.sum(jnp.real(g * jnp.conj(g))))
+            s = shift * eps * normf + float(np.finfo(np.float64).tiny)
             l = jnp.linalg.cholesky(g + s * jnp.eye(n, dtype=g.dtype)).astype(dt)
         else:
             l = jnp.linalg.cholesky(g).astype(dt)
@@ -119,8 +120,8 @@ class TSQR(ArrayExpr):
         # inv's u*cond(L) rounding is within what the later QR3 passes
         # already clean up (cond(L) is bounded by the pass-1 shift).
         linv = jsl.solve_triangular(l, jnp.eye(n, dtype=l.dtype), lower=True)
-        q = jnp.matmul(a, linv.T, precision="highest")
-        return q, l.T
+        q = jnp.matmul(a, linv.conj().T, precision="highest")
+        return q, l.conj().T
 
     def _build(self, ctx):
         import jax.numpy as jnp
@@ -191,16 +192,16 @@ def _svd_fn(a, full_matrices=False):
         return jnp.linalg.svd(a, full_matrices=full_matrices)
     m, n = a.shape
     if m < n:
-        u, s, vh = _svd_fn(a.T, full_matrices=full_matrices)
-        return vh.T, s, u.T
-    g = jnp.matmul(a.T, a, precision="highest")
+        u, s, vh = _svd_fn(a.conj().T, full_matrices=full_matrices)
+        return vh.conj().T, s, u.conj().T
+    g = jnp.matmul(a.conj().T, a, precision="highest")  # Hermitian Gram
     w, v = jnp.linalg.eigh(g)  # ascending eigenvalues
     w = jnp.maximum(w[::-1], 0.0)
     v = v[:, ::-1]
     s = jnp.sqrt(w)
     safe = jnp.where(s > 0, s, 1.0)
     u = jnp.matmul(a, v, precision="highest") / safe[None, :]
-    return u, s, v.T
+    return u, s, v.conj().T
 
 
 def _pivoted_lu(a):

@@ -301,10 +301,20 @@ def _nancount(a, axis, keepdims, split_every, dtype="f8"):
 def var(a, axis=None, dtype=None, keepdims=False, ddof=0, split_every=None, out=None):
     dt = _var_dtype(a, dtype)
     x = a.astype(dt)
-    n = _count(a, axis, keepdims=True, split_every=split_every, dtype=dt)
+    cdt = np.dtype(dt)
+    rdt = np.dtype(cdt.char.lower().replace("c", "f")) if cdt.kind == "c" else cdt
+    n = _count(a, axis, keepdims=True, split_every=split_every, dtype=rdt)
     mu = sum(x, axis=axis, dtype=dt, keepdims=True, split_every=split_every) / n
-    m2 = sum((x - mu) * (x - mu), axis=axis, dtype=dt, keepdims=keepdims, split_every=split_every)
-    denom = _count(a, axis, keepdims=keepdims, split_every=split_every, dtype=dt) - ddof
+    centered = x - mu
+    if cdt.kind == "c":
+        # numpy: complex variance is E|x - mu|^2, a REAL number
+        from dask_array_tpu.ops.ufuncs import conj
+
+        sq = (centered * conj(centered)).real
+    else:
+        sq = centered * centered
+    m2 = sum(sq, axis=axis, dtype=rdt, keepdims=keepdims, split_every=split_every)
+    denom = _count(a, axis, keepdims=keepdims, split_every=split_every, dtype=rdt) - ddof
     return handle_out(out, m2 / denom)
 
 
@@ -319,12 +329,21 @@ def nanvar(a, axis=None, dtype=None, keepdims=False, ddof=0, split_every=None, o
 
     dt = _var_dtype(a, dtype)
     x = a.astype(dt)
-    n = _nancount(a, axis, keepdims=True, split_every=split_every, dtype=dt)
+    cdt = np.dtype(dt)
+    rdt = np.dtype(cdt.char.lower().replace("c", "f")) if cdt.kind == "c" else cdt
+    n = _nancount(a, axis, keepdims=True, split_every=split_every, dtype=rdt)
     total = nansum(x, axis=axis, dtype=dt, keepdims=True, split_every=split_every)
     mu = total / n
     filled = elemwise(jnp.where, elemwise(jnp.isnan, x), mu, x)
-    m2 = sum((filled - mu) * (filled - mu), axis=axis, dtype=dt, keepdims=keepdims, split_every=split_every)
-    denom = _nancount(a, axis, keepdims=keepdims, split_every=split_every, dtype=dt) - ddof
+    centered = filled - mu
+    if cdt.kind == "c":
+        from dask_array_tpu.ops.ufuncs import conj
+
+        sq = (centered * conj(centered)).real
+    else:
+        sq = centered * centered
+    m2 = sum(sq, axis=axis, dtype=rdt, keepdims=keepdims, split_every=split_every)
+    denom = _nancount(a, axis, keepdims=keepdims, split_every=split_every, dtype=rdt) - ddof
     return handle_out(out, m2 / denom)
 
 
