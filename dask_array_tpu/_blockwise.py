@@ -479,10 +479,11 @@ class Elemwise(Blockwise):
         from dask_array_tpu._slicing import Slice, slice_for_ndim
 
         out_ind = self.out_ind
+        out_shape = self.shape
         new_args = []
         for a in self.args:
             if isinstance(a, ArrayExpr):
-                sub = slice_for_ndim(index, self.out_ndim, a.ndim, a.shape)
+                sub = slice_for_ndim(index, self.out_ndim, a.ndim, a.shape, out_shape)
                 if sub is None:
                     return None
                 a = Slice(a, sub) if sub else a

@@ -241,12 +241,15 @@ class Slice(ArrayExpr):
         return (0, 0)
 
 
-def slice_for_ndim(index, out_ndim, arg_ndim, arg_shape):
+def slice_for_ndim(index, out_ndim, arg_ndim, arg_shape, out_shape=None):
     """Map an out-index onto a broadcast-aligned elemwise argument.
 
     Returns the sub-index for the argument, () if it would be a no-op, or
     None to decline.  Broadcast dims (arg size 1) map ints to 0 and slices
-    to slice(None).
+    to slice(None) — emptiness of a slice on a broadcast dim is judged
+    against the OUTPUT axis length (the broadcast repeats the single
+    element out_dim times; ``[17:19]`` of a length-19 output keeps the
+    element, it is NOT empty just because the operand axis has length 1).
     """
     if arg_ndim == 0:
         return ()
@@ -254,6 +257,7 @@ def slice_for_ndim(index, out_ndim, arg_ndim, arg_shape):
     if len(idx) != out_ndim or not is_basic_index(idx):
         return None
     sub = idx[out_ndim - arg_ndim:]
+    out_sub = list(out_shape)[out_ndim - arg_ndim:] if out_shape is not None else None
     out = []
     trivial = True
     for pos, ind in enumerate(sub):
@@ -263,10 +267,13 @@ def slice_for_ndim(index, out_ndim, arg_ndim, arg_shape):
                 out.append(0)
                 trivial = False
             else:
-                # a slice on a size-1 broadcast dim selects 0 or 1 elements;
-                # EMPTY slices must propagate (dropping them would silently
-                # restore the pre-slice shape through an all-broadcast op)
-                start, stop, step = ind.indices(1)
+                # EMPTY output slices must propagate (dropping them would
+                # silently restore the pre-slice shape through an
+                # all-broadcast op); non-empty ones keep the element
+                out_dim = out_sub[pos] if out_sub is not None else None
+                if out_dim is None or _is_nan(out_dim):
+                    out_dim = 1  # conservative: operand length
+                start, stop, step = ind.indices(int(out_dim))
                 count = len(range(start, stop, step))
                 if count == 0:
                     out.append(slice(0, 0, 1))

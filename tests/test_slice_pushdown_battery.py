@@ -414,3 +414,22 @@ def test_masked_leaf_unknown_dims_no_crash(rng):
     m = d[da.from_array(x > 0, chunks=4)]
     total = m.sum()
     assert_eq(total, x[x > 0].sum())
+
+
+def test_slice_on_broadcast_axis_judged_against_output_length(rng):
+    # regression (found by bench/diff_adversarial case 42): pushing a slice
+    # through an elemwise onto a SIZE-1 broadcast operand evaluated
+    # emptiness against the operand length (1), so roll's [17:19] column
+    # slice of a length-19 output became slice(0,0) -> trace-time shape
+    # mismatch (6,0)+(6,2)
+    x = rng.standard_normal((6, 19))
+    d = da.from_array(x, chunks=(12, 3))
+    ref = x
+    d, ref = d.sum(axis=1, keepdims=True) + d, ref.sum(axis=1, keepdims=True) + ref
+    d, ref = d.T, ref.T
+    d, ref = da.roll(d, 2, axis=0), np.roll(ref, 2, axis=0)
+    out = d.sum(axis=0)
+    np.testing.assert_allclose(np.asarray(out.compute()), ref.sum(axis=0), rtol=1e-9)
+    # genuinely-empty output slices still propagate through broadcast ops
+    e = (da.ones((4, 1), chunks=2) + da.ones((4, 7), chunks=2))[:, 3:3]
+    assert np.asarray(e.compute()).shape == (4, 0)
