@@ -30,7 +30,7 @@ def build_case(rng, da):
     ref = x
     steps = int(rng.integers(2, 7))
     for _ in range(steps):
-        op = rng.integers(0, 10)
+        op = rng.integers(0, 11)
         if op == 0 and not any(np.isnan(s) for s in (d.shape[0],)):
             a = int(rng.integers(0, max(1, d.shape[0] - 1)))
             b = int(rng.integers(a + 1, d.shape[0] + 1))
@@ -55,6 +55,8 @@ def build_case(rng, da):
             d, ref = da.where(d > 0, d, -d), np.where(ref > 0, ref, -ref)
         elif op == 8 and d.ndim == 2:
             d, ref = da.concatenate([d, d], axis=1), np.concatenate([ref, ref], axis=1)
+        elif op == 9 and d.ndim == 2 and d.shape[0] >= 3:
+            d, ref = d[::-1, ::2], ref[::-1, ::2]  # negative step + stride
         else:
             d, ref = np.sin(d), np.sin(ref)
     return d.sum(axis=0), ref.sum(axis=0)
