@@ -280,6 +280,10 @@ def compute(*collections, **kwargs):
     from dask_array_tpu._executor import execute_many
     from dask_array_tpu._materialize import optimize_expr
 
+    # kwargs (scheduler=, optimize_graph=, ...) are accepted for dask API
+    # compat and uniformly ignored by BOTH the single- and multi-array
+    # paths — Array.compute has no options.  If Array.compute ever grows
+    # one, thread it through execute_many here too.
     arrays = [(i, c) for i, c in enumerate(collections) if isinstance(c, Array)]
     out = list(collections)
     if len(arrays) > 1:

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import builtins
 import functools
+import itertools
 import math
 import threading
 import weakref
@@ -378,26 +379,43 @@ class ArrayExpr:
         warm_metadata(self)
         expr = self
         seen = set()
-        for _pass in range(200):
+        # Some rules advance one level per pass (slice pushdown through an
+        # elemwise chain), so the cap must scale with plan size or deep
+        # chains stop early and mis-blame a non-contracting rule.
+        cap = None
+        last_size = None
+        shrinking = True
+        for _pass in itertools.count():
             if expr._name in seen:
                 break
             seen.add(expr._name)
             dependents = collect_dependents(expr)
+            if cap is None:
+                cap = max(200, 4 * len(dependents) + 100)
+            if _pass >= cap:
+                if shrinking:
+                    # every recent pass strictly reduced plan size — this is
+                    # slow convergence, not divergence; stop quietly with the
+                    # current (correct, partially simplified) form
+                    break
+                # a rewrite is growing the tree instead of converging
+                import warnings
+
+                warnings.warn(
+                    f"simplify did not converge in {cap} passes; a rewrite "
+                    "rule is likely non-contracting (use trace_rewrites() to "
+                    "find it)",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
+                break
+            size = len(dependents)
+            shrinking = last_size is None or size < last_size
+            last_size = size
             new = _simplify_pass(expr, dependents, {})
             if new._name == expr._name:
                 break
             expr = new
-        else:
-            # a rewrite is growing the tree instead of converging; stop with
-            # the current (correct, partially simplified) form and warn loudly
-            import warnings
-
-            warnings.warn(
-                "simplify did not converge in 200 passes; a rewrite rule is "
-                "likely non-contracting (use trace_rewrites() to find it)",
-                RuntimeWarning,
-                stacklevel=2,
-            )
         return expr
 
     def _lower(self):

@@ -107,8 +107,12 @@ class _Flattener:
                 c += [T_INT, v]
             else:
                 c += [T_TOKEN, self.sidx(f"bigint:{v}")]
-        elif t is float or isinstance(o, np.floating):
+        elif t is float or isinstance(o, (np.float16, np.float32, np.float64)):
             c += [T_FLOAT, _f64_bits(float(o))]
+        elif isinstance(o, np.floating):
+            # np.longdouble: float64 bits would alias distinct constants —
+            # decline to a token (never-guess discipline)
+            self.token(o)
         elif t is str:
             c += [T_STR, self.sidx(o)]
         elif t is np.dtype or isinstance(o, np.dtype):

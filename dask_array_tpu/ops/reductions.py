@@ -735,10 +735,15 @@ class Quantile(ArrayExpr):
             x = x.reshape(-1)
             axis = 0
         xs = jnp.sort(x, axis=axis)  # nans sort last
+        has_nan = None
         if self.kind.startswith("nan"):
             n = jnp.sum(~jnp.isnan(x), axis=axis, keepdims=True)
         else:
             n = x.shape[axis]
+            if jnp.issubdtype(x.dtype, jnp.floating):
+                # numpy's non-nan quantile propagates NaN (NaNs sort last and
+                # would otherwise be indexed past); match it.
+                has_nan = jnp.any(jnp.isnan(x), axis=axis, keepdims=True)
         qv = jnp.atleast_1d(q)
         out = []
         for i in range(qv.shape[0]):
@@ -750,6 +755,8 @@ class Quantile(ArrayExpr):
                 taken = jnp.expand_dims(taken, axis)
             else:
                 taken = jnp.take_along_axis(xs, jnp.broadcast_to(idx, idx.shape), axis=axis)
+            if has_nan is not None:
+                taken = jnp.where(has_nan, jnp.nan, taken)
             out.append(taken if self.keepdims else jnp.squeeze(taken, axis=axis))
         dense = out[0] if self._scalar_q else jnp.stack(out, axis=0)
         return dense

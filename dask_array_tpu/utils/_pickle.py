@@ -17,7 +17,9 @@ from __future__ import annotations
 
 import functools
 
-_REGISTRY = None  # id(obj) -> (module path, attr name); module attrs are immortal
+_REGISTRY = None  # id(obj) -> (obj, module path, attr name); the strong ref
+# keeps the id stable — without it a module __getattr__ that synthesizes
+# per-access objects could recycle an id onto an unrelated callable.
 
 
 def _registry():
@@ -45,7 +47,7 @@ def _registry():
                     continue
                 if callable(obj) and not isinstance(obj, type):
                     # first (shortest) path wins for aliased objects
-                    reg.setdefault(id(obj), (modname, attr))
+                    reg.setdefault(id(obj), (obj, modname, attr))
         _REGISTRY = reg
     return _REGISTRY
 
@@ -76,8 +78,8 @@ def encode_operand(op):
     """Swap registry callables for by-name markers, recursively."""
     if callable(op) and not isinstance(op, type):
         hit = _registry().get(id(op))
-        if hit is not None:
-            return _ByName(*hit)
+        if hit is not None and hit[0] is op:
+            return _ByName(hit[1], hit[2])
         if isinstance(op, functools.partial):
             return functools.partial(
                 encode_operand(op.func),

@@ -93,7 +93,12 @@ def _normalize(obj, out: list) -> None:
     elif isinstance(obj, np.dtype):
         out.append(f"dtype:{obj.str}")
     elif isinstance(obj, np.generic):
-        out.append(f"npscalar:{obj.dtype.str}:{obj.item()!r}")
+        if isinstance(obj, (np.longdouble, np.clongdouble)):
+            # .item() narrows to a Python float and would alias distinct
+            # long-double constants; the raw bytes are exact
+            out.append(f"npscalar:{obj.dtype.str}:{obj.tobytes().hex()}")
+        else:
+            out.append(f"npscalar:{obj.dtype.str}:{obj.item()!r}")
     elif typ in (tuple, list):
         out.append("(" if typ is tuple else "[")
         for item in obj:

@@ -1,0 +1,114 @@
+"""Regression tests for round-3 ADVICE fixes.
+
+Each test pins a specific advisor finding from ADVICE.md (round 2).
+"""
+
+import warnings
+
+import numpy as np
+import pytest
+
+import dask_array_tpu as da
+
+
+# -- ADVICE medium: Quantile 'nearest' NaN propagation ----------------------
+
+
+@pytest.mark.parametrize("method", ["nearest", "linear", "lower", "higher"])
+def test_quantile_nearest_propagates_nan(method):
+    data = np.array([1.0, np.nan, 3.0, 2.0, 5.0])
+    x = da.from_array(data, chunks=5)
+    got = da.quantile(x, 0.5, method=method).compute()
+    want = np.quantile(data, 0.5, method=method)
+    np.testing.assert_array_equal(got, want)  # both nan
+    assert np.isnan(got)
+
+
+def test_quantile_nearest_nan_per_axis():
+    data = np.array([[1.0, 2.0, 3.0], [1.0, np.nan, 3.0]])
+    x = da.from_array(data, chunks=(2, 3))
+    got = da.quantile(x, 0.5, axis=1, method="nearest").compute()
+    want = np.quantile(data, 0.5, axis=1, method="nearest")
+    np.testing.assert_array_equal(got, want)
+    assert not np.isnan(got[0]) and np.isnan(got[1])
+
+
+def test_nanquantile_nearest_still_skips_nan():
+    data = np.array([1.0, np.nan, 3.0, 2.0, 5.0])
+    x = da.from_array(data, chunks=5)
+    got = da.nanquantile(x, 0.5, method="nearest").compute()
+    want = np.nanquantile(data, 0.5, method="nearest")
+    np.testing.assert_allclose(got, want)
+
+
+def test_quantile_nearest_int_dtype_no_nan_path():
+    data = np.arange(10)
+    x = da.from_array(data, chunks=5)
+    got = da.quantile(x, 0.3, method="nearest").compute()
+    want = np.quantile(data, 0.3, method="nearest")
+    np.testing.assert_allclose(got, want)
+
+
+# -- ADVICE low: pickle registry identity check -----------------------------
+
+
+def test_pickle_registry_identity_guard():
+    from dask_array_tpu.utils._pickle import _registry, encode_operand
+
+    reg = _registry()
+    # registry entries hold strong refs: (obj, mod, attr) — ids stay valid
+    for key, (obj, mod, attr) in list(reg.items())[:50]:
+        assert id(obj) == key
+    # a non-registered callable passes through untouched
+    f = lambda x: x  # noqa: E731
+    assert encode_operand(f) is f
+
+
+# -- ADVICE low: planrec longdouble does not alias to float64 ---------------
+
+
+def test_planrec_longdouble_no_alias():
+    from dask_array_tpu._planrec import plan_records
+
+    if np.longdouble is np.float64:
+        pytest.skip("longdouble == float64 on this platform")
+    a = np.longdouble(1) + np.finfo(np.longdouble).eps
+    b = np.longdouble(1)
+    if a == b:
+        pytest.skip("longdouble has no extra precision on this platform")
+    assert float(a) == float(b)  # they alias at f64
+    x = da.ones((4,), chunks=4)
+    from dask_array_tpu.ops.ufuncs import multiply
+
+    r1 = plan_records(multiply(x, a).expr)
+    r2 = plan_records(multiply(x, b).expr)
+    if r1 is None or r2 is None:
+        pytest.skip("planrec declined these plans")
+    assert r1 != r2
+
+
+# -- ADVICE low: deep-chain simplify converges without warning --------------
+
+
+def test_deep_chain_simplify_no_spurious_warning():
+    x = da.ones((8, 8), chunks=4)
+    y = x
+    for _ in range(250):
+        y = y + 1
+    z = y[:2, :2]
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)
+        out = z.compute()
+    np.testing.assert_allclose(out, np.full((2, 2), 251.0))
+
+
+# -- ADVICE low: da.compute kwargs uniformly accepted -----------------------
+
+
+def test_compute_kwargs_uniform():
+    x = da.ones((4,), chunks=2)
+    y = da.zeros((4,), chunks=2)
+    (a,) = da.compute(x, scheduler="threads")
+    a2, b2 = da.compute(x, y, scheduler="threads")
+    np.testing.assert_allclose(a, a2)
+    np.testing.assert_allclose(b2, np.zeros(4))
