@@ -287,6 +287,15 @@ def _axes_of(a, axis):
 def _count(a, axis, keepdims, split_every, dtype="f8"):
     from dask_array_tpu.ops.creation import ones
 
+    axes = _axes_of(a, axis)
+    sizes = [a.shape[ax] for ax in axes]
+    if builtins.all(isinstance(s, (int, np.integer)) for s in sizes):
+        # static shape: the count is a compile-time constant — no runtime
+        # ones-reduction (it would be one more pass for XLA to schedule)
+        n = 1
+        for s in sizes:
+            n *= int(s)
+        return np.dtype(dtype).type(n)
     o = ones(a.shape, dtype=dtype, chunks=a.chunks)
     return sum(o, axis=axis, dtype=dtype, keepdims=keepdims, split_every=split_every)
 
@@ -298,24 +307,55 @@ def _nancount(a, axis, keepdims, split_every, dtype="f8"):
     return sum(notnan, axis=axis, dtype=dtype, keepdims=keepdims, split_every=split_every)
 
 
+def _var_shift(a):
+    """A cheap data-derived shift for the one-pass variance formulation.
+
+    The array's first element (one block read after slice pushdown).  Any
+    value within the data's range makes the shifted power-sum cancellation
+    benign (|E[x-s]| ~ std); the first element also makes var of a constant
+    array EXACTLY zero.  Falls back to 0 for empty/unknown-size arrays.
+    """
+    shape = a.shape
+    if builtins.any((not isinstance(s, (int, np.integer))) or s <= 0 for s in shape):
+        return None
+    return a[(0,) * a.ndim]
+
+
 def var(a, axis=None, dtype=None, keepdims=False, ddof=0, split_every=None, out=None):
+    """Variance via ONE-PASS shifted power sums.
+
+    ``var = (Q - |T|^2/n) / (n - ddof)`` with ``d = x - s``, ``T = sum(d)``,
+    ``Q = sum(|d|^2)``.  Unlike the two-pass mean-then-centered form
+    (the reference's moment_chunk/moment_agg pipeline,
+    ``/root/reference/dask_array/reductions/_common.py``), T and Q are
+    INDEPENDENT reductions over one fused producer, so XLA multi-output
+    fusion reads the input from HBM exactly once — on TPU this is the
+    difference between ~160 GB/s and HBM-roofline reductions (bench/README
+    reduction_tree row).  The shift keeps the cancellation benign.
+    """
     dt = _var_dtype(a, dtype)
     x = a.astype(dt)
     cdt = np.dtype(dt)
     rdt = np.dtype(cdt.char.lower().replace("c", "f")) if cdt.kind == "c" else cdt
-    n = _count(a, axis, keepdims=True, split_every=split_every, dtype=rdt)
-    mu = sum(x, axis=axis, dtype=dt, keepdims=True, split_every=split_every) / n
-    centered = x - mu
+    s = _var_shift(x)
+    d = x if s is None else x - s
+    n = _count(a, axis, keepdims=keepdims, split_every=split_every, dtype=rdt)
+    t = sum(d, axis=axis, dtype=dt, keepdims=keepdims, split_every=split_every)
     if cdt.kind == "c":
         # numpy: complex variance is E|x - mu|^2, a REAL number
         from dask_array_tpu.ops.ufuncs import conj
 
-        sq = (centered * conj(centered)).real
+        sq = (d * conj(d)).real
+        tsq = (t * conj(t)).real
     else:
-        sq = centered * centered
-    m2 = sum(sq, axis=axis, dtype=rdt, keepdims=keepdims, split_every=split_every)
-    denom = _count(a, axis, keepdims=keepdims, split_every=split_every, dtype=rdt) - ddof
-    return handle_out(out, m2 / denom)
+        sq = d * d
+        tsq = t * t
+    q = sum(sq, axis=axis, dtype=rdt, keepdims=keepdims, split_every=split_every)
+    import jax.numpy as jnp
+
+    # rounding can push m2 epsilon-negative; clamp (maximum propagates NaN)
+    m2 = elemwise(jnp.maximum, q - tsq / n, 0)
+    return handle_out(out, m2 / (n - ddof))
 
 
 def std(a, axis=None, dtype=None, keepdims=False, ddof=0, split_every=None, out=None):
@@ -325,26 +365,35 @@ def std(a, axis=None, dtype=None, keepdims=False, ddof=0, split_every=None, out=
 
 
 def nanvar(a, axis=None, dtype=None, keepdims=False, ddof=0, split_every=None, out=None):
+    """NaN-skipping variance via the same one-pass shifted power sums as
+    :func:`var` (NaN terms contribute 0 to both sums; counts exclude them)."""
     import jax.numpy as jnp
 
     dt = _var_dtype(a, dtype)
     x = a.astype(dt)
     cdt = np.dtype(dt)
     rdt = np.dtype(cdt.char.lower().replace("c", "f")) if cdt.kind == "c" else cdt
-    n = _nancount(a, axis, keepdims=True, split_every=split_every, dtype=rdt)
-    total = nansum(x, axis=axis, dtype=dt, keepdims=True, split_every=split_every)
-    mu = total / n
-    filled = elemwise(jnp.where, elemwise(jnp.isnan, x), mu, x)
-    centered = filled - mu
+    s = _var_shift(x)
+    if s is not None:
+        # the first element may itself be NaN — a NaN shift would poison
+        # every term, so zero it in that case
+        s = elemwise(jnp.nan_to_num, s)
+        d = x - s
+    else:
+        d = x
+    n = _nancount(a, axis, keepdims=keepdims, split_every=split_every, dtype=rdt)
+    t = nansum(d, axis=axis, dtype=dt, keepdims=keepdims, split_every=split_every)
     if cdt.kind == "c":
         from dask_array_tpu.ops.ufuncs import conj
 
-        sq = (centered * conj(centered)).real
+        sq = (d * conj(d)).real
+        tsq = (t * conj(t)).real
     else:
-        sq = centered * centered
-    m2 = sum(sq, axis=axis, dtype=rdt, keepdims=keepdims, split_every=split_every)
-    denom = _nancount(a, axis, keepdims=keepdims, split_every=split_every, dtype=rdt) - ddof
-    return handle_out(out, m2 / denom)
+        sq = d * d
+        tsq = t * t
+    q = nansum(sq, axis=axis, dtype=rdt, keepdims=keepdims, split_every=split_every)
+    m2 = elemwise(jnp.maximum, q - tsq / n, 0)
+    return handle_out(out, m2 / (n - ddof))
 
 
 def nanstd(a, axis=None, dtype=None, keepdims=False, ddof=0, split_every=None, out=None):

@@ -112,3 +112,45 @@ def test_compute_kwargs_uniform():
     a2, b2 = da.compute(x, y, scheduler="threads")
     np.testing.assert_allclose(a, a2)
     np.testing.assert_allclose(b2, np.zeros(4))
+
+
+# -- one-pass shifted power-sum variance ------------------------------------
+
+
+def test_var_onepass_shifted_data():
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((100, 100)) * 1e-3 + 1e6
+    d = da.from_array(x, chunks=32)
+    assert abs(d.var().compute() - x.var()) / x.var() < 1e-10
+
+
+def test_var_onepass_constant_exact_zero():
+    c = da.ones((50, 50), chunks=16) * 3.7
+    assert c.var().compute() == 0.0
+    assert c.std().compute() == 0.0
+
+
+def test_nanvar_onepass_nan_first_element():
+    rng = np.random.default_rng(1)
+    w = rng.standard_normal((10,))
+    w[0] = np.nan
+    got = da.nanvar(da.from_array(w, chunks=4)).compute()
+    np.testing.assert_allclose(got, np.nanvar(w), rtol=1e-12)
+
+
+def test_nanvar_onepass_all_nan_slice():
+    y = np.full((3, 4), np.nan)
+    y[0] = [1.0, 2, 3, 4]
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        got = da.nanvar(da.from_array(y, chunks=2), axis=1).compute()
+        want = np.nanvar(y, axis=1)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_var_onepass_never_negative():
+    # rounding could push Q - T^2/n epsilon-negative; std must not be NaN
+    x = np.full((64, 64), 7.1e7, dtype=np.float32)
+    d = da.from_array(x, chunks=16)
+    out = d.std().compute()
+    assert out == 0.0 and not np.isnan(out)
