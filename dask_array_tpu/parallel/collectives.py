@@ -100,6 +100,89 @@ def alltoall_reshard(x, mesh, axis_name: str, from_axis: int, to_axis: int, spec
     return fn(x)
 
 
+def swap_reshard(x, mesh, name_a, name_b, axis_a, axis_b, spec=None):
+    """Trade the array axes of two mesh axes without any all-gather.
+
+    The cyclic relayout ``P(a,b) -> P(b,a)`` is the one rechunk shape the
+    acyclic staged planner can't order; GSPMD's generic schedule resolves
+    it with all-gathers (measured: 3 on a 2x4 mesh).  Two explicit
+    schedules avoid that entirely:
+
+    - ``|a| == |b|`` (square): out-shard ``(i, j)`` is exactly in-shard
+      ``(j, i)`` — ONE whole-shard ``lax.ppermute`` over the combined
+      group, the minimal possible traffic (each device sends its shard
+      once).
+    - ``|a| != |b|``: three stages through a NESTED sharding of
+      ``axis_b`` — (1) ``all_to_all`` moves ``a`` into ``axis_b`` as the
+      minor divisor (``P(None, (b, a))``), (2) one whole-shard ppermute
+      reorders the nesting to ``P(None, (a, b))``, (3) ``all_to_all``
+      pulls ``b`` out to ``axis_a``, leaving ``P(b, a)`` with contiguous
+      shards.  Total traffic ~ (1 + (na-1)/na + (nb-1)/nb) shard volumes
+      — far below any gather-based plan.
+
+    Reference analog: the rechunk planner's copy-minimising stage choice
+    (``/root/reference/dask_array/_rechunk.py:563``).
+    Returns None when axis sizes don't divide the nested grid.
+    """
+    from jax.lax import all_to_all, ppermute
+    from jax.sharding import PartitionSpec as P
+
+    n_a = mesh.shape[name_a]
+    n_b = mesh.shape[name_b]
+    shard_map = _shard_map()
+    base = list(spec) if spec is not None else [None] * x.ndim
+    spec_in = list(base)
+    spec_in[axis_a] = name_a
+    spec_in[axis_b] = name_b
+    spec_out = list(base)
+    spec_out[axis_a] = name_b
+    spec_out[axis_b] = name_a
+
+    if n_a == n_b:
+        # square: single whole-shard permute; linear index over the
+        # combined (name_a, name_b) group is i*n + j in axis-name order
+        perm = [(i * n_a + j, j * n_a + i) for i in range(n_a) for j in range(n_a)]
+
+        def body(shard):
+            return ppermute(shard, (name_a, name_b), perm)
+
+        fn = shard_map(body, mesh=mesh, in_specs=(P(*spec_in),), out_specs=P(*spec_out))
+        return fn(x)
+
+    # non-square: stage through a nested sharding of axis_b
+    size_a = x.shape[axis_a]
+    size_b = x.shape[axis_b]
+    if size_b % (n_a * n_b) != 0 or size_a % n_b != 0 or size_a % n_a != 0:
+        return None
+
+    spec_mid1 = list(base)
+    spec_mid1[axis_a] = None
+    spec_mid1[axis_b] = (name_b, name_a)
+    spec_mid2 = list(base)
+    spec_mid2[axis_a] = None
+    spec_mid2[axis_b] = (name_a, name_b)
+
+    def stage1(shard):
+        return all_to_all(shard, name_a, split_axis=axis_b, concat_axis=axis_a, tiled=True)
+
+    # nesting reorder: piece p = j*n_a + i (b-major) must land on the
+    # device that owns piece p under a-major nesting, i.e. (p//n_b, p%n_b)
+    perm = [
+        (i * n_b + j, (j * n_a + i)) for i in range(n_a) for j in range(n_b)
+    ]
+
+    def stage2(shard):
+        return ppermute(shard, (name_a, name_b), perm)
+
+    def stage3(shard):
+        return all_to_all(shard, name_b, split_axis=axis_a, concat_axis=axis_b, tiled=True)
+
+    out = shard_map(stage1, mesh=mesh, in_specs=(P(*spec_in),), out_specs=P(*spec_mid1))(x)
+    out = shard_map(stage2, mesh=mesh, in_specs=(P(*spec_mid1),), out_specs=P(*spec_mid2))(out)
+    out = shard_map(stage3, mesh=mesh, in_specs=(P(*spec_mid2),), out_specs=P(*spec_out))(out)
+    return out
+
+
 def mesh_collective_relayout(dense, old_chunks, new_chunks, mesh, method=None):
     """Explicit ICI collective schedule for a rechunk layout boundary.
 
@@ -158,18 +241,63 @@ def mesh_collective_relayout(dense, old_chunks, new_chunks, mesh, method=None):
             n = mesh.shape[name]
             if local[b] % n != 0:
                 return None  # unsplittable at this stage
-            ordered.append((name, a, b, list(cur)))
+            ordered.append(("a2a", name, a, b, list(cur)))
             local[b] //= n
             local[a] *= n
             cur[a] = None
             cur[b] = name
             pending.remove(mv)
             progress = True
-        if not progress:
-            return None  # cycle (axis swap): GSPMD's schedule handles it
+        if progress:
+            continue
+        # cycle: look for a two-move axis swap — resolvable by
+        # swap_reshard (whole-shard ppermute when equal-sized; 3-stage
+        # nested all_to_all schedule otherwise).  Longer cycles or
+        # indivisible shapes go to GSPMD.
+        def _swap_ok(name_a, name_b, axis_a, axis_b):
+            na, nb = mesh.shape[name_a], mesh.shape[name_b]
+            if na == nb:
+                return True
+            return (
+                shape[axis_b] % (na * nb) == 0
+                and shape[axis_a] % na == 0
+                and shape[axis_a] % nb == 0
+            )
+
+        swap = None
+        for m1 in pending:
+            for m2 in pending:
+                if m1 is m2:
+                    continue
+                n1, a1, b1 = m1
+                n2, a2, b2 = m2
+                if a1 != b2 or b1 != a2:
+                    continue
+                if _swap_ok(n1, n2, a1, b1):
+                    swap = (n1, n2, a1, b1, m1, m2)
+                    break
+                if _swap_ok(n2, n1, a2, b2):
+                    swap = (n2, n1, a2, b2, m2, m1)
+                    break
+            if swap:
+                break
+        if swap is None:
+            return None  # irreducible cycle: GSPMD's schedule handles it
+        name_a, name_b, a1, b1, m1, m2 = swap
+        ordered.append(("swap", name_a, name_b, a1, b1, list(cur)))
+        cur[a1], cur[b1] = name_b, name_a
+        pending.remove(m1)
+        pending.remove(m2)
     out = dense
-    for name, a, b, spec in ordered:
-        out = alltoall_reshard(out, mesh, name, from_axis=a, to_axis=b, spec=spec)
+    for stage in ordered:
+        if stage[0] == "a2a":
+            _, name, a, b, spec = stage
+            out = alltoall_reshard(out, mesh, name, from_axis=a, to_axis=b, spec=spec)
+        else:
+            _, name_a, name_b, a, b, spec = stage
+            out = swap_reshard(out, mesh, name_a, name_b, a, b, spec=spec)
+            if out is None:  # divisibility declined: GSPMD owns the boundary
+                return None
     return out
 
 

@@ -103,15 +103,80 @@ def test_rechunk_2d_mesh_chain_move(mesh2x4, rng):
         assert_eq(r, np.cumsum(x, axis=2))
 
 
-def test_rechunk_2d_mesh_swap_falls_back_correct(mesh2x4, rng):
-    # cyclic swap (x<->y trade axes): explicit schedule declines, GSPMD owns
-    # the collectives — values must still be exact
+def test_rechunk_2d_mesh_swap_explicit_no_allgather(mesh2x4, rng):
+    # cyclic swap (x<->y trade axes): the 3-stage nested-sharding schedule
+    # (swap_reshard) owns the boundary — values exact AND the rechunk adds
+    # ZERO all-gathers over the scan-only baseline (GSPMD's generic swap
+    # schedule adds 3 on this mesh)
     x0 = rng.standard_normal((64, 128))
     d = da.from_array(x0, chunks=(32, 32))  # x(2) on rows, y(4) on cols
     x = np.cumsum(x0, axis=1)
     r = d.cumsum(axis=1).rechunk((16, 64))  # -> y on rows, x on cols
     with use_mesh(mesh2x4):
+        base = compiled_hlo(d.cumsum(axis=1) + 0.0)
+        hlo = compiled_hlo(r + 0.0)
+        assert hlo.count("all-gather") == base.count("all-gather")
+        assert "all-to-all" in hlo
         assert_eq(r, x)
+
+
+def test_swap_reshard_square_single_permute(rng):
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh, NamedSharding
+    from jax.sharding import PartitionSpec as P
+
+    from dask_array_tpu.parallel.collectives import swap_reshard
+
+    mesh = Mesh(np.asarray(jax.devices("cpu")[:4]).reshape(2, 2), ("x", "y"))
+    a = jax.device_put(
+        jnp.asarray(rng.standard_normal((64, 128))), NamedSharding(mesh, P("x", "y"))
+    )
+    out = swap_reshard(a, mesh, "x", "y", 0, 1)
+    assert out.sharding.spec == P("y", "x")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(a))
+    hlo = jax.jit(lambda v: swap_reshard(v, mesh, "x", "y", 0, 1)).lower(a).compile().as_text()
+    # square swap = whole-shard permute: NO all-gather, NO all-to-all
+    assert "collective-permute" in hlo
+    assert "all-gather" not in hlo
+    assert "all-to-all" not in hlo
+
+
+def test_swap_reshard_nonsquare_no_allgather(rng):
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh, NamedSharding
+    from jax.sharding import PartitionSpec as P
+
+    from dask_array_tpu.parallel.collectives import swap_reshard
+
+    mesh = Mesh(np.asarray(jax.devices("cpu")[:8]).reshape(2, 4), ("x", "y"))
+    a = jax.device_put(
+        jnp.asarray(rng.standard_normal((64, 128))), NamedSharding(mesh, P("x", "y"))
+    )
+    for roles in (("x", "y", 0, 1), ("y", "x", 1, 0)):
+        out = swap_reshard(a, mesh, *roles)
+        assert out.sharding.spec == P("y", "x")
+        np.testing.assert_allclose(np.asarray(out), np.asarray(a))
+    hlo = jax.jit(lambda v: swap_reshard(v, mesh, "x", "y", 0, 1)).lower(a).compile().as_text()
+    assert "all-gather" not in hlo
+    assert "all-to-all" in hlo
+
+
+def test_swap_reshard_indivisible_declines(rng):
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh, NamedSharding
+    from jax.sharding import PartitionSpec as P
+
+    from dask_array_tpu.parallel.collectives import swap_reshard
+
+    mesh = Mesh(np.asarray(jax.devices("cpu")[:8]).reshape(2, 4), ("x", "y"))
+    # cols = 8 shards under nested (y,x) needs % 8 == 0; 12 cols fails
+    a = jax.device_put(
+        jnp.asarray(rng.standard_normal((8, 12))), NamedSharding(mesh, P("x", "y"))
+    )
+    assert swap_reshard(a, mesh, "x", "y", 0, 1) is None
 
 
 def test_choose_rechunk_method_mesh(ring8):
@@ -152,3 +217,22 @@ def test_alltoall_reshard_keeps_other_axes_sharded(mesh2x4, rng):
     out = alltoall_reshard(zs, mesh2x4, "y", from_axis=1, to_axis=2, spec=["x", "y", None])
     np.testing.assert_allclose(np.asarray(out), z)
     assert out.sharding.spec == P("x", None, "y")
+
+
+def test_rechunk_square_mesh_swap_end_to_end(rng):
+    # chunk-grid regularity flips the layout planner's assignment between
+    # equal-sized mesh axes -> a pure swap cycle -> single whole-shard
+    # permute stage (no all-gather added over the scan-only baseline)
+    import jax
+    from jax.sharding import Mesh
+
+    mesh = Mesh(np.asarray(jax.devices("cpu")[:4]).reshape(2, 2), ("x", "y"))
+    x1 = rng.standard_normal((64, 128))
+    d1 = da.from_array(x1, chunks=(32, (100, 28)))  # irregular cols
+    r1 = d1.cumsum(axis=1).freeze_chunks().rechunk(((50, 14), 64))
+    with use_mesh(mesh):
+        base = compiled_hlo(d1.cumsum(axis=1) + 0.0)
+        hlo = compiled_hlo(r1 + 0.0)
+        assert hlo.count("all-gather") == base.count("all-gather")
+        assert "collective-permute" in hlo
+        assert_eq(r1 + 0.0, np.cumsum(x1, axis=1))
