@@ -95,6 +95,8 @@ def _assemble(blocks: dict, numblocks) -> Any:
     jnp = _jnp()
     if not numblocks:
         return blocks[()]
+    if any(_is_host_only(b) for b in blocks.values()):
+        jnp = np  # structured blocks concatenate on host
 
     def rec(axis, prefix):
         if axis == len(numblocks):
@@ -373,6 +375,25 @@ def _materialize_buf(b):
     return b
 
 
+def _is_host_only(arr) -> bool:
+    """Structured (record) dtypes have no device representation — they stay
+    host numpy and execute through the eager lane (the structured host
+    lane; reference usage: ``reductions/_common.py:675-830``)."""
+    dt = getattr(arr, "dtype", None)
+    return dt is not None and getattr(np.dtype(dt), "kind", "") == "V"
+
+
+def node_traceable(node) -> bool:
+    """A node joins the jitted program unless it opts out OR its value has
+    no device representation (structured dtype)."""
+    if not getattr(node, "_traceable", True):
+        return False
+    try:
+        return np.dtype(node.dtype).kind != "V"
+    except Exception:
+        return True
+
+
 def _device_put_leaves(leaf_pairs, mesh, donate=False):
     import jax
 
@@ -392,6 +413,9 @@ def _device_put_leaves(leaf_pairs, mesh, donate=False):
     out = []
     for key, b in leaf_pairs:
         b = _materialize_buf(b)
+        if _is_host_only(b):
+            out.append(b)  # no device representation; eager lane consumes it
+            continue
         arr = np.asarray(b) if not hasattr(b, "devices") else guard(b)
         sh = sharding_for(getattr(arr, "shape", ()), mesh)
         out.append(jax.device_put(arr, sh) if sh is not None else arr)
@@ -418,8 +442,7 @@ def execute_many(roots, mode: str | None = None):
 
     mesh = current_mesh()
     traceable = all(
-        r.known_chunks and all(getattr(n, "_traceable", True) for n in r.walk())
-        for r in roots
+        r.known_chunks and all(node_traceable(n) for n in r.walk()) for r in roots
     )
     if mode is None:
         mode = "trace" if (config.get("tpu.jit", True) and traceable) else "eager"
@@ -539,9 +562,7 @@ def execute(root: ArrayExpr, mode: str | None = None, want_view: bool = False):
     from dask_array_tpu.parallel.mesh import current_mesh
 
     mesh = current_mesh()
-    traceable = root.known_chunks and all(
-        getattr(node, "_traceable", True) for node in root.walk()
-    )
+    traceable = root.known_chunks and all(node_traceable(node) for node in root.walk())
     if mode is None:
         mode = "trace" if (config.get("tpu.jit", True) and traceable) else "eager"
 
@@ -594,7 +615,12 @@ def execute(root: ArrayExpr, mode: str | None = None, want_view: bool = False):
         vals = {}
         for k, b in leaf_pairs:
             b = _materialize_buf(b)
-            vals[k] = jnp.asarray(np.asarray(b)) if not hasattr(b, "dtype") or isinstance(b, np.ndarray) else b
+            if _is_host_only(b):
+                vals[k] = np.asarray(b)  # structured: stays host numpy
+            elif not hasattr(b, "dtype") or isinstance(b, np.ndarray):
+                vals[k] = jnp.asarray(np.asarray(b))
+            else:
+                vals[k] = b
     ctx = BuildContext(vals, mode="eager", mesh=mesh)
     view = ctx.build(root)
     return view if want_view else view.dense()

@@ -19,14 +19,13 @@ def getitem_router(x, index):
     if isinstance(index, str) or (
         isinstance(index, list) and index and all(isinstance(i, str) for i in index)
     ):
-        # reference supports structured-dtype field access
-        # (tests/test_collection.py::test_field_access); jax has no
-        # structured dtypes, so blocks cannot hold record data on device
-        raise NotImplementedError(
-            "structured-dtype field access is not supported: jax arrays "
-            "have no record dtypes. Split fields into separate arrays "
-            "before wrapping (e.g. da.from_array(x['a']))."
-        )
+        # structured-dtype field access (reference
+        # tests/test_collection.py::test_field_access): record arrays live
+        # on the HOST lane (jax has no record dtypes) — Field extracts a
+        # numeric array per block via numpy
+        from dask_array_tpu.ops._structured import field_access
+
+        return field_access(x, index)
 
     index = normalize_index(index, x.shape)
 

@@ -243,7 +243,10 @@ class ExpandDims(ArrayExpr):
         import jax.numpy as jnp
 
         view = ctx.build(self.array)
-        return BlockView(self.chunks, dense=jnp.expand_dims(view.dense(), self.axes))
+        dense = view.dense()
+        if getattr(getattr(dense, "dtype", None), "kind", "") == "V":
+            jnp = np  # structured host lane: shape ops stay numpy
+        return BlockView(self.chunks, dense=jnp.expand_dims(dense, self.axes))
 
     def _accept_rechunk(self, target_chunks):
         """Push the rechunk past the size-1 new axes into the source

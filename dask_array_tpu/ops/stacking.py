@@ -86,6 +86,9 @@ class Concatenate(ArrayExpr):
 
         parts = [ctx.build(a).dense() for a in self.arrays]
         dtype = self.dtype
+        if np.dtype(dtype).kind == "V":
+            # structured host lane: record arrays concatenate on host numpy
+            return BlockView(self.chunks, dense=np.concatenate(parts, axis=self.axis))
         from dask_array_tpu._chunks import device_dtype
 
         _dd = device_dtype(dtype)

@@ -110,13 +110,16 @@ def test_astype_unsigned_numpy_parity(rng):
         assert np.array_equal(got, want), dt
 
 
-def test_field_access_clear_error():
+def test_field_access_expr_pickles():
+    # round 3: field access works through the structured host lane — and
+    # the Field expression round-trips through pickle like any other node
+    import pickle
+
     s = np.array([(1, 2.0), (3, 4.0)], dtype=[("a", "i4"), ("b", "f8")])
     d = da.from_array(s, chunks=1)
-    with pytest.raises(NotImplementedError, match="structured-dtype"):
-        d["b"]
-    with pytest.raises(NotImplementedError, match="structured-dtype"):
-        d[["a", "b"]]
+    y = d["b"] * 2
+    z = pickle.loads(pickle.dumps(y))
+    np.testing.assert_allclose(z.compute(), s["b"] * 2)
 
 
 def test_lambda_still_rejected(rng):
