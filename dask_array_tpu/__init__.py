@@ -287,6 +287,10 @@ def compute(*collections, **kwargs):
     arrays = [(i, c) for i, c in enumerate(collections) if isinstance(c, Array)]
     out = list(collections)
     if len(arrays) > 1:
+        from dask_array_tpu._executor import check_masked_ops
+
+        for _, c in arrays:
+            check_masked_ops(c.expr)
         lowered = [optimize_expr(c.expr) for _, c in arrays]
         denses = execute_many(lowered)
         for (i, c), dense in zip(arrays, denses):

@@ -95,7 +95,9 @@ def _assemble(blocks: dict, numblocks) -> Any:
     jnp = _jnp()
     if not numblocks:
         return blocks[()]
-    if any(_is_host_only(b) for b in blocks.values()):
+    if any(isinstance(b, np.ma.MaskedArray) for b in blocks.values()):
+        jnp = np.ma  # masked blocks: np.concatenate would drop the mask
+    elif any(_is_host_only(b) for b in blocks.values()):
         jnp = np  # structured blocks concatenate on host
 
     def rec(axis, prefix):
@@ -376,11 +378,47 @@ def _materialize_buf(b):
 
 
 def _is_host_only(arr) -> bool:
-    """Structured (record) dtypes have no device representation — they stay
-    host numpy and execute through the eager lane (the structured host
-    lane; reference usage: ``reductions/_common.py:675-830``)."""
+    """Structured (record) dtypes and masked arrays have no device
+    representation — they stay host numpy and execute through the eager
+    lane (the structured/masked host lanes; reference usage:
+    ``reductions/_common.py:675-830``, ``_dispatch.py:36,248``)."""
+    if isinstance(arr, np.ma.MaskedArray):
+        return True
     dt = getattr(arr, "dtype", None)
     return dt is not None and getattr(np.dtype(dt), "kind", "") == "V"
+
+
+# ops that PASS a masked block through untouched (numpy.ma handles them);
+# anything else would silently drop the mask through jnp, so it raises
+_MASKED_PASSTHROUGH = {
+    "FromArray",
+    "Slice",
+    "Concatenate",
+    "ExpandDims",
+    "Rechunk",
+    "MapBlocks",
+}
+
+
+def check_masked_ops(root) -> None:
+    """Raise for ops that cannot preserve a mask (jnp would silently drop
+    it).  Runs on the LOGICAL tree (before lowering, where MapBlocks is
+    still distinct from Elemwise).  Reference parity: masked sources flow
+    through numpy block kernels untouched
+    (``tests/test_collection.py:1322``); here only the passthrough surface
+    is supported — fill the mask for numeric work."""
+    leaves_masked = any(
+        isinstance(b, np.ma.MaskedArray) for _, b in collect_leaves(root)
+    )
+    if not leaves_masked:
+        return
+    for node in root.walk():
+        if type(node).__name__ not in _MASKED_PASSTHROUGH:
+            raise NotImplementedError(
+                f"{type(node).__name__} on a masked array would silently "
+                "drop the mask on the TPU backend; call x.filled(...) "
+                "first (or use map_blocks with numpy.ma kernels)"
+            )
 
 
 def node_traceable(node) -> bool:
@@ -616,7 +654,9 @@ def execute(root: ArrayExpr, mode: str | None = None, want_view: bool = False):
         for k, b in leaf_pairs:
             b = _materialize_buf(b)
             if _is_host_only(b):
-                vals[k] = np.asarray(b)  # structured: stays host numpy
+                # structured/masked: stays host numpy (np.asarray on a
+                # masked array would drop the mask)
+                vals[k] = b if isinstance(b, np.ndarray) else np.asarray(b)
             elif not hasattr(b, "dtype") or isinstance(b, np.ndarray):
                 vals[k] = jnp.asarray(np.asarray(b))
             else:

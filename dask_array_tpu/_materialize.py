@@ -42,12 +42,17 @@ def optimize_expr(expr: ArrayExpr, fuse: bool = True) -> ArrayExpr:
 
 def compute_expr(expr: ArrayExpr, optimize: bool = True):
     """Optimize + execute; returns the dense on-device jax.Array."""
+    from dask_array_tpu._executor import check_masked_ops
+
+    check_masked_ops(expr)  # logical tree: MapBlocks still distinct
     lowered = optimize_expr(expr) if optimize else expr
     return execute(lowered)
 
 
 def compute_to_numpy(expr: ArrayExpr):
     out = compute_expr(expr)
+    if isinstance(out, np.ma.MaskedArray):
+        return out  # masked host lane: np.asarray would drop the mask
     arr = np.asarray(out)
     dt = expr.dtype
     if getattr(dt, "kind", "") in "Mm" and arr.dtype != dt:

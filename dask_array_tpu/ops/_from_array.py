@@ -30,6 +30,11 @@ class FromArray(ArrayExpr):
     _fusable_leaf = True
 
     @property
+    def _traceable(self):
+        # masked sources have no device representation: host lane
+        return not isinstance(self.source, np.ma.MaskedArray)
+
+    @property
     def chunks(self):
         return self.chunks_
 
@@ -95,12 +100,9 @@ def from_array(x, chunks="auto", name=None, lock=False, asarray=None, fancy=True
 
     if isinstance(x, Array):
         raise ValueError("Array is already a lazy dask_array_tpu.Array")
-    if isinstance(x, np.ma.MaskedArray):
-        raise NotImplementedError(
-            "numpy masked arrays are not supported on the TPU backend "
-            "(no masked-array device representation); fill the mask first "
-            "(x.filled(nan)) and use isnan-aware ops"
-        )
+    # np.ma.MaskedArray sources are accepted and live on the HOST lane
+    # (passthrough ops only — _executor.check_masked_ops guards the rest);
+    # reference parity: tests/test_collection.py:1322
     if isinstance(x, (list, tuple, int, float, complex, bool)) or np.isscalar(x):
         x = np.asarray(x)
     if not hasattr(x, "shape") or not hasattr(x, "dtype"):

@@ -244,8 +244,10 @@ class ExpandDims(ArrayExpr):
 
         view = ctx.build(self.array)
         dense = view.dense()
-        if getattr(getattr(dense, "dtype", None), "kind", "") == "V":
-            jnp = np  # structured host lane: shape ops stay numpy
+        from dask_array_tpu._executor import _is_host_only
+
+        if _is_host_only(dense):
+            jnp = np  # structured/masked host lane: shape ops stay numpy
         return BlockView(self.chunks, dense=jnp.expand_dims(dense, self.axes))
 
     def _accept_rechunk(self, target_chunks):

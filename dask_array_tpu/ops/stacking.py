@@ -86,6 +86,9 @@ class Concatenate(ArrayExpr):
 
         parts = [ctx.build(a).dense() for a in self.arrays]
         dtype = self.dtype
+        if any(isinstance(p, np.ma.MaskedArray) for p in parts):
+            # masked host lane: np.concatenate would drop the mask
+            return BlockView(self.chunks, dense=np.ma.concatenate(parts, axis=self.axis))
         if np.dtype(dtype).kind == "V":
             # structured host lane: record arrays concatenate on host numpy
             return BlockView(self.chunks, dense=np.concatenate(parts, axis=self.axis))

@@ -121,6 +121,15 @@ def _normalize(obj, out: list) -> None:
         out.append("}")
     elif isinstance(obj, slice):
         out.append(f"slice:{obj.start!r}:{obj.stop!r}:{obj.step!r}")
+    elif isinstance(obj, np.ma.MaskedArray):
+        # the mask is part of the identity (reference registers the same
+        # handler: _dispatch.py:36); fill first so bytes under the mask
+        # (arbitrary memory) never affect the token
+        out.append("ma:")
+        _normalize(np.ascontiguousarray(obj.filled()), out)
+        mask = np.ma.getmaskarray(obj)
+        _normalize(np.ascontiguousarray(mask), out)
+        _normalize(obj.fill_value, out)
     elif isinstance(obj, np.ndarray):
         if obj.nbytes <= _CONTENT_HASH_LIMIT:
             arr = np.ascontiguousarray(obj)

@@ -75,7 +75,10 @@ def test_rechunk_specs():
     assert max(b.chunks[0]) - min(b.chunks[0]) <= 1
 
 
-def test_masked_array_rejected():
+def test_masked_array_accepted_on_host_lane():
+    # round 3: masked sources are accepted (host-lane passthrough); the
+    # mask survives slicing — see tests/test_masked_arrays.py for the
+    # full battery
     m = np.ma.masked_array([1.0, 2.0], mask=[False, True])
-    with pytest.raises(NotImplementedError, match="masked"):
-        da.from_array(m, chunks=1)
+    out = da.from_array(m, chunks=1)[1:].compute()
+    assert out[0] is np.ma.masked
