@@ -283,6 +283,30 @@ class Blockwise(ArrayExpr):
             new_ops.extend([arr, a_ind])
         return type(self)(*new_ops)
 
+    # reorder (Shuffle/Take) pushdown for GENERIC blockwise (map_blocks):
+    # label-mapped, declining when adjust_chunks/new_axes touch the axis
+    # (parity: reference test_shuffle_pushes_through_blockwise /
+    # test_shuffle_does_not_push_through_blockwise_adjust_chunks)
+    def _accept_shuffle(self, shuffle_expr):
+        axis = shuffle_expr.axis
+        label = self.out_ind[axis]
+        adjust = dict(self.adjust_chunks or ())
+        new_axes = dict(self.new_axes or ())
+        if label in adjust or label in new_axes:
+            return None  # per-block sizes transformed on this axis: unsafe
+        new_ops = list(self.operands[:_NHEAD])
+        changed = False
+        for arr, a_ind in self.arg_pairs:
+            if a_ind is not None and isinstance(arr, ArrayExpr) and label in a_ind:
+                pos = a_ind.index(label)
+                if not (len(arr.chunks[pos]) == 1 and sum(arr.chunks[pos]) in (0, 1)):
+                    arr = shuffle_expr._rebase(arr, pos)
+                    changed = True
+            new_ops.extend([arr, a_ind])
+        if not changed:
+            return None
+        return type(self)(*new_ops)
+
     def _arg_block(self, ctx, arr_view, ind, out_coord, coord_of):
         """Fetch (and contract-concatenate) one argument's block."""
         import jax.numpy as jnp
@@ -490,11 +514,10 @@ class Elemwise(Blockwise):
             new_args.append(a)
         return type(self)(*self.operands[:2], *new_args)
 
-    # shuffle pushdown: shuffle(op(a, b)) == op(shuffle(a), shuffle(b))
+    # reorder pushdown: reorder(op(a, b)) == op(reorder(a), reorder(b));
+    # serves BOTH Shuffle and Take parents via their shared ._rebase
     # (parity: Elemwise._accept_shuffle, _blockwise.py:1169)
     def _accept_shuffle(self, shuffle_expr):
-        from dask_array_tpu._shuffle import Shuffle
-
         axis = shuffle_expr.axis
         out_ind = self.out_ind
         new_args = []
@@ -507,13 +530,13 @@ class Elemwise(Blockwise):
                 elif len(a.chunks[pos]) == 1 and sum(a.chunks[pos]) in (0, 1):
                     pass  # size-1 broadcast dim: values repeat either way
                 else:
-                    a = Shuffle(a, shuffle_expr.indexer, pos)
+                    a = shuffle_expr._rebase(a, pos)
                     changed = True
             new_args.append(a)
         if not changed:
-            # EVERY operand is broadcast along the shuffled axis: pushing
-            # would erase the shuffle's output length (an indexer can grow
-            # a size-1 axis); leave the Shuffle above
+            # EVERY operand is broadcast along the reordered axis: pushing
+            # would erase the reorder's output length (an indexer can grow
+            # a size-1 axis); leave it above
             return None
         return type(self)(*self.operands[:2], *new_args)
 

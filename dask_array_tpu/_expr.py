@@ -318,12 +318,15 @@ class ArrayExpr:
         from dask_array_tpu._rechunk import Rechunk
         from dask_array_tpu._shuffle import Shuffle
         from dask_array_tpu._slicing import Slice
+        from dask_array_tpu.ops._fancy_indexing import Take
 
         if type(parent) is Slice:
             return self._slice_pushdown(parent, dependents)
         if type(parent) is Rechunk:
             return self._rechunk_pushdown(parent, dependents)
-        if type(parent) is Shuffle:
+        if type(parent) is Shuffle or type(parent) is Take:
+            # Take and Shuffle share the reorder-pushdown protocol: both
+            # carry .axis and ._rebase(child, axis)
             return self._shuffle_pushdown(parent, dependents)
         return None
 

@@ -36,6 +36,12 @@ class Shuffle(ArrayExpr):
     def _flat_index(self):
         return np.concatenate([np.asarray(g, dtype=np.int64) for g in self.indexer])
 
+    def _rebase(self, child, axis=None):
+        """The same reorder applied to a different child (optionally at a
+        different axis) — the hook acceptors use to push a reorder
+        (Shuffle or Take share this protocol) into their operands."""
+        return Shuffle(child, self.indexer, self.axis if axis is None else axis)
+
     def _simplify_down(self):
         # identity shuffle: groups exactly reproduce the existing chunks in order
         flat = self._flat_index

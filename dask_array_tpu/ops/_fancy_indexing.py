@@ -38,6 +38,51 @@ class Take(ArrayExpr):
     def _meta(self):
         return self.array._meta
 
+    def _rebase(self, child, axis=None):
+        """Same reorder on a different child (the Shuffle/Take pushdown
+        protocol — see Shuffle._rebase)."""
+        return Take(
+            child,
+            self.indices,
+            self.axis if axis is None else axis,
+            self.out_chunks_axis,
+        )
+
+    def _simplify_down(self):
+        n = self.array.shape[self.axis]
+        idx = np.asarray(self.indices)
+        # identity take (same order, same chunk grid) disappears
+        if (
+            isinstance(n, (int, np.integer))
+            and len(idx) == n
+            and self.chunks == self.array.chunks
+            and np.array_equal(idx, np.arange(n))
+        ):
+            return self.array
+        # take-of-take on one axis composes: x[i1][i2] == x[i1[i2]]
+        if type(self.array) is Take and self.array.axis == self.axis:
+            inner = self.array
+            composed = np.ascontiguousarray(np.asarray(inner.indices)[idx])
+            return Take(inner.array, composed, self.axis, self.out_chunks_axis)
+        return None
+
+    def _accept_slice(self, index):
+        """Slices on NON-taken axes commute below the take (mirror of
+        Shuffle._accept_slice)."""
+        from numbers import Integral
+
+        from dask_array_tpu._slicing import Slice, is_basic_index
+
+        if not is_basic_index(index):
+            return None
+        if any(isinstance(i, Integral) or i is None for i in index):
+            return None
+        if index[self.axis] != slice(None):
+            return None
+        if all(i == slice(None) for i in index):
+            return None
+        return Take(Slice(self.array, tuple(index)), self.indices, self.axis, self.out_chunks_axis)
+
     def _build(self, ctx):
         import jax.numpy as jnp
 

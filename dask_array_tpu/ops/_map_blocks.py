@@ -26,6 +26,11 @@ class MapBlocks(Blockwise):
     _inject_block_id = False
     _inject_block_info = False
 
+    def _accept_shuffle(self, shuffle_expr):
+        if type(self)._inject_block_id or self._kwargs_dict.get("__inject_block_id__"):
+            return None  # coordinate-reading funcs: do not reorder beneath
+        return super()._accept_shuffle(shuffle_expr)
+
     def _call(self, args, kwargs, out_coord):
         if type(self)._inject_block_id or self._kwargs_dict.get("__inject_block_id__"):
             kwargs = dict(kwargs)
@@ -36,6 +41,11 @@ class MapBlocks(Blockwise):
 
 class MapBlocksInfo(Blockwise):
     """map_blocks with full block_info dicts (locations, chunk bounds)."""
+
+    def _accept_shuffle(self, shuffle_expr):
+        # block_info funcs read block coordinates/extents: reordering the
+        # inputs beneath them would change what each coordinate means
+        return None
 
     def _call(self, args, kwargs, out_coord):
         from dask_array_tpu._chunks import cached_cumsum

@@ -74,8 +74,10 @@ class BroadcastTrick(ArrayExpr):
         return type(self)(tuple(target_chunks), self._dtype, self.fill_value)
 
     def _accept_shuffle(self, shuffle_expr):
+        # a reorder of a constant array is the same constant array with
+        # the reorder's output grouping (serves Shuffle AND Take parents)
         chunks = list(self.chunks_)
-        chunks[shuffle_expr.axis] = tuple(len(g) for g in shuffle_expr.indexer)
+        chunks[shuffle_expr.axis] = shuffle_expr.chunks[shuffle_expr.axis]
         return type(self)(tuple(chunks), self._dtype, self.fill_value)
 
 

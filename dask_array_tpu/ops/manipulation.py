@@ -235,6 +235,16 @@ class ExpandDims(ArrayExpr):
         it = iter(self.array.chunks)
         return tuple((1,) if i in self.axes else next(it) for i in range(nd_out))
 
+    def _accept_shuffle(self, shuffle_expr):
+        # a reorder on a NON-inserted axis maps straight onto the child
+        # (stack() is ExpandDims + Concatenate, so this plus the
+        # Concatenate acceptor gives shuffle/take-through-stack)
+        k = shuffle_expr.axis
+        if k in self.axes:
+            return None  # size-1 inserted axis: an indexer could grow it
+        child_axis = k - sum(1 for a in self.axes if a < k)
+        return ExpandDims(shuffle_expr._rebase(self.array, child_axis), self.axes)
+
     @functools.cached_property
     def _meta(self):
         return np.empty((0,) * (self.array.ndim + len(self.axes)), dtype=self.array.dtype)

@@ -98,6 +98,16 @@ class Concatenate(ArrayExpr):
         parts = [p.astype(_dd) if p.dtype != _dd else p for p in parts]
         return BlockView(self.chunks, dense=jnp.concatenate(parts, axis=self.axis))
 
+    def _accept_shuffle(self, shuffle_expr):
+        # a reorder on a NON-concat axis pushes into every part (parity:
+        # reference test_shuffle_pushes_through_concatenate); on the
+        # concat axis indices span parts — left above
+        if shuffle_expr.axis == self.axis:
+            return None
+        return Concatenate(
+            self.axis, *[shuffle_expr._rebase(a) for a in self.arrays]
+        )
+
     def _accept_slice(self, index):
         if not is_basic_index(index):
             return None
