@@ -254,6 +254,10 @@ def structural_key(root: ArrayExpr) -> str:
 # structural keys whose programs proved untraceable: go straight to eager
 _eager_keys: set = set()
 
+# execute_many repeat-call memo: (root ids, mesh, trace cfg) ->
+# (roots strong-ref, leaf union, compiled executable)
+_em_fastpath: dict = {}
+
 
 def _mesh_key(mesh):
     """Stable mesh identity for cache keys.  ``id(mesh)`` is unsafe: after a
@@ -372,6 +376,10 @@ def _materialize_buf(b):
     if hasattr(b, "devices"):
         return b
     if hasattr(b, "__array__") or hasattr(b, "dtype"):
+        if not hasattr(b, "__array__") and hasattr(b, "__getitem__") and hasattr(b, "shape"):
+            # chunked store (zarr/h5py style, no __array__): bulk-read via
+            # slicing — np.asarray would wrap it in a 0-d object array
+            b = b[(slice(None),) * len(b.shape)]
         b = np.asarray(b)
         return b.view("i8") if b.dtype.kind in "Mm" else b
     return b
@@ -479,6 +487,24 @@ def execute_many(roots, mode: str | None = None):
         return [execute(roots[0])]
 
     mesh = current_mesh()
+
+    # repeat-call fast path: the same root OBJECTS re-executed (a steady
+    # benchmark/serving loop) skip the traceable walk, leaf-union build,
+    # and cache-key construction — only the (cheap) device_put guard and
+    # the compiled call run per iteration.  Keyed on identity; the memo
+    # holds strong refs so ids stay valid.
+    fp_key = (
+        tuple(map(id, roots)),
+        _mesh_key(mesh),
+        _trace_config_key(),
+        bool(config.get("tpu.donate-leaves", False)),
+    )
+    hit = _em_fastpath.get(fp_key)
+    if hit is not None and mode is None:
+        _roots_ref, union, compiled = hit
+        args = _device_put_leaves(union, mesh, donate=False)
+        return list(compiled(*args))
+
     traceable = all(
         r.known_chunks and all(node_traceable(n) for n in r.walk()) for r in roots
     )
@@ -539,7 +565,12 @@ def execute_many(roots, mode: str | None = None):
                 while len(_fn_cache) >= _FN_CACHE_LIMIT:
                     _fn_cache.pop(next(iter(_fn_cache)))
                 _fn_cache[cache_key] = compiled
-            return list(compiled(*args))
+            out = list(compiled(*args))
+            if not donate and config.get("tpu.jit", True):
+                while len(_em_fastpath) >= 32:
+                    _em_fastpath.pop(next(iter(_em_fastpath)))
+                _em_fastpath[fp_key] = (tuple(roots), union, compiled)
+            return out
         except Exception as e:
             if not _is_trace_error(e):
                 raise

@@ -13,6 +13,9 @@ chunk-aligned NamedSharding before the call.
 from __future__ import annotations
 
 import functools
+from builtins import all as builtins_all
+from builtins import any as builtins_any
+from builtins import sum as builtins_sum
 from numbers import Integral
 
 import numpy as np
@@ -90,8 +93,68 @@ class FromArray(ArrayExpr):
             ax += 1
         return FromArray(self.source, tuple(new_chunks), region)
 
+    @functools.cached_property
+    def _storage_chunks(self):
+        """Per-axis storage granule size for chunked stores (zarr/h5py
+        style sources exposing ``.chunks`` — or ``.shards``, the larger
+        IO unit, when present).  None for in-memory arrays, where slicing
+        is free.  Parity: the reference's storage-chunk discipline
+        (``tests/test_rechunk_pushdown.py:196-461``)."""
+        src = self.source
+        if isinstance(src, np.ndarray) or hasattr(src, "devices"):
+            return None
+        granule = getattr(src, "shards", None) or getattr(src, "chunks", None)
+        if granule is None:
+            return None
+        try:
+            granule = tuple(int(c) for c in granule)
+        except (TypeError, ValueError):
+            return None
+        if len(granule) != len(self.chunks_) or builtins_any(g <= 0 for g in granule):
+            return None
+        return granule
+
     def _accept_rechunk(self, target_chunks):
-        return FromArray(self.source, tuple(target_chunks), self.region)
+        storage = self._storage_chunks
+        if storage is None:
+            return FromArray(self.source, tuple(target_chunks), self.region)
+        # chunked store: absorb only grids whose boundaries land on
+        # storage-granule boundaries (each granule read exactly once);
+        # finer axes read at the granule grid with the fine rechunk left
+        # outside (the reference's refine-to-storage-chunks behavior)
+        from dask_array_tpu._rechunk import Rechunk
+
+        starts = tuple(
+            (r.start or 0) if isinstance(r, slice) else 0
+            for r in (self.region or (slice(None),) * len(storage))
+        )
+        leaf_chunks = []
+        residual = False
+        for ax, want in enumerate(target_chunks):
+            s = storage[ax]
+            off = starts[ax]
+            bounds = np.cumsum((0,) + tuple(want))
+            if builtins_all((off + int(b)) % s == 0 or b == bounds[-1] for b in bounds):
+                leaf_chunks.append(tuple(want))
+                continue
+            # read at granule granularity on this axis
+            total = int(bounds[-1])
+            first = min(total, s - (off % s) if off % s else s)
+            grid = [first]
+            while builtins_sum(grid) < total:
+                grid.append(min(s, total - builtins_sum(grid)))
+            leaf_chunks.append(tuple(grid))
+            residual = residual or tuple(grid) != tuple(want)
+        leaf = (
+            self
+            if tuple(leaf_chunks) == self.chunks_
+            else FromArray(self.source, tuple(leaf_chunks), self.region)
+        )
+        if not residual:
+            return leaf
+        if leaf is self:
+            return None  # already reading at granule grid; Rechunk stays
+        return Rechunk(leaf, tuple(target_chunks))
 
 
 def from_array(x, chunks="auto", name=None, lock=False, asarray=None, fancy=True, meta=None, inline_array=False):
@@ -107,7 +170,20 @@ def from_array(x, chunks="auto", name=None, lock=False, asarray=None, fancy=True
         x = np.asarray(x)
     if not hasattr(x, "shape") or not hasattr(x, "dtype"):
         x = np.asarray(x)
-    chunks = normalize_chunks(chunks, x.shape, dtype=x.dtype)
+    # chunked stores (zarr/h5py style): default the grid to the storage
+    # granules so reads align with them (the reference's from_array
+    # previous_chunks behavior)
+    prev = None
+    if not isinstance(x, np.ndarray) and not hasattr(x, "devices"):
+        granule = getattr(x, "shards", None) or getattr(x, "chunks", None)
+        if granule is not None:
+            try:
+                prev = tuple((int(c),) for c in granule)
+            except (TypeError, ValueError):
+                prev = None
+            if prev is not None and len(prev) != len(x.shape):
+                prev = None
+    chunks = normalize_chunks(chunks, x.shape, dtype=x.dtype, previous_chunks=prev)
     return new_collection(FromArray(x, chunks, None))
 
 

@@ -213,3 +213,185 @@ def test_trim_internal_matches_overlap_inverse(rng):
     g = overlap(d, depth={0: 2, 1: 1}, boundary={0: "reflect", 1: "nearest"})
     y = trim_internal(g, {0: 2, 1: 1}, {0: "reflect", 1: "nearest"})
     assert_eq(y, x)
+
+
+# -- round-3 additions: the rest of the reference's slice-through-overlap
+#    spine (value-correctness cases adapted to this architecture) ------------
+
+
+def _add_neighbors(x):
+    # pure (jax-traceable AND numpy-compatible) neighbor sum along axis 0
+    import jax.numpy as jnp
+
+    if x.shape[0] <= 4:
+        return x
+    core = x[2:-2, :] + x[:-4, :] + x[4:, :]
+    return jnp.concatenate([x[:2, :], core, x[-2:, :]], axis=0)
+
+
+def _add_neighbors_2d(x):
+    import jax.numpy as jnp
+
+    out = _add_neighbors(x)
+    if x.shape[1] <= 4:
+        return out
+    core = out[:, 2:-2] + x[:, :-4] + x[:, 4:]
+    return jnp.concatenate([out[:, :2], core, out[:, -2:]], axis=1)
+
+
+def _lag1(x):
+    import jax.numpy as jnp
+
+    pad = jnp.full_like(x[:1], jnp.nan)
+    return jnp.concatenate([pad, x[:-1]], axis=0)
+
+
+def test_slice_through_overlap_middle_slice(rng):
+    arr = np.arange(2500).reshape((50, 50)).astype(float)
+    x = da.from_array(arr, chunks=(10, 10))
+    result = map_overlap(_add_neighbors, x, depth={0: 2, 1: 0}, boundary="none")
+    # block-aligned middle slice pushes the leaf window down
+    sliced = result[:, 20:40]
+    assert_eq(sliced, result.compute()[:, 20:40])
+    lcs = leaf_chunks(sliced.expr.simplify())
+    assert lcs and sum(lcs[0][1]) == 20
+    # an off-grid middle slice stays above (values still exact)
+    off = result[:, 15:35]
+    assert_eq(off, result.compute()[:, 15:35])
+
+
+def test_slice_on_overlap_axis_value_correctness(rng):
+    arr = np.arange(2500).reshape((50, 50)).astype(float)
+    x = da.from_array(arr, chunks=(10, 10))
+    result = map_overlap(_add_neighbors_2d, x, depth=2, boundary="none")
+    sliced = result[:25, :25]
+    assert_eq(sliced, result.compute()[:25, :25])
+
+
+def test_slice_on_both_axes_one_has_overlap(rng):
+    arr = np.arange(2500).reshape((50, 50)).astype(float)
+    x = da.from_array(arr, chunks=(10, 10))
+    result = map_overlap(_add_neighbors, x, depth={0: 2, 1: 0}, boundary="none")
+    assert_eq(result[:25, :25], result.compute()[:25, :25])
+
+
+def test_map_overlap_uniform_depth_correctness(rng):
+    arr = rng.standard_normal((24, 24))
+    x = da.from_array(arr, chunks=(8, 8))
+    result = map_overlap(_add_neighbors_2d, x, depth=2, boundary="reflect")
+    # compare to a single whole-array application (locality contract)
+    padded = np.pad(arr, 2, mode="symmetric")
+    want = _add_neighbors_2d(padded)[2:-2, 2:-2]
+    np.testing.assert_allclose(result.compute(), want, rtol=1e-12)
+
+
+def test_tail_slice_with_asymmetric_positive_overlap(rng):
+    day = 24
+    depth = 3 * day - 1
+    arr = np.arange(13 * day, dtype="float64")
+    x = da.from_array(arr, chunks=(day,))
+
+    def lead1(block):
+        result = np.full_like(block, np.nan)
+        result[:-1] = block[1:]
+        return result
+
+    full = map_overlap(lead1, x, depth={0: (0, depth)}, boundary="none", trim=True)
+    result = full[-day:]
+    got = result.compute()
+    want = full.compute()[-day:]
+    np.testing.assert_array_equal(np.isnan(got), np.isnan(want))
+    np.testing.assert_allclose(np.nan_to_num(got), np.nan_to_num(want))
+
+
+def test_tail_slice_with_second_input_asymmetric_overlap(rng):
+    arr = np.arange(50, dtype="float64")
+    x = da.from_array(arr, chunks=(10,))
+    y = da.from_array(arr * 2, chunks=(10,))
+    full = map_overlap(
+        lambda a, b: a + b,
+        x,
+        y,
+        depth=[{0: 0}, {0: (0, 25)}],
+        boundary=["none", "none"],
+        trim=True,
+    )
+    result = full[-10:]
+    np.testing.assert_allclose(result.compute(), (arr * 3)[-10:])
+
+
+def test_periodic_edge_slice_keeps_global_boundary_context(rng):
+    arr = np.arange(10, dtype="float64")
+    x = da.from_array(arr, chunks=(5,))
+    full = map_overlap(_lag1, x, depth={0: 1}, boundary="periodic", trim=True)
+    got = full[:3].compute()
+    want = full.compute()[:3]
+    np.testing.assert_allclose(got, want)
+    # periodic: position 0 lags from the LAST element
+    assert got[0] == arr[-1]
+
+
+def test_overlap_axis_slice_with_no_rechunk(rng):
+    arr = np.arange(40, dtype="float64")
+    x = da.from_array(arr, chunks=(20,))
+    full = map_overlap(
+        lambda block: block, x, depth={0: 10}, boundary="none", trim=True,
+        allow_rechunk=False,
+    )
+    np.testing.assert_allclose(full[5:15].compute(), arr[5:15])
+
+
+def test_nested_overlap_tail_slice_after_rechunk(rng):
+    arr = np.arange(30, dtype="float64").reshape(15, 2)
+    x = da.from_array(arr, chunks=(3, 2))
+    inner = map_overlap(lambda b: b, x, depth={0: 4, 1: 0}, boundary="none", trim=True)
+    outer = map_overlap(
+        lambda b: b, inner.rechunk((5, 2)), depth={0: 2, 1: 0}, boundary="none", trim=True
+    )
+    np.testing.assert_allclose(outer[-5:].compute(), arr[-5:])
+
+
+def test_slice_pushdown_into_nested_overlap_is_correct(rng):
+    arr = rng.standard_normal((40, 4))
+    x = da.from_array(arr, chunks=(8, 4))
+    inner = map_overlap(_lag1, x, depth={0: 1, 1: 0}, boundary="none", trim=True)
+    outer = map_overlap(_lag1, inner, depth={0: 1, 1: 0}, boundary="none", trim=True)
+    got = outer[10:30].compute()
+    want = outer.compute()[10:30]
+    np.testing.assert_array_equal(np.isnan(got), np.isnan(want))
+    np.testing.assert_allclose(np.nan_to_num(got), np.nan_to_num(want))
+
+
+@pytest.mark.parametrize("chunks", [(5, 25), (25, 5), (7, 23)])
+def test_map_overlap_short_boundary_chunk_trailing_window(rng, chunks):
+    arr = np.arange(30, dtype="float64")
+    x = da.from_array(arr, chunks=(chunks,))
+    full = map_overlap(_lag1, x, depth={0: (1, 0)}, boundary="none", trim=True)
+    got = full.compute()
+    assert np.isnan(got[0]) and np.allclose(got[1:], arr[:-1])
+
+
+def test_map_overlap_short_boundary_chunk_leading_window(rng):
+    arr = np.arange(30, dtype="float64")
+    x = da.from_array(arr, chunks=((2, 28),))
+
+    def lead1(block):
+        result = np.full_like(block, np.nan)
+        result[:-1] = block[1:]
+        return result
+
+    full = map_overlap(lead1, x, depth={0: (0, 1)}, boundary="none", trim=True)
+    got = full.compute()
+    assert np.isnan(got[-1]) and np.allclose(got[:-1], arr[1:])
+
+
+def test_slice_ending_inside_first_window_values(rng):
+    # slicing to fewer rows than the window depth must not hand the kernel
+    # an undersized block (reference :596 declines the pushdown)
+    arr = np.arange(150, dtype="float64")
+    x = da.from_array(arr, chunks=(30,))
+    full = map_overlap(_lag1, x, depth={0: 29}, boundary="none", trim=True)
+    got = full[:29].compute()
+    want = full.compute()[:29]
+    np.testing.assert_array_equal(np.isnan(got), np.isnan(want))
+    np.testing.assert_allclose(np.nan_to_num(got), np.nan_to_num(want))

@@ -318,3 +318,163 @@ def test_roll_into_reduction(rng):
     x = rng.standard_normal((30,))
     d = da.from_array(x, chunks=10)
     assert_eq(da.roll(d, 7).sum(), np.roll(x, 7).sum())
+
+
+# -- storage-chunk discipline (reference :196-461, round 3) -------------------
+
+
+class RecordingStore:
+    """zarr/h5py-style chunked source: .chunks granules, recorded reads."""
+
+    def __init__(self, shape, chunks, shards=None):
+        self.data = np.arange(np.prod(shape), dtype="f8").reshape(shape)
+        self.shape = shape
+        self.dtype = self.data.dtype
+        self.chunks = chunks
+        self.calls = []
+        if shards:
+            self.shards = shards
+        self.ndim = len(shape)
+
+    def __getitem__(self, sl):
+        self.calls.append(sl)
+        return self.data[sl]
+
+
+def test_rechunk_pushdown_does_not_split_storage_chunks():
+    st = RecordingStore((10, 10), (10, 10))
+    y = da.from_array(st, chunks=st.chunks).rechunk((2, 2))
+    assert y.chunks == ((2,) * 5, (2,) * 5)
+    # the leaf keeps reading at storage granularity; fine rechunk outside
+    assert leaf_chunks(y.expr.simplify()) == [((10,), (10,))]
+    st.calls.clear()
+    np.testing.assert_array_equal(y.compute(), st.data)
+    # dense executor: ONE bulk read (each granule touched exactly once)
+    assert st.calls == [(slice(None), slice(None))]
+
+
+def test_rechunk_pushdown_refines_coarse_source_chunks_to_storage_chunks():
+    st = RecordingStore((20, 30), (10, 10))
+    y = da.from_array(st, chunks=(20, 30)).rechunk((2, 2))
+    assert y.chunks == ((2,) * 10, (2,) * 15)
+    assert leaf_chunks(y.expr.simplify()) == [((10, 10), (10, 10, 10))]
+    np.testing.assert_array_equal(y.compute(), st.data)
+
+
+def test_rechunk_pushdown_respects_storage_shards_over_chunks():
+    st = RecordingStore((20, 20), (2, 2), shards=(10, 10))
+    y = da.from_array(st, chunks=(20, 20)).rechunk((2, 2))
+    assert leaf_chunks(y.expr.simplify()) == [((10, 10), (10, 10))]
+    np.testing.assert_array_equal(y.compute(), st.data)
+
+
+def test_rechunk_pushdown_eliminates_storage_aligned_rechunk():
+    st = RecordingStore((20, 30), (10, 10))
+    y = da.from_array(st, chunks=(10, 10)).rechunk((20, 10))
+    simplified = y.expr.simplify()
+    assert isinstance(simplified, FromArray)  # fully absorbed, no Rechunk
+    np.testing.assert_array_equal(y.compute(), st.data)
+
+
+def test_rechunk_pushdown_through_offset_region_pushes_other_axes():
+    st = RecordingStore((20, 30), (10, 10))
+    x = da.from_array(st, chunks=(10, 10))
+    y = x[3:17].rechunk((2, 10))  # offset region: axis 0 misaligned
+    np.testing.assert_array_equal(y.compute(), st.data[3:17])
+    # cols stay absorbable; rows read at granule-aligned pieces
+    leafs = leaf_chunks(y.expr.simplify())
+    assert leafs and leafs[0][1] == (10, 10, 10)
+
+
+def test_storage_chunks_survive_lower_inserted_rechunk():
+    # misaligned elemwise operands: lowering inserts an alignment rechunk,
+    # which must respect the storage granules too
+    st = RecordingStore((20, 20), (10, 10))
+    a = da.from_array(st, chunks=(10, 10))
+    b = da.from_array(np.ones((20, 20)), chunks=(4, 4))
+    out = a + b
+    np.testing.assert_array_equal(out.compute(), st.data + 1.0)
+
+
+# -- multistep / concat seams (reference :580,799-876) ------------------------
+
+
+def test_rechunk_multistep_no_cycle(rng):
+    x = rng.standard_normal((24, 24))
+    d = da.from_array(x, chunks=(6, 6))
+    r = d.rechunk((8, 8)).rechunk((12, 12)).rechunk((4, 4))
+    simplified = r.expr.simplify()
+    # rechunk-of-rechunk collapses to ONE boundary (absorbed by the leaf)
+    assert sum(1 for n in simplified.walk() if isinstance(n, Rechunk)) == 0
+    assert_eq(r, x)
+
+
+def test_rechunk_through_concatenate_multi_part_axis1(rng):
+    parts_np = [rng.standard_normal((6, 5)) for _ in range(3)]
+    parts = [da.from_array(p, chunks=(3, 5)) for p in parts_np]
+    c = da.concatenate(parts, axis=1).rechunk((6, 5))
+    assert_eq(c, np.concatenate(parts_np, axis=1))
+
+
+def test_rechunk_through_concatenate_seam_only_declines(rng):
+    # a rechunk whose boundaries cross part seams cannot push into parts;
+    # values must still be exact
+    a = rng.standard_normal((4, 6))
+    b = rng.standard_normal((5, 6))
+    c = da.concatenate(
+        [da.from_array(a, chunks=(2, 3)), da.from_array(b, chunks=(5, 3))], axis=0
+    ).rechunk((3, 6))
+    assert_eq(c, np.concatenate([a, b], axis=0))
+
+
+def test_rechunks_not_pushed_into_node_shared_by_rechunks(rng):
+    # TWO different rechunk consumers of one computed node: pushing either
+    # would duplicate the chain
+    x = rng.standard_normal((12, 12))
+    d = da.from_array(x, chunks=(3, 3))
+    y = (d + 1).cumsum(axis=0)
+    z = y.rechunk((6, 6)).sum() + y.rechunk((4, 4)).sum()
+    want = np.cumsum(x + 1, axis=0)
+    np.testing.assert_allclose(z.compute(), want.sum() + want.sum(), rtol=1e-10)
+
+
+# -- rechunk ∘ slice composition (reference :876-1105) ------------------------
+
+
+def test_rechunk_slice_composition_does_not_push_into_shared_leaf(rng):
+    x = rng.standard_normal((40, 40))
+    d = da.from_array(x, chunks=(10, 10))
+    z = d[:35].rechunk((7, 10)).sum() + d.sum()
+    froms = {n._name for n in z.expr.simplify().walk() if isinstance(n, FromArray)}
+    assert len(froms) == 1  # the leaf stays shared
+    np.testing.assert_allclose(z.compute(), x[:35].sum() + x.sum(), rtol=1e-10)
+
+
+def test_rechunk_slice_composition_multi_axis(rng):
+    x = rng.standard_normal((30, 24))
+    d = da.from_array(x, chunks=(6, 6))
+    r = d[2:26, 3:21].rechunk((8, 9))
+    assert_eq(r, x[2:26, 3:21])
+
+
+def test_rechunk_slice_composition_declines_integers_and_steps(rng):
+    x = rng.standard_normal((20, 16))
+    d = da.from_array(x, chunks=(5, 4))
+    r1 = d[::2, :].rechunk((5, 8))
+    assert_eq(r1, x[::2, :])
+    r2 = d[3, :].rechunk((8,))
+    assert_eq(r2, x[3, :])
+
+
+def test_rechunk_pushes_through_expand_dims_and_composes_with_slice(rng):
+    x = rng.standard_normal((12, 8))
+    d = da.from_array(x, chunks=(4, 4))
+    r = da.expand_dims(d, 1)[2:10].rechunk((4, 1, 8))
+    assert_eq(r, np.expand_dims(x, 1)[2:10])
+
+
+def test_rechunk_zero_target_chunks_edge(rng):
+    x = rng.standard_normal((6, 0))
+    d = da.from_array(x, chunks=((3, 3), (0,)))
+    r = d.rechunk((6, 0))
+    assert_eq(r, x)
