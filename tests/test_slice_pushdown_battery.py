@@ -433,3 +433,251 @@ def test_slice_on_broadcast_axis_judged_against_output_length(rng):
     # genuinely-empty output slices still propagate through broadcast ops
     e = (da.ones((4, 1), chunks=2) + da.ones((4, 7), chunks=2))[:, 3:3]
     assert np.asarray(e.compute()).shape == (4, 0)
+
+
+# -- round-3 additions: reference slice-through-blockwise spine --------------
+
+
+def test_slice_through_where_with_broadcast():
+    # reference test_slice_through_blockwise.py:164 (xarray regression)
+    cond = (
+        da.ones((10, 1, 1), dtype=bool, chunks=(5, 1, 1))
+        & da.ones((1, 20, 1), dtype=bool, chunks=(1, 10, 1))
+        & da.ones((1, 1, 30), dtype=bool, chunks=(1, 1, 15))
+    )
+    result = da.where(cond, da.ones((10, 20, 30), chunks=(5, 10, 15)), np.nan)
+    sliced = result[:, 5:15, 10:25]
+    sliced.expr.simplify()  # must not raise
+    assert_eq(sliced, np.ones((10, 10, 15)))
+
+
+def test_slice_through_take_non_take_axis():
+    # reference :185 — slices on non-reordered axes commute below a Take
+    arr = np.arange(100 * 20 * 12).reshape(100, 20, 12).astype("f8")
+    x = da.from_array(arr, chunks=(25, 10, 6))
+    indices = list(range(50)) + list(range(99, 49, -1))
+    shuffled = x[indices, :, :]
+    result = shuffled[:, 10:20, 6:12]
+    expected = x[:, 10:20, 6:12][indices, :, :]
+    assert result.expr.simplify()._name == expected.expr.simplify()._name
+    assert_eq(result, arr[indices][:, 10:20, 6:12])
+
+
+def test_slice_through_take_on_take_axis_values():
+    # a slice ON the reordered axis cannot commute; values must be exact
+    arr = np.arange(8.0)
+    x = da.from_array(arr, chunks=4)
+    indexer = np.array([6, 5, 2, 4, 1, 3, 0, 7])
+    result = x[indexer][1:4]
+    assert_eq(result, arr[indexer][1:4])
+
+
+def test_slice_through_drop_axis():
+    # reference :309
+    arr = np.arange(100).reshape(10, 10)
+    x = da.from_array(arr, chunks=(5, 5))
+    y = da.map_blocks(lambda b: b.sum(axis=0), x, drop_axis=0, dtype=arr.dtype)
+    assert_eq(y[:5], arr.sum(axis=0)[:5])
+
+
+def test_slice_through_drop_axis_1():
+    arr = np.arange(100).reshape(10, 10)
+    x = da.from_array(arr, chunks=(5, 5))
+    y = da.map_blocks(lambda b: b.sum(axis=1), x, drop_axis=1, dtype=arr.dtype)
+    assert_eq(y[:5], arr.sum(axis=1)[:5])
+
+
+def test_slice_through_adjust_chunks_values():
+    # reference :346 — output chunk sizes transformed: pushdown must not
+    # forward indices into the input
+    arr = np.arange(100).reshape(10, 10)
+    x = da.from_array(arr, chunks=(5, 5))
+    y = da.map_blocks(
+        lambda b: np.repeat(np.asarray(b), 2, axis=0), x, chunks=(10, 5), dtype=arr.dtype
+    )
+    assert_eq(y[:5, :5], np.repeat(arr, 2, axis=0)[:5, :5])
+
+
+def test_slice_multiple_inputs_same_shape():
+    arr1 = np.arange(100).reshape(10, 10)
+    arr2 = np.arange(100, 200).reshape(10, 10)
+    x = da.from_array(arr1, chunks=(5, 5))
+    y = da.from_array(arr2, chunks=(5, 5))
+    result = (x + y)[:3, :4]
+    expected = x[:3, :4] + y[:3, :4]
+    assert result.expr.simplify()._name == expected.expr.simplify()._name
+    assert_eq(result, arr1[:3, :4] + arr2[:3, :4])
+
+
+def test_slice_multiple_inputs_broadcast():
+    arr = np.arange(100).reshape(10, 10)
+    vec = np.arange(10)
+    x = da.from_array(arr, chunks=(5, 5))
+    v = da.from_array(vec, chunks=5)
+    result = (x * v)[:3, :4]
+    expected = x[:3, :4] * v[:4]
+    assert result.expr.simplify()._name == expected.expr.simplify()._name
+    assert_eq(result, (arr * vec)[:3, :4])
+
+
+def test_slice_through_tensordot_correctness():
+    # reference :520
+    a_np = np.arange(48.0).reshape(6, 8)
+    b_np = np.arange(40.0).reshape(8, 5)
+    a = da.from_array(a_np, chunks=(3, 4))
+    b = da.from_array(b_np, chunks=(4, 5))
+    r = da.tensordot(a, b, axes=1)[2:5, 1:4]
+    assert_eq(r, (a_np @ b_np)[2:5, 1:4])
+
+
+def test_slice_through_matmul_correctness():
+    a_np = np.arange(48.0).reshape(6, 8)
+    b_np = np.arange(40.0).reshape(8, 5)
+    a = da.from_array(a_np, chunks=(3, 4))
+    b = da.from_array(b_np, chunks=(4, 5))
+    r = (a @ b)[1:4, :3]
+    assert_eq(r, (a_np @ b_np)[1:4, :3])
+
+
+def test_integer_index_on_size_one_dim_through_elemwise():
+    # reference :586
+    x = da.from_array(np.arange(5.0).reshape(1, 5), chunks=(1, 5))
+    y = da.from_array(np.ones((4, 5)), chunks=(2, 5))
+    r = (x + y)[0, :]
+    assert_eq(r, (np.arange(5.0).reshape(1, 5) + np.ones((4, 5)))[0, :])
+
+
+def test_integer_index_through_elemwise_broadcast():
+    x = da.from_array(np.arange(20.0).reshape(4, 5), chunks=(2, 5))
+    v = da.from_array(np.arange(5.0), chunks=5)
+    r = (x * v)[2, :]
+    assert_eq(r, (np.arange(20.0).reshape(4, 5) * np.arange(5.0))[2, :])
+
+
+def test_empty_slice_through_elemwise_broadcast():
+    x = da.from_array(np.arange(20.0).reshape(4, 5), chunks=(2, 5))
+    v = da.from_array(np.arange(5.0), chunks=5)
+    r = (x * v)[0:0, :]
+    assert r.optimize().shape == (0, 5)
+    assert_eq(r, np.empty((0, 5)))
+
+
+def test_empty_slice_not_pushed_through_reduction():
+    # reference :664
+    x = da.from_array(np.arange(20.0).reshape(4, 5), chunks=(2, 5))
+    r = x.sum(axis=0, keepdims=True)[0:0]
+    assert r.optimize().shape == (0, 5)
+    assert_eq(r, np.arange(20.0).reshape(4, 5).sum(axis=0, keepdims=True)[0:0])
+
+
+# -- round-3 additions: none-slice (newaxis) family (reference :1010-1075) ---
+
+
+def test_none_slice_pushes_through_elemwise():
+    x = da.ones((10, 10), chunks=5)
+    y = da.ones((10, 10), chunks=5)
+    result = (x + y)[None, :5, :]
+    expected = (x[:5, :] + y[:5, :])[None, :, :]
+    assert result.expr.simplify()._name == expected.expr.simplify()._name
+    assert_eq(result, np.full((1, 5, 10), 2.0))
+
+
+def test_none_slice_multiple_nones():
+    x = da.from_array(np.arange(20.0).reshape(4, 5), chunks=(2, 5))
+    y = da.ones((4, 5), chunks=(4, 5))
+    result = (x + y)[None, :2, None, :3]
+    expected = (x[:2, :3] + y[:2, :3])[None, :, None, :]
+    assert result.expr.simplify()._name == expected.expr.simplify()._name
+    assert_eq(result, (np.arange(20.0).reshape(4, 5) + 1)[None, :2, None, :3])
+
+
+def test_none_slice_no_slicing_uses_expand_dims():
+    from dask_array_tpu.ops.manipulation import ExpandDims
+
+    x = da.ones((10, 10), chunks=5)
+    y = da.ones((10, 10), chunks=5)
+    result = (x + y)[None, :, :]
+    opt = result.expr.simplify()
+    assert isinstance(opt, ExpandDims)
+    assert_eq(result, np.full((1, 10, 10), 2.0))
+
+
+def test_none_slice_through_transpose():
+    x = da.from_array(np.arange(20.0).reshape(4, 5), chunks=(2, 5))
+    result = x.T[None, :3, :2]
+    expected = x[:2, :3].T[None, :, :]
+    assert result.expr.simplify()._name == expected.expr.simplify()._name
+    assert_eq(result, np.arange(20.0).reshape(4, 5).T[None, :3, :2])
+
+
+# -- round-3 additions: keepdims + shared + multi-window (reference :1077+) --
+
+
+def test_slice_on_keepdims_reduced_axis_values():
+    x = np.arange(6.0).reshape(3, 2)
+    d = da.from_array(x, chunks=(1, 1))
+    expected = x.sum(axis=0, keepdims=True)
+    assert_eq(d.sum(axis=0, keepdims=True)[0, :], expected[0, :])
+    assert_eq(d.sum(axis=0, keepdims=True)[0:1, 1], expected[0:1, 1])
+    assert_eq(d.mean(axis=1, keepdims=True)[:, 0], x.mean(axis=1, keepdims=True)[:, 0])
+
+
+def test_empty_source_region_not_dropped():
+    x = np.ones((1, 1, 1))
+    d = da.from_array(x, chunks=(1, 1, 1))
+    leaf = da.from_array(np.ones((1, 0, 1)), chunks=((1,), (0,), (1,)))
+    result = (d[:, 0:0, :] + leaf)[:, :, 0:0]
+    expected = (x[:, 0:0, :] + np.ones((1, 0, 1)))[:, :, 0:0]
+    assert result.optimize().shape == expected.shape
+    assert_eq(result, expected)
+
+
+def test_integer_index_before_expanded_axis():
+    x2 = np.arange(2.0).reshape(1, 2)
+    d2 = da.from_array(x2, chunks=(1, 1))
+    result = da.expand_dims(d2, 1)[0, :, :]
+    expected = np.expand_dims(x2, 1)[0, :, :]
+    assert result.optimize().shape == expected.shape
+    assert_eq(result, expected)
+    x1 = np.arange(1.0)
+    d1 = da.from_array(x1, chunks=1)
+    result = da.expand_dims(d1, 1)[0, :]
+    assert result.optimize().shape == (1,)
+    assert_eq(result, np.expand_dims(x1, 1)[0, :])
+
+
+def test_slice_not_pushed_into_shared_leaf():
+    x = da.from_array(np.arange(10000.0).reshape(100, 100), chunks=(10, 10))
+    z = x[:5].sum() + x.sum()
+    froms = {n._name for n in z.expr.simplify().walk() if isinstance(n, FromArray)}
+    assert len(froms) == 1
+    xn = np.arange(10000.0).reshape(100, 100)
+    assert_eq(z, xn[:5].sum() + xn.sum())
+
+
+def test_multi_window_slices_still_push(rng):
+    x = da.from_array(np.arange(10000.0).reshape(100, 100), chunks=(10, 10))
+    y = (x + 1) * 2
+    z = y[:5] + y[10:15]
+    expected = ((x[:5] + 1) * 2) + ((x[10:15] + 1) * 2)
+    assert z.expr.simplify()._name == expected.expr.simplify()._name
+    xn = np.arange(10000.0).reshape(100, 100)
+    yn = (xn + 1) * 2
+    assert_eq(z, yn[:5] + yn[10:15])
+
+
+def test_multi_window_slices_with_grid_sensitive_consumer(rng):
+    arr = np.arange(400.0).reshape(20, 20)
+    n = da.from_array(arr, chunks=(5, 20)) + 1.0
+    w1 = da.map_overlap(
+        lambda b: b * 2.0, n[2:18, :], depth={0: 1, 1: 0}, boundary="none"
+    )
+    w2 = n[5:15, :] * 3.0
+    base = arr + 1.0
+    assert_eq(w1, base[2:18, :] * 2.0)
+    assert_eq(w2, base[5:15, :] * 3.0)
+    combined = da.concatenate([w1[:6], w2[:6]], axis=0)
+    assert_eq(
+        combined,
+        np.concatenate([base[2:18, :][:6] * 2.0, base[5:15, :][:6] * 3.0], axis=0),
+    )
