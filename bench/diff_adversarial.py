@@ -30,7 +30,7 @@ def build_case(rng, da):
     ref = x
     steps = int(rng.integers(2, 7))
     for _ in range(steps):
-        op = rng.integers(0, 11)
+        op = rng.integers(0, 16)
         if op == 0 and not any(np.isnan(s) for s in (d.shape[0],)):
             a = int(rng.integers(0, max(1, d.shape[0] - 1)))
             b = int(rng.integers(a + 1, d.shape[0] + 1))
@@ -57,8 +57,41 @@ def build_case(rng, da):
             d, ref = da.concatenate([d, d], axis=1), np.concatenate([ref, ref], axis=1)
         elif op == 9 and d.ndim == 2 and d.shape[0] >= 3:
             d, ref = d[::-1, ::2], ref[::-1, ::2]  # negative step + stride
+        elif op == 10 and d.shape[0] >= 2:
+            # fancy take (exercises the round-3 reorder pushdowns)
+            k = int(rng.integers(1, min(8, d.shape[0] + 1)))
+            idx = rng.integers(0, d.shape[0], size=k)
+            d, ref = d[idx], ref[np.asarray(idx)]
+        elif op == 11 and d.ndim == 2 and d.shape[0] >= 2:
+            # setitem (copy-on-write assignment)
+            a = int(rng.integers(0, d.shape[0] - 1))
+            v = float(rng.standard_normal())
+            d = d.copy() if hasattr(d, "copy") else d
+            d[a:a + 1, :] = v
+            ref = ref.copy()
+            ref[a:a + 1, :] = v
+        elif op == 12 and d.ndim == 2:
+            # stack then collapse the new axis
+            d, ref = da.stack([d, -d], axis=0).sum(axis=0), np.stack([ref, -ref]).sum(axis=0)
+        elif op == 13:
+            d, ref = da.expand_dims(d, 0)[0], np.expand_dims(ref, 0)[0]
+        elif op == 14 and d.ndim == 2:
+            d, ref = da.flip(d, axis=1), np.flip(ref, axis=1)
         else:
             d, ref = np.sin(d), np.sin(ref)
+    if d.ndim >= 1 and rng.integers(0, 8) == 0:
+        # terminal histogram lane (counts must agree exactly)
+        # pad the range: binning exactly at the data min/max is 1-ulp
+        # sensitive to numpy-vs-XLA rounding of the upstream chain
+        if ref.size:
+            span = float(np.nanmax(ref) - np.nanmin(ref)) or 1.0
+            lo = float(np.nanmin(ref)) - 0.05 * span
+            hi = float(np.nanmax(ref)) + 0.05 * span
+        else:
+            lo, hi = 0.0, 1.0
+        h, _ = da.histogram(d, bins=8, range=(lo, hi))
+        hr, _ = np.histogram(ref, bins=8, range=(lo, hi))
+        return h, hr
     return d.sum(axis=0), ref.sum(axis=0)
 
 
