@@ -833,15 +833,118 @@ def nanquantile(a, q, axis=None, method="linear", keepdims=False, **kwargs):
     return new_collection(Quantile(expr, q if np.ndim(q) == 0 else tuple(np.asarray(q).tolist()), axis, method, "nanquantile", bool(keepdims)))
 
 
+class ApproxPercentile(ArrayExpr):
+    """Merge-based approximate percentile of a 1-D chunked array.
+
+    The reference's scalable path
+    (``reductions/_percentile.py:70-149`` merge_percentiles /
+    ``:52-67`` tdigest): per-chunk percentiles at an endpoint-padded q
+    grid, weighted by chunk lengths, merged by sorted cumulative-count
+    interpolation.  TPU-first: chunk lengths are STATIC, so the whole
+    merge (sort + cumsum + interp over ``nblocks * (len(q)+2)`` values)
+    traces into the one XLA program — no host-side combine step.
+    """
+
+    _parameters = ("array", "q", "method")
+
+    def _name_prefix(self):
+        return "approx-percentile"
+
+    @functools.cached_property
+    def _q_arr(self):
+        return np.asarray(self.q, dtype="f8")
+
+    @functools.cached_property
+    def chunks(self):
+        return ((len(self._q_arr),),)
+
+    @functools.cached_property
+    def _meta(self):
+        dt = self.array.dtype
+        if np.issubdtype(dt, np.integer) or dt == bool:
+            dt = np.dtype("f8")
+        return np.empty((0,), dtype=dt)
+
+    def _build(self, ctx):
+        jnp = _jnp()
+        view = ctx.build(self.array)
+        q = self._q_arr
+        calc_q = np.pad(q, 1, mode="constant")
+        calc_q[-1] = 100.0
+        method = self.method
+        if not np.issubdtype(self.array.dtype, np.number):
+            method = "nearest"
+        vals_parts, count_parts = [], []
+        total_n = 0
+        for bi, n in enumerate(self.array.chunks[0]):
+            if n == 0:
+                continue
+            block = view.block((bi,))
+            v = jnp.percentile(
+                jnp.asarray(block).astype(self.dtype), jnp.asarray(calc_q), method=method
+            )
+            # weight of each grid point: the q-mass it newly covers, scaled
+            # by this chunk's length (merge_percentiles' count model)
+            c = np.empty(len(calc_q))
+            c[0] = calc_q[0]
+            c[1:] = np.diff(calc_q)
+            c *= n
+            vals_parts.append(v)
+            count_parts.append(c)
+            total_n += n
+        if not vals_parts:
+            raise ValueError("No non-trivial arrays found")
+        combined_vals = jnp.concatenate(vals_parts)
+        combined_counts = jnp.asarray(np.concatenate(count_parts))
+        order = jnp.argsort(combined_vals)
+        combined_vals = combined_vals[order]
+        combined_counts = combined_counts[order]
+        combined_q = jnp.cumsum(combined_counts)
+        desired_q = jnp.asarray(q) * total_n
+        if method == "linear":
+            rv = jnp.interp(desired_q, combined_q, combined_vals)
+        else:
+            left = jnp.searchsorted(combined_q, desired_q, side="left")
+            right = jnp.searchsorted(combined_q, desired_q, side="right") - 1
+            left = jnp.minimum(left, len(calc_q) * len(vals_parts) - 1)
+            lower = jnp.minimum(left, right)
+            upper = jnp.maximum(left, right)
+            if method == "lower":
+                rv = combined_vals[lower]
+            elif method == "higher":
+                rv = combined_vals[upper]
+            elif method == "midpoint":
+                rv = 0.5 * (combined_vals[lower] + combined_vals[upper])
+            elif method == "nearest":
+                lres = jnp.abs(combined_q[lower] - desired_q)
+                ures = jnp.abs(combined_q[upper] - desired_q)
+                rv = jnp.where(lres > ures, combined_vals[upper], combined_vals[lower])
+            else:
+                raise ValueError(
+                    "interpolation method can only be 'linear', 'lower', "
+                    "'higher', 'midpoint', or 'nearest'"
+                )
+        return BlockView(self.chunks, dense=rv.astype(self.dtype))
+
+
 def percentile(a, q, method="linear", internal_method=None, **kwargs):
     """Percentiles of a 1-D array (dask signature: result is 1-D, len(q)).
 
-    Parity: ``reductions/_percentile.py:71`` — ``interpolation=`` is the
-    deprecated alias of ``method=``; ``internal_method`` selects the
-    dask/tdigest backend there and is accepted-and-ignored here (the dense
-    computation is exact, superseding both).
+    Parity: ``reductions/_percentile.py:151`` — ``interpolation=`` is the
+    deprecated alias of ``method=``.  ``internal_method``:
+
+    * ``None``/``"default"``: EXACT dense percentiles (this platform's
+      one-program computation supersedes the approximation for most
+      sizes).
+    * ``"dask"`` / ``"tdigest"``: the reference's scalable approximate
+      merge (per-chunk percentiles, weighted merge) — one pass per chunk,
+      never materializing the concatenated array.  ``tdigest`` maps to
+      the same mergeable-summary computation (the crick dependency does
+      not exist on this platform).
     """
     import warnings
+
+    from dask_array_tpu._collection import Array, new_collection
 
     if "interpolation" in kwargs:
         warnings.warn(
@@ -849,8 +952,18 @@ def percentile(a, q, method="linear", internal_method=None, **kwargs):
             FutureWarning,
         )
         method = kwargs.pop("interpolation")
+    if method in ("default", "dask", "tdigest"):
+        warnings.warn(
+            "The `method=` argument was renamed to `internal_method=`",
+            FutureWarning,
+        )
+        internal_method, method = method, "linear"
     if a.ndim != 1:
         raise NotImplementedError("Percentiles only implemented for 1-d arrays")
+    if internal_method in ("dask", "tdigest"):
+        expr = a.expr if isinstance(a, Array) else a
+        q_t = tuple(np.atleast_1d(np.asarray(q, dtype="f8")).tolist())
+        return new_collection(ApproxPercentile(expr, q_t, method))
     q01 = np.true_divide(q, 100)
     out = quantile(a, tuple(np.atleast_1d(q01).tolist()), axis=0, method=method)
     return out

@@ -154,3 +154,69 @@ def test_var_onepass_never_negative():
     d = da.from_array(x, chunks=16)
     out = d.std().compute()
     assert out == 0.0 and not np.isnan(out)
+
+
+# -- approximate (merge-based) percentile -----------------------------------
+
+
+def test_percentile_internal_method_dask_single_chunk_exact():
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal(5000)
+    d = da.from_array(x, chunks=len(x))
+    got = da.percentile(d, [25, 75], internal_method="dask").compute()
+    np.testing.assert_allclose(got, np.percentile(x, [25, 75]), rtol=1e-12)
+
+
+def test_percentile_internal_method_dask_matches_reference_algorithm():
+    # differential against an independent numpy replica of the reference's
+    # merge_percentiles (reductions/_percentile.py:70-149): our traced
+    # implementation must agree EXACTLY, including the algorithm's own
+    # approximation bias
+    rng = np.random.default_rng(4)
+    x = rng.standard_normal(100_000)
+    d = da.from_array(x, chunks=1000)
+    qs = np.array([1, 10, 25, 50, 75, 90, 99], dtype="f8")
+    got = da.percentile(d, qs, internal_method="dask").compute()
+
+    calc_q = np.pad(qs, 1)
+    calc_q[-1] = 100.0
+    chunks = x.reshape(100, 1000)
+    cv = np.concatenate([np.percentile(c, calc_q) for c in chunks])
+    cnt = np.empty(len(calc_q))
+    cnt[0] = calc_q[0]
+    cnt[1:] = np.diff(calc_q)
+    cc = np.concatenate([cnt * 1000] * 100)
+    o = np.argsort(cv)
+    want = np.interp(qs * x.size, np.cumsum(cc[o]), cv[o])
+    np.testing.assert_allclose(got, want, rtol=1e-12)
+    # loose sanity vs the exact percentiles (inherent approximation bias)
+    np.testing.assert_allclose(got, np.percentile(x, qs), atol=0.5)
+    assert np.all(np.diff(got) >= 0)  # monotone in q
+
+
+@pytest.mark.parametrize("m", ["lower", "higher", "midpoint", "nearest"])
+def test_percentile_internal_method_dask_methods(m):
+    rng = np.random.default_rng(5)
+    x = rng.standard_normal(4000)
+    d = da.from_array(x, chunks=500)
+    got = da.percentile(d, [50], method=m, internal_method="dask").compute()
+    assert np.isfinite(got).all()
+    assert abs(got[0] - np.median(x)) < 0.2
+
+
+def test_percentile_tdigest_alias_and_empty_chunks():
+    rng = np.random.default_rng(6)
+    x = rng.standard_normal(2000)
+    d = da.from_array(x, chunks=400)
+    t = da.percentile(d, 50, internal_method="tdigest").compute()
+    assert abs(t[0] - np.median(x)) < 0.2
+    dz = da.concatenate([da.from_array(np.array([], dtype="f8"), chunks=1), d])
+    z = da.percentile(dz, [50], internal_method="dask").compute()
+    np.testing.assert_allclose(z, t, rtol=1e-12)
+
+
+def test_percentile_method_rename_warning():
+    d = da.from_array(np.arange(10.0), chunks=5)
+    with pytest.warns(FutureWarning, match="internal_method"):
+        out = da.percentile(d, [50], method="dask")
+    assert np.isfinite(out.compute()).all()
