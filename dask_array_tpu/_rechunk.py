@@ -270,18 +270,54 @@ def plan_rechunk(old_chunks, new_chunks, itemsize=8, threshold=None, block_size_
     deg = _stage_degree(old_chunks, new_chunks)
     if deg <= threshold:
         return [new_chunks]
-    # one intermediate stage: per axis, the boundary union (refinement) —
-    # every old->mid and mid->new edge then has degree 1 on split axes and
-    # bounded merge fan-in
+    # stage 1: per axis, the boundary union (refinement) — every old->mid
+    # edge is then a pure split (degree 1 per source chunk)
     from dask_array_tpu._chunks import common_blockdim
 
     mid = tuple(
         common_blockdim([tuple(o), tuple(n)]) if tuple(o) != tuple(n) else tuple(o)
         for o, n in zip(old_chunks, new_chunks)
     )
-    if mid == old_chunks or mid == new_chunks:
-        return [new_chunks]
-    return [mid, new_chunks]
+    if mid == new_chunks:
+        return [new_chunks]  # pure split: every gather has width 1
+    # stages 2..k: bound the MERGE fan-in (the reference's recursive
+    # bounded-degree planner, ``_rechunk.py:395-562``): each stage merges
+    # at most ``threshold`` consecutive pieces per target chunk, so no
+    # single gather ever exceeds the threshold
+    stages = [] if mid == old_chunks else [mid]  # pure merge: skip refine
+    cur = mid
+    guard = 0
+    while cur != new_chunks and guard < 64:
+        guard += 1
+        nxt_axes = []
+        for o_ax, n_ax in zip(cur, new_chunks):
+            o_ax, n_ax = tuple(o_ax), tuple(n_ax)
+            if o_ax == n_ax:
+                nxt_axes.append(o_ax)
+                continue
+            out = []
+            i = 0
+            for tgt in n_ax:
+                run = []
+                s = 0
+                while s < tgt and i < len(o_ax):
+                    run.append(o_ax[i])
+                    s += o_ax[i]
+                    i += 1
+                if len(run) <= threshold:
+                    out.append(tgt)
+                else:
+                    for g in range(0, len(run), threshold):
+                        out.append(sum(run[g : g + threshold]))
+            nxt_axes.append(tuple(out))
+        nxt = tuple(nxt_axes)
+        if nxt == cur:
+            break  # cannot make progress (irregular boundary); stop safely
+        stages.append(nxt)
+        cur = nxt
+    if stages[-1] != new_chunks:
+        stages.append(new_chunks)
+    return stages
 
 
 def _choose_rechunk_method(old_chunks, new_chunks, threshold=None, mesh=None):

@@ -478,3 +478,51 @@ def test_rechunk_zero_target_chunks_edge(rng):
     d = da.from_array(x, chunks=((3, 3), (0,)))
     r = d.rechunk((6, 0))
     assert_eq(r, x)
+
+
+# -- recursive bounded-degree planner (reference :395-562, round 3) ----------
+
+
+def _plan_degrees(old, new, threshold):
+    from dask_array_tpu._rechunk import _stage_degree, plan_rechunk
+
+    stages = plan_rechunk(old, new, threshold=threshold)
+    degs, prev = [], old
+    for st in stages:
+        degs.append(_stage_degree(prev, st))
+        prev = st
+    return stages, degs
+
+
+def test_plan_rechunk_bounded_merge_degree():
+    stages, degs = _plan_degrees(((1,) * 1024,), ((1024,),), threshold=4)
+    assert stages[-1] == ((1024,),)
+    assert all(d <= 4 for d in degs)
+    assert len(stages) == 5  # log_4(1024)
+
+
+def test_plan_rechunk_mixed_split_merge():
+    old = ((100,) * 10, (1,) * 64)
+    new = ((50,) * 20, (64,))
+    stages, degs = _plan_degrees(old, new, threshold=8)
+    assert stages[-1] == new
+    assert all(d <= 8 for d in degs)
+    # every stage preserves the total extent
+    for st in stages:
+        assert tuple(sum(c) for c in st) == (1000, 64)
+
+
+def test_plan_rechunk_irregular_boundaries():
+    old = ((3, 7, 5, 5, 4, 8, 8),)
+    new = ((20, 20),)
+    stages, degs = _plan_degrees(old, new, threshold=2)
+    assert stages[-1] == new
+    assert all(d <= 2 for d in degs)
+
+
+def test_plan_rechunk_cheap_single_stage():
+    from dask_array_tpu._rechunk import plan_rechunk
+
+    assert plan_rechunk(((4, 4),), ((8,),), threshold=32) == [((8,),)]
+    # pure split: one stage regardless of width
+    assert plan_rechunk(((1024,),), ((1,) * 1024,), threshold=4) == [((1,) * 1024,)]
