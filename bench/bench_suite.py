@@ -48,11 +48,22 @@ from dask_array_tpu.models import pipelines as P
 BUILDERS = {
     "readme_slice_pushdown": lambda: P.readme_example(),
     "reduction_tree_10k": lambda: P.reduction_tree(),
+    "reduction_tree_10k_persisted": lambda: _persisted_reduction_tree(),
     "blocked_matmul_8192": lambda: _persisted_matmul(),
     "stencil2d_4096": lambda: P.stencil2d(),
     "tsqr_svd_1e6x128": lambda: P.tall_skinny_svd(),
     "rechunk_relayout_8192": lambda: P.rechunk_relayout(persist=True),
 }
+
+def _persisted_reduction_tree():
+    # the reductions themselves vs the HBM roofline: the input persists
+    # on-device (same discipline as the matmul/relayout rows), so steady
+    # state measures ONE read of the 400 MB array feeding all four fused
+    # accumulations (colsum, rowmean, and the one-pass var's two sums)
+    import dask_array_tpu as da
+    x = da.random.default_rng(0).standard_normal((10000, 10000), dtype="float32", chunks=1000).persist()
+    return (x.sum(axis=0, split_every=4), x.mean(axis=1, split_every=4), x.std(split_every=4))
+
 
 def _persisted_matmul():
     out = P.blocked_matmul()
@@ -118,6 +129,7 @@ _ROOFLINE_BYTES = {
     "rechunk_relayout_8192": 2 * 8192 * 8192 * 4,
     # tree reduction: one read of the 10000^2 f32 input
     "reduction_tree_10k": 10000 * 10000 * 4,
+    "reduction_tree_10k_persisted": 10000 * 10000 * 4,
     # depth-1 stencil: read input (+halo ~0) and write output (f32 4096^2)
     "stencil2d_4096": 2 * 4096 * 4096 * 4,
 }
@@ -134,6 +146,7 @@ def main():
     for label in (
         "readme_slice_pushdown",
         "reduction_tree_10k",
+        "reduction_tree_10k_persisted",
         "blocked_matmul_8192",
         "stencil2d_4096",
         "tsqr_svd_1e6x128",
