@@ -1,0 +1,214 @@
+"""Pallas band-stencil kernel for 2-D ``map_overlap``.
+
+XLA runs a roll/pad-based ``map_overlap`` at the "roll bound": every
+``jnp.roll``/shifted-slice inside the user function materializes a full
+HBM copy, so a depth-1 Laplace lands at ~100 GB/s of the ~819 GB/s
+roofline (bench/README).  This kernel runs the user function on
+VMEM-resident padded bands instead: the grid walks row bands, each
+program assembles its ``(T + 2*d0, N + 2*d1)`` padded block IN VMEM from
+the band plus halo rows (separate block-spec'd views of the same input —
+static affine index maps; out-of-range indices at the global edges are
+clamped/wrapped by pallas and then DISCARDED by the boundary select), and
+the user function's intermediates never touch HBM.
+
+Design notes (bench/README "Pallas stencil, round 3"):
+
+* halo rows ride two extra ``(H, N)`` views of the input with index maps
+  ``i*(T//H) - 1`` / ``(i+1)*(T//H)`` — no dynamic clamping in the map
+  (Mosaic-friendlier), because the edge bands overwrite the halo with the
+  boundary fill anyway.
+* boundary fills (reflect == numpy symmetric, nearest, periodic,
+  constant) are built from in-VMEM rows; flips avoid ``lax.rev``
+  (unsupported by Mosaic) via per-row/-column concatenation.
+* periodic needs the global first/last rows: two more pinned views.
+
+Eligibility (``use_band_stencil``): 2-D single-array map_overlap, uniform
+symmetric depths ≤ 8 per axis, boundary per axis in {reflect, nearest,
+periodic, constant scalar}, dtype f32/bf16/f64, row count divisible by a
+viable band height.  Everything else stays on the XLA path.
+
+The kernel is gated by config ``tpu.stencil-kernel`` (default "off": the
+axon remote-compile helper in this image crashes on most non-trivial
+Mosaic kernels — see the decision record; flip to "on"/"auto" on
+platforms with a healthy Mosaic toolchain, or "interpret" for CPU
+validation).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+_H = 8  # halo view height (f32 sublane tile)
+
+
+def _flip0(jnp, v):
+    if v.shape[0] <= 1:
+        return v
+    return jnp.concatenate(
+        [v[k : k + 1] for k in range(v.shape[0] - 1, -1, -1)], axis=0
+    )
+
+
+def _flip1(jnp, v):
+    if v.shape[1] <= 1:
+        return v
+    return jnp.concatenate(
+        [v[:, k : k + 1] for k in range(v.shape[1] - 1, -1, -1)], axis=1
+    )
+
+
+def _edge_rows(jnp, c, d0, bd, side, T):
+    """Boundary halo rows built from the band's own edge (global edges)."""
+    if bd == "reflect":  # dask reflect == numpy symmetric
+        if side == "lo":
+            return _flip0(jnp, c[0:d0, :])
+        return _flip0(jnp, c[T - d0 : T, :])
+    if bd == "nearest":
+        row = c[0:1, :] if side == "lo" else c[T - 1 : T, :]
+        return jnp.concatenate([row] * d0, axis=0) if d0 > 1 else row
+    # constant scalar
+    return jnp.full((d0,) + c.shape[1:], bd, dtype=c.dtype)
+
+
+def band_stencil_call(x, func, depth, boundary, *, band=None, interpret=False):
+    """Run ``trim(func(pad(x)))`` as a pallas band kernel.
+
+    ``depth`` = (d0, d1) symmetric ints; ``boundary`` = per-axis mode.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    M, N = x.shape
+    d0, d1 = depth
+    bd0, bd1 = boundary
+    T = band or _pick_band(M, N, x.dtype)
+    assert T is not None
+    nb = M // T
+    periodic0 = bd0 == "periodic"
+
+    def kernel(*refs):
+        if periodic0:
+            c_ref, t_ref, b_ref, first_ref, last_ref, o_ref = refs
+        else:
+            c_ref, t_ref, b_ref, o_ref = refs
+        i = pl.program_id(0)
+        n_i = pl.num_programs(0)
+        c = c_ref[:]
+        if d0:
+            top_halo = t_ref[_H - d0 :, :]
+            bot_halo = b_ref[:d0, :]
+            if periodic0:
+                top_fill = last_ref[_H - d0 :, :]
+                bot_fill = first_ref[:d0, :]
+            else:
+                top_fill = _edge_rows(jnp, c, d0, bd0, "lo", T)
+                bot_fill = _edge_rows(jnp, c, d0, bd0, "hi", T)
+            top = jnp.where(i == 0, top_fill, top_halo)
+            bot = jnp.where(i == n_i - 1, bot_fill, bot_halo)
+            rows = jnp.concatenate([top, c, bot], axis=0)
+        else:
+            rows = c
+        if d1:
+            if bd1 == "reflect":
+                left = _flip1(jnp, rows[:, 0:d1])
+                right = _flip1(jnp, rows[:, N - d1 : N])
+            elif bd1 == "nearest":
+                left = jnp.concatenate([rows[:, 0:1]] * d1, axis=1) if d1 > 1 else rows[:, 0:1]
+                right = jnp.concatenate([rows[:, N - 1 : N]] * d1, axis=1) if d1 > 1 else rows[:, N - 1 : N]
+            elif bd1 == "periodic":
+                left = rows[:, N - d1 : N]
+                right = rows[:, 0:d1]
+            else:
+                left = jnp.full(rows.shape[:1] + (d1,), bd1, dtype=rows.dtype)
+                right = left
+            padded = jnp.concatenate([left, rows, right], axis=1)
+        else:
+            padded = rows
+        res = func(padded)
+        o_ref[:] = res[d0 : d0 + T, d1 : d1 + N].astype(o_ref.dtype)
+
+    in_specs = [
+        pl.BlockSpec((T, N), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((_H, N), lambda i: (i * (T // _H) - 1, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((_H, N), lambda i: ((i + 1) * (T // _H), 0), memory_space=pltpu.VMEM),
+    ]
+    args = [x, x, x]
+    if periodic0:
+        in_specs.append(pl.BlockSpec((_H, N), lambda i: (0, 0), memory_space=pltpu.VMEM))
+        in_specs.append(
+            pl.BlockSpec((_H, N), lambda i: (M // _H - 1, 0), memory_space=pltpu.VMEM)
+        )
+        args += [x, x]
+
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((M, N), x.dtype),
+        grid=(nb,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((T, N), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(*args)
+
+
+def _pick_band(M, N, dtype):
+    """Largest viable band height: divides M, multiple of the halo view,
+    and the padded block (~3 buffers) fits comfortably in VMEM."""
+    itemsize = np.dtype(dtype).itemsize
+    budget = 12 * 1024 * 1024  # leave headroom of the ~16 MB VMEM
+    for T in (512, 256, 128, 64, 32, 16, 8):
+        if T % _H or M % T or M // T < 2:
+            continue
+        if 3 * (T + 16) * N * itemsize <= budget:
+            return T
+    return None
+
+
+def use_band_stencil(arrays, depths, bounds, trim):
+    """Eligibility gate + config routing for the map_overlap fast path.
+
+    Returns (enabled, interpret) — mirrors ``use_pallas_histogram``.
+    """
+    from dask_array_tpu import config
+
+    setting = config.get("tpu.stencil-kernel", "off")
+    if setting in ("off", False, None):
+        return False, False
+    interpret = setting == "interpret"
+    if not interpret:
+        import jax
+
+        try:
+            if jax.devices()[0].platform not in ("tpu", "axon"):
+                return False, False
+        except Exception:
+            return False, False
+    if not trim or len(arrays) != 1:
+        return False, False
+    a = arrays[0]
+    if a.ndim != 2 or np.dtype(a.dtype).kind not in "f":
+        return False, False
+    shape = a.shape
+    if any(not isinstance(s, (int, np.integer)) or s <= 0 for s in shape):
+        return False, False
+    d = depths[0]
+    bd = bounds[0]
+    dep = []
+    for ax in range(2):
+        lo, hi = d.get(ax, (0, 0))
+        if lo != hi or lo > 8:
+            return False, False
+        dep.append(lo)
+    for ax in range(2):
+        b = bd.get(ax)
+        if dep[ax] and b not in ("reflect", "nearest", "periodic") and not isinstance(b, (int, float)):
+            return False, False
+    M, N = shape
+    if M % _H:
+        return False, False
+    if _pick_band(M, N, a.dtype) is None:
+        return False, False
+    return True, interpret
