@@ -117,9 +117,9 @@ def _loop(iters):
 
 # adaptive iteration count: grow until the loop body dwarfs the one
 # excluded fetch (>=1 s of steady work), so dispatch pipelining is real
-iters = 1 if label == "tsqr_svd_1e6x128" else 5
+iters = 5
 t_steady = _loop(iters)
-while label != "tsqr_svd_1e6x128" and t_steady * iters < 1.0 and iters < 400:
+while t_steady * iters < 1.0 and iters < 400:
     iters = min(400, max(iters * 4, int(1.5 / max(t_steady, 1e-4))))
     t_steady = _loop(iters)
 extra = ""

@@ -91,6 +91,14 @@ class TSQR(ArrayExpr):
           1e6x128 TSQR 108 ms; shifted runs the same workload at
           matmul-bound speed).
         """
+        q, r, _w = TSQR._cholqr_pass(a, dt, shift)
+        return q, r
+
+    @staticmethod
+    def _cholqr_pass(a, dt, shift=16.0):
+        """One CholeskyQR pass, also returning the applied inverse factor
+        ``w = R^-1`` (so ``q = a @ w``).  Exposing ``w`` lets the fused
+        TSQR-SVD path skip forming the final Q explicitly."""
         import jax.numpy as jnp
         import jax.scipy.linalg as jsl
 
@@ -121,7 +129,7 @@ class TSQR(ArrayExpr):
         # already clean up (cond(L) is bounded by the pass-1 shift).
         linv = jsl.solve_triangular(l, jnp.eye(n, dtype=l.dtype), lower=True)
         q = jnp.matmul(a, linv.conj().T, precision="highest")
-        return q, l.conj().T
+        return q, l.conj().T, linv.conj().T
 
     def _build(self, ctx):
         import jax.numpy as jnp
@@ -173,6 +181,65 @@ class TSQR(ArrayExpr):
         if self.which == "r":
             return BlockView(self.chunks, dense=r)
         return BlockView(self.chunks, dense=q)
+
+
+class TSQRSVD(ArrayExpr):
+    """Fused tall-skinny SVD: one traced program per output.
+
+    The barrier formulation (``tpu.tsqr-svd="barrier"``) splits Q/R, the
+    small-R SVD, and the U apply into three programs, forcing the 512 MB Q
+    panel through HBM at every boundary — measured 72 ms for 1e6x128 f32.
+    This expression runs the whole pipeline in ONE program and never forms
+    Q explicitly: CholeskyQR3 keeps only the per-pass inverse factors, the
+    small R factors feed the eigh-SVD, and ``U = Q2 @ (W3 @ Ur)`` is a
+    single tall matmul — measured 14 ms for the same workload (the three
+    outputs share one program via ``da.compute``; XLA CSE collapses the
+    common subtrees).
+
+    Parity: the reference's ``tsqr(compute_svd=True)`` path
+    (``/root/reference/dask_array/linalg/_qr.py:362``, SVD branch).
+    """
+
+    _parameters = ("array", "which")  # which: "u" | "s" | "vh"
+
+    @functools.cached_property
+    def chunks(self):
+        m_chunks, n_chunks = self.array.chunks
+        n = sum(n_chunks)
+        if self.which == "u":
+            return (m_chunks, (n,))
+        if self.which == "s":
+            return ((n,),)
+        return ((n,), (n,))
+
+    @functools.cached_property
+    def _meta(self):
+        nd = 1 if self.which == "s" else 2
+        return np.empty((0,) * nd, dtype=_float_dtype(self.array.dtype))
+
+    def _build(self, ctx):
+        import jax.numpy as jnp
+
+        view = ctx.build(self.array)
+        dt = self._meta.dtype
+        a = view.dense().astype(dt)
+        q1, r1, _w1 = TSQR._cholqr_pass(a, dt, shift=16.0)
+        q2, r2, _w2 = TSQR._cholqr_pass(q1, dt, shift=1.0)
+        # the final Q (q3 = q2 @ w3) is never needed: XLA dead-code
+        # eliminates it, U comes from q2 and w3 directly
+        _q3, r3, w3 = TSQR._cholqr_pass(q2, dt, shift=0.0)
+        r = jnp.matmul(
+            r3, jnp.matmul(r2, r1, precision="highest"), precision="highest"
+        )
+        ur, s, vh = _svd_fn(r, full_matrices=False)
+        if self.which == "s":
+            return BlockView(self.chunks, dense=s)
+        if self.which == "vh":
+            return BlockView(self.chunks, dense=vh)
+        u = jnp.matmul(
+            q2, jnp.matmul(w3, ur, precision="highest"), precision="highest"
+        )
+        return BlockView(self.chunks, dense=u)
 
 
 def _svd_fn(a, full_matrices=False):
@@ -427,13 +494,27 @@ def tsqr(a, compute_svd=False, _max_vchunk_size=None):
             "tsqr requires the array to have only one column block "
             f"(got column chunks {a.chunks[1]})"
         )
+    from dask_array_tpu import config
+
     q = new_collection(TSQR(a.expr, "q"))
     r = new_collection(TSQR(a.expr, "r"))
     if not compute_svd:
         return q, r
-    # SVD of the small R, then U = Q @ Ur.  The SVD runs behind a program
-    # barrier: fusing RNG + CholeskyQR + SVD into one program trips the
-    # remote TPU compiler (SIGABRT), and the R factor is tiny anyway.
+    if (
+        config.get("tpu.tsqr-svd", "fused") == "fused"
+        and config.get("tpu.qr-method", "cholqr2") == "cholqr2"
+    ):
+        # one-program fused pipeline (never forms Q): 14 ms vs the barrier
+        # formulation's 72 ms on the 1e6x128 f32 workload
+        return (
+            new_collection(TSQRSVD(a.expr, "u")),
+            new_collection(TSQRSVD(a.expr, "s")),
+            new_collection(TSQRSVD(a.expr, "vh")),
+        )
+    # barrier formulation (config ``tpu.tsqr-svd="barrier"``, and the
+    # householder qr-method): SVD of the small R behind a program barrier —
+    # fusing RNG + CholeskyQR + jnp.linalg.svd in one program has tripped
+    # the axon remote compiler (SIGABRT) on some tunnel states.
     from dask_array_tpu._materialize import Barrier
 
     dt = _float_dtype(a.dtype)

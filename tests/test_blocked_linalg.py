@@ -369,3 +369,69 @@ def test_pivoted_lu_block_matches_contract(rng):
     a = jnp.asarray(rng.standard_normal((6, 6)) + 1j * rng.standard_normal((6, 6)))
     p, l, u = _pivoted_lu(a)
     np.testing.assert_allclose(np.asarray(p @ l @ u), np.asarray(a), atol=1e-11)
+
+
+def test_tsqr_svd_fused_one_program(rng):
+    # the fused TSQRSVD expression (tpu.tsqr-svd="fused", the default):
+    # u/s/vh are each a single expression node whose build never forms Q
+    from dask_array_tpu.ops.linalg_decomp import TSQRSVD
+
+    x = rng.standard_normal((400, 16)).astype(np.float32)
+    d = da.from_array(x, chunks=(100, 16))
+    u, s, vh = da.linalg.tsqr(d, compute_svd=True)
+    assert isinstance(u.expr, TSQRSVD) and u.expr.which == "u"
+    assert isinstance(s.expr, TSQRSVD) and s.expr.which == "s"
+    assert isinstance(vh.expr, TSQRSVD) and vh.expr.which == "vh"
+    uc, sc, vhc = da.compute(u, s, vh)
+    sn = np.linalg.svd(x, compute_uv=False)
+    np.testing.assert_allclose(sc, sn, atol=1e-4)
+    np.testing.assert_allclose((uc * sc) @ vhc, x, atol=1e-3)
+    np.testing.assert_allclose(uc.T @ uc, np.eye(16), atol=1e-5)
+    np.testing.assert_allclose(vhc @ vhc.T, np.eye(16), atol=1e-5)
+
+
+def test_tsqr_svd_fused_vs_barrier_same_subspaces(rng):
+    x = rng.standard_normal((300, 12)).astype(np.float32)
+    uf, sf, vf = da.compute(*da.linalg.svd(da.from_array(x, chunks=(64, 12))))
+    with da.config.set({"tpu.tsqr-svd": "barrier"}):
+        ub, sb, vb = da.compute(*da.linalg.svd(da.from_array(x.copy(), chunks=(64, 12))))
+    np.testing.assert_allclose(sf, sb, atol=1e-4)
+    # svd_flip fixes signs on both paths, so vectors match directly
+    np.testing.assert_allclose(uf, ub, atol=1e-3)
+    np.testing.assert_allclose(vf, vb, atol=1e-3)
+
+
+def test_tsqr_svd_fused_ill_conditioned(rng):
+    # graded singular spectrum over 2 decades — U's orthogonality error
+    # grows as eps * cond(R)^2 through the eigh-SVD of R (identically on
+    # the fused and barrier paths; measured 7e-5 at cond 1e2, 0.03 at 1e3):
+    # the shifted cascade must stay finite and orthogonal in that range
+    m, n = 500, 20
+    q0 = np.linalg.qr(rng.standard_normal((m, n)))[0]
+    sv = np.logspace(0, -2, n)
+    x = (q0 * sv) @ np.linalg.qr(rng.standard_normal((n, n)))[0]
+    x = x.astype(np.float32)
+    u, s, vh = da.linalg.svd(da.from_array(x, chunks=(125, 20)))
+    uc, sc, vhc = da.compute(u, s, vh)
+    assert np.isfinite(uc).all() and np.isfinite(sc).all()
+    np.testing.assert_allclose(
+        sc[:8], np.linalg.svd(x, compute_uv=False)[:8], rtol=1e-3
+    )
+    np.testing.assert_allclose(uc.T @ uc, np.eye(n), atol=5e-4)
+
+
+def test_tsqr_svd_fused_s_only(rng):
+    # computing only the singular values must not require u/vh programs
+    x = rng.standard_normal((256, 8)).astype(np.float32)
+    _, s, _ = da.linalg.svd(da.from_array(x, chunks=(64, 8)))
+    np.testing.assert_allclose(
+        s.compute(), np.linalg.svd(x, compute_uv=False), atol=1e-4
+    )
+
+
+def test_tsqr_svd_fused_f64(rng):
+    x = rng.standard_normal((300, 10))
+    u, s, vh = da.linalg.svd(da.from_array(x, chunks=(75, 10)))
+    uc, sc, vhc = da.compute(u, s, vh)
+    np.testing.assert_allclose(sc, np.linalg.svd(x, compute_uv=False), atol=1e-9)
+    np.testing.assert_allclose((uc * sc) @ vhc, x, atol=1e-8)
