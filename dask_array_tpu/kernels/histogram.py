@@ -1,27 +1,35 @@
-"""Pallas TPU kernel: fused multi-bin histogram / bincount.
+"""Fused multi-bin histogram / bincount: tiled compare-accumulate scan.
 
-WHY A KERNEL: XLA lowers ``jnp.histogram``/``jnp.bincount`` to a
-scatter-add, which serializes on TPU — measured 6.2 s for 64M float32 /
-256 bins on v5e (~0.04 GB/s).  This kernel replaces the scatter with a
-compare-accumulate sweep that is pure VPU work: for every 128-wide chunk
-of bin edges, each data subtile is compared against the edges
-(``d < e`` broadcast), partial counts accumulate in a VMEM row across the
-grid, and the per-bin counts fall out as a first difference of the
-cumulative counts.  numpy's last-bin-inclusive semantics come from
-replacing the final edge with ``nextafter(e_last, +inf)`` so ``<`` acts
-as ``<=`` there.
+WHY NOT XLA's OWN LOWERING: ``jnp.histogram``/``jnp.bincount`` lower to a
+scatter-add, which serializes on TPU — measured 6.5 s for 64M float32 /
+256 bins on v5e (~0.04 GB/s).  This formulation replaces the scatter with
+a compare-accumulate sweep that is pure VPU work: the data streams through
+a ``lax.scan`` in 128K-element tiles, each tile is compared against every
+bin edge at once (``d[:, None] < e[None, :]``), the per-tile partial
+counts accumulate in the scan carry, and the per-bin counts fall out as a
+first difference of the cumulative counts.  numpy's last-bin-inclusive
+semantics come from replacing the final edge with ``nextafter(e_last,
++inf)`` so ``<`` acts as ``<=`` there.
+
+HISTORY — this replaced a hand-written Pallas kernel (win-or-delete
+discipline, SURVEY.md §2.5): the Pallas compare-accumulate ran the same
+sweep in 123 ms because its 3-D broadcast compare forced Mosaic vector
+relayouts, while XLA fuses this scan body's compare straight into the
+tile reduction with native (8, 128) layouts — measured 17.7 ms for
+64M x 256 on v5e, ~7x the Pallas kernel and ~370x the scatter.  A
+per-edge-register privatized Pallas variant (the theoretical-bound
+design) SIGABRTs this platform's remote Mosaic compiler.  Decision
+record: bench/README.md.
 
 f64 inputs run the same sweep on a TWO-FLOAT split: ``d`` is carried as
 ``(hi, lo) = (f32(d), f32(d - hi))`` and compared lexicographically —
 pure 32-bit VPU ops, exact to ~2^-49 relative (the TPU has no 64-bit
 ALU and its f64 emulation itself carries ~1e-15 ≈ 2^-50 error, see
-``ops/_bitsafe.py``; 64-bit bitcasts do not compile on this platform, so
-integer keying is not available).
+``ops/_bitsafe.py``).
 
 Parity role: the reference's ``HistogramBinned`` tree-sum
-(``/root/reference/dask_array/_histogram.py:41``) — here ONE kernel pass
-instead of a per-block bincount + tree (SURVEY.md §2.5 "TPU mapping
-note": where XLA is weak, go Pallas).
+(``/root/reference/dask_array/_histogram.py:41``) — here ONE fused sweep
+instead of a per-block bincount + tree.
 """
 
 from __future__ import annotations
@@ -30,9 +38,10 @@ import functools
 
 import numpy as np
 
-_SUB = 32   # data rows per comparison block: (32, 128) elements x 128 edges
-_ROWS = 512  # data rows per grid tile: 512*128 = 64K elements (256 KiB f32)
-_LANE = 128
+# elements per scan tile: 128K f32 = 512 KiB, far under VMEM, large enough
+# that the (TILE, n_edges) compare block amortizes loop overhead (measured
+# best among 32K/64K/128K/256K on v5e: 20.9 ms vs 31/31/23)
+_TILE = 128 * 1024
 
 
 def _round_up(x, m):
@@ -41,104 +50,52 @@ def _round_up(x, m):
 
 @functools.partial(
     __import__("jax").jit,
-    static_argnames=("nbins", "weighted", "exact64", "interpret"),
+    static_argnames=("nbins", "weighted", "exact64"),
 )
-def _histogram_call(
-    data3, data_lo3, edges_row, edges_lo_row, weights3, nbins, weighted, exact64, interpret
+def _histogram_scan(
+    data, data_lo, edges, edges_lo, weights, nbins, weighted, exact64
 ):
     import jax
     import jax.numpy as jnp
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
 
-    num_tiles, rows, lane = data3.shape
-    e_pad = edges_row.shape[1]
-    n_chunks = e_pad // _LANE
-    n_sub = rows // _SUB
-    # unweighted counts accumulate in int32 (exact up to 2^31 per bin,
-    # where float32 would silently lose counts past 2^24)
-    acc_dtype = jnp.float32 if weighted else jnp.int32
-
-    def kernel(*refs):
-        it = iter(refs)
-        edges_ref = next(it)
-        edges_lo_ref = next(it) if exact64 else None
-        data_ref = next(it)
-        data_lo_ref = next(it) if exact64 else None
-        w_ref = next(it) if weighted else None
-        out_ref = next(it)
-
-        @pl.when(pl.program_id(0) == 0)
-        def _():
-            out_ref[:] = jnp.zeros_like(out_ref)
-
-        for c in range(n_chunks):  # static: few 128-edge chunks
-            e = edges_ref[:, c * _LANE:(c + 1) * _LANE]  # (1, 128)
-            el = edges_lo_ref[:, c * _LANE:(c + 1) * _LANE] if exact64 else None
-
-            def body(s, acc):
-                # the fori index must stay i32 end to end (x64 would promote
-                # a bare literal to i64 and trip Mosaic's index arithmetic)
-                off = s * jnp.int32(_SUB)
-                d = data_ref[0, pl.ds(off, _SUB), :].astype(jnp.float32)
-                if exact64:
-                    # two-float lexicographic compare (NaN: both legs false)
-                    dl = data_lo_ref[0, pl.ds(off, _SUB), :].astype(jnp.float32)
-                    hi_lt = d[:, :, None] < e[None, :, :]
-                    hi_eq = d[:, :, None] == e[None, :, :]
-                    lo_lt = dl[:, :, None] < el[None, :, :]
-                    cmp = hi_lt | (hi_eq & lo_lt)
-                else:
-                    cmp = d[:, :, None] < e[None, :, :]  # (SUB, 128, 128)
-                if weighted:
-                    w = w_ref[0, pl.ds(off, _SUB), :].astype(jnp.float32)
-                    part = jnp.sum(
-                        jnp.where(cmp, w[:, :, None], 0.0), axis=(0, 1)
-                    )
-                else:
-                    part = jnp.sum(cmp, axis=(0, 1), dtype=acc_dtype)
-                return acc + part[None, :]
-
-            vec = jax.lax.fori_loop(
-                jnp.int32(0), jnp.int32(n_sub), body,
-                jnp.zeros((1, _LANE), acc_dtype),
-            )
-            out_ref[:, c * _LANE:(c + 1) * _LANE] += vec
-
-    # index maps pinned to i32: under jax_enable_x64 the traced index/
-    # constants promote to i64, which Mosaic's index lowering rejects
-    # ("failed to legalize operation 'func.return'")
-    def _const_map(i):
-        return (np.int32(0), np.int32(0))
-
-    def _tile_map(i):
-        return (jnp.asarray(i, jnp.int32), np.int32(0), np.int32(0))
-
-    edge_spec = pl.BlockSpec((1, e_pad), _const_map, memory_space=pltpu.VMEM)
-    tile_spec = pl.BlockSpec((1, rows, lane), _tile_map, memory_space=pltpu.VMEM)
-    in_specs = [edge_spec]
-    args = [edges_row]
+    n_tiles = data.shape[0] // _TILE
+    d_hi = data.reshape(n_tiles, _TILE)
+    xs = (d_hi,)
     if exact64:
-        in_specs.append(edge_spec)
-        args.append(edges_lo_row)
-    in_specs.append(tile_spec)
-    args.append(data3)
-    if exact64:
-        in_specs.append(tile_spec)
-        args.append(data_lo3)
+        xs += (data_lo.reshape(n_tiles, _TILE),)
     if weighted:
-        in_specs.append(tile_spec)
-        args.append(weights3)
-    cumulative = pl.pallas_call(
-        kernel,
-        grid=(num_tiles,),
-        in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, e_pad), _const_map, memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((1, e_pad), acc_dtype),
-        interpret=interpret,
-    )(*args)
-    lt = cumulative[0]
-    return lt[1:nbins + 1] - lt[:nbins]
+        xs += (weights.reshape(n_tiles, _TILE),)
+
+    # unweighted counts accumulate in int32 (exact up to 2^31 per bin,
+    # where float32 would silently lose counts past 2^24); weighted tiles
+    # reduce in f32 but the cross-tile carry is f64 (a 64M-element f32
+    # running sum drifts ~4e-2 in the tail bins, and the carry is only
+    # n_edges wide so the emulated-f64 adds are free)
+    acc_dtype = jnp.float64 if weighted else jnp.int32
+
+    def body(acc, tile):
+        it = iter(tile)
+        d = next(it)
+        if exact64:
+            # two-float lexicographic compare (NaN: both legs false)
+            dl = next(it)
+            hi_lt = d[:, None] < edges[None, :]
+            hi_eq = d[:, None] == edges[None, :]
+            lo_lt = dl[:, None] < edges_lo[None, :]
+            cmp = hi_lt | (hi_eq & lo_lt)
+        else:
+            cmp = d[:, None] < edges[None, :]
+        if weighted:
+            w = next(it)
+            part = jnp.sum(jnp.where(cmp, w[:, None], 0.0), axis=0).astype(acc_dtype)
+        else:
+            part = jnp.sum(cmp, axis=0, dtype=acc_dtype)
+        return acc + part, None
+
+    init = jnp.zeros((edges.shape[0],), acc_dtype)
+    cumulative, _ = jax.lax.scan(body, init, xs)
+    out = cumulative[1:nbins + 1] - cumulative[:nbins]
+    return out.astype(jnp.float32) if weighted else out
 
 
 def _two_float_split(x64):
@@ -163,17 +120,18 @@ def histogram(data, edges, weights=None, *, interpret=False):
 
     ``data`` any shape (flattened).  f32-exact dtypes compare directly;
     f64 runs the two-float exact path.  Returns counts of length
-    ``len(edges) - 1`` (cast at the call site).
+    ``len(edges) - 1`` (cast at the call site).  ``interpret`` is accepted
+    for API compatibility with the retired Pallas kernel and ignored —
+    the scan formulation runs natively on every backend.
     """
     import jax.numpy as jnp
 
+    del interpret
     data = jnp.ravel(data)
     exact64 = np.dtype(data.dtype).itemsize > 4 or np.dtype(edges.dtype).itemsize > 4
     n = data.size
     nbins = int(edges.shape[0]) - 1
-    tile = _ROWS * _LANE
-    n_pad = max(_round_up(n, tile), tile)
-    e_pad = _round_up(nbins + 1, _LANE)
+    n_pad = max(_round_up(n, _TILE), _TILE)
 
     if exact64:
         d64 = data.astype(jnp.float64)
@@ -181,8 +139,6 @@ def histogram(data, edges, weights=None, *, interpret=False):
         # NaN padding self-excludes (NaN < e is False for every edge)
         flat_h = jnp.full((n_pad,), jnp.nan, dtype=jnp.float32).at[:n].set(dh)
         flat_l = jnp.full((n_pad,), jnp.nan, dtype=jnp.float32).at[:n].set(dl)
-        data3 = flat_h.reshape(-1, _ROWS, _LANE)
-        data_lo3 = flat_l.reshape(-1, _ROWS, _LANE)
 
         e64 = jnp.asarray(edges, dtype=jnp.float64)
         eh, el = _two_float_split(e64)
@@ -194,42 +150,44 @@ def histogram(data, edges, weights=None, *, interpret=False):
         bumped = jnp.nextafter(el[nbins], jnp.float32(jnp.inf))
         bumped = jnp.where(jnp.abs(bumped) < tiny, jnp.maximum(el[nbins], 0) + tiny, bumped)
         el = el.at[nbins].set(bumped)
-        edges_row = jnp.full((1, e_pad), jnp.float32(jnp.inf)).at[0, :nbins + 1].set(eh)
-        edges_lo_row = jnp.full((1, e_pad), jnp.float32(jnp.inf)).at[0, :nbins + 1].set(el)
+        edges_row, edges_lo_row = eh, el
+        data_flat, data_lo_flat = flat_h, flat_l
     else:
-        flat = jnp.full((n_pad,), jnp.nan, dtype=jnp.float32)
-        flat = flat.at[:n].set(data.astype(jnp.float32))
-        data3 = flat.reshape(-1, _ROWS, _LANE)
-        data_lo3 = data3  # ignored
+        data_flat = jnp.full((n_pad,), jnp.nan, dtype=jnp.float32)
+        data_flat = data_flat.at[:n].set(data.astype(jnp.float32))
+        data_lo_flat = data_flat  # ignored
 
         e = jnp.asarray(edges, dtype=jnp.float32)
         # last edge -> nextafter so `<` realizes numpy's inclusive last bin
-        e_last = jnp.nextafter(e[nbins], jnp.float32(jnp.inf))
-        edges_row = jnp.full((1, e_pad), jnp.float32(jnp.inf))
-        edges_row = edges_row.at[0, :nbins].set(e[:nbins]).at[0, nbins].set(e_last)
+        edges_row = e.at[nbins].set(jnp.nextafter(e[nbins], jnp.float32(jnp.inf)))
         edges_lo_row = edges_row  # ignored
 
     weighted = weights is not None
     if weighted:
         wflat = jnp.zeros((n_pad,), dtype=jnp.float32)
         wflat = wflat.at[:n].set(jnp.ravel(weights).astype(jnp.float32))
-        weights3 = wflat.reshape(-1, _ROWS, _LANE)
     else:
-        weights3 = data3  # ignored
+        wflat = data_flat  # ignored
 
-    return _histogram_call(
-        data3, data_lo3, edges_row, edges_lo_row, weights3,
-        nbins, weighted, exact64, interpret,
+    return _histogram_scan(
+        data_flat, data_lo_flat, edges_row, edges_lo_row, wflat,
+        nbins, weighted, exact64,
     )
 
 
 def use_pallas_histogram(dtype, weights_dtype=None):
     """Routing policy (config ``tpu.histogram-kernel``: auto|pallas|xla).
 
-    auto: the kernel engages on TPU for f32-exact inputs (direct compare)
-    and for f64 (two-float compare); CPU stays on XLA (interpret-mode
-    pallas is for tests only).  f64 WEIGHTS stay on XLA: the kernel
-    accumulates weights in f32, which loses precision on large sums.
+    auto: the fused compare-accumulate scan engages on TPU for f32-exact
+    inputs (direct compare) and for f64 (two-float compare); CPU stays on
+    ``jnp.histogram`` (no scatter pathology there).  ``pallas`` (name kept
+    for config compatibility; the formulation is an XLA scan now) forces
+    the scan on any backend — tests use it to exercise the kernel path on
+    the CPU mesh.  f64 WEIGHTS stay on XLA: the scan accumulates weights
+    in f32, which loses precision on large sums.
+
+    Returns ``(enabled, interpret)``; ``interpret`` is always False now
+    (retained so call sites keep a stable signature).
     """
     import jax
 
@@ -252,6 +210,5 @@ def use_pallas_histogram(dtype, weights_dtype=None):
         ok_dtype = False
     on_tpu = jax.default_backend() not in ("cpu",)
     if mode == "pallas":
-        # forced: interpret-mode on CPU so tests exercise the kernel
-        return True, not on_tpu
+        return True, False
     return (ok_dtype and on_tpu), False

@@ -1,10 +1,12 @@
-"""Pallas fused histogram/bincount kernel (VERDICT round-1 item 9).
+"""Fused histogram/bincount kernel (VERDICT round-1 item 9, round-3 rev).
 
-The losing Pallas matmul was DELETED; this kernel targets the op where
-XLA is genuinely weak on TPU — histogram/bincount lower to a serialized
-scatter (measured 6.2 s for 64M f32 / 256 bins vs ~20 ms for the kernel).
-On the CPU test mesh the kernel runs in interpret mode (forced via
-``tpu.histogram-kernel="pallas"``); the chip timing lives in
+Targets the op where XLA's default lowering is genuinely weak on TPU —
+histogram/bincount lower to a serialized scatter (measured 6.5 s for 64M
+f32 / 256 bins vs ~20 ms for the kernel).  The implementation is now a
+tiled compare-accumulate ``lax.scan`` (it replaced a Pallas kernel that
+was 6x slower — see kernels/histogram.py HISTORY); the config value
+``tpu.histogram-kernel="pallas"`` keeps its name for compatibility and
+forces the kernel path on any backend.  Chip timing:
 ``bench/bench_kernels.py``.
 """
 
