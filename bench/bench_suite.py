@@ -50,7 +50,7 @@ BUILDERS = {
     "reduction_tree_10k": lambda: P.reduction_tree(),
     "reduction_tree_10k_persisted": lambda: _persisted_reduction_tree(),
     "blocked_matmul_8192": lambda: _persisted_matmul(),
-    "stencil2d_4096": lambda: P.stencil2d(),
+    "stencil2d_4096": lambda: P.stencil2d(persist=True),
     "tsqr_svd_1e6x128": lambda: P.tall_skinny_svd(),
     "rechunk_relayout_8192": lambda: P.rechunk_relayout(persist=True),
 }

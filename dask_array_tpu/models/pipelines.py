@@ -54,21 +54,47 @@ def blocked_matmul(n=8192, chunk=1024, dtype="bfloat16", seed=0):
     return a @ b
 
 
-def stencil2d(n=4096, chunk=1024, dtype="float32", seed=0):
-    """depth-1 map_overlap Laplace stencil (BASELINE config 4)."""
+def stencil2d(n=4096, chunk=1024, dtype="float32", seed=0, form="slices", persist=False):
+    """depth-1 map_overlap Laplace stencil (BASELINE config 4).
+
+    ``form="slices"`` (default) consumes the halo directly with shifted
+    slices of the ghosted block (``trim=False``) — the idiomatic
+    map_overlap pattern, and ~1.9x faster on TPU than re-shifting with
+    ``jnp.roll`` (measured 215 vs 114 GB/s, bench/probe_stencil.py: XLA
+    lowers each roll to two slice-copies, while the slice form reads five
+    overlapping windows of ONE buffer).  ``form="roll"`` keeps the legacy
+    roll-on-ghosted-block formulation (``trim=True``).
+    """
     import jax.numpy as jnp
 
     import dask_array_tpu as da
 
     x = da.random.default_rng(seed).standard_normal((n, n), dtype=dtype, chunks=chunk)
+    if persist:
+        x = x.persist()
 
-    def laplace(b):
+    if form == "roll":
+        def laplace(b):
+            return (
+                jnp.roll(b, 1, 0) + jnp.roll(b, -1, 0)
+                + jnp.roll(b, 1, 1) + jnp.roll(b, -1, 1)
+                - 4 * b
+            )
+
+        return da.map_overlap(laplace, x, depth=1, boundary="reflect", dtype=dtype)
+
+    def laplace(p):
+        # p arrives with a 1-cell ghost ring; the interior Laplacian is five
+        # shifted windows of p, already the trimmed output shape
         return (
-            jnp.roll(b, 1, 0) + jnp.roll(b, -1, 0) + jnp.roll(b, 1, 1) + jnp.roll(b, -1, 1)
-            - 4 * b
+            p[:-2, 1:-1] + p[2:, 1:-1] + p[1:-1, :-2] + p[1:-1, 2:]
+            - 4 * p[1:-1, 1:-1]
         )
 
-    return da.map_overlap(laplace, x, depth=1, boundary="reflect", dtype=dtype)
+    return da.map_overlap(
+        laplace, x, depth=1, boundary="reflect", trim=False, dtype=dtype,
+        chunks=x.chunks,
+    )
 
 
 def tall_skinny_svd(rows=1_000_000, cols=128, chunk_rows=100_000, dtype="float32", seed=0):

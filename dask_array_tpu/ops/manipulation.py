@@ -396,6 +396,7 @@ class BroadcastTo(ArrayExpr):
         outer = []
         out_shape = []
         pushed = False
+        shrunk = False
         for ax, ind in enumerate(index):
             dim = self.shape_[ax]
             src_ax = ax - ndim_new
@@ -408,9 +409,13 @@ class BroadcastTo(ArrayExpr):
                 outer.append(slice(None))
             norm = normalize_slice(ind, dim)
             if is_bcast:
-                # applies to the broadcast extent only
+                # applies to the broadcast extent only; values along a
+                # broadcast dim are identical, so ANY slice just shrinks the
+                # extent (reference test_slice_through_broadcast_to_new_dim)
                 start, stop, step = norm.indices(dim)
                 n = max(0, -(-(stop - start) // step)) if step > 0 else max(0, -(-(start - stop) // -step))
+                if n != dim:
+                    shrunk = True
                 out_shape.append(n)
                 if src_ax >= 0:
                     inner.append(slice(None))
@@ -421,7 +426,7 @@ class BroadcastTo(ArrayExpr):
                 start, stop, step = norm.indices(dim)
                 n = max(0, -(-(stop - start) // step)) if step > 0 else max(0, -(-(start - stop) // -step))
                 out_shape.append(n)
-        if not pushed:
+        if not pushed and not shrunk:
             return None
         src = Slice(self.array, tuple(inner)) if any(
             i != slice(None) for i in inner

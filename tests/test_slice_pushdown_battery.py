@@ -681,3 +681,371 @@ def test_multi_window_slices_with_grid_sensitive_consumer(rng):
         combined,
         np.concatenate([base[2:18, :][:6] * 2.0, base[5:15, :][:6] * 3.0], axis=0),
     )
+
+
+# -- round-3 additions II: region deferral + culling (reference :96-330) -----
+
+
+from dask_array_tpu._blockwise import Elemwise  # noqa: E402
+
+
+def leaf_elems(expr):
+    """Total elements read across FromArray leaves (the repo's analog of the
+    reference's task-count assertions: fewer elements == less work)."""
+    total = 0
+    for n in expr.walk():
+        if isinstance(n, FromArray):
+            total += int(np.prod([sum(c) for c in n.chunks]))
+    return total
+
+
+class _RecordingSource:
+    """ndarray-like host source that records every __getitem__ region."""
+
+    def __init__(self, arr):
+        self._arr = arr
+        self.reads = []
+
+    @property
+    def shape(self):
+        return self._arr.shape
+
+    @property
+    def dtype(self):
+        return self._arr.dtype
+
+    @property
+    def ndim(self):
+        return self._arr.ndim
+
+    def __getitem__(self, key):
+        self.reads.append(key)
+        return self._arr[key]
+
+
+def test_region_slice_stays_deferred_no_copy():
+    # reference test_region_numpy_* family: the pushed-down slice becomes a
+    # deferred region on the leaf; the host array is NOT copied at optimize
+    # time (this framework defers ALL sources, numpy included — the region
+    # is applied at leaf-buffer bind time)
+    arr = np.arange(10000.0).reshape(100, 100)
+    x = da.from_array(arr, chunks=(10, 10))
+    opt = x[12:18, 34:39].expr.simplify()
+    assert isinstance(opt, FromArray), opt.tree_repr()
+    assert opt.source is x.expr.source
+    assert opt.region is not None
+    np.testing.assert_array_equal(arr[tuple(opt.region)], arr[12:18, 34:39])
+    assert tuple(map(sum, opt.chunks)) == (6, 5)
+    assert_eq(x[12:18, 34:39], arr[12:18, 34:39])
+
+
+def test_region_full_slice_has_no_region():
+    arr = np.arange(100.0).reshape(10, 10)
+    x = da.from_array(arr, chunks=5)
+    opt = x[:, :].expr.simplify()
+    assert isinstance(opt, FromArray)
+    assert opt.region is None
+    assert opt.source is x.expr.source
+
+
+def test_region_host_read_is_only_the_region():
+    # reference test_region_single_chunk: the host read must be the sliced
+    # region, never a full chunk (here: never the full array)
+    arr = np.arange(10000.0).reshape(100, 100)
+    src = _RecordingSource(arr)
+    x = da.from_array(src, chunks=(10, 10), asarray=False)
+    y = x[12:18, 34:39] * 2
+    np.testing.assert_allclose(np.asarray(y.compute()), arr[12:18, 34:39] * 2)
+    region_reads = [k for k in src.reads if arr[k].size > 0]
+    assert region_reads
+    assert all(arr[k].size <= 6 * 5 for k in region_reads), src.reads
+
+
+def test_region_spanning_chunks_reads_one_region():
+    # a slice spanning 2x2 chunks is still ONE deferred region read (dense
+    # leaf design; the reference emits 4 tasks — same data volume)
+    arr = np.arange(10000.0).reshape(100, 100)
+    src = _RecordingSource(arr)
+    x = da.from_array(src, chunks=(10, 10), asarray=False)
+    y = x[15:25, 35:45] + 0.0
+    np.testing.assert_allclose(np.asarray(y.compute()), arr[15:25, 35:45])
+    region_reads = [k for k in src.reads if arr[k].size > 0]
+    assert all(arr[k].size <= 10 * 10 for k in region_reads), src.reads
+
+
+def test_block_culling_slice_still_pushes_through_computed_node():
+    # reference :109
+    arr = np.arange(40.0)
+    x = da.from_array(arr, chunks=8)
+    y = (x + 1)[8:40]
+    opt = y.expr.simplify()
+    assert isinstance(opt, Elemwise), opt.tree_repr()
+    froms = [n for n in opt.walk() if isinstance(n, FromArray)]
+    assert len(froms) == 1
+    assert tuple(map(sum, froms[0].chunks)) == (32,)
+    assert_eq(y, arr[8:40] + 1)
+
+
+def test_no_cull_slice_still_pushes_into_from_array():
+    # reference :122 — a non-chunk-aligned slice still pushes
+    arr = np.arange(40.0)
+    x = da.from_array(arr, chunks=8)
+    opt = x[7:39].expr.simplify()
+    assert isinstance(opt, FromArray), opt.tree_repr()
+    assert sum(opt.chunks[0]) == 32
+    assert_eq(x[7:39], arr[7:39])
+
+
+# -- round-3 additions II: concat/stack/broadcast structure (ref :522-728) ---
+
+
+def test_slice_through_concat_different_axis_structure():
+    a = da.ones((10, 20), chunks=5)
+    b = da.ones((10, 20), chunks=5)
+    result = da.concatenate([a, b], axis=0)[:, :5]
+    expected = da.concatenate([a[:, :5], b[:, :5]], axis=0)
+    assert result.expr.simplify()._name == expected.expr.simplify()._name
+
+
+def test_slice_through_concat_reduces_leaf_window(rng):
+    a = da.from_array(rng.standard_normal((100, 100)), chunks=10)
+    b = da.from_array(rng.standard_normal((100, 100)), chunks=10)
+    concat = da.concatenate([a, b], axis=0)
+    assert leaf_elems(concat[:5].expr.simplify()) < leaf_elems(concat.expr.simplify())
+
+
+def test_slice_through_stack_structure_subset():
+    a = da.ones((10, 5), chunks=5)
+    b = da.ones((10, 5), chunks=5)
+    c = da.ones((10, 5), chunks=5)
+    result = da.stack([a, b, c], axis=0)[:1]
+    expected = da.stack([a], axis=0)
+    assert result.expr.simplify()._name == expected.expr.simplify()._name
+
+
+def test_slice_through_stack_other_axis_structure():
+    a = da.ones((10, 20), chunks=5)
+    b = da.ones((10, 20), chunks=5)
+    result = da.stack([a, b], axis=0)[:, :5, :10]
+    expected = da.stack([a[:5, :10], b[:5, :10]], axis=0)
+    assert result.expr.simplify()._name == expected.expr.simplify()._name
+
+
+def test_slice_through_stack_mixed(rng):
+    xs = [rng.standard_normal((10, 20)) for _ in range(3)]
+    ds = [da.from_array(x, chunks=5) for x in xs]
+    result = da.stack(ds, axis=0)[:2, :5]
+    expected = da.stack([ds[0][:5], ds[1][:5]], axis=0)
+    assert result.expr.simplify()._name == expected.expr.simplify()._name
+    assert_eq(result, np.stack(xs)[:2, :5])
+
+
+def test_slice_through_stack_reduces_leaf_window(rng):
+    ds = [da.from_array(rng.standard_normal((100, 100)), chunks=10) for _ in range(3)]
+    stacked = da.stack(ds, axis=0)
+    assert leaf_elems(stacked[:1].expr.simplify()) < leaf_elems(stacked.expr.simplify())
+
+
+def test_slice_through_broadcast_to_structure():
+    x = da.ones((10,), chunks=5)
+    cases = [
+        (da.broadcast_to(x, (20, 10))[:5, :], da.broadcast_to(x, (5, 10))),
+        (da.broadcast_to(x, (20, 10))[:, :5], da.broadcast_to(x[:5], (20, 5))),
+        (da.broadcast_to(x, (20, 10))[:5, :3], da.broadcast_to(x[:3], (5, 3))),
+    ]
+    for result, expected in cases:
+        assert result.expr.simplify()._name == expected.expr.simplify()._name
+
+
+def test_slice_through_broadcast_to_broadcasted_dim_structure(rng):
+    # slicing a dim that was size-1 in the input cannot push on that dim
+    src = rng.standard_normal((1, 10))
+    x = da.from_array(src, chunks=(1, 5))
+    result = da.broadcast_to(x, (20, 10))[:5, :3]
+    expected = da.broadcast_to(x[:, :3], (5, 3))
+    assert result.expr.simplify()._name == expected.expr.simplify()._name
+    assert_eq(result, np.broadcast_to(src, (20, 10))[:5, :3])
+
+
+def test_slice_through_broadcast_to_reduces_leaf_window(rng):
+    x = da.from_array(rng.standard_normal((100,)), chunks=10)
+    broadcasted = da.broadcast_to(x, (100, 100))
+    assert leaf_elems(broadcasted[:5, :5].expr.simplify()) < leaf_elems(
+        broadcasted.expr.simplify()
+    )
+
+
+# -- round-3 additions II: blockwise spine (reference blockwise :23-160) -----
+
+
+def test_slice_through_reduction_blockwise_structure():
+    x = da.ones((100, 100), chunks=(10, 10))
+    result = x.sum(axis=0)[:5]
+    expected = x[:, :5].sum(axis=0)
+    assert result.expr.simplify()._name == expected.expr.simplify()._name
+
+    result1 = x.sum(axis=1)[:5]
+    expected1 = x[:5, :].sum(axis=1)
+    assert result1.expr.simplify()._name == expected1.expr.simplify()._name
+
+
+def test_slice_through_elemwise_structure():
+    x = da.ones((100, 100), chunks=(10, 10))
+    y = da.ones((100, 100), chunks=(10, 10))
+    result = (x + y)[:5, :10]
+    expected = x[:5, :10] + y[:5, :10]
+    assert result.expr.simplify()._name == expected.expr.simplify()._name
+
+    result1 = da.sin(x)[:5, :10]
+    expected1 = da.sin(x[:5, :10])
+    assert result1.expr.simplify()._name == expected1.expr.simplify()._name
+
+
+def test_slice_through_broadcast_row_structure(rng):
+    arr = rng.standard_normal((10, 10))
+    row = rng.standard_normal((10,))
+    x = da.from_array(arr, chunks=(5, 5))
+    r = da.from_array(row, chunks=5)
+    result = (x + r)[:3, :4]
+    expected = x[:3, :4] + r[:4]
+    assert result.expr.simplify()._name == expected.expr.simplify()._name
+    assert_eq(result, (arr + row)[:3, :4])
+
+
+def test_slice_through_broadcast_column_structure(rng):
+    arr = rng.standard_normal((10, 10))
+    col = rng.standard_normal((10, 1))
+    x = da.from_array(arr, chunks=(5, 5))
+    c = da.from_array(col, chunks=(5, 1))
+    result = (x + c)[:3, :4]
+    expected = x[:3, :4] + c[:3, :]
+    assert result.expr.simplify()._name == expected.expr.simplify()._name
+    assert_eq(result, (arr + col)[:3, :4])
+
+
+def test_slice_through_broadcast_scalar_structure(rng):
+    arr = rng.standard_normal((10, 10))
+    x = da.from_array(arr, chunks=(5, 5))
+    result = (x + 5)[:3, :4]
+    expected = x[:3, :4] + 5
+    assert result.expr.simplify()._name == expected.expr.simplify()._name
+    assert_eq(result, (arr + 5)[:3, :4])
+
+
+def test_slice_through_broadcast_size_one_dims(rng):
+    # inputs with size-1 dims in DIFFERENT positions: the output slice must
+    # keep each input's size-1 dims un-sliced
+    a_np = np.arange(20.0).reshape(1, 20, 1)
+    b_np = np.arange(30.0).reshape(1, 1, 30)
+    a = da.from_array(a_np, chunks=(1, 10, 1))
+    b = da.from_array(b_np, chunks=(1, 1, 15))
+    result = a + b
+    assert result.shape == (1, 20, 30)
+    sliced = result[:, 5:10, 10:20]
+    assert sliced.shape == (1, 5, 10)
+    sliced.expr.simplify()  # must not raise
+    assert_eq(sliced, (a_np + b_np)[:, 5:10, 10:20])
+
+
+def test_slice_new_axis_map_blocks_pushes_when_safe():
+    x = da.ones((20, 20), chunks=(5, 5))
+    y = da.map_blocks(lambda b: b[..., None], x, new_axis=2, dtype=float)
+    z = y[:5, :5, :]  # not slicing the new axis
+    assert_eq(z, np.ones((20, 20))[:5, :5, None])
+
+
+def test_slice_only_new_axis_values():
+    arr = np.arange(100.0).reshape(10, 10)
+    x = da.from_array(arr, chunks=(5, 5))
+    y = da.map_blocks(
+        lambda b: np.repeat(np.asarray(b)[..., None], 3, axis=2),
+        x,
+        new_axis=2,
+        chunks=(5, 5, 3),
+        dtype=arr.dtype,
+    )
+    assert_eq(y[:, :, :2], np.repeat(arr[..., None], 3, axis=2)[:, :, :2])
+    assert_eq(y[:3, :4, :], np.repeat(arr[..., None], 3, axis=2)[:3, :4, :])
+
+
+def test_slice_symbolic_new_axes_values():
+    x_np = np.arange(6.0)
+    x = da.from_array(x_np, chunks=3)
+    y = da.blockwise(
+        lambda block: np.broadcast_to(np.asarray(block)[:, None], (block.shape[0], 5)),
+        "az",
+        x,
+        "a",
+        new_axes={"z": 5},
+        dtype=x.dtype,
+    )
+    expected = np.broadcast_to(x_np[:, None], (6, 5))
+    assert_eq(y[:, :2], expected[:, :2])
+    assert_eq(y[2:5, :], expected[2:5, :])
+
+
+def test_integer_index_out_of_bounds_on_broadcast_dim():
+    # regression parity (reference blockwise :643): integer index valid for
+    # the broadcast OUTPUT but out of bounds for a size-1 input
+    scalar = da.from_array(np.float32(0.0), chunks=-1)
+    arr1 = da.from_array(np.array([[0.0, 1.0]], dtype="float32"), chunks=-1)
+    arr2 = da.from_array(np.zeros((1, 1, 1, 1), dtype="float32"), chunks=-1)
+    result = scalar + arr1 + arr2
+    assert result.shape == (1, 1, 1, 2)
+    indexed = result[0, 0, 0, 1]
+    assert indexed.shape == ()
+    assert float(indexed.compute()) == 1.0
+
+
+def test_slice_through_tensordot_reduces_leaf_window(rng):
+    a = da.from_array(rng.standard_normal((60, 80)), chunks=(30, 40))
+    b = da.from_array(rng.standard_normal((80, 50)), chunks=(40, 25))
+    r = da.tensordot(a, b, axes=1)
+    assert leaf_elems(r[:30, :].expr.simplify()) < leaf_elems(r.expr.simplify())
+
+
+# -- round-3 additions II: keepdims + shared-node (reference :1093-1207) -----
+
+
+def test_empty_slice_on_keepdims_reduced_axis_shape():
+    x = np.arange(4.0)
+    d = da.from_array(x, chunks=2)
+    result = d.sum(axis=0, keepdims=True)[0:0]
+    expected = x.sum(axis=0, keepdims=True)[0:0]
+    assert result.optimize().shape == expected.shape
+    assert_eq(result, expected)
+
+
+def test_slice_on_keepdims_still_pushes_non_reduced_axes():
+    x_np = np.arange(10000.0).reshape(100, 100)
+    x = da.from_array(x_np, chunks=(10, 10))
+    sliced = x.sum(axis=0, keepdims=True)[:, 5:20]
+    assert_eq(sliced, x_np.sum(axis=0, keepdims=True)[:, 5:20])
+    assert leaf_elems(sliced.expr.simplify()) < leaf_elems(
+        x.sum(axis=0, keepdims=True).expr.simplify()
+    )
+
+
+def test_slice_not_pushed_into_shared_node():
+    # pushing into a node another parent consumes whole would duplicate its
+    # work; y must stay shared (one elemwise chain, not two)
+    x = da.from_array(np.arange(10000.0).reshape(100, 100), chunks=(10, 10))
+    y = (x + 1) * 2
+    z = y[:99].sum() + y.sum()
+    simplified = z.expr.simplify()
+    froms = {n._name for n in simplified.walk() if isinstance(n, FromArray)}
+    assert len(froms) == 1
+    n_elemwise = sum(1 for n in simplified.walk() if isinstance(n, Elemwise))
+    assert n_elemwise <= 3, simplified.tree_repr()
+    xn = np.arange(10000.0).reshape(100, 100)
+    yn = (xn + 1) * 2
+    assert_eq(z, yn[:99].sum() + yn.sum())
+
+
+def test_reduction_slice_pushdown_reduces_leaf_window(rng):
+    arr = rng.standard_normal((100, 100))
+    x = da.from_array(arr, chunks=(10, 10))
+    full = x.sum(axis=0)
+    sliced = x.sum(axis=0)[:5]
+    assert leaf_elems(sliced.expr.simplify()) < leaf_elems(full.expr.simplify())
+    assert_eq(sliced, arr.sum(axis=0)[:5])
