@@ -425,8 +425,17 @@ class ArrayExpr:
         """Rewrite a logical node into (closer-to-)physical nodes, or None."""
         return None
 
+    @property
+    def _lower_cache_key(self):
+        """Key for the lowering cache.  Nodes whose ``_lower`` decision
+        depends on context beyond their own subtree (today: Rechunk's
+        sharing-gated absorb) override this to fold that context in, so a
+        cached decision can never serve a plan with the other context."""
+        return self._name
+
     def lower_once(self, cache):
-        hit = cache.get(self._name)
+        key = self._lower_cache_key
+        hit = cache.get(key)
         if hit is not None:
             return hit
         expr = self
@@ -445,7 +454,7 @@ class ArrayExpr:
                 new_operands.append(op)
         if changed:
             expr = expr.rebuild(new_operands)
-        cache[self._name] = expr
+        cache[key] = expr
         return expr
 
     def lower_completely(self):
@@ -456,7 +465,13 @@ class ArrayExpr:
             if expr._name in seen:
                 break
             seen.add(expr._name)
-            new = expr.lower_once(_lower_cache())
+            dependents = collect_dependents(expr)
+            shared = frozenset(k for k, v in dependents.items() if len(v) > 1)
+            _LOWERING_SHARED.append(shared)
+            try:
+                new = expr.lower_once(_lower_cache())
+            finally:
+                _LOWERING_SHARED.pop()
             if new._name == expr._name:
                 break
             expr = new
@@ -484,6 +499,42 @@ class ArrayExpr:
     def _leaf_buffers(self):
         """Yield (key, host_buffer) pairs this leaf feeds into the jit."""
         return ()
+
+
+# Context for sharing-aware lowering: ``lower_completely`` pushes the set of
+# node names with >1 dependent (root-relative) before each pass so _lower
+# implementations that must not rewrite a shared child (Rechunk's absorb)
+# can consult it.  Thread-local: the lowering cache below is shared across
+# threads, but the in-flight plan context must not be.
+_LOWERING_SHARED_TLS = threading.local()
+
+
+class _SharedStack:
+    @staticmethod
+    def _stack():
+        st = getattr(_LOWERING_SHARED_TLS, "stack", None)
+        if st is None:
+            st = _LOWERING_SHARED_TLS.stack = []
+        return st
+
+    def append(self, names):
+        self._stack().append(names)
+
+    def pop(self):
+        self._stack().pop()
+
+
+_LOWERING_SHARED = _SharedStack()
+
+
+def lowering_shared_names() -> frozenset:
+    """Names shared (>1 dependent) in the plan currently being lowered.
+
+    Empty outside ``lower_completely`` (direct ``lower_once`` callers get the
+    pre-gate behavior: absorb freely, as if nothing were shared).
+    """
+    st = getattr(_LOWERING_SHARED_TLS, "stack", None)
+    return st[-1] if st else frozenset()
 
 
 # shared weak-value lowering cache; entries die with their exprs, so leaf

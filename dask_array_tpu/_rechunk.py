@@ -41,12 +41,37 @@ class Rechunk(ArrayExpr):
     def _simplify_down(self):
         if self.target_chunks == self.array.chunks:
             return self.array
-        if type(self.array) is Rechunk:
-            return Rechunk(self.array.array, self.target_chunks)
         return None
 
+    def _accept_rechunk(self, target_chunks):
+        # Rechunk∘Rechunk collapses to one relayout.  This runs through the
+        # sharing gate (``_rechunk_pushdown``): a SHARED inner rechunk must
+        # stay — collapsing past it would de-share its output and duplicate
+        # the upstream read (reference
+        # test_rechunk_fusion_not_through_shared_inner_rechunk).
+        return Rechunk(self.array, target_chunks)
+
+    @property
+    def _lower_cache_key(self):
+        # the lower rewrite below depends on whether the child is shared;
+        # key the (cross-plan) lower cache on that bit so one plan's
+        # decision can never serve the other sharing pattern
+        from dask_array_tpu._expr import lowering_shared_names
+
+        if self.array._name in lowering_shared_names():
+            return f"{self._name}|shared-child"
+        return self._name
+
     def _lower(self):
-        # give the child a chance to absorb the rechunk (IO leaves, creation)
+        # give the child a chance to absorb the rechunk (IO leaves,
+        # creation) — but never a child another parent consumes: absorbing
+        # rewrites the child's grid, de-sharing it, and the source would be
+        # read once per layout (reference
+        # test_rechunk_slice_composition_does_not_push_into_shared_leaf)
+        from dask_array_tpu._expr import lowering_shared_names
+
+        if self.array._name in lowering_shared_names():
+            return None
         absorbed = self.array._accept_rechunk(self.target_chunks)
         if absorbed is not None:
             return absorbed
@@ -144,9 +169,21 @@ def rechunk(x, chunks="auto", threshold=None, block_size_limit=None, balance=Fal
 
     expr = x.expr if isinstance(x, Array) else x
     if isinstance(chunks, dict):
-        # axes not named keep their EXISTING chunks (dask semantics)
+        # axes not named keep their EXISTING chunks; negative keys count
+        # from the end (dask semantics; reference test_rechunk_noop_negative_index)
+        by_axis = {}
+        for k, v in chunks.items():
+            ax = k + expr.ndim if k < 0 else k
+            if not 0 <= ax < expr.ndim:
+                raise ValueError(
+                    f"rechunk axis {k} out of range for {expr.ndim}-d array"
+                )
+            by_axis[ax] = v
+        chunks = tuple(by_axis.get(ax, expr.chunks[ax]) for ax in range(expr.ndim))
+    if isinstance(chunks, (tuple, list)) and len(chunks) == expr.ndim:
+        # None per axis means "keep existing chunks" (dask semantics)
         chunks = tuple(
-            chunks.get(ax, expr.chunks[ax]) for ax in range(expr.ndim)
+            expr.chunks[ax] if c is None else c for ax, c in enumerate(chunks)
         )
     norm = normalize_chunks(
         chunks, expr.shape, limit=block_size_limit, dtype=expr.dtype, previous_chunks=expr.chunks
