@@ -26,6 +26,32 @@ from dask_array_tpu._expr import ArrayExpr
 from dask_array_tpu._slicing import normalize_index, is_basic_index, sliced_blockdim, fuse_slice
 
 
+def _storage_granule(src):
+    """Per-axis storage read-granule of ``src``: its ``.shards`` (the larger
+    IO unit) or ``.chunks``, or None for in-memory/device arrays.
+
+    xarray-style lazy-indexing adapters wrap a chunked store without
+    re-exposing its grid; the store is reachable through the adapter chain
+    (``.array`` / ``._array``), so walk it — bounded, since real adapter
+    stacks are a handful deep.  Missing this meant a sub-native rechunk
+    fused below the storage grid and amplified reads (parity: reference
+    ``io/_from_array.py:26`` and its lazy-wrapper regression test).
+    """
+    for _ in range(16):
+        if isinstance(src, np.ndarray) or hasattr(src, "devices"):
+            return None
+        granule = getattr(src, "shards", None) or getattr(src, "chunks", None)
+        if granule is not None:
+            return granule
+        nxt = getattr(src, "array", None)
+        if nxt is None:
+            nxt = getattr(src, "_array", None)
+        if nxt is None or nxt is src:
+            return None
+        src = nxt
+    return None
+
+
 class FromArray(ArrayExpr):
     _parameters = ("source", "chunks_", "region")
     _defaults = {"region": None}
@@ -100,10 +126,7 @@ class FromArray(ArrayExpr):
         IO unit, when present).  None for in-memory arrays, where slicing
         is free.  Parity: the reference's storage-chunk discipline
         (``tests/test_rechunk_pushdown.py:196-461``)."""
-        src = self.source
-        if isinstance(src, np.ndarray) or hasattr(src, "devices"):
-            return None
-        granule = getattr(src, "shards", None) or getattr(src, "chunks", None)
+        granule = _storage_granule(self.source)
         if granule is None:
             return None
         try:
@@ -174,15 +197,14 @@ def from_array(x, chunks="auto", name=None, lock=False, asarray=None, fancy=True
     # granules so reads align with them (the reference's from_array
     # previous_chunks behavior)
     prev = None
-    if not isinstance(x, np.ndarray) and not hasattr(x, "devices"):
-        granule = getattr(x, "shards", None) or getattr(x, "chunks", None)
-        if granule is not None:
-            try:
-                prev = tuple((int(c),) for c in granule)
-            except (TypeError, ValueError):
-                prev = None
-            if prev is not None and len(prev) != len(x.shape):
-                prev = None
+    granule = _storage_granule(x)
+    if granule is not None:
+        try:
+            prev = tuple((int(c),) for c in granule)
+        except (TypeError, ValueError):
+            prev = None
+        if prev is not None and len(prev) != len(x.shape):
+            prev = None
     chunks = normalize_chunks(chunks, x.shape, dtype=x.dtype, previous_chunks=prev)
     return new_collection(FromArray(x, chunks, None))
 

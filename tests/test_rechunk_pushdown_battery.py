@@ -526,3 +526,363 @@ def test_plan_rechunk_cheap_single_stage():
     assert plan_rechunk(((4, 4),), ((8,),), threshold=32) == [((8,),)]
     # pure split: one stage regardless of width
     assert plan_rechunk(((1024,),), ((1,) * 1024,), threshold=4) == [((1,) * 1024,)]
+
+
+# -- dict/tuple equivalence & no-op identity (reference :156-193,571) ----------
+
+
+def test_rechunk_dict_correctness(rng):
+    x = rng.standard_normal((10, 10))
+    d = da.from_array(x, chunks=(5, 5))
+    rt = d.rechunk((2, 3))
+    rd = d.rechunk({0: 2, 1: 3})
+    assert rt.expr._name == rd.expr._name  # same plan, not just same values
+    assert_eq(rt, x)
+    assert_eq(rd, x)
+
+
+def test_rechunk_dict_through_elemwise_correctness(rng):
+    x = rng.standard_normal((10, 10))
+    y = rng.standard_normal((10, 10))
+    a = da.from_array(x, chunks=(5, 5))
+    b = da.from_array(y, chunks=(5, 5))
+    rt = (a + b).rechunk((2, 3))
+    rd = (a + b).rechunk({0: 2, 1: 3})
+    assert rt.expr._name == rd.expr._name
+    assert_eq(rt, x + y)
+
+
+def test_rechunk_noop_negative_index(rng):
+    d = da.from_array(rng.standard_normal((10, 10)), chunks=5)
+    assert d.rechunk({-1: 5, -2: 5}).expr._name == d.expr._name
+
+
+def test_rechunk_none_axes_keep_existing(rng):
+    x = rng.standard_normal((10, 10))
+    d = da.from_array(x, chunks=5)
+    y = d.rechunk((None, 2))
+    assert y.chunks == ((5, 5), (2, 2, 2, 2, 2))
+    assert d.rechunk((None, None)).expr._name == d.expr._name
+    assert_eq(y, x)
+
+
+def test_rechunk_dict_negative_key_out_of_range(rng):
+    d = da.from_array(rng.standard_normal((10,)), chunks=5)
+    with pytest.raises(ValueError, match="out of range"):
+        d.rechunk({-2: 5})
+
+
+# -- structural name equality through transpose (reference :487-543) -----------
+
+
+def test_rechunk_through_transpose_3d_name_equality(rng):
+    x = da.ones((2, 3, 4), chunks=(1, 1, 2))
+    # output axis i <- input axis (2, 0, 1)[i]; pushing maps target chunks back
+    result = x.transpose((2, 0, 1)).rechunk((2, 1, 3))
+    expected = x.rechunk((1, 3, 2)).transpose((2, 0, 1))
+    assert result.expr.simplify()._name == expected.expr.simplify()._name
+
+
+def test_rechunk_through_transpose_simple_name_equality(rng):
+    x = da.from_array(rng.standard_normal((3, 4)), chunks=(1, 2))
+    result = x.T.rechunk((2, 3))
+    expected = x.rechunk((3, 2)).T
+    assert result.expr.simplify()._name == expected.expr.simplify()._name
+
+
+def test_rechunk_through_transpose_dict_name_equality(rng):
+    x = da.ones((2, 3, 4), chunks=(1, 1, 2))
+    result = x.transpose((2, 0, 1)).rechunk({0: 2})
+    expected = x.rechunk({2: 2}).transpose((2, 0, 1))
+    assert result.expr.simplify()._name == expected.expr.simplify()._name
+
+
+# -- sharing gates, leaf and inner-rechunk forms (reference :605-680) ----------
+
+
+def test_rechunk_not_pushed_into_shared_leaf(rng):
+    # pushing the rechunk into a shared FromArray would read the source
+    # twice (once per layout); it must stay above the shared read
+    x = rng.standard_normal((40, 40))
+    d = da.from_array(x, chunks=(10, 10))
+    z = d.sum() + d.rechunk((20, 20)).sum()
+    simplified = z.expr.simplify()
+    froms = {n._name for n in simplified.walk() if isinstance(n, FromArray)}
+    assert len(froms) == 1
+    assert any(isinstance(n, Rechunk) for n in simplified.walk())
+    np.testing.assert_allclose(z.compute(), 2 * x.sum(), rtol=1e-10)
+
+
+def test_rechunk_fusion_not_through_shared_inner_rechunk(rng):
+    # Rechunk(Rechunk) collapse must decline when the inner rechunk is
+    # shared: collapsing past it de-shares its output and duplicates the
+    # upstream read (reference :663)
+    x = rng.standard_normal((40, 40))
+    d = da.from_array(x, chunks=(10, 10))
+    y = d.rechunk((20, 20))
+    z = y[:5].sum() + y.rechunk((40, 40)).sum()
+    simplified = z.expr.simplify()
+    froms = {n._name for n in simplified.walk() if isinstance(n, FromArray)}
+    assert len(froms) == 1
+    np.testing.assert_allclose(z.compute(), x[:5].sum() + x.sum(), rtol=1e-10)
+
+
+def test_rechunk_shared_chain_not_duplicated(rng):
+    # reference :605 — the shared elemwise chain appears once in the plan:
+    # add + mul + the top-level add of the two sums, never five
+    from dask_array_tpu._blockwise import Elemwise
+
+    x = rng.standard_normal((40, 40))
+    d = da.from_array(x, chunks=(10, 10))
+    y = (d + 1) * 2
+    z = y[:5].sum() + y.rechunk((20, 20)).sum()
+    simplified = z.expr.simplify()
+    n_elemwise = sum(1 for n in simplified.walk() if isinstance(n, Elemwise))
+    assert n_elemwise == 3, simplified.tree_repr()
+    yn = (x + 1) * 2
+    np.testing.assert_allclose(z.compute(), yn[:5].sum() + yn.sum(), rtol=1e-10)
+
+
+# -- roll / realign read-grid quality (reference :741-797) ---------------------
+
+
+def test_roll_rechunk_on_io_reads_shifted_regions(rng):
+    # roll(io, s).rechunk(y.chunks): the roll's slices push into the reads,
+    # so the two leaves read exactly the shifted regions; one residual
+    # rechunk realigns the seam
+    data = np.arange(1000.0)
+    y = da.from_array(data, chunks=100)
+    r = da.roll(y, 30).rechunk(y.chunks)
+    assert r.chunks == y.chunks
+    opt = r.expr.optimize(fuse=False)
+    assert sorted(leaf_chunks(opt)) == [((30,),), ((100,) * 9 + (70,),)]
+    assert sum(1 for n in opt.walk() if isinstance(n, Rechunk)) == 1
+    assert_eq(r, np.roll(data, 30))
+
+
+def test_realign_roll_on_io_reads_shifted_regions(rng):
+    # z + roll(y, s): unification inserts the realign at lower time; y's
+    # reads absorb the roll's slices (y's only consumers), z's read stays
+    zdata = np.arange(2000.0)
+    ydata = np.arange(2000.0, 4000.0)
+    z = da.from_array(zdata, chunks=200)
+    y = da.from_array(ydata, chunks=200)
+    r = z + da.roll(y, 60)
+    assert r.chunks == z.chunks
+    opt = r.expr.optimize(fuse=False)
+    assert sorted(leaf_chunks(opt)) == [
+        ((60,),),
+        ((200,) * 9 + (140,),),
+        ((200,) * 10,),
+    ]
+    assert sum(1 for n in opt.walk() if isinstance(n, Rechunk)) == 1
+    assert_eq(r, zdata + np.roll(ydata, 60))
+
+
+def test_realign_roll_on_shared_io_keeps_single_reads(rng):
+    # y + roll(y, s): y feeds the elemwise whole, so the sharing gate
+    # declines pushing the roll's slices into y — the source is read once
+    data = np.arange(1600.0)
+    y = da.from_array(data, chunks=160)
+    r = y + da.roll(y, 48)
+    opt = r.expr.optimize(fuse=False)
+    froms = {n._name for n in opt.walk() if isinstance(n, FromArray)}
+    assert len(froms) == 1
+    assert leaf_chunks(opt) == [((160,) * 10,)]
+    assert sum(1 for n in opt.walk() if isinstance(n, Rechunk)) == 1
+    assert_eq(r, data + np.roll(data, 48))
+
+
+# -- concatenate declines (reference :799-851) ---------------------------------
+
+
+def test_rechunk_through_concatenate_opaque_parts_declines(rng):
+    # no part can absorb its rechunk into reads (random leaves): pushing
+    # would trade one rechunk for one per part plus a seam merge
+    a = da.random.random((26,), chunks=13)
+    b = da.random.random((26,), chunks=13)
+    y = da.concatenate([a, b]).rechunk(8)
+    assert y.chunks == ((8,) * 6 + (4,),)
+    opt = y.expr.optimize(fuse=False)
+    assert sum(1 for n in opt.walk() if isinstance(n, Rechunk)) == 1
+    assert_eq(y, da.concatenate([a, b]))
+
+
+def test_rechunk_through_concatenate_declines_without_absorption():
+    # storage-chunked parts gain nothing from redistribution: their reads
+    # stay granule-aligned regardless, so one rechunk stays above
+    st = RecordingStore((24, 3), (6, 3))
+    part = da.from_array(st, chunks=(6, 3))
+    y = da.concatenate([part, part], axis=0).rechunk((9, 3))
+    opt = y.expr.optimize(fuse=False)
+    assert sum(1 for n in opt.walk() if isinstance(n, Rechunk)) == 1
+    assert leaf_chunks(opt) == [((6, 6, 6, 6), (3,))]
+    np.testing.assert_array_equal(
+        y.compute(), np.concatenate([st.data, st.data])
+    )
+
+
+# -- slice composition, shared/aligned/axis-drop forms (reference :950-1061) ---
+
+
+def test_rechunk_slice_composition_does_not_push_into_shared_concatenate(rng):
+    left_np = np.arange(40.0)
+    right_np = np.arange(40.0, 80.0)
+    left = da.from_array(left_np, chunks=8)
+    right = da.from_array(right_np, chunks=8)
+    x = da.concatenate([left, right])
+    z = x[7:73].rechunk(8).sum() + x.sum()
+    simplified = z.expr.simplify()
+    froms = {n._name for n in simplified.walk() if isinstance(n, FromArray)}
+    assert len(froms) == 2  # both sources read exactly once
+    both = np.concatenate([left_np, right_np])
+    np.testing.assert_allclose(z.compute(), both[7:73].sum() + both.sum(), rtol=1e-10)
+
+
+def test_rechunk_does_not_compose_with_aligned_slice(rng):
+    # a slice already on x's grid is pure block selection; its rechunk to
+    # the same grid is a no-op and must vanish outright
+    a = rng.standard_normal((40, 6))
+    x = da.from_array(a, chunks=(8, 6)) + 0
+    y = x[8:32].rechunk((8, 6))
+    opt = y.expr.simplify()
+    assert not any(isinstance(n, Rechunk) for n in opt.walk())
+    assert_eq(y, (a + 0)[8:32])
+
+
+def test_rechunk_slice_composition_with_integer_axis_drop(rng):
+    # off-grid range mixed with an integer index still composes and stays
+    # exact; the dropped axis vanishes from the output grid
+    a = rng.standard_normal((40, 6, 2))
+    x = da.from_array(a, chunks=(8, 6, 1)) + 0
+    y = x[7:39, :, 0].rechunk((8, 6))
+    assert y.chunks == ((8, 8, 8, 8), (6,))
+    assert_eq(y, (a + 0)[7:39, :, 0])
+
+
+def test_rechunk_slice_composition_heavy_trim_still_correct(rng):
+    # keep-tiny slice of a huge block column (2 of 500 blocks kept): the
+    # composition may decline, but values must stay exact
+    big_np = np.arange(4000.0)[:, None]
+    big = da.from_array(big_np, chunks=(8, 1)) + 0
+    z = big[3:19].rechunk((16, 1))
+    assert z.chunks == ((16,), (1,))
+    assert_eq(z, (big_np + 0)[3:19])
+
+
+# -- storage chunks through wrappers and real stores (reference :263-368) ------
+
+
+class LazyWrapper:
+    """xarray-style lazy-indexing adapter: hides the store's .chunks
+    behind .array (reference _LazyIndexingAdapter)."""
+
+    def __init__(self, array):
+        self.array = array
+
+    @property
+    def shape(self):
+        return self.array.shape
+
+    @property
+    def dtype(self):
+        return self.array.dtype
+
+    @property
+    def ndim(self):
+        return self.array.ndim
+
+    def __getitem__(self, sl):
+        return self.array[sl]
+
+
+def test_rechunk_pushdown_sees_storage_chunks_through_lazy_wrapper():
+    # regression the reference guards: keying storage detection on the
+    # direct .chunks attr only means the wrapper fuses the rechunk below
+    # the native grid and amplifies reads
+    st = RecordingStore((20, 30), (10, 10))
+    wrapped = LazyWrapper(st)
+    assert not hasattr(wrapped, "chunks")  # precondition: grid is hidden
+    x = da.from_array(wrapped, chunks=(10, 10))
+    y = x.rechunk((2, 2))
+    simplified = y.expr.simplify()
+    assert isinstance(simplified, Rechunk)
+    assert leaf_chunks(simplified) == [((10, 10), (10, 10, 10))]
+    st.calls.clear()
+    np.testing.assert_array_equal(y.compute(), st.data)
+    assert st.calls == [(slice(None), slice(None))]  # one bulk read
+
+
+def test_from_array_auto_chunks_through_lazy_wrapper():
+    # from_array's default grid aligns to the hidden storage granules too
+    st = RecordingStore((20, 30), (10, 10))
+    x = da.from_array(LazyWrapper(st))
+    for dim, g in zip(x.chunks, (10, 10)):
+        for c in dim[:-1]:
+            assert c % g == 0
+
+
+def test_rechunk_pushdown_respects_zarr_storage_chunks(tmp_path):
+    # a real (vendored-lite) zarr array: coarse from_array + sub-native
+    # rechunk keeps the leaf at the native storage grid
+    from dask_array_tpu.io._zarr_lite import ZarrLiteArray
+
+    data = np.arange(20.0 * 30.0).reshape(20, 30)
+    z = ZarrLiteArray.create(str(tmp_path / "z"), (20, 30), "f8", (10, 10))
+    z[:, :] = data
+    x = da.from_array(z, chunks=(20, 30))
+    y = x.rechunk((2, 2))
+    simplified = y.expr.simplify()
+    assert y.chunks == ((2,) * 10, (2,) * 15)
+    assert leaf_chunks(simplified) == [((10, 10), (10, 10, 10))]
+    np.testing.assert_array_equal(y.compute(), data)
+
+
+def test_rechunk_pushdown_through_region_pushes_storage_compatible_axes():
+    # region slice then rechunk: axes whose target boundaries land on
+    # storage granules (modulo the region offset) absorb; the offset axis
+    # reads granule-aligned pieces
+    st = RecordingStore((25, 10), (8, 2))
+    x = da.from_array(st, chunks=(8, 2))
+    y = x[1:17].rechunk((4, 4))
+    simplified = y.expr.simplify()
+    assert y.chunks == ((4, 4, 4, 4), (4, 4, 2))
+    leafs = leaf_chunks(simplified)
+    assert len(leafs) == 1
+    # columns absorbed at (4,4,2) (granule-2-aligned); rows read at pieces
+    # aligned to the granule grid in the SOURCE frame (offset 1)
+    assert leafs[0][1] == (4, 4, 2)
+    for c in np.cumsum(leafs[0][0])[:-1]:
+        assert (1 + int(c)) % 8 == 0
+    st.calls.clear()
+    np.testing.assert_array_equal(y.compute(), st.data[1:17])
+
+
+def test_rechunk_pushdown_through_region_preserves_values_and_storage_reads():
+    st = RecordingStore((25, 10, 12), (8, 2, 3))
+    x = da.from_array(st, chunks=(8, 2, 3))
+    y = x[:10].rechunk((10, 4, 6))
+    simplified = y.expr.simplify()
+    assert y.chunks == ((10,), (4, 4, 2), (6, 6))
+    leafs = leaf_chunks(simplified)
+    assert len(leafs) == 1
+    assert leafs[0][1] == (4, 4, 2) and leafs[0][2] == (6, 6)
+    np.testing.assert_array_equal(y.compute(), st.data[:10])
+
+
+def test_lower_inserted_rechunk_respects_storage_chunks_structural():
+    # unification realigns the storage-chunked operand to its partner's
+    # grid at LOWER time; the pushdown reads at storage multiples and one
+    # residual rechunk stays above the read
+    st = RecordingStore((20, 22), (3, 22))
+    a = da.from_array(st, chunks=(3, 22))
+    b = da.from_array(np.arange(20.0 * 22.0).reshape(20, 22), chunks=(4, 22))
+    out = a + b
+    opt = out.expr.optimize(fuse=False)
+    n_rechunk = sum(1 for n in opt.walk() if isinstance(n, Rechunk))
+    assert n_rechunk <= 1, opt.tree_repr()
+    for leafs in leaf_chunks(opt):
+        if leafs[0] != (4,) * 5:  # the storage-backed read
+            for c in np.cumsum(leafs[0])[:-1]:
+                assert int(c) % 3 == 0
+    np.testing.assert_array_equal(out.compute(), st.data + b.compute())
