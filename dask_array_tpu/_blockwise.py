@@ -241,8 +241,17 @@ class Blockwise(ArrayExpr):
 
     # -- execution ---------------------------------------------------------------
 
-    # coarse slice pushdown: block-boundary-aligned slices on out labels
-    # (parity: the coarse ``_accept_slice`` at ``_blockwise.py:684``)
+    # Slice pushdown for generic blockwise (map_blocks-style funcs):
+    #   exact  — block-boundary-aligned slices on untransformed labels push
+    #            verbatim into the inputs (the block contents the func sees
+    #            are unchanged);
+    #   coarse — any other unit-step range culls WHOLE blocks: inputs take a
+    #            block-aligned cut, a residual slice trims the kept extent
+    #            outside.  This is safe even under ``adjust_chunks`` because
+    #            block i of the output always comes from block i of each
+    #            input along that label.
+    # (parity: fine + coarse ``_accept_slice`` at reference
+    # ``_blockwise.py:568,684`` and ``test_coarse_slice_through_blockwise``)
     def _accept_slice(self, index):
         from dask_array_tpu._chunks import cached_cumsum
         from dask_array_tpu._slicing import Slice, is_basic_index
@@ -251,37 +260,87 @@ class Blockwise(ArrayExpr):
             return None
         adjust = dict(self.adjust_chunks or ())
         new_axes = dict(self.new_axes or ())
-        # map each out axis to (label, kept-block range) if alignable
-        label_slice: dict = {}
+        exact: dict = {}  # label -> out slice pushed verbatim
+        coarse: dict = {}  # label -> (block-aligned input slice, b0, b1)
+        residual = [slice(None)] * len(index)
+        culled = False
         for pos, ind in enumerate(index):
             if ind == slice(None):
                 continue
-            label = self.out_ind[pos]
-            if label in adjust or label in new_axes:
-                return None  # sizes transformed per-block; unsafe to push
             if ind.step not in (1, None):
                 return None
-            c = self.chunks[pos]
-            bounds = cached_cumsum(c, initial_zero=True)
-            if ind.start not in bounds or ind.stop not in bounds:
-                return None  # not block-aligned: leave the fine slice outside
-            label_slice[label] = ind
-        if not label_slice:
+            label = self.out_ind[pos]
+            out_c = self.chunks[pos]
+            if any(isinstance(c, float) and math.isnan(c) for c in out_c):
+                return None
+            bounds = cached_cumsum(out_c, initial_zero=True)
+            total = int(bounds[-1])
+            start = 0 if ind.start is None else int(ind.start)
+            stop = total if ind.stop is None else min(int(ind.stop), total)
+            if stop <= start:
+                residual[pos] = ind  # empty selection: nothing to cull
+                continue
+            if label not in adjust and label not in new_axes and start in bounds and stop in bounds:
+                exact[label] = ind
+                continue
+            if label in new_axes:
+                residual[pos] = ind  # no input carries this axis
+                continue
+            b0 = int(np.searchsorted(bounds, start, side="right")) - 1
+            b1 = int(np.searchsorted(bounds, stop, side="left"))
+            if b0 <= 0 and b1 >= len(out_c):
+                residual[pos] = ind  # every block still needed
+                continue
+            in_c = self._index_chunks[label]
+            if any(isinstance(c, float) and math.isnan(c) for c in in_c):
+                residual[pos] = ind
+                continue
+            in_bounds = cached_cumsum(in_c, initial_zero=True)
+            coarse[label] = (slice(int(in_bounds[b0]), int(in_bounds[b1]), 1), b0, b1)
+            if start == int(bounds[b0]) and stop == int(bounds[b1]):
+                residual[pos] = slice(None)
+            else:
+                residual[pos] = slice(start - int(bounds[b0]), stop - int(bounds[b0]), 1)
+            culled = True
+        if not exact and not culled:
             return None
+        # per-block (tuple) adjust_chunks entries narrow to the kept blocks
+        new_adjust = self.operand("adjust_chunks")
+        if any(
+            label in coarse and isinstance(val, (tuple, list))
+            for label, val in adjust.items()
+        ):
+            new_adjust = tuple(
+                (
+                    label,
+                    tuple(val[coarse[label][1] : coarse[label][2]])
+                    if label in coarse and isinstance(val, (tuple, list))
+                    else val,
+                )
+                for label, val in adjust.items()
+            )
         new_ops = list(self.operands[:_NHEAD])
+        new_ops[4] = new_adjust
         for arr, a_ind in self.arg_pairs:
             if a_ind is not None and isinstance(arr, ArrayExpr):
-                sub = tuple(
+                sub = []
+                for pos, lbl in enumerate(a_ind):
                     # broadcast dims (size 0/1) keep broadcasting after the cut
-                    slice(None)
-                    if len(arr.chunks[pos]) == 1 and sum(arr.chunks[pos]) in (0, 1)
-                    else label_slice.get(lbl, slice(None))
-                    for pos, lbl in enumerate(a_ind)
-                )
+                    if len(arr.chunks[pos]) == 1 and sum(arr.chunks[pos]) in (0, 1):
+                        sub.append(slice(None))
+                    elif lbl in exact:
+                        sub.append(exact[lbl])
+                    elif lbl in coarse:
+                        sub.append(coarse[lbl][0])
+                    else:
+                        sub.append(slice(None))
                 if any(s != slice(None) for s in sub):
-                    arr = Slice(arr, sub)
+                    arr = Slice(arr, tuple(sub))
             new_ops.extend([arr, a_ind])
-        return type(self)(*new_ops)
+        out = type(self)(*new_ops)
+        if any(r != slice(None) for r in residual):
+            out = Slice(out, tuple(residual))
+        return out
 
     # reorder (Shuffle/Take) pushdown for GENERIC blockwise (map_blocks):
     # label-mapped, declining when adjust_chunks/new_axes touch the axis

@@ -31,6 +31,13 @@ class MapBlocks(Blockwise):
             return None  # coordinate-reading funcs: do not reorder beneath
         return super()._accept_shuffle(shuffle_expr)
 
+    def _accept_slice(self, index):
+        if type(self)._inject_block_id or self._kwargs_dict.get("__inject_block_id__"):
+            # culling blocks renumbers block_id beneath the func — the slice
+            # must stay above the computed result
+            return None
+        return super()._accept_slice(index)
+
     def _call(self, args, kwargs, out_coord):
         if type(self)._inject_block_id or self._kwargs_dict.get("__inject_block_id__"):
             kwargs = dict(kwargs)
@@ -45,6 +52,11 @@ class MapBlocksInfo(Blockwise):
     def _accept_shuffle(self, shuffle_expr):
         # block_info funcs read block coordinates/extents: reordering the
         # inputs beneath them would change what each coordinate means
+        return None
+
+    def _accept_slice(self, index):
+        # same: slicing the inputs changes every block's coordinates and
+        # array-locations as seen by the func
         return None
 
     def _call(self, args, kwargs, out_coord):
@@ -255,6 +267,87 @@ class ChunksOverride(ArrayExpr):
         if view._blocks is not None:
             return BlockView(self.chunks_, blocks=view.blocks_dict())
         return BlockView(self.chunks_, dense=view._dense)
+
+    def _accept_slice(self, index):
+        """Coarse block-cull through the declared grid: out block i is inner
+        block i, so a unit-step range keeps blocks [b0, b1) on both sides —
+        the inner array takes a block-aligned cut in ITS coordinates, the
+        declared chunks narrow to the kept blocks, and a residual slice
+        trims outside (parity: reference coarse slice through
+        ``ChunksOverride``/map_blocks-with-chunks)."""
+        import math
+        import numbers
+
+        import numpy as np
+
+        from dask_array_tpu._chunks import cached_cumsum
+        from dask_array_tpu._slicing import Slice, is_basic_index
+
+        if not is_basic_index(index) or any(isinstance(i, numbers.Integral) for i in index):
+            return None
+        inner_index = []
+        new_declared = []
+        expect_inner = []
+        residual = []
+        culled = False
+        for ax, ind in enumerate(index):
+            c = self.chunks_[ax]
+            if ind == slice(None):
+                inner_index.append(slice(None))
+                new_declared.append(tuple(c))
+                expect_inner.append(tuple(self.array.chunks[ax]))
+                residual.append(slice(None))
+                continue
+            if ind.step not in (1, None):
+                return None
+            if any(isinstance(x, float) and math.isnan(x) for x in c):
+                return None
+            bounds = cached_cumsum(c, initial_zero=True)
+            total = int(bounds[-1])
+            start = 0 if ind.start is None else int(ind.start)
+            stop = total if ind.stop is None else min(int(ind.stop), total)
+            if stop <= start or (start == 0 and stop == total):
+                inner_index.append(slice(None))
+                new_declared.append(tuple(c))
+                expect_inner.append(tuple(self.array.chunks[ax]))
+                residual.append(ind)
+                continue
+            b0 = int(np.searchsorted(bounds, start, side="right")) - 1
+            b1 = int(np.searchsorted(bounds, stop, side="left"))
+            if b0 <= 0 and b1 >= len(c):
+                inner_index.append(slice(None))
+                new_declared.append(tuple(c))
+                expect_inner.append(tuple(self.array.chunks[ax]))
+                residual.append(ind)
+                continue
+            in_c = self.array.chunks[ax]
+            if any(isinstance(x, float) and math.isnan(x) for x in in_c):
+                return None
+            in_bounds = cached_cumsum(in_c, initial_zero=True)
+            inner_index.append(slice(int(in_bounds[b0]), int(in_bounds[b1]), 1))
+            new_declared.append(tuple(c[b0:b1]))
+            expect_inner.append(tuple(in_c[b0:b1]))
+            if start == int(bounds[b0]) and stop == int(bounds[b1]):
+                residual.append(slice(None))
+            else:
+                residual.append(slice(start - int(bounds[b0]), stop - int(bounds[b0]), 1))
+            culled = True
+        if not culled:
+            return None
+        # the cut is expressed in the inner node's DECLARED coordinates,
+        # which lie about the real output extents — so it is only sound if
+        # the inner node absorbs it as a whole-block cut (rebuilding itself
+        # over cut inputs).  A leftover Slice would index the inner's actual
+        # output at the false coordinates; decline instead.
+        cut = self.array._accept_slice(tuple(inner_index))
+        if cut is None:
+            return None
+        if tuple(cut.chunks) != tuple(expect_inner):
+            return None  # inner did not absorb it as the exact block cut
+        out = ChunksOverride(cut, tuple(new_declared))
+        if any(r != slice(None) for r in residual):
+            out = Slice(out, tuple(residual))
+        return out
 
 
 # ---------------------------------------------------------------------------
