@@ -395,3 +395,152 @@ def test_slice_ending_inside_first_window_values(rng):
     want = full.compute()[:29]
     np.testing.assert_array_equal(np.isnan(got), np.isnan(want))
     np.testing.assert_allclose(np.nan_to_num(got), np.nan_to_num(want))
+
+
+# -- remaining reference spine cases (reference :152-199,240-330,471-502,612) --
+
+
+def _add_neighbors_1d(b):
+    b = np.asarray(b)
+    out = b.copy()
+    out[1:-1] += b[:-2] + b[2:]
+    return out
+
+
+def test_slice_through_2d_overlap_nonoverlap_axis_shrinks_leaf(rng):
+    arr = np.arange(10000).reshape((100, 100)).astype(float)
+    x = da.from_array(arr, chunks=(10, 10))
+    result = map_overlap(_add_neighbors_1d, x, depth={0: 2, 1: 0}, boundary="none")
+    sliced = result[:, :40]
+    lcs = leaf_chunks(sliced.expr.simplify())
+    assert lcs and sum(lcs[0][1]) == 40  # columns culled below the halo
+    assert_eq(sliced, result.compute()[:, :40])
+
+
+def test_slice_through_2d_overlap_middle_nonoverlap_axis(rng):
+    arr = np.arange(10000).reshape((100, 100)).astype(float)
+    x = da.from_array(arr, chunks=(10, 10))
+    result = map_overlap(_add_neighbors_1d, x, depth={0: 2, 1: 0}, boundary="none")
+    sliced = result[:, 20:70]
+    lcs = leaf_chunks(sliced.expr.simplify())
+    assert lcs and sum(lcs[0][1]) == 50
+    assert_eq(sliced, result.compute()[:, 20:70])
+
+
+def test_slice_through_1d_overlap_on_3d_array(rng):
+    arr = np.arange(1000).reshape((10, 10, 10)).astype(float)
+    x = da.from_array(arr, chunks=(5, 5, 5))
+    result = map_overlap(_add_neighbors_1d, x, depth={0: 1, 1: 0, 2: 0}, boundary="none")
+    sliced = result[:, :3, :3]
+    # both non-overlap axes pushed; the halo axis keeps its full window
+    assert leaf_chunks(sliced.expr.simplify()) == [((5, 5), (5,), (5,))]
+    assert_eq(sliced, result.compute()[:, :3, :3])
+
+
+def test_slice_through_zero_overlap_pushes(rng):
+    arr = np.arange(10000).reshape((100, 100)).astype(float)
+    x = da.from_array(arr, chunks=(10, 10))
+    result = map_overlap(_add_neighbors_1d, x, depth=0, boundary="none")
+    sliced = result[:50, :]
+    lcs = leaf_chunks(sliced.expr.simplify())
+    assert lcs and sum(lcs[0][0]) == 50  # zero halo: the slice pushes fully
+    assert_eq(sliced, result.compute()[:50, :])
+
+
+def test_slice_through_overlap_reduces_numblocks(rng):
+    arr = np.arange(10000).reshape((100, 100)).astype(float)
+    x = da.from_array(arr, chunks=(10, 10))
+    result = map_overlap(_add_neighbors_1d, x, depth={0: 2, 1: 0}, boundary="none")
+    assert result.numblocks == (10, 10)
+    sliced = result[:, :10]
+    assert sliced.numblocks == (10, 1)
+    assert leaf_chunks(sliced.expr.simplify()) == [((10,) * 10, (10,))]
+
+
+@pytest.mark.parametrize(
+    "depth,slc",
+    [
+        ({0: 2, 1: 0}, np.s_[:, :20]),
+        ({0: 0, 1: 2}, np.s_[:20, :]),
+        ({0: 2, 1: 0}, np.s_[:, 20:60]),
+        ({0: 0, 1: 2}, np.s_[20:60, :]),
+        ({0: 2, 1: 0}, np.s_[:, 40:]),
+        ({0: 0, 1: 2}, np.s_[40:, :]),
+    ],
+)
+def test_slice_through_overlap_value_matrix(rng, depth, slc):
+    # the reference's (80, 80) start/middle/end matrix on non-overlap axes
+    arr = rng.standard_normal((80, 80))
+    x = da.from_array(arr, chunks=(20, 20))
+    result = map_overlap(_add_neighbors_1d, x, depth=depth, boundary="none")
+    assert_eq(result[slc], result.compute()[slc])
+
+
+def test_nested_overlap_lowers_in_linear_work(rng):
+    # a 12-deep map_overlap chain must optimize in O(depth), not O(2^depth)
+    # (the reference regression took ~40 s at depth 16 when it blew up)
+    import time
+
+    y = da.ones((70, 5), chunks=(10, 5))
+    for _ in range(12):
+        y = map_overlap(lambda b: b, y, depth={0: 1}, boundary="none")
+    t0 = time.time()
+    y.expr.optimize(fuse=False)
+    assert time.time() - t0 < 10.0
+    np.testing.assert_allclose(y.compute(), 1.0)
+
+
+def test_nested_overlap_tail_slice_with_short_first_chunk(rng):
+    # shift stacked on a trailing window, tail-sliced, merged first chunk
+    arr = np.arange(160, dtype="float64").reshape(40, 4)
+    x = da.from_array(arr, chunks=((9, 10, 10, 11), (4,)))
+
+    def trailing_window_sum(b):
+        b = np.asarray(b)
+        out = np.full_like(b, np.nan)
+        for i in range(b.shape[0]):
+            lo = i - 9
+            if lo >= 0:
+                out[i] = b[lo : i + 1].sum(axis=0)
+        return out
+
+    inner = map_overlap(
+        trailing_window_sum, x, depth={0: (9, 0), 1: 0}, boundary="none",
+        trim=True, dtype="float64",
+    )
+    outer = map_overlap(
+        _lag1, inner, depth={0: (1, 0), 1: 0}, boundary="none",
+        trim=True, dtype="float64",
+    )
+    got = outer[35:].compute()
+    want = outer.compute()[35:]
+    np.testing.assert_array_equal(np.isnan(got), np.isnan(want))
+    np.testing.assert_allclose(np.nan_to_num(got), np.nan_to_num(want))
+
+
+def test_tail_slice_inside_last_window_declines_pushdown(rng):
+    # leading-window analog of the first-window decline: a tail slice whose
+    # expanded extent is shorter than one kernel window must not hand the
+    # kernel an undersized block
+    arr = np.arange(160, dtype="float64").reshape(40, 4)
+    x = da.from_array(arr, chunks=((10,) * 4, (4,)))
+
+    def leading_window_sum(b):
+        b = np.asarray(b)
+        out = np.full_like(b, np.nan)
+        n = b.shape[0]
+        for i in range(n):
+            if i + 10 <= n:
+                out[i] = b[i : i + 10].sum(axis=0)
+        return out
+
+    r = map_overlap(
+        leading_window_sum, x, depth={0: (0, 9), 1: 0}, boundary="none",
+        trim=True, dtype="float64",
+    )
+    full = r.compute()
+    for slc in [np.s_[-9:], np.s_[-10:]]:
+        got = r[slc].compute()
+        want = full[slc]
+        np.testing.assert_array_equal(np.isnan(got), np.isnan(want))
+        np.testing.assert_allclose(np.nan_to_num(got), np.nan_to_num(want))
