@@ -167,6 +167,71 @@ class Reshape(ArrayExpr):
             arr = Rechunk(arr, in_chunks)
         return ReshapeLowered(arr, self.shape_, out_chunks)
 
+    def _accept_slice(self, index):
+        """Push a basic slice below the reshape onto preserved axes.
+
+        Reshape regroups only the axes whose sizes differ between the two
+        shapes; axes in the longest common PREFIX and SUFFIX of the shapes
+        index whole rows/columns of the regrouped middle, so a slice that
+        touches only those commutes: ``x.reshape(s)[i] == x[i'].reshape(s')``.
+        (Parity+: the reference pushes only the leading preserved run,
+        ``manipulation/_reshape.py`` ``Reshape._accept_slice``; the trailing
+        run is a capability extension — same argument by symmetry of the
+        flattened index.)
+        """
+        from dask_array_tpu._slicing import Slice, is_basic_index, normalize_index
+
+        if not is_basic_index(index):
+            return None
+        in_shape = self.array.shape
+        out_shape = self.shape_
+        if has_unknown_chunks(self.array.chunks):
+            return None
+        lead = 0
+        for a, b in zip(in_shape, out_shape):
+            if a == b:
+                lead += 1
+            else:
+                break
+        cap = min(len(in_shape), len(out_shape)) - lead
+        trail = 0
+        for a, b in zip(reversed(in_shape), reversed(out_shape)):
+            if trail < cap and a == b:
+                trail += 1
+            else:
+                break
+        if lead == 0 and trail == 0:
+            return None
+        out_nd = len(out_shape)
+        mid = index[lead : out_nd - trail]
+        if any(isinstance(i, Integral) or i != slice(None) for i in mid):
+            return None
+        head = tuple(index[:lead])
+        tail = tuple(index[out_nd - trail :]) if trail else ()
+        if all(
+            not isinstance(i, Integral) and i == slice(None) for i in head + tail
+        ):
+            return None  # nothing pushable
+        in_nd = len(in_shape)
+        inner = head + (slice(None),) * (in_nd - lead - trail) + tail
+        sliced = Slice(self.array, normalize_index(inner, in_shape))
+
+        def _dim(ind, size):
+            return len(range(*ind.indices(int(size))))
+
+        new_out = [
+            _dim(ind, out_shape[pos])
+            for pos, ind in enumerate(head)
+            if not isinstance(ind, Integral)
+        ]
+        new_out.extend(out_shape[lead : out_nd - trail])
+        new_out.extend(
+            _dim(ind, out_shape[out_nd - trail + pos])
+            for pos, ind in enumerate(tail)
+            if not isinstance(ind, Integral)
+        )
+        return Reshape(sliced, tuple(new_out))
+
 
 class ReshapeLowered(ArrayExpr):
     _parameters = ("array", "shape_", "chunks_")

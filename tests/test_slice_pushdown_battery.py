@@ -1049,3 +1049,74 @@ def test_reduction_slice_pushdown_reduces_leaf_window(rng):
     sliced = x.sum(axis=0)[:5]
     assert leaf_elems(sliced.expr.simplify()) < leaf_elems(full.expr.simplify())
     assert_eq(sliced, arr.sum(axis=0)[:5])
+
+
+# ---------------------------------------------------------------------------
+# slice through reshape (parity: reference Reshape._accept_slice,
+# manipulation/_reshape.py; trailing-run cases are a capability extension)
+# ---------------------------------------------------------------------------
+
+_RESHAPE_PUSH = [
+    # (in_shape, chunks, out_shape, index)  — slice touches preserved axes only
+    ((10, 6), (2, 3), (10, 2, 3), np.s_[2:7]),            # leading, split tail
+    ((10, 6), (2, 3), (10, 2, 3), np.s_[::-2]),           # leading, neg step
+    ((10, 6), (2, 3), (10, 2, 3), np.s_[4]),              # leading, int drop
+    ((10, 2, 3), (2, 1, 3), (10, 6), np.s_[1:9]),         # leading, merge tail
+    ((4, 3, 5), 2, (12, 5), np.s_[:, 1:4]),               # trailing, merge head
+    ((12, 5), (4, 5), (4, 3, 5), np.s_[:, :, ::2]),       # trailing, split head
+    ((10, 4, 6), (3, 2, 2), (10, 24), np.s_[2:9, :]),     # lead run of 1
+    ((10, 4, 6), (3, 2, 2), (10, 2, 12), np.s_[1:8]),     # lead, regrouped mid
+    ((2, 3, 4, 5), 2, (2, 12, 5), np.s_[1, :, 2:5]),      # lead int + trail
+    ((2, 3, 4, 5), 2, (6, 4, 5), np.s_[:, 1:3, ::-1]),    # trail run of 2
+    ((1, 5), (1, 2), (5,), np.s_[1:4]),                   # size-1 lead dropped
+    ((6,), 2, (6, 1), np.s_[2:5]),                        # trailing size-1 out
+]
+
+
+@pytest.mark.parametrize("in_shape,chunks,out_shape,idx", _RESHAPE_PUSH)
+def test_slice_through_reshape_pushes(rng, in_shape, chunks, out_shape, idx):
+    arr = rng.standard_normal(in_shape)
+    x = da.from_array(arr, chunks=chunks)
+    sliced = x.reshape(out_shape)[idx]
+    assert_eq(sliced, arr.reshape(out_shape)[idx])
+    simplified = sliced.expr.simplify()
+    # the slice moved below the reshape: no Slice node remains above it
+    # (it fused into the FromArray leaf), and the leaf reads fewer elements
+    assert n_slices(simplified) == 0, simplified.tree_repr()
+    assert leaf_elems(simplified) < leaf_elems(x.reshape(out_shape).expr.simplify())
+
+
+_RESHAPE_DECLINE = [
+    # slice touches a regrouped (non-preserved) axis — must stay above
+    ((4, 3, 5), 2, (12, 5), np.s_[3:9]),
+    ((12, 5), (4, 5), (4, 3, 5), np.s_[:, 1:3]),
+    ((10, 6), (2, 3), (10, 2, 3), np.s_[:, 1]),
+    ((4, 6), 2, (6, 4), np.s_[1:5]),                      # interleaved fallback
+]
+
+
+@pytest.mark.parametrize("in_shape,chunks,out_shape,idx", _RESHAPE_DECLINE)
+def test_slice_through_reshape_declines(rng, in_shape, chunks, out_shape, idx):
+    arr = rng.standard_normal(in_shape)
+    x = da.from_array(arr, chunks=chunks)
+    sliced = x.reshape(out_shape)[idx]
+    assert_eq(sliced, arr.reshape(out_shape)[idx])
+    assert n_slices(sliced.expr.simplify()) >= 1
+
+
+def test_slice_through_reshape_shared_consumer_declines(rng):
+    arr = rng.standard_normal((10, 6))
+    x = da.from_array(arr, chunks=(2, 3))
+    r = x.reshape(10, 2, 3)
+    z = r[2:7].sum() + r.sum()
+    assert_eq(z, arr.reshape(10, 2, 3)[2:7].sum() + arr.reshape(10, 2, 3).sum())
+
+
+def test_slice_through_reshape_chains_to_leaf(rng):
+    # reshape-of-reshape collapses, then the slice pushes through once
+    arr = rng.standard_normal((8, 6))
+    x = da.from_array(arr, chunks=(2, 3))
+    sliced = x.reshape(8, 2, 3).reshape(8, 6)[3:6]
+    assert_eq(sliced, arr[3:6])
+    simplified = sliced.expr.simplify()
+    assert n_slices(simplified) == 0, simplified.tree_repr()
