@@ -55,6 +55,12 @@ _global: dict[str, Any] = {
     # minimal ppermute ring per sharded halo axis (assumes the map_overlap
     # locality contract; see ops/_overlap.ShardStencil)
     "tpu.overlap-method": "auto",
+    # mesh axes that ride the slow inter-slice DCN fabric instead of ICI
+    # (multi-slice topologies).  None = auto-detect by name ("dcn"/"slice"/
+    # "pod"); a tuple pins them explicitly.  DCN axes get a stable,
+    # chunk-grid-independent array-axis assignment (so relayouts never move
+    # data across slices) and relayout schedules order DCN stages last.
+    "tpu.dcn-axes": None,
 }
 
 _local = threading.local()

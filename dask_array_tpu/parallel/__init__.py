@@ -8,6 +8,8 @@ framework scales by SPMD-partitioning one XLA program over a
 from dask_array_tpu.parallel.mesh import (
     auto_mesh,
     current_mesh,
+    dcn_axis_names,
+    multislice_mesh,
     use_mesh,
 )
 from dask_array_tpu.parallel.layout import (
@@ -19,6 +21,8 @@ from dask_array_tpu.parallel.layout import (
 __all__ = [
     "auto_mesh",
     "current_mesh",
+    "dcn_axis_names",
+    "multislice_mesh",
     "use_mesh",
     "constrain_to_mesh",
     "sharding_for",

@@ -27,13 +27,19 @@ def _shard_map():
     return sm
 
 
-def halo_exchange(x, mesh, axis_name: str, axis: int, depth: int, wrap: bool = False):
+def halo_exchange(x, mesh, axis_name, axis: int, depth: int, wrap: bool = False):
     """Attach ghost cells from ring neighbors along a sharded axis.
 
     Each shard receives ``depth`` rows from its left and right neighbors via
     ``lax.ppermute`` (the reference's overlap ghost-cell tasks,
     ``/root/reference/dask_array/_overlap.py:70``, as one ICI neighbor
     exchange).  Edge shards get zero halos unless ``wrap`` (periodic).
+
+    ``axis_name`` may be a TUPLE of mesh axes for an axis sharded over a
+    nested group (multi-slice: ``("dcn", "x")``).  The ring runs over the
+    linearised group order, so of the ``n-1`` neighbor pairs only the
+    ``n_slices - 1`` slice-boundary pairs cross DCN — each carrying one
+    depth-row edge, the minimum possible inter-slice halo traffic.
 
     Returns an array with shard-local shape grown by 2*depth along ``axis``
     (global shape grows by n_shards * 2 * depth — callers trim per shard).
@@ -43,11 +49,14 @@ def halo_exchange(x, mesh, axis_name: str, axis: int, depth: int, wrap: bool = F
     from jax.lax import ppermute
     from jax.sharding import PartitionSpec as P
 
-    n = mesh.shape[axis_name]
+    names = (axis_name,) if isinstance(axis_name, str) else tuple(axis_name)
+    n = 1
+    for nm in names:
+        n *= mesh.shape[nm]
     shard_map = _shard_map()
 
     spec_in = [None] * x.ndim
-    spec_in[axis] = axis_name
+    spec_in[axis] = axis_name if isinstance(axis_name, str) else names
     spec = P(*spec_in)
 
     def body(shard):
@@ -57,9 +66,11 @@ def halo_exchange(x, mesh, axis_name: str, axis: int, depth: int, wrap: bool = F
         )
         fwd = [(i, (i + 1) % n) for i in range(n if wrap else n - 1)]
         bwd = [(i, (i - 1) % n) for i in range(n) if wrap or i > 0]
-        from_left = ppermute(hi_edge, axis_name, fwd)   # my left neighbor's tail
-        from_right = ppermute(lo_edge, axis_name, bwd)  # my right neighbor's head
-        idx = jax.lax.axis_index(axis_name)
+        from_left = ppermute(hi_edge, names, fwd)   # my left neighbor's tail
+        from_right = ppermute(lo_edge, names, bwd)  # my right neighbor's head
+        idx = jax.lax.axis_index(names[0])
+        for nm in names[1:]:
+            idx = idx * mesh.shape[nm] + jax.lax.axis_index(nm)
         if not wrap:
             from_left = jnp.where(idx == 0, jnp.zeros_like(from_left), from_left)
             from_right = jnp.where(idx == n - 1, jnp.zeros_like(from_right), from_right)
@@ -69,7 +80,16 @@ def halo_exchange(x, mesh, axis_name: str, axis: int, depth: int, wrap: bool = F
     return fn(x)
 
 
-def alltoall_reshard(x, mesh, axis_name: str, from_axis: int, to_axis: int, spec=None):
+def alltoall_reshard(
+    x,
+    mesh,
+    axis_name: str,
+    from_axis: int,
+    to_axis: int,
+    spec=None,
+    spec_in=None,
+    spec_out=None,
+):
     """Move the sharded dimension from ``from_axis`` to ``to_axis``.
 
     One ``lax.all_to_all`` over ICI — the SPMD form of the reference's
@@ -78,20 +98,24 @@ def alltoall_reshard(x, mesh, axis_name: str, from_axis: int, to_axis: int, spec
 
     ``spec`` optionally carries the full partition assignment (one mesh-axis
     name or None per array axis) so OTHER mesh axes stay sharded through the
-    exchange; only ``axis_name``'s assignment moves.
+    exchange; only ``axis_name``'s assignment moves.  ``spec_in``/``spec_out``
+    override the full in/out assignments explicitly — the relayout scheduler
+    uses this for NESTED entries (``("dcn", "x")``), where ``axis_name``
+    moves minor-most out of / into an axis other mesh axes keep sharded.
     """
     from jax.lax import all_to_all
     from jax.sharding import PartitionSpec as P
 
     shard_map = _shard_map()
-    base = list(spec) if spec is not None else [None] * x.ndim
-    spec_in = list(base)
-    spec_in[from_axis] = axis_name
-    if spec_in[to_axis] == axis_name:
-        spec_in[to_axis] = None
-    spec_out = list(spec_in)
-    spec_out[from_axis] = None
-    spec_out[to_axis] = axis_name
+    if spec_in is None or spec_out is None:
+        base = list(spec) if spec is not None else [None] * x.ndim
+        spec_in = list(base)
+        spec_in[from_axis] = axis_name
+        if spec_in[to_axis] == axis_name:
+            spec_in[to_axis] = None
+        spec_out = list(spec_in)
+        spec_out[from_axis] = None
+        spec_out[to_axis] = axis_name
 
     def body(shard):
         return all_to_all(shard, axis_name, split_axis=to_axis, concat_axis=from_axis, tiled=True)
@@ -210,42 +234,88 @@ def mesh_collective_relayout(dense, old_chunks, new_chunks, mesh, method=None):
     shape = tuple(sum(c) for c in old_chunks)
     if any(isinstance(s, float) and math.isnan(s) for s in shape):
         return None
-    in_spec = list(plan_layout(shape, old_chunks, mesh))
-    out_spec = list(plan_layout(shape, new_chunks, mesh))
+
+    def _tup(entry):
+        if entry is None:
+            return ()
+        return entry if isinstance(entry, tuple) else (entry,)
+
+    def _entry(t):
+        return None if not t else (t[0] if len(t) == 1 else t)
+
+    in_spec = [_tup(e) for e in plan_layout(shape, old_chunks, mesh)]
+    out_spec = [_tup(e) for e in plan_layout(shape, new_chunks, mesh)]
+
+    def _axis_of(spec, name):
+        for ax, entry in enumerate(spec):
+            if name in entry:
+                return ax
+        return None
+
     moves = []
     for name in mesh.shape:
-        a = in_spec.index(name) if name in in_spec else None
-        b = out_spec.index(name) if name in out_spec else None
+        a = _axis_of(in_spec, name)
+        b = _axis_of(out_spec, name)
         if a is not None and b is not None and a != b:
             moves.append((name, a, b))
     if not moves:
+        if in_spec != out_spec:
+            return None  # same-axis nesting reorder: GSPMD's schedule
         return None
+    # DCN moves (rare — plan_layout pins DCN axes grid-independently, so a
+    # move only happens under a hand-written spec) stage LAST: every ICI
+    # exchange completes first, and the slow-fabric transfer runs once on
+    # the final layout instead of serialising intermediate ICI stages
+    # behind it.
+    from dask_array_tpu.parallel.mesh import dcn_axis_names
 
-    # stage the moves so every destination axis is FREE when its all_to_all
-    # runs (a tiled all_to_all into an occupied axis interleaves stripes —
-    # not a block layout).  Cyclic move sets (mesh-axis swaps) fall back to
-    # the GSPMD constraint, which schedules its own collectives.
-    local = [
-        s // (mesh.shape[n] if n is not None else 1)
-        for s, n in zip(shape, in_spec)
-    ]
-    cur = list(in_spec)
+    dcn = dcn_axis_names(mesh)
+    moves.sort(key=lambda mv: mv[0] in dcn)
+    # non-moving names must keep their nesting position (we only schedule
+    # whole-axis moves); anything else goes to GSPMD
+    moving = {mv[0] for mv in moves}
+    for ax in range(len(shape)):
+        if tuple(n for n in in_spec[ax] if n not in moving) != tuple(
+            n for n in out_spec[ax] if n not in moving
+        ):
+            return None
+
+    # stage the moves so each is a clean tiled all_to_all: the moving mesh
+    # axis must be MINOR-MOST at its source (contiguous sub-blocks leave)
+    # and land MINOR-MOST on its destination's current occupants (which
+    # must already equal the target prefix).  Nested entries arise from
+    # DCN-rooted shardings — P(('dcn','x')) — where 'x' relayouts while
+    # 'dcn' stays pinned.  Cyclic move sets (mesh-axis swaps) that can't
+    # be ordered fall back to swap schedules or the GSPMD constraint.
+    def _occ(t):
+        n = 1
+        for nm in t:
+            n *= mesh.shape[nm]
+        return n
+
+    local = [s // _occ(e) for s, e in zip(shape, in_spec)]
+    cur = [tuple(e) for e in in_spec]
     ordered = []
     pending = list(moves)
     while pending:
         progress = False
         for mv in list(pending):
             name, a, b = mv
-            if cur[b] is not None:
-                continue  # destination occupied; try after its occupant moves
+            if cur[a] and cur[a][-1] != name:
+                continue  # not minor-most yet; a later-nested move first
+            target_prefix = out_spec[b][: out_spec[b].index(name)]
+            if cur[b] != target_prefix:
+                continue  # destination occupied/incomplete; retry later
             n = mesh.shape[name]
             if local[b] % n != 0:
                 return None  # unsplittable at this stage
-            ordered.append(("a2a", name, a, b, list(cur)))
+            spec_in_stage = [list(e) for e in cur]
+            cur[a] = cur[a][:-1]
+            cur[b] = cur[b] + (name,)
+            spec_out_stage = [list(e) for e in cur]
+            ordered.append(("a2a", name, a, b, spec_in_stage, spec_out_stage))
             local[b] //= n
             local[a] *= n
-            cur[a] = None
-            cur[b] = name
             pending.remove(mv)
             progress = True
         if progress:
@@ -273,6 +343,10 @@ def mesh_collective_relayout(dense, old_chunks, new_chunks, mesh, method=None):
                 n2, a2, b2 = m2
                 if a1 != b2 or b1 != a2:
                     continue
+                # the flat-entry swap schedules only apply when each axis
+                # carries exactly its swapping mesh axis (no nesting)
+                if cur[a1] != (n1,) or cur[b1] != (n2,):
+                    continue
                 if _swap_ok(n1, n2, a1, b1):
                     swap = (n1, n2, a1, b1, m1, m2)
                     break
@@ -284,15 +358,23 @@ def mesh_collective_relayout(dense, old_chunks, new_chunks, mesh, method=None):
         if swap is None:
             return None  # irreducible cycle: GSPMD's schedule handles it
         name_a, name_b, a1, b1, m1, m2 = swap
-        ordered.append(("swap", name_a, name_b, a1, b1, list(cur)))
-        cur[a1], cur[b1] = name_b, name_a
+        ordered.append(("swap", name_a, name_b, a1, b1, [_entry(e) for e in cur]))
+        cur[a1], cur[b1] = (name_b,), (name_a,)
         pending.remove(m1)
         pending.remove(m2)
     out = dense
     for stage in ordered:
         if stage[0] == "a2a":
-            _, name, a, b, spec = stage
-            out = alltoall_reshard(out, mesh, name, from_axis=a, to_axis=b, spec=spec)
+            _, name, a, b, s_in, s_out = stage
+            out = alltoall_reshard(
+                out,
+                mesh,
+                name,
+                from_axis=a,
+                to_axis=b,
+                spec_in=[_entry(tuple(e)) for e in s_in],
+                spec_out=[_entry(tuple(e)) for e in s_out],
+            )
         else:
             _, name_a, name_b, a, b, spec = stage
             out = swap_reshard(out, mesh, name_a, name_b, a, b, spec=spec)

@@ -36,20 +36,57 @@ def plan_layout(shape, chunks, mesh, allow_uneven=False):
     chunks-vs-sharding duality (SURVEY.md §7): irregular chunk grids
     compute sharded instead of replicated.
     """
-    mesh_axes = sorted(mesh.shape.items(), key=lambda kv: -kv[1])  # (name, size)
+    from dask_array_tpu.parallel.mesh import dcn_axis_names
+
+    dcn = dcn_axis_names(mesh)
     assignment: list = [None] * len(shape)
+    # DCN axes first, with a STABLE chunk-grid-independent rule (outermost
+    # divisible array axis): both sides of any relayout then agree on the
+    # DCN assignment, so rechunk boundaries move data over ICI only.  The
+    # slow fabric carries the batch-like dimension (the scaling-book
+    # data-parallel-over-DCN recipe) and never relayout traffic.
+    for name in sorted(dcn, key=lambda n: -mesh.shape[n]):
+        msize = mesh.shape[name]
+        if msize == 1:
+            continue
+        for ax, dim in enumerate(shape):
+            if assignment[ax] is not None:
+                continue
+            if isinstance(dim, float) and math.isnan(dim):
+                continue
+            if dim % msize == 0 or (allow_uneven and dim >= msize):
+                assignment[ax] = name
+                break
+    mesh_axes = sorted(
+        ((n, s) for n, s in mesh.shape.items() if n not in dcn),
+        key=lambda kv: -kv[1],
+    )  # (name, size)
     for name, msize in mesh_axes:
         if msize == 1:
             continue
         best = None
         best_score = 0
         for ax, dim in enumerate(shape):
-            if assignment[ax] is not None:
-                continue
+            occupants = assignment[ax]
+            nested = occupants is not None
+            if nested:
+                # ICI may nest as the MINOR divisor under a DCN-pinned axis
+                # (the 8-way batch grid on a (dcn=2, x=4) mesh wants
+                # P(('dcn','x'))) — never under another ICI axis, so
+                # DCN-free meshes keep the one-mesh-axis-per-array-axis rule
+                occ = occupants if isinstance(occupants, tuple) else (occupants,)
+                if not all(o in dcn for o in occ):
+                    continue
+                occ_size = 1
+                for o in occ:
+                    occ_size *= mesh.shape[o]
+            else:
+                occ_size = 1
             if isinstance(dim, float) and math.isnan(dim):
                 continue
-            if dim % msize != 0:
-                if not (allow_uneven and dim >= msize):
+            local = dim // occ_size if dim % occ_size == 0 else dim / occ_size
+            if local % msize != 0:
+                if not (allow_uneven and not nested and dim >= msize):
                     continue
                 score = dim / 8  # shardable via padding, but prefer divisible
             else:
@@ -57,12 +94,18 @@ def plan_layout(shape, chunks, mesh, allow_uneven=False):
             # prefer sharding axes whose chunk grid also divides evenly
             if chunks is not None and len(chunks) == len(shape):
                 nb = len(chunks[ax])
-                if _regular(chunks[ax]) and nb % msize == 0:
+                if _regular(chunks[ax]) and nb % (msize * occ_size) == 0:
                     score *= 4
             if score > best_score:
                 best, best_score = ax, score
         if best is not None:
-            assignment[best] = name
+            occupants = assignment[best]
+            if occupants is None:
+                assignment[best] = name
+            elif isinstance(occupants, tuple):
+                assignment[best] = occupants + (name,)
+            else:
+                assignment[best] = (occupants, name)
     return tuple(assignment)
 
 

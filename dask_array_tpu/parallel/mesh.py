@@ -45,6 +45,68 @@ def set_mesh(mesh):
         st.append(mesh)
 
 
+#: mesh-axis names treated as inter-slice DCN fabric unless config
+#: ``tpu.dcn-axes`` pins the set explicitly
+DCN_AXIS_NAMES = frozenset({"dcn", "slice", "pod"})
+
+
+def dcn_axis_names(mesh):
+    """The mesh-axis names that cross the inter-slice DCN fabric.
+
+    Multi-slice TPU topologies (the scaling-book's data-parallel-over-DCN
+    recipe) have one or more mesh axes whose links are ~10-100x slower than
+    ICI; layout and collective scheduling treat them specially (see
+    ``plan_layout`` and ``mesh_collective_relayout``).
+    """
+    from dask_array_tpu import config
+
+    pinned = config.get("tpu.dcn-axes", None)
+    if pinned is not None:
+        return frozenset(pinned) & set(mesh.shape)
+    return DCN_AXIS_NAMES & set(mesh.shape)
+
+
+def multislice_mesh(n_slices, ici_axis_names=("x", "y"), devices=None):
+    """Mesh over a multi-slice topology: leading ``dcn`` axis, ICI inside.
+
+    Groups devices by their ``slice_index`` attribute when the platform
+    reports one (real multi-slice TPU pods); otherwise splits contiguously
+    (virtual/CPU meshes).  Each slice's devices form a near-square ICI
+    sub-mesh; the slice axis is named ``dcn`` so the layout solver and
+    relayout scheduler apply the DCN discipline automatically.
+    """
+    import numpy as np
+    import jax
+    from jax.sharding import Mesh
+
+    if devices is None:
+        devices = jax.devices()
+    groups = {}
+    for d in devices:
+        groups.setdefault(getattr(d, "slice_index", 0), []).append(d)
+    if len(groups) == n_slices:
+        slices = [groups[k] for k in sorted(groups)]
+    else:
+        if len(devices) % n_slices:
+            raise ValueError(
+                f"{len(devices)} devices do not split into {n_slices} slices"
+            )
+        per = len(devices) // n_slices
+        slices = [devices[i * per : (i + 1) * per] for i in range(n_slices)]
+    per = len(slices[0])
+    if any(len(s) != per for s in slices):
+        raise ValueError("slices have unequal device counts")
+    a = int(np.sqrt(per))
+    while per % a:
+        a -= 1
+    b = per // a
+    if a == 1 or len(ici_axis_names) == 1:
+        dev_array = np.asarray([list(s) for s in slices]).reshape(n_slices, per)
+        return Mesh(dev_array, ("dcn", ici_axis_names[0]))
+    dev_array = np.asarray([list(s) for s in slices]).reshape(n_slices, a, b)
+    return Mesh(dev_array, ("dcn",) + tuple(ici_axis_names[:2]))
+
+
 def auto_mesh(n_devices=None, axis_names=("x", "y"), devices=None):
     """Build a near-square 2-D mesh over the available devices."""
     import numpy as np
