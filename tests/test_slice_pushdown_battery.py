@@ -1120,3 +1120,69 @@ def test_slice_through_reshape_chains_to_leaf(rng):
     assert_eq(sliced, arr[3:6])
     simplified = sliced.expr.simplify()
     assert n_slices(simplified) == 0, simplified.tree_repr()
+
+
+# ported from reference test_slice_through_reshape.py (272 LoC): the
+# name-equality structural discipline + None interplay
+def test_slice_through_reshape_name_equality(rng):
+    arr = np.arange(60).reshape((10, 6))
+    x = da.from_array(arr, chunks=(5, 3))
+    r = x.reshape((10, 2, 3))[:5]
+    e = x[:5].reshape((5, 2, 3))
+    assert r.expr.simplify()._name == e.expr.simplify()._name
+    assert_eq(r, arr.reshape((10, 2, 3))[:5])
+
+
+def test_slice_with_none_through_reshape(rng):
+    arr = np.arange(60).reshape((10, 6))
+    x = da.from_array(arr, chunks=(5, 3))
+    r = x.reshape((10, 2, 3))[:5, None]
+    e = x[:5].reshape((5, 2, 3))[:, None]
+    assert r.expr.simplify()._name == e.expr.simplify()._name
+    assert_eq(r, arr.reshape((10, 2, 3))[:5, None])
+
+
+def test_slice_with_none_at_end_through_reshape(rng):
+    arr = np.arange(60).reshape((10, 6))
+    x = da.from_array(arr, chunks=(5, 3))
+    r = x.reshape((10, 2, 3))[:5, :, :, None]
+    assert_eq(r, arr.reshape((10, 2, 3))[:5, :, :, None])
+    assert n_slices(r.expr.simplify()) == 0
+
+
+def test_slice_with_multiple_nones_through_reshape(rng):
+    arr = np.arange(60).reshape((10, 6))
+    x = da.from_array(arr, chunks=(5, 3))
+    r = x.reshape((10, 2, 3))[None, :5, None]
+    assert_eq(r, arr.reshape((10, 2, 3))[None, :5, None])
+    assert n_slices(r.expr.simplify()) == 0
+
+
+_RESHAPE_REF_GRID = [
+    ((20, 6), (20, 2, 3), np.s_[:10]),
+    ((20, 6), (20, 2, 3), np.s_[5:15]),
+    ((20, 12), (20, 3, 4), np.s_[:8]),
+    ((20, 2, 3), (20, 6), np.s_[:10]),
+    ((20, 4, 5), (20, 20), np.s_[5:15]),
+    ((10, 5, 6), (10, 5, 2, 3), np.s_[:5, :3]),
+    ((10, 5, 4), (10, 5, 2, 2), np.s_[3:8, :4]),
+]
+
+
+@pytest.mark.parametrize("in_shape,out_shape,slc", _RESHAPE_REF_GRID)
+def test_slice_through_reshape_reference_grid(in_shape, out_shape, slc):
+    arr = np.arange(int(np.prod(in_shape))).reshape(in_shape)
+    chunks = tuple(max(1, s // 2) for s in in_shape)
+    x = da.from_array(arr, chunks=chunks)
+    assert_eq(x.reshape(out_shape)[slc], arr.reshape(out_shape)[slc])
+    assert n_slices(x.reshape(out_shape)[slc].expr.simplify()) == 0
+
+
+def test_slice_through_reshape_reduces_numblocks(rng):
+    arr = rng.standard_normal((20, 6))
+    x = da.from_array(arr, chunks=(2, 3))
+    full = x.reshape((20, 2, 3))
+    sliced = full[:6]
+    s = sliced.expr.simplify()
+    assert int(np.prod(s.numblocks)) < int(np.prod(full.expr.simplify().numblocks))
+    assert_eq(sliced, arr.reshape((20, 2, 3))[:6])
