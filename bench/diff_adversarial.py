@@ -30,7 +30,7 @@ def build_case(rng, da):
     ref = x
     steps = int(rng.integers(2, 7))
     for _ in range(steps):
-        op = rng.integers(0, 16)
+        op = rng.integers(0, 18)
         if op == 0 and not any(np.isnan(s) for s in (d.shape[0],)):
             a = int(rng.integers(0, max(1, d.shape[0] - 1)))
             b = int(rng.integers(a + 1, d.shape[0] + 1))
@@ -77,6 +77,15 @@ def build_case(rng, da):
             d, ref = da.expand_dims(d, 0)[0], np.expand_dims(ref, 0)[0]
         elif op == 14 and d.ndim == 2:
             d, ref = da.flip(d, axis=1), np.flip(ref, axis=1)
+        elif op == 15 and d.ndim == 2 and d.shape[1] % 2 == 0:
+            # axis split (exercises slice-through-reshape pushdown when a
+            # later slice lands on the preserved leading axis)
+            d = d.reshape(d.shape[0], 2, d.shape[1] // 2)
+            ref = ref.reshape(ref.shape[0], 2, ref.shape[1] // 2)
+        elif op == 16 and d.ndim == 3:
+            # trailing merge back to 2-D
+            d = d.reshape(d.shape[0], d.shape[1] * d.shape[2])
+            ref = ref.reshape(ref.shape[0], -1)
         else:
             d, ref = np.sin(d), np.sin(ref)
     if d.ndim >= 1 and rng.integers(0, 8) == 0:

@@ -61,6 +61,8 @@ def op_chain(draw):
                     "clip",
                     "where_pos",
                     "diff0",
+                    "reshape_split",
+                    "reshape_merge",
                 ]
             ),
             min_size=1,
@@ -137,6 +139,17 @@ def _apply(op, d, x, rng):
         return da.where(d > 50, d, 0.0), np.where(x > 50, x, 0.0)
     if op == "diff0" and d.ndim >= 1 and not any(_nan(s) for s in d.shape) and d.shape[0] > 1:
         return da.diff(d, axis=0), np.diff(x, axis=0)
+    if (
+        op == "reshape_split"
+        and d.ndim >= 2
+        and not any(_nan(s) for s in d.shape)
+        and d.shape[-1] % 2 == 0
+    ):
+        new = tuple(d.shape[:-1]) + (2, d.shape[-1] // 2)
+        return d.reshape(new), x.reshape(new)
+    if op == "reshape_merge" and d.ndim >= 3 and not any(_nan(s) for s in d.shape):
+        new = tuple(d.shape[:-2]) + (d.shape[-2] * d.shape[-1],)
+        return d.reshape(new), x.reshape(new)
     return d, x
 
 
