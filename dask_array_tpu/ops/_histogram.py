@@ -196,12 +196,20 @@ def histogram2d(x, y, bins=10, range=None, normed=False, weights=None, density=N
 
 
 class HistogramDD(ArrayExpr):
-    _parameters = ("weights", "density", "edge_arrays", "shape_")
-    # operands[4:] are the coordinate expressions (one per dimension)
+    _parameters = ("weights", "density", "edge_arrays", "shape_", "ncoords")
+    # operands[5:5+ncoords] are the coordinate expressions (one per
+    # dimension); operands[5+ncoords:] are lazy edge expressions, one per
+    # None slot in ``edge_arrays`` (they must live in ``operands`` — not
+    # nested inside the edge_arrays tuple — so ``dependencies()`` sees
+    # them and their leaves join the program).
 
     @property
     def coords(self):
-        return self.operands[4:]
+        return self.operands[5 : 5 + self.ncoords]
+
+    @property
+    def lazy_edges(self):
+        return self.operands[5 + self.ncoords :]
 
     @functools.cached_property
     def chunks(self):
@@ -216,8 +224,9 @@ class HistogramDD(ArrayExpr):
         jnp = _jnp()
         coords = [ctx.build(c).dense().ravel() for c in self.coords]
         sample = jnp.stack(coords, axis=-1)
+        lazy = iter(self.lazy_edges)
         edges = [
-            ctx.build(e).dense() if isinstance(e, ArrayExpr) else jnp.asarray(e)
+            ctx.build(next(lazy)).dense() if e is None else jnp.asarray(e)
             for e in self.edge_arrays
         ]
         w = ctx.build(self.weights).dense().ravel() if isinstance(self.weights, ArrayExpr) else None
@@ -271,8 +280,10 @@ def histogramdd(sample, bins=10, range=None, normed=False, weights=None, density
             edge_arrays.append(np.linspace(lo, hi, n + 1))
     w = asarray(weights).expr if weights is not None else None
     shape_ = tuple(nbins)
+    static_edges = tuple(None if isinstance(e, ArrayExpr) else e for e in edge_arrays)
+    lazy_edges = [e for e in edge_arrays if isinstance(e, ArrayExpr)]
     expr = HistogramDD(
-        w, dens, tuple(edge_arrays), shape_, *[c.expr for c in coords]
+        w, dens, static_edges, shape_, d, *[c.expr for c in coords], *lazy_edges
     )
     hist = new_collection(expr)
     edges = [

@@ -225,6 +225,13 @@ def diff(a, n=1, axis=-1, prepend=None, append_=None, append=None):
     a = _asarray(a)
     if append is None:
         append = append_
+    n = int(n)
+    if n < 0:
+        raise ValueError(f"order must be non-negative but got {n}")
+    if n == 0:
+        # numpy returns the input untouched at order 0 — prepend/append are
+        # NOT applied (np.diff early-returns before concatenating).
+        return a
     axis = validate_axis(axis, a.ndim)
     parts = []
     if prepend is not None:
@@ -280,6 +287,14 @@ def gradient(f, *varargs, axis=None, edge_order=1):
         axes = tuple(validate_axis(ax, f.ndim) for ax in axis)
     if varargs and len(varargs) not in (1, len(axes)):
         raise TypeError("invalid number of arguments")
+    if edge_order not in (1, 2):
+        raise ValueError("'edge_order' greater than 2 not supported")
+    for ax in axes:
+        if f.shape[ax] < edge_order + 1:
+            raise ValueError(
+                "Shape of array too small to calculate a numerical gradient, "
+                "at least (edge_order + 1) elements are required."
+            )
     spacings = list(varargs) if varargs else [1.0] * len(axes)
     if len(spacings) == 1 and len(axes) > 1:
         spacings = spacings * len(axes)
@@ -311,6 +326,34 @@ class _GradientAxis(ArrayExpr):
         if isinstance(sp, np.ndarray):
             sp = jnp.asarray(sp)
         out = jnp.gradient(dense, sp, axis=self.axis)
+        # jnp.gradient has no edge_order parameter (first-order boundaries
+        # only); numpy's default-invisible difference shows up at
+        # edge_order=2, where the boundary points use one-sided 3-point
+        # stencils (non-uniform coefficients when the spacing is an array).
+        n = dense.shape[self.axis]
+        if self.edge_order == 2 and n >= 3:
+            f = jnp.moveaxis(dense, self.axis, 0)
+            g = jnp.moveaxis(out, self.axis, 0)
+            if jnp.ndim(sp) == 0:
+                h = sp
+                first = (-3.0 * f[0] + 4.0 * f[1] - f[2]) / (2.0 * h)
+                last = (3.0 * f[-1] - 4.0 * f[-2] + f[-3]) / (2.0 * h)
+            else:
+                x = sp
+                d1, d2 = x[1] - x[0], x[2] - x[1]
+                first = (
+                    -(2.0 * d1 + d2) / (d1 * (d1 + d2)) * f[0]
+                    + (d1 + d2) / (d1 * d2) * f[1]
+                    - d1 / (d2 * (d1 + d2)) * f[2]
+                )
+                d1, d2 = x[-2] - x[-3], x[-1] - x[-2]
+                last = (
+                    d2 / (d1 * (d1 + d2)) * f[-3]
+                    - (d2 + d1) / (d1 * d2) * f[-2]
+                    + (2.0 * d2 + d1) / (d2 * (d1 + d2)) * f[-1]
+                )
+            g = g.at[0].set(first).at[-1].set(last)
+            out = jnp.moveaxis(g, 0, self.axis)
         return BlockView(self.chunks, dense=out)
 
 
