@@ -97,9 +97,14 @@ class SlidingWindowReduce(ArrayExpr):
             s = _reduce_window(dense.astype(self.dtype), "sum", w, self.axis, (0, 0))
             out = s / w
         elif kind in ("var", "std"):
+            # shifted power sums: without the shift, s2/w - mean^2 loses all
+            # precision when |mean| >> std (same discipline as ops/reductions
+            # var's d = x - s formulation).
             x = dense.astype(self.dtype)
-            s = _reduce_window(x, "sum", w, self.axis, (0, 0))
-            s2 = _reduce_window(x * x, "sum", w, self.axis, (0, 0))
+            c = jnp.mean(x)
+            d = x - c
+            s = _reduce_window(d, "sum", w, self.axis, (0, 0))
+            s2 = _reduce_window(d * d, "sum", w, self.axis, (0, 0))
             out = jnp.maximum(s2 / w - (s / w) ** 2, 0)
             if kind == "std":
                 out = jnp.sqrt(out)
@@ -162,8 +167,14 @@ class MovingWindowReduction(ArrayExpr):
             fillv = jnp.where(valid, dense, ident)
             out = _reduce_window(fillv, kind, w, axis, pad)
         elif kind in ("var", "std"):
-            s = _reduce_window(filled0, "sum", w, axis, pad)
-            s2 = _reduce_window(filled0 * filled0, "sum", w, axis, pad)
+            # shifted power sums (see SlidingWindowReduce): the global
+            # nanmean as shift kills the |mean| >> std cancellation; it is
+            # NaN only when every element is NaN, and then count < min_count
+            # masks the output anyway.
+            c = jnp.where(jnp.any(valid), jnp.nanmean(dense), 0.0).astype(dense.dtype)
+            d = jnp.where(valid, dense - c, 0)
+            s = _reduce_window(d, "sum", w, axis, pad)
+            s2 = _reduce_window(d * d, "sum", w, axis, pad)
             n = jnp.maximum(count, 1)
             out = jnp.maximum(s2 / n - (s / n) ** 2, 0)
             if kind == "std":

@@ -91,3 +91,30 @@ def test_move_2d_axis(rng):
     for i in range(3, 20):
         np.testing.assert_allclose(out[:, i], x[:, i - 3 : i + 1].min(axis=1))
     assert np.isnan(out[:, :3]).all()
+
+
+def test_sliding_var_large_mean_stability(rng):
+    # shifted power sums: E[x^2]-E[x]^2 in f32 loses everything when
+    # |mean| >> std; the fused path must survive mean=1e4, std~1.
+    x = (rng.standard_normal(64) + 1e4).astype(np.float32)
+    d = da.from_array(x, chunks=16)
+    w = da.sliding_window_view(d, 9)
+    # var decomposes to shifted power sums before the window fusion sees it,
+    # so this exercises the decomposed lane's stability, not SlidingWindowReduce
+    v = w.var(axis=-1)
+    expected = np.lib.stride_tricks.sliding_window_view(x.astype(np.float64), 9).var(axis=-1)
+    np.testing.assert_allclose(np.asarray(v.compute(), dtype=np.float64), expected, rtol=1e-2)
+    s = w.std(axis=-1)
+    np.testing.assert_allclose(
+        np.asarray(s.compute(), dtype=np.float64), np.sqrt(expected), rtol=1e-2
+    )
+
+
+def test_move_var_large_mean_stability(rng):
+    x = (rng.standard_normal(40) + 1e4).astype(np.float32)
+    d = da.from_array(x, chunks=10)
+    v = np.asarray(move_var(d, 8).compute(), dtype=np.float64)
+    xs = x.astype(np.float64)
+    for i in range(7, 40):
+        w = xs[i - 7 : i + 1]
+        assert abs(v[i] - w.var()) < 1e-2 * max(w.var(), 1e-6), (i, v[i], w.var())
