@@ -623,6 +623,7 @@ class SlidingWindowView(ArrayExpr):
         # fuse reduce(sliding_window_view(x)) over the window dim into one
         # lax.reduce_window (parity: the SlidingWindowView->Reduction fusion,
         # /root/reference/dask_array/_overlap.py:457-623)
+        from dask_array_tpu._blockwise import Elemwise
         from dask_array_tpu.ops.reductions import Reduction
         from dask_array_tpu.ops._sliding import (
             FUSABLE_WINDOW_REDUCERS,
@@ -631,22 +632,115 @@ class SlidingWindowView(ArrayExpr):
 
         if (
             type(parent) is Reduction
-            and not parent.keepdims
             and parent.kind in FUSABLE_WINDOW_REDUCERS
+            and not (parent.operand("extra") or ())
             and len(self.window_shape) == 1
             and parent.axes == (self.array.ndim,)  # exactly the window dim
+            and not (
+                self.array.dtype.kind == "c"
+                and parent.kind in ("min", "max", "nanmin", "nanmax", "any", "all")
+            )
         ):
             deps = dependents.get(self._name, ())
             if any(d._name != parent._name for d in deps):
                 return None
-            return SlidingWindowReduce(
+            swr = SlidingWindowReduce(
                 self.array,
                 parent.kind,
                 self.window_shape[0],
                 self.axes[0],
                 parent.dtype,
             )
+            if parent.keepdims:
+                from dask_array_tpu.ops.manipulation import ExpandDims
+
+                return ExpandDims(swr, (self.array.ndim,))
+            return swr
+        if type(parent) is Elemwise:
+            # elemwise commutes with the window gather, and running it BEFORE
+            # windowing is strictly less work (n vs n*w elements); sinking the
+            # view also unblocks the Reduction fusion for decomposed moments
+            # (var/std/nanvar/nanstd are elemwise chains over the view ending
+            # in window-axis sums).  Only scalar (0-d) co-operands are safe:
+            # anything with dims would broadcast against the window dim.
+            new_args = []
+            hit = False
+            for a in parent.args:
+                if isinstance(a, ArrayExpr):
+                    if a._name == self._name:
+                        new_args.append(self.array)
+                        hit = True
+                    elif a.ndim == 0:
+                        new_args.append(a)
+                    else:
+                        return super()._simplify_up(parent, dependents)
+                else:
+                    if isinstance(a, np.ndarray) and a.ndim > 0:
+                        return super()._simplify_up(parent, dependents)
+                    new_args.append(a)
+            if hit:
+                inner = Elemwise(*parent.operands[:2], *new_args)
+                return SlidingWindowView(inner, self.window_shape, self.axes)
         return super()._simplify_up(parent, dependents)
+
+    def _accept_slice(self, index):
+        """Push basic slicing through the window view.
+
+        Two shapes: an all-int index addresses ONE source element
+        (``view[i.., k..] == x[.., i+k, ..]`` — this is what the moment
+        shift ``view[(0,)*nd]`` becomes), and lead-axis slicing with the
+        window dims untouched maps to a slice of the source extended by
+        ``window-1`` on windowed axes.
+        """
+        import math
+
+        from dask_array_tpu._slicing import Slice, is_basic_index
+
+        if not is_basic_index(index):
+            return None
+        nd_in = self.array.ndim
+        if len(index) != nd_in + len(self.axes):
+            return None
+        lead, trail = index[:nd_in], index[nd_in:]
+        if all(isinstance(i, Integral) for i in index):
+            xi = [int(i) for i in lead]
+            for j, ax in enumerate(self.axes):
+                xi[ax] += int(trail[j])
+            return Slice(self.array, tuple(xi))
+        if any(t != slice(None) for t in trail):
+            return None
+        windowed = set(self.axes)
+        xi = []
+        changed = False
+        drop_before = {}
+        dropped = 0
+        for ax in range(nd_in):
+            drop_before[ax] = dropped
+            ind = lead[ax]
+            if ax in windowed:
+                if isinstance(ind, Integral):
+                    return None  # window-collapse: only the all-int rule
+                w = self.window_shape[self.axes.index(ax)]
+                dim = self.array.shape[ax]
+                if isinstance(dim, float) and math.isnan(dim):
+                    return None
+                start, stop, step = ind.indices(int(dim) - w + 1)
+                if step != 1 or stop <= start:
+                    return None
+                xi.append(slice(start, stop - 1 + w, 1))
+                if (start, stop) != (0, int(dim) - w + 1):
+                    changed = True
+            else:
+                xi.append(ind)
+                if isinstance(ind, Integral):
+                    dropped += 1
+                    changed = True
+                elif ind != slice(None):
+                    changed = True
+        if not changed:
+            return None
+        new_axes = tuple(ax - drop_before[ax] for ax in self.axes)
+        return SlidingWindowView(Slice(self.array, tuple(xi)), self.window_shape, new_axes)
 
     def _build(self, ctx):
         jnp = _jnp()

@@ -83,7 +83,8 @@ class SlidingWindowReduce(ArrayExpr):
         probe = np.empty((1,) * self.array.ndim, dtype=self.array.dtype)
         np_fn = getattr(np, self.kind)
         out = np_fn(probe, axis=self.axis)
-        return np.empty((0,) * self.array.ndim, dtype=probe.dtype if self.kind in ("max", "min") else out.dtype)
+        keep = self.kind in ("max", "min", "nanmax", "nanmin")
+        return np.empty((0,) * self.array.ndim, dtype=probe.dtype if keep else out.dtype)
 
     def _build(self, ctx):
         import jax.numpy as jnp
@@ -91,8 +92,14 @@ class SlidingWindowReduce(ArrayExpr):
         dense = ctx.build(self.array).dense()
         w = self.window
         kind = self.kind
-        if kind in ("sum", "prod", "max", "min"):
-            out = _reduce_window(dense, kind, w, self.axis, (0, 0))
+        if kind in ("sum", "prod"):
+            # accumulate in the OUTPUT dtype (bool counts become ints, and an
+            # explicit dtype= accumulates wide, numpy-style)
+            x = dense if dense.dtype == self.dtype else dense.astype(self.dtype)
+            out = _reduce_window(x, kind, w, self.axis, (0, 0))
+        elif kind in ("max", "min"):
+            x = dense.astype(np.int32) if dense.dtype == np.bool_ else dense
+            out = _reduce_window(x, kind, w, self.axis, (0, 0))
         elif kind == "mean":
             s = _reduce_window(dense.astype(self.dtype), "sum", w, self.axis, (0, 0))
             out = s / w
@@ -112,6 +119,33 @@ class SlidingWindowReduce(ArrayExpr):
             x = dense.astype(self.dtype)
             s = _reduce_window(x.astype(np.int32), "sum", w, self.axis, (0, 0))
             out = (s > 0) if kind == "any" else (s == w)
+        elif kind in ("nansum", "nanprod", "nanmean"):
+            x = dense.astype(self.dtype)
+            if jnp.issubdtype(x.dtype, jnp.inexact):
+                valid = ~jnp.isnan(x)  # complex: real-or-imag NaN, numpy semantics
+                ident = np.array(1 if kind == "nanprod" else 0).astype(x.dtype)
+                fill = jnp.where(valid, x, ident)
+                out = _reduce_window(fill, "prod" if kind == "nanprod" else "sum", w, self.axis, (0, 0))
+                if kind == "nanmean":
+                    cnt = _reduce_window(valid.astype(np.int32), "sum", w, self.axis, (0, 0))
+                    out = out / jnp.maximum(cnt, 1)
+                    out = jnp.where(cnt == 0, jnp.nan, out)
+            else:
+                # no NaNs representable: the nan-kind degenerates
+                out = _reduce_window(x, "prod" if kind == "nanprod" else "sum", w, self.axis, (0, 0))
+                if kind == "nanmean":
+                    out = out / w
+        elif kind in ("nanmin", "nanmax"):
+            x = dense
+            if jnp.issubdtype(x.dtype, jnp.floating):
+                valid = ~jnp.isnan(x)
+                ident = np.array(np.inf if kind == "nanmin" else -np.inf, x.dtype)
+                fill = jnp.where(valid, x, ident)
+                out = _reduce_window(fill, kind[3:], w, self.axis, (0, 0))
+                cnt = _reduce_window(valid.astype(np.int32), "sum", w, self.axis, (0, 0))
+                out = jnp.where(cnt == 0, jnp.nan, out)
+            else:
+                out = _reduce_window(x, kind[3:], w, self.axis, (0, 0))
         else:
             raise NotImplementedError(kind)
         if out.dtype != self.dtype:
@@ -120,7 +154,10 @@ class SlidingWindowReduce(ArrayExpr):
 
 
 # reduction kinds the fusion understands
-FUSABLE_WINDOW_REDUCERS = {"sum", "prod", "max", "min", "mean", "var", "std", "any", "all"}
+FUSABLE_WINDOW_REDUCERS = {
+    "sum", "prod", "max", "min", "mean", "var", "std", "any", "all",
+    "nansum", "nanprod", "nanmin", "nanmax", "nanmean",
+}
 
 
 class MovingWindowReduction(ArrayExpr):

@@ -321,6 +321,40 @@ def _var_shift(a):
     return a[(0,) * a.ndim]
 
 
+def _mask_nan_to(v, c):
+    import jax.numpy as jnp
+
+    return jnp.where(jnp.isnan(v), c, v)
+
+
+def _nan_shift(a):
+    """0-d in-range shift robust to NaNs ANYWHERE: ``nan_to_num(nanmean)``.
+
+    ``_var_shift``'s first element may itself be NaN (then a 0 fallback
+    reopens the |mean| >> std cancellation), so this pays one extra
+    reduction pass for a global nanmean.  nanmean is NaN only when EVERY
+    element is — and then the variance is all-NaN regardless of shift.
+    It is also the better shift for sliding-view moments: the mean halves
+    the worst-case |shift - window| distance on trending data, and being
+    NaN-robust it never poisons NaN-free windows.  When ``a`` is a sliding
+    window view the nanmean runs over the view's SOURCE — same value
+    range, n instead of n*w elements, and still a 0-d operand so the
+    elemwise pushdown keeps the window-fusion intact.
+    """
+    import jax.numpy as jnp
+
+    from dask_array_tpu._collection import new_collection
+    from dask_array_tpu.ops._overlap import SlidingWindowView
+
+    expr = a.expr
+    if isinstance(expr, SlidingWindowView):
+        a = new_collection(expr.array)
+    shape = a.shape
+    if builtins.any((not isinstance(s, (int, np.integer))) or s <= 0 for s in shape):
+        return None
+    return elemwise(jnp.nan_to_num, nanmean(a))
+
+
 def var(a, axis=None, dtype=None, keepdims=False, ddof=0, split_every=None, out=None):
     """Variance via ONE-PASS shifted power sums.
 
@@ -333,73 +367,134 @@ def var(a, axis=None, dtype=None, keepdims=False, ddof=0, split_every=None, out=
     difference between ~160 GB/s and HBM-roofline reductions (bench/README
     reduction_tree row).  The shift keeps the cancellation benign.
     """
+    import jax.numpy as jnp
+
     dt = _var_dtype(a, dtype)
-    x = a.astype(dt)
     cdt = np.dtype(dt)
-    rdt = np.dtype(cdt.char.lower().replace("c", "f")) if cdt.kind == "c" else cdt
-    s = _var_shift(x)
+    complex_data = np.dtype(a.dtype).kind == "c"
+    if complex_data and cdt.kind != "c":
+        # numpy oddity: an explicit REAL dtype on complex input keeps the
+        # DATA complex but accumulates the mean in the real dtype (dropping
+        # imag), so m2 = sum|x - real_mean|^2 = Q - real(T)^2/n
+        x = a
+        rdt = cdt
+    else:
+        x = a.astype(dt)
+        rdt = np.dtype(cdt.char.lower().replace("c", "f")) if cdt.kind == "c" else cdt
+    from dask_array_tpu.ops._overlap import SlidingWindowView
+
+    if isinstance(a.expr, SlidingWindowView):
+        # sliding moments: the first ELEMENT of the view is a poor shift for
+        # trending data (windows far from it lose relative precision); the
+        # source nanmean is in-range for every window, costs one extra
+        # n-element pass, and stays 0-d so the window fusion holds
+        s = _nan_shift(a)
+    else:
+        s = _var_shift(x)
+    if s is not None:
+        if complex_data and cdt.kind != "c":
+            s = elemwise(jnp.real, s).astype(rdt)
+        elif s.dtype != cdt:
+            s = s.astype(cdt)
     d = x if s is None else x - s
     n = _count(a, axis, keepdims=keepdims, split_every=split_every, dtype=rdt)
-    t = sum(d, axis=axis, dtype=dt, keepdims=keepdims, split_every=split_every)
-    if cdt.kind == "c":
-        # numpy: complex variance is E|x - mu|^2, a REAL number
+    if complex_data:
         from dask_array_tpu.ops.ufuncs import conj
 
         sq = (d * conj(d)).real
-        tsq = (t * conj(t)).real
+        if cdt.kind == "c":
+            t = sum(d, axis=axis, dtype=dt, keepdims=keepdims, split_every=split_every)
+            tsq = (t * conj(t)).real
+        else:
+            t = sum(elemwise(jnp.real, d), axis=axis, dtype=rdt, keepdims=keepdims, split_every=split_every)
+            tsq = t * t
     else:
+        t = sum(d, axis=axis, dtype=dt, keepdims=keepdims, split_every=split_every)
         sq = d * d
         tsq = t * t
     q = sum(sq, axis=axis, dtype=rdt, keepdims=keepdims, split_every=split_every)
-    import jax.numpy as jnp
-
     # rounding can push m2 epsilon-negative; clamp (maximum propagates NaN)
     m2 = elemwise(jnp.maximum, q - tsq / n, 0)
-    return handle_out(out, m2 / (n - ddof))
+    res = m2 / (n - ddof)
+    # numpy returns the EXPLICITLY requested dtype, even integer (truncating)
+    # or complex (imag 0); the internal real accumulator dtype differs then
+    if dtype is not None and res.dtype != np.dtype(dtype):
+        res = res.astype(np.dtype(dtype))
+    return handle_out(out, res)
 
 
 def std(a, axis=None, dtype=None, keepdims=False, ddof=0, split_every=None, out=None):
     import jax.numpy as jnp
 
-    return handle_out(out, elemwise(jnp.sqrt, var(a, axis=axis, dtype=dtype, keepdims=keepdims, ddof=ddof, split_every=split_every)))
+    res = elemwise(jnp.sqrt, var(a, axis=axis, dtype=dtype, keepdims=keepdims, ddof=ddof, split_every=split_every))
+    if dtype is not None and res.dtype != np.dtype(dtype):
+        res = res.astype(np.dtype(dtype))
+    return handle_out(out, res)
 
 
 def nanvar(a, axis=None, dtype=None, keepdims=False, ddof=0, split_every=None, out=None):
-    """NaN-skipping variance via the same one-pass shifted power sums as
-    :func:`var` (NaN terms contribute 0 to both sums; counts exclude them)."""
+    """NaN-skipping variance via the same shifted power sums as :func:`var`
+    (NaN terms contribute 0 to both sums; counts exclude them).  The shift
+    is a global nanmean — one extra pass, see :func:`_nan_shift` — because
+    the first element may be NaN."""
     import jax.numpy as jnp
 
     dt = _var_dtype(a, dtype)
-    x = a.astype(dt)
     cdt = np.dtype(dt)
-    rdt = np.dtype(cdt.char.lower().replace("c", "f")) if cdt.kind == "c" else cdt
-    s = _var_shift(x)
-    if s is not None:
-        # the first element may itself be NaN — a NaN shift would poison
-        # every term, so zero it in that case
-        s = elemwise(jnp.nan_to_num, s)
-        d = x - s
+    complex_data = np.dtype(a.dtype).kind == "c"
+    if complex_data and cdt.kind != "c":
+        x = a
+        xdt = np.dtype(a.dtype)
+        rdt = cdt
     else:
-        d = x
+        x = a.astype(dt)
+        xdt = cdt
+        rdt = np.dtype(cdt.char.lower().replace("c", "f")) if cdt.kind == "c" else cdt
+    inexact = xdt.kind in "fc"
+    s = _nan_shift(a) if inexact else None
+    if s is not None:
+        if complex_data and cdt.kind != "c":
+            s = elemwise(jnp.real, s).astype(rdt)
+        elif s.dtype != xdt:
+            s = s.astype(xdt)
+    # NaN data terms must not poison the shifted sums: mask each to the
+    # shift (contributing exactly 0 to T and Q) before differencing
+    if s is not None:
+        d = elemwise(_mask_nan_to, x, s) - s
+    elif inexact:
+        d = elemwise(_mask_nan_to, x, 0)
+    else:
+        d = x  # integers carry no NaNs
     n = _nancount(a, axis, keepdims=keepdims, split_every=split_every, dtype=rdt)
-    t = nansum(d, axis=axis, dtype=dt, keepdims=keepdims, split_every=split_every)
-    if cdt.kind == "c":
+    if complex_data:
         from dask_array_tpu.ops.ufuncs import conj
 
         sq = (d * conj(d)).real
-        tsq = (t * conj(t)).real
+        if cdt.kind == "c":
+            t = sum(d, axis=axis, dtype=dt, keepdims=keepdims, split_every=split_every)
+            tsq = (t * conj(t)).real
+        else:
+            t = sum(elemwise(jnp.real, d), axis=axis, dtype=rdt, keepdims=keepdims, split_every=split_every)
+            tsq = t * t
     else:
+        t = sum(d, axis=axis, dtype=dt, keepdims=keepdims, split_every=split_every)
         sq = d * d
         tsq = t * t
-    q = nansum(sq, axis=axis, dtype=rdt, keepdims=keepdims, split_every=split_every)
+    q = sum(sq, axis=axis, dtype=rdt, keepdims=keepdims, split_every=split_every)
     m2 = elemwise(jnp.maximum, q - tsq / n, 0)
-    return handle_out(out, m2 / (n - ddof))
+    res = m2 / (n - ddof)
+    if dtype is not None and res.dtype != np.dtype(dtype):
+        res = res.astype(np.dtype(dtype))
+    return handle_out(out, res)
 
 
 def nanstd(a, axis=None, dtype=None, keepdims=False, ddof=0, split_every=None, out=None):
     import jax.numpy as jnp
 
-    return handle_out(out, elemwise(jnp.sqrt, nanvar(a, axis=axis, dtype=dtype, keepdims=keepdims, ddof=ddof, split_every=split_every)))
+    res = elemwise(jnp.sqrt, nanvar(a, axis=axis, dtype=dtype, keepdims=keepdims, ddof=ddof, split_every=split_every))
+    if dtype is not None and res.dtype != np.dtype(dtype):
+        res = res.astype(np.dtype(dtype))
+    return handle_out(out, res)
 
 
 # -- arg reductions --------------------------------------------------------------

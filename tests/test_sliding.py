@@ -99,8 +99,9 @@ def test_sliding_var_large_mean_stability(rng):
     x = (rng.standard_normal(64) + 1e4).astype(np.float32)
     d = da.from_array(x, chunks=16)
     w = da.sliding_window_view(d, 9)
-    # var decomposes to shifted power sums before the window fusion sees it,
-    # so this exercises the decomposed lane's stability, not SlidingWindowReduce
+    # var decomposes to shifted power sums; the elemwise-through-window
+    # pushdown re-fuses the power-sum windows, so this exercises both the
+    # decomposed lane's stability AND the fused reduce_window path
     v = w.var(axis=-1)
     expected = np.lib.stride_tricks.sliding_window_view(x.astype(np.float64), 9).var(axis=-1)
     np.testing.assert_allclose(np.asarray(v.compute(), dtype=np.float64), expected, rtol=1e-2)
