@@ -55,6 +55,17 @@ class FromMap(ArrayExpr):
         blocks = {}
         for i, idx in enumerate(self._block_order):
             val = ctx.leaf(self._leaf_key(i))
+            want = tuple(self.chunks_[ax][j] for ax, j in enumerate(idx))
+            if tuple(val.shape) != want:
+                # size-preserving folds (expand_dims into the loader grid)
+                # legitimately re-rank blocks; true size mismatches are user
+                # errors (parity: reference rejects_values_shape_mismatch)
+                if int(np.prod(val.shape)) != int(np.prod(want)):
+                    raise ValueError(
+                        f"from_map block {tuple(idx)} has shape {tuple(val.shape)}, "
+                        f"expected {want} from chunks"
+                    )
+                val = jnp.reshape(val, want) if not isinstance(val, np.ndarray) else val.reshape(want)
             blocks[tuple(idx)] = val
         return BlockView(self.chunks_, blocks=blocks)
 

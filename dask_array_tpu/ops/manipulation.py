@@ -235,6 +235,21 @@ class ExpandDims(ArrayExpr):
         it = iter(self.array.chunks)
         return tuple((1,) if i in self.axes else next(it) for i in range(nd_out))
 
+    def _simplify_down(self):
+        # fold into a loader leaf: size-1 inserted axes keep the C-order
+        # block numbering, so the same per-block args describe the higher
+        # rank grid directly (stack() = expand_dims + concatenate, and this
+        # is what lets stack-of-from_delayed collapse to ONE FromMap —
+        # the reference's grouped-layer discipline, test_from_map.py)
+        from dask_array_tpu.io._from_map import FromMap
+
+        if type(self.array) is FromMap:
+            fm = self.array
+            return FromMap(
+                fm.func, fm.args_per_block, self.chunks, fm.operand("_dtype"), fm.kwargs
+            )
+        return None
+
     def _accept_shuffle(self, shuffle_expr):
         # a reorder on a NON-inserted axis maps straight onto the child
         # (stack() is ExpandDims + Concatenate, so this plus the
