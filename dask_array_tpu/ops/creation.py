@@ -286,6 +286,24 @@ class Linspace(ArrayExpr):
     def _accept_rechunk(self, target_chunks):
         return Linspace(self.start, self.stop, self.num, self.endpoint, tuple(target_chunks), self._dtype)
 
+    def _accept_slice(self, index):
+        """A sliced linspace is an arithmetic progression: fold to Arange
+        with the composed start/step (identical build formula start+idx*step,
+        so values match exactly; parity: reference
+        ``test_linspace_slice_pushdown``).  Length comes from the sliced
+        chunk grid, never re-derived from the float stop."""
+        (ind,) = index
+        if isinstance(ind, Integral):
+            return None
+        n = self.num
+        start, stop, step = ind.indices(n)
+        st = self._step
+        new_start = self.start + start * st
+        new_step = st * step
+        count = max(0, -(-(stop - start) // step)) if step > 0 else max(0, -(-(start - stop) // -step))
+        nc, _ = sliced_blockdim(self.chunks_[0], ind)
+        return Arange(new_start, new_start + count * new_step, new_step, (tuple(nc),), self._dtype)
+
 
 def linspace(start, stop, num=50, endpoint=True, retstep=False, chunks="auto", dtype=None):
     from dask_array_tpu._collection import new_collection
@@ -420,14 +438,26 @@ class Pad(ArrayExpr):
 
     @functools.cached_property
     def chunks(self):
+        # pad bands follow the adjacent edge chunk's size instead of gluing
+        # into one band chunk (parity: reference test_pad_constant_chunksizes
+        # — padding must not degrade the axis chunk profile)
+        def band(width, edge, lo_side):
+            if edge <= 0:
+                return [width]
+            k, rem = divmod(width, edge)
+            pieces = [edge] * k
+            if rem:
+                pieces = [rem] + pieces if lo_side else pieces + [rem]
+            return pieces
+
         out = []
         for ax, c in enumerate(self.array.chunks):
             lo, hi = self.pad_width[ax]
             axis = list(c)
             if lo:
-                axis = [lo] + axis
+                axis = band(lo, c[0] if c else 0, True) + axis
             if hi:
-                axis = axis + [hi]
+                axis = axis + band(hi, c[-1] if c else 0, False)
             out.append(tuple(axis) or (0,))
         return tuple(out)
 
