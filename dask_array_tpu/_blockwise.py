@@ -687,6 +687,8 @@ def optimize_blockwise_fusion(root: ArrayExpr) -> ArrayExpr:
         deps = dependents.get(node._name, ())
         if any(fuses_into_parent(node, p) for p in deps):
             continue  # not a root; belongs to a parent's group
+        if any(isinstance(p, FusedBlockwise) for p in deps):
+            continue  # already wrapped: optimize() must be idempotent
         # collect members downward
         members = set()
         stack = [node]
