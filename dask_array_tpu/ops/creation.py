@@ -252,7 +252,10 @@ def arange(start=0, stop=None, step=1, *, chunks="auto", like=None, dtype=None):
         start, stop = 0, start
     num = int(max(0, math.ceil((stop - start) / step)))
     if dtype is None:
-        dtype = np.arange(type(start)(0), type(stop)(1) if num else type(stop)(0), step).dtype
+        # EMPTY probe: numpy's arange dtype depends only on the argument
+        # TYPES, and a real (0, stop, step) probe can be astronomically long
+        # (arange(0, 1e-6, 1e-9) must not materialize 1e9 host elements)
+        dtype = np.arange(type(start)(0), type(stop)(0), type(step)(1)).dtype
     dtype = np.dtype(dtype)
     chunks = normalize_chunks(chunks, (num,), dtype=dtype)
     return new_collection(Arange(start, stop, step, chunks, dtype))
