@@ -26,11 +26,27 @@ def build_case(rng, da):
     x = rng.standard_normal((n, m))
     c0 = int(rng.integers(1, max(2, n // 2)))
     c1 = int(rng.integers(1, max(2, m // 2)))
-    d = da.from_array(x, chunks=(c0, c1))
+    if rng.integers(0, 4) == 0:
+        # loader-leaf start: concatenated from_delayed row blocks — the
+        # grouped FromMap collapse plus downstream cull/pushdown paths
+        from dask_array_tpu.io._from_map import delayed, from_delayed
+
+        edges = np.unique(rng.integers(1, n, size=max(1, n // 12)))
+        bounds = [0, *edges.tolist(), n]
+        parts = [
+            from_delayed(
+                delayed(lambda a: a)(x[lo:hi].copy()), shape=(hi - lo, m), dtype=x.dtype
+            )
+            for lo, hi in zip(bounds[:-1], bounds[1:])
+            if hi > lo
+        ]
+        d = da.concatenate(parts, axis=0)
+    else:
+        d = da.from_array(x, chunks=(c0, c1))
     ref = x
     steps = int(rng.integers(2, 7))
     for _ in range(steps):
-        op = rng.integers(0, 18)
+        op = rng.integers(0, 19)
         if op == 0 and not any(np.isnan(s) for s in (d.shape[0],)):
             a = int(rng.integers(0, max(1, d.shape[0] - 1)))
             b = int(rng.integers(a + 1, d.shape[0] + 1))
@@ -86,6 +102,15 @@ def build_case(rng, da):
             # trailing merge back to 2-D
             d = d.reshape(d.shape[0], d.shape[1] * d.shape[2])
             ref = ref.reshape(ref.shape[0], -1)
+        elif op == 17 and d.shape[0] >= 5:
+            # sliding-window reduction over the window axis (the
+            # reduce_window fusion, incl. nan kinds and decomposed moments)
+            w = int(rng.integers(2, min(6, d.shape[0])))
+            red = ["sum", "mean", "max", "nansum", "var"][int(rng.integers(0, 5))]
+            d = getattr(da, red)(da.sliding_window_view(d, w, axis=0), axis=-1)
+            ref = getattr(np, red)(
+                np.lib.stride_tricks.sliding_window_view(ref, w, axis=0), axis=-1
+            )
         else:
             d, ref = np.sin(d), np.sin(ref)
     if d.ndim >= 1 and rng.integers(0, 8) == 0:
