@@ -401,6 +401,7 @@ def _is_host_only(arr) -> bool:
 _MASKED_PASSTHROUGH = {
     "FromArray",
     "Slice",
+    "Take",
     "Concatenate",
     "ExpandDims",
     "Rechunk",

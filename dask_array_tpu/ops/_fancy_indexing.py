@@ -87,8 +87,13 @@ class Take(ArrayExpr):
         import jax.numpy as jnp
 
         view = ctx.build(self.array)
+        src = view.dense()
+        if isinstance(src, np.ma.MaskedArray):
+            # masked host lane: numpy's take preserves the mask
+            out = src.take(np.asarray(self.indices, dtype=np.int64), axis=self.axis)
+            return BlockView(self.chunks, dense=out)
         idx = jnp.asarray(np.asarray(self.indices, dtype=np.int64))
-        dense = jnp.take(view.dense(), idx, axis=self.axis)
+        dense = jnp.take(src, idx, axis=self.axis)
         return BlockView(self.chunks, dense=dense)
 
     def transfer_bytes(self):
