@@ -506,6 +506,38 @@ def test_move_irregular_chunks():
     assert_eq(result, expected, rtol=1e-12, atol=1e-12, equal_nan=True)
 
 
+def _compiled_hlo(expr):
+    import jax
+
+    from dask_array_tpu._executor import collect_leaves, make_compute_fn
+
+    leaves = collect_leaves(expr)
+    keys = tuple(k for k, _ in leaves)
+    args = tuple(
+        np.asarray(b.materialize() if hasattr(b, "materialize") else b)
+        for _, b in leaves
+    )
+    fn = jax.jit(make_compute_fn(expr, keys, None))
+    return fn.lower(*args).compile().as_text()
+
+
+@pytest.mark.parametrize("reduction", ["sum", "nanmean", "nanvar"])
+def test_fused_sliding_reduction_hlo_is_reduce_window(reduction):
+    # the structural guarantee behind the fusion: the compiled program is
+    # reduce-window over the SOURCE — no gather materializing the (n, w)
+    # window matrix (same HLO-proof discipline as the rechunk collectives)
+    data = np.arange(96 * 2, dtype=np.float64).reshape(96, 2)
+    if reduction.startswith("nan"):
+        data[::7] = np.nan
+    x = da.from_array(data, chunks=(24, 2))
+    result = getattr(da, reduction)(da.sliding_window_view(x, 48, axis=0), axis=-1)
+    hlo = _compiled_hlo(result.expr.optimize())
+    assert "reduce-window" in hlo
+    assert "gather(" not in hlo and " iota" not in hlo.split("ENTRY")[0]
+    expected = np_ref(reduction, data, 48)
+    assert_eq(result, expected, equal_nan=True)
+
+
 @pytest.mark.parametrize("func,kind", [(move_var, "var"), (move_std, "std")])
 def test_move_moments_nan_heavy(func, kind):
     rng = np.random.default_rng(5)
