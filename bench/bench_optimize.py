@@ -38,6 +38,21 @@ def wide_sum_tree(width=128):
     return out
 
 
+def wide_loader_stack(width=500):
+    """The read-many-files pattern: stack of from_delayed loader leaves.
+
+    The grouped FromMap collapse turns width expression nodes into ONE plan
+    node (the reference needs its Rust grouped layer for the same shape)."""
+    import dask_array_tpu as da
+    from dask_array_tpu.io._from_map import delayed, from_delayed
+
+    def load(i):
+        return np.full((16, 16), i, dtype=np.float64)
+
+    parts = [from_delayed(delayed(load)(i), shape=(16, 16), dtype="f8") for i in range(width)]
+    return da.stack(parts, axis=0).sum(axis=(1, 2))
+
+
 def mixed_macro_dag():
     """Mixed pipeline: misaligned elemwise + rechunks + slices + reductions."""
     import dask_array_tpu as da
@@ -68,4 +83,5 @@ def run(label, build):
 if __name__ == "__main__":
     run("deep_chain_200", deep_elemwise_chain)
     run("wide_tree_128", wide_sum_tree)
+    run("wide_loader_stack_500", wide_loader_stack)
     run("mixed_macro_dag", mixed_macro_dag)
