@@ -63,6 +63,7 @@ def op_chain(draw):
                     "diff0",
                     "reshape_split",
                     "reshape_merge",
+                    "sliding_reduce",
                 ]
             ),
             min_size=1,
@@ -150,6 +151,19 @@ def _apply(op, d, x, rng):
     if op == "reshape_merge" and d.ndim >= 3 and not any(_nan(s) for s in d.shape):
         new = tuple(d.shape[:-2]) + (d.shape[-2] * d.shape[-1],)
         return d.reshape(new), x.reshape(new)
+    if (
+        op == "sliding_reduce"
+        and d.ndim >= 1
+        and not any(_nan(s) for s in d.shape)
+        and d.shape[0] >= 4
+    ):
+        # reduce_window fusion: the window dim must never materialize
+        w = int(rng.integers(2, min(5, d.shape[0])))
+        red = ["sum", "max", "mean"][int(rng.integers(0, 3))]
+        return (
+            getattr(da, red)(da.sliding_window_view(d, w, axis=0), axis=-1),
+            getattr(np, red)(np.lib.stride_tricks.sliding_window_view(x, w, axis=0), axis=-1),
+        )
     return d, x
 
 
