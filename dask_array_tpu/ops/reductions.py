@@ -840,16 +840,23 @@ class Quantile(ArrayExpr):
         return np.ndim(self.q) == 0
 
     @functools.cached_property
+    def _reduced_axes(self):
+        if self.axis is None:
+            return tuple(range(self.array.ndim))
+        if isinstance(self.axis, tuple):
+            return self.axis
+        return (self.axis,)
+
+    @functools.cached_property
     def chunks(self):
+        red = set(self._reduced_axes)
         base = []
         for ax, c in enumerate(self.array.chunks):
-            if self.axis is None or ax == self.axis:
+            if ax in red:
                 if self.keepdims:
                     base.append((1,))
                 continue
             base.append(c)
-        if self.axis is not None:
-            pass
         lead = () if self._scalar_q else ((len(self._q_arr),),)
         return lead + tuple(base)
 
@@ -873,27 +880,36 @@ class Quantile(ArrayExpr):
 
     def _nearest(self, jnp, x, q):
         """numpy's 'nearest' rounds the virtual index half-to-even;
-        jax's builtin resolves ties differently — do it by hand."""
-        axis = self.axis
-        if axis is None:
-            x = x.reshape(-1)
+        jax's builtin resolves ties differently — do it by hand.  Multiple
+        reduced axes flatten into one work axis (numpy semantics)."""
+        red = self._reduced_axes
+        nd = x.ndim
+        if len(red) == nd:
+            x2 = x.reshape(-1)
             axis = 0
-        xs = jnp.sort(x, axis=axis)  # nans sort last
+        elif len(red) == 1:
+            x2 = x
+            axis = red[0]
+        else:
+            x2 = jnp.moveaxis(x, red, tuple(range(nd - len(red), nd)))
+            x2 = x2.reshape(x2.shape[: nd - len(red)] + (-1,))
+            axis = x2.ndim - 1
+        xs = jnp.sort(x2, axis=axis)  # nans sort last
         has_nan = None
         if self.kind.startswith("nan"):
-            n = jnp.sum(~jnp.isnan(x), axis=axis, keepdims=True)
+            n = jnp.sum(~jnp.isnan(x2), axis=axis, keepdims=True)
         else:
-            n = x.shape[axis]
-            if jnp.issubdtype(x.dtype, jnp.floating):
+            n = x2.shape[axis]
+            if jnp.issubdtype(x2.dtype, jnp.floating):
                 # numpy's non-nan quantile propagates NaN (NaNs sort last and
                 # would otherwise be indexed past); match it.
-                has_nan = jnp.any(jnp.isnan(x), axis=axis, keepdims=True)
+                has_nan = jnp.any(jnp.isnan(x2), axis=axis, keepdims=True)
         qv = jnp.atleast_1d(q)
         out = []
         for i in range(qv.shape[0]):
             pos = qv[i] * (n - 1)
             idx = jnp.round(pos).astype(jnp.int32)  # ties to even, as numpy
-            idx = jnp.clip(idx, 0, x.shape[axis] - 1)
+            idx = jnp.clip(idx, 0, x2.shape[axis] - 1)
             if isinstance(n, int):
                 taken = jnp.take(xs, idx, axis=axis)
                 taken = jnp.expand_dims(taken, axis)
@@ -901,19 +917,45 @@ class Quantile(ArrayExpr):
                 taken = jnp.take_along_axis(xs, jnp.broadcast_to(idx, idx.shape), axis=axis)
             if has_nan is not None:
                 taken = jnp.where(has_nan, jnp.nan, taken)
-            out.append(taken if self.keepdims else jnp.squeeze(taken, axis=axis))
+            taken = jnp.squeeze(taken, axis=axis)
+            if self.keepdims:
+                taken = jnp.expand_dims(taken, red)
+            out.append(taken)
         dense = out[0] if self._scalar_q else jnp.stack(out, axis=0)
         return dense
+
+
+def _quantile_args(expr, axis, method, kwargs):
+    """Shared quantile argument normalization (reference
+    ``reductions/_common.py:977``: tuple axes supported, ``interpolation``
+    rename warns, ``weights`` declined)."""
+    if kwargs.pop("interpolation", None) is not None:
+        import warnings
+
+        warnings.warn(
+            "The `interpolation` argument to quantile was renamed to `method`.",
+            FutureWarning,
+            stacklevel=3,
+        )
+    if kwargs.pop("weights", None) is not None:
+        raise NotImplementedError("weighted quantiles are not supported")
+    if axis is not None:
+        if isinstance(axis, (tuple, list)):
+            axis = tuple(sorted(validate_axis(ax, expr.ndim) for ax in axis))
+            if len(set(axis)) != len(axis):
+                raise ValueError("duplicate axis")
+            if len(axis) == 1:
+                axis = axis[0]
+        else:
+            axis = validate_axis(axis, expr.ndim)
+    return axis
 
 
 def quantile(a, q, axis=None, method="linear", keepdims=False, **kwargs):
     from dask_array_tpu._collection import Array, new_collection
 
     expr = a.expr if isinstance(a, Array) else a
-    if axis is not None:
-        axis = validate_axis(axis, expr.ndim)
-        if isinstance(axis, tuple):
-            raise NotImplementedError("quantile over multiple axes is not supported")
+    axis = _quantile_args(expr, axis, method, kwargs)
     return new_collection(Quantile(expr, q if np.ndim(q) == 0 else tuple(np.asarray(q).tolist()), axis, method, "quantile", bool(keepdims)))
 
 
@@ -921,10 +963,7 @@ def nanquantile(a, q, axis=None, method="linear", keepdims=False, **kwargs):
     from dask_array_tpu._collection import Array, new_collection
 
     expr = a.expr if isinstance(a, Array) else a
-    if axis is not None:
-        axis = validate_axis(axis, expr.ndim)
-        if isinstance(axis, tuple):
-            raise NotImplementedError("nanquantile over multiple axes is not supported")
+    axis = _quantile_args(expr, axis, method, kwargs)
     return new_collection(Quantile(expr, q if np.ndim(q) == 0 else tuple(np.asarray(q).tolist()), axis, method, "nanquantile", bool(keepdims)))
 
 

@@ -7,6 +7,8 @@ Reference: ``tests/test_reductions.py::test_array_reduction_out``,
 
 from __future__ import annotations
 
+import warnings
+
 import numpy as np
 import pytest
 
@@ -131,3 +133,38 @@ def test_percentile_methods(rng):
             da.percentile(d, [50], interpolation="lower"),
             np.percentile(x, [50], method="lower"),
         )
+
+
+def test_quantile_multiple_axes():
+    # reference reductions/_common.py:977: tuple axes rechunk-and-reduce;
+    # here the dense program reduces the flattened axis set directly
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(8, 6, 5))
+    xn = x.copy()
+    xn[::3] = np.nan
+    d = da.from_array(x, chunks=(3, 2, 5))
+    dn = da.from_array(xn, chunks=(3, 2, 5))
+    for axis in [(0, 2), (1, 2), (0, 1, 2)]:
+        for q in [0.5, [0.25, 0.75]]:
+            for kd in [False, True]:
+                for meth in ["linear", "nearest"]:
+                    r = da.quantile(d, q, axis=axis, method=meth, keepdims=kd)
+                    e = np.quantile(x, q, axis=axis, method=meth, keepdims=kd)
+                    got = np.asarray(r.compute())
+                    assert got.shape == e.shape
+                    np.testing.assert_allclose(got, e, rtol=1e-12)
+                    with warnings.catch_warnings():
+                        warnings.simplefilter("ignore", RuntimeWarning)
+                        rn = da.nanquantile(dn, q, axis=axis, method=meth, keepdims=kd)
+                        en = np.nanquantile(xn, q, axis=axis, method=meth, keepdims=kd)
+                    np.testing.assert_allclose(
+                        np.asarray(rn.compute()), en, rtol=1e-12, equal_nan=True
+                    )
+
+
+def test_quantile_interpolation_rename_warns():
+    d = da.from_array(np.arange(10.0), chunks=5)
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        da.quantile(d, 0.5, axis=0, interpolation="linear")
+    assert any("renamed" in str(r.message) for r in rec)
