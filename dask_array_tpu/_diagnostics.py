@@ -202,11 +202,11 @@ def _fmt_bytes(n):
     return f"{n:.1f} PiB"
 
 
-def chunk_report(*arrays, file=None):
+def chunk_report(*arrays, limit=8, file=None):
     """Summarize chunk-shape health (parity: ``chunk_report``,
-    ``_diagnostics.py:43``)."""
+    ``_diagnostics.py:43``; ``limit`` caps the per-call report lines)."""
     lines = []
-    for a in arrays:
+    for a in arrays[: limit if limit else None]:
         chunks = a.chunks
         sizes = []
         import itertools

@@ -182,19 +182,29 @@ def _like(maker, a, dtype=None, chunks=None, shape=None, **kw):
     return maker(shape, dtype=dtype, chunks=chunks, **kw)
 
 
-def ones_like(a, dtype=None, chunks=None, shape=None, name=None):
+def _check_like_order(order):
+    # device arrays are C-layout; 'F' would silently lie about strides
+    if order not in (None, "C", "K", "A"):
+        raise NotImplementedError(f"order={order!r} is not supported on TPU (C layout only)")
+
+
+def ones_like(a, dtype=None, order="C", chunks=None, name=None, shape=None):
+    _check_like_order(order)
     return _like(ones, a, dtype, chunks, shape)
 
 
-def zeros_like(a, dtype=None, chunks=None, shape=None, name=None):
+def zeros_like(a, dtype=None, order="C", chunks=None, name=None, shape=None):
+    _check_like_order(order)
     return _like(zeros, a, dtype, chunks, shape)
 
 
-def empty_like(a, dtype=None, chunks=None, shape=None, name=None):
+def empty_like(a, dtype=None, order="C", chunks=None, name=None, shape=None):
+    _check_like_order(order)
     return _like(empty, a, dtype, chunks, shape)
 
 
-def full_like(a, fill_value, dtype=None, chunks=None, shape=None, name=None):
+def full_like(a, fill_value, dtype=None, order="C", chunks=None, name=None, shape=None):
+    _check_like_order(order)
     if dtype is None and hasattr(a, "dtype"):
         dtype = a.dtype
     return _like(full, a, dtype, chunks, shape, fill_value=fill_value)

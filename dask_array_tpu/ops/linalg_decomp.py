@@ -551,8 +551,20 @@ def svd_flip(u, v, u_based_decision=False):
     return u * signs, v * signs.T
 
 
-def svd(a, coerce_signs=True):
-    """SVD; tall/short inputs use the TSQR reduction (parity: ``svd``)."""
+def svd(a, coerce_signs=True, full_matrices=False, compute_uv=True):
+    """SVD; tall/short inputs use the TSQR reduction (parity: ``svd``,
+    ``/root/reference/dask_array/linalg/_svd.py``: ``compute_uv=False``
+    returns only the singular values, ``full_matrices=True`` is rejected
+    unless uv is not computed)."""
+    if not compute_uv:
+        # full_matrices does not change the singular values
+        _, s, _ = svd(a, coerce_signs=False)
+        return s
+    if full_matrices:
+        raise NotImplementedError(
+            "full_matrices=True is not supported; use full_matrices=False "
+            "(thin SVD) or compute_uv=False"
+        )
     m, n = a.shape
     m_blocks, n_blocks = len(a.chunks[0]), len(a.chunks[1])
     dt = _float_dtype(a.dtype)

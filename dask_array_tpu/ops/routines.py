@@ -137,15 +137,20 @@ def average(a, axis=None, weights=None, returned=False, keepdims=False):
     return avg
 
 
-def cov(m, y=None, rowvar=1, bias=0, ddof=None, fweights=None, aweights=None):
+def cov(m, y=None, rowvar=1, bias=0, ddof=None, fweights=None, aweights=None, *, dtype=None):
     """Weighted covariance (numpy semantics incl. fweights/aweights).
 
     Parity: reference ``routines/_statistics.py`` ``cov`` (frequency and
-    reliability weights follow ``np.cov``'s normalization rules).
+    reliability weights follow ``np.cov``'s normalization rules; ``dtype``
+    sets the accumulation/result dtype as in numpy).
     """
     if ddof is not None and ddof != int(ddof):
         raise ValueError("ddof must be integer")
     m = _asarray(m)
+    if dtype is not None:
+        m = m.astype(np.dtype(dtype))
+        if y is not None:
+            y = _asarray(y).astype(np.dtype(dtype))
     if m.ndim > 2:
         raise ValueError("m has more than 2 dimensions")
     X = m if m.ndim == 2 else m.reshape((1, -1))

@@ -200,3 +200,12 @@ def test_pad_0_width():
     da_a = da.from_array(np_a, chunks=(4, 5))
     for mode in ["constant", "edge", "wrap", "reflect", "symmetric"]:
         assert_eq(np.pad(np_a, 0, mode=mode), da.pad(da_a, 0, mode=mode), check_chunks=False)
+
+
+def test_like_family_order_kwarg():
+    d = da.ones((4, 5), chunks=2)
+    for fn in [da.ones_like, da.zeros_like, da.empty_like]:
+        assert fn(d, order="K").shape == (4, 5)
+        with pytest.raises(NotImplementedError):
+            fn(d, order="F")
+    assert da.full_like(d, 7, order="C").compute().max() == 7

@@ -97,3 +97,32 @@ def test_vdot_complex(rng):
         np.vdot(a, b),
         rtol=1e-10,
     )
+
+
+def test_svd_compute_uv_false_returns_singular_values():
+    rng = np.random.default_rng(3)
+    a = rng.random((20, 10))
+    d = da.from_array(a, chunks=(5, 10))
+    s = da.linalg.svd(d, compute_uv=False)
+    np.testing.assert_allclose(
+        np.asarray(s.compute()), np.linalg.svd(a, compute_uv=False), rtol=1e-9
+    )
+    # full_matrices is irrelevant without uv (reference parity)
+    s2 = da.linalg.svd(d, full_matrices=True, compute_uv=False)
+    np.testing.assert_allclose(
+        np.asarray(s2.compute()), np.linalg.svd(a, compute_uv=False), rtol=1e-9
+    )
+
+
+def test_svd_full_matrices_not_supported():
+    d = da.ones((20, 10), chunks=(5, 10))
+    with pytest.raises(NotImplementedError):
+        da.linalg.svd(d, full_matrices=True)
+
+
+def test_cov_explicit_dtype():
+    rng = np.random.default_rng(4)
+    x = rng.random((4, 12))
+    c = da.cov(da.from_array(x, chunks=(2, 5)), dtype=np.float32)
+    assert c.dtype == np.float32
+    np.testing.assert_allclose(np.asarray(c.compute()), np.cov(x, dtype=np.float32), rtol=1e-5)
