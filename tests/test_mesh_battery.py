@@ -254,3 +254,33 @@ def test_eager_fallback_on_mesh_still_right(ring8, rng):
     )
     with use_mesh(ring8):
         assert_eq(out, np.argmax(x))
+
+
+def test_sliding_nan_moment_on_mesh(mesh2x4, rng):
+    # round-3 fusion: the window dim never materializes, sharded over 2x4
+    data = rng.standard_normal((12 * 96, 4))
+    data[rng.random(data.shape) < 0.2] = np.nan
+    with use_mesh(mesh2x4):
+        x = da.from_array(data, chunks=(96, 2))
+        v = da.nanvar(da.sliding_window_view(x, 480, axis=0), axis=-1)
+        got = np.asarray(v.compute())
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", RuntimeWarning)
+        exp = np.nanvar(np.lib.stride_tricks.sliding_window_view(data, 480, axis=0), axis=-1)
+    np.testing.assert_allclose(got, exp, rtol=1e-9, equal_nan=True)
+
+
+def test_collapsed_loader_stack_on_mesh(ring8):
+    # round-3 grouped FromMap collapse executing under a mesh
+    from dask_array_tpu.io._from_map import delayed, from_delayed
+
+    def load(i):
+        return np.full((8, 8), i, dtype=np.float64)
+
+    parts = [from_delayed(delayed(load)(i), shape=(8, 8), dtype="f8") for i in range(16)]
+    with use_mesh(ring8):
+        pile = da.stack(parts, axis=0)
+        res = np.asarray((pile * 2 + 1).sum(axis=(1, 2)).compute())
+    np.testing.assert_array_equal(res, [(i * 2 + 1) * 64 for i in range(16)])

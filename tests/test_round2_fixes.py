@@ -194,10 +194,15 @@ def test_vindex_too_many_indices(rng):
         d.vindex[np.array([0, 1]), np.array([2, 3])]
 
 
-def test_nanquantile_tuple_axis_raises(rng):
-    d = da.from_array(rng.standard_normal((4, 4)), chunks=2)
-    with pytest.raises(NotImplementedError, match="multiple axes"):
-        da.nanquantile(d, 0.5, axis=(0, 1))
+def test_nanquantile_tuple_axis(rng):
+    # round 3: tuple axes are supported (reference reductions/_common.py:977)
+    x = rng.standard_normal((4, 4))
+    d = da.from_array(x, chunks=2)
+    np.testing.assert_allclose(
+        np.asarray(da.nanquantile(d, 0.5, axis=(0, 1)).compute()),
+        np.nanquantile(x, 0.5, axis=(0, 1)),
+        rtol=1e-12,
+    )
 
 
 def test_bool_mask_wrong_shape_raises(rng):
