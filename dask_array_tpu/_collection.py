@@ -234,6 +234,72 @@ class Array:
 
         return new_collection(optimize_expr(self._expr, fuse=fuse))
 
+    def simplify(self) -> "Array":
+        """Rewrite-only optimization (no lowering/fusion); parity:
+        reference ``Array.simplify`` (``_collection.py:327``)."""
+        return new_collection(self._expr.simplify())
+
+    @property
+    def partitions(self):
+        """Slice by partitions; alias of ``.blocks`` (parity:
+        ``_collection.py:475``)."""
+        return self.blocks
+
+    @property
+    def A(self):
+        # np.matrix-era compatibility shim (parity: ``_collection.py:960``)
+        return self
+
+    def transfer_bytes(self):
+        """Estimated (min, max) inter-device bytes moved by the ROOT node's
+        incoming edges (parity: ``_collection.py:494``); sum over the
+        optimized tree for a whole-computation estimate."""
+        return self._expr.transfer_bytes()
+
+    def to_svg(self, size=500):
+        """SVG image of the chunk grid (parity: ``_collection.py:1199``)."""
+        from dask_array_tpu._svg import array_svg
+
+        return array_svg(self.chunks)
+
+    def to_backend(self, backend=None, **kwargs):
+        """Move to a named array backend.  This framework has ONE device
+        backend (jax/TPU), so the default/'jax'/'tpu' names return self;
+        anything else is unknown (parity: ``_collection.py:1182`` — the
+        reference moves numpy<->cupy here)."""
+        if backend in (None, "jax", "tpu", "dask_array_tpu"):
+            return self
+        raise ValueError(f"unknown array backend {backend!r}")
+
+    def to_tiledb(self, uri, *args, **kwargs):
+        from dask_array_tpu.io._tiledb import to_tiledb
+
+        return to_tiledb(self, uri, *args, **kwargs)
+
+    def to_dask_dataframe(self, columns=None, index=None, meta=None):
+        # requires the dask.dataframe library, not installable in this image
+        raise ImportError(
+            "to_dask_dataframe requires dask[dataframe], which is not "
+            "available; compute() to numpy and build the frame from that"
+        )
+
+    @property
+    def dask(self):
+        """Lazy block mapping {(name, i, j, ...): lazy block Array}.
+
+        The reference's ``.dask`` exports the task graph
+        (``_collection.py:184``); this runtime has no task layer, so the
+        interop export is one LAZY sub-Array per block — the inverse of
+        ``io.from_blocks``.  Nothing computes until a block is computed.
+        """
+        from dask_array_tpu._executor import iter_block_indices
+
+        name = self._expr._name
+        return {
+            (name, *idx): self.blocks[idx]
+            for idx in iter_block_indices(self.numblocks)
+        }
+
     def compute(self, **kwargs):
         from dask_array_tpu._materialize import compute_to_numpy
 
@@ -590,9 +656,13 @@ class Array:
             axes = axes[0]
         return transpose(self, axes)
 
-    def reshape(self, *shape, merge_chunks=True, limit=None):
+    def reshape(self, *shape, merge_chunks=True, limit=None, order="C"):
         from dask_array_tpu.ops._reshape import reshape
 
+        if order not in (None, "C"):
+            # device arrays are C-layout (parity: the reference accepts only
+            # the C keyword too, test_reshape_accepts_c_order_keyword)
+            raise NotImplementedError(f"reshape(order={order!r}) is not supported")
         if len(shape) == 1 and isinstance(shape[0], (tuple, list)):
             shape = shape[0]
         return reshape(self, shape, merge_chunks=merge_chunks, limit=limit)

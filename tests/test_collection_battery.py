@@ -184,3 +184,32 @@ def test_reduction_scalar_aggregate_meta():
     s = x.sum()
     assert s.shape == ()
     assert float(s.compute()) == 36.0
+
+
+def test_array_member_surface():
+    # reference Array members: simplify/partitions/A/transfer_bytes/to_svg/
+    # to_backend/dask export (reference _collection.py:184-1199)
+    x = da.from_array(np.arange(24.0).reshape(4, 6), chunks=(2, 3))
+    assert type(x.simplify()) is type(x)
+    assert x.partitions[0, 1].shape == (2, 3)
+    assert x.A is x
+    assert x.transfer_bytes() == (0, 0)
+    assert "<svg" in x.to_svg()
+    assert x.to_backend() is x and x.to_backend("jax") is x
+    with pytest.raises(ValueError):
+        x.to_backend("cupy")
+    with pytest.raises(ImportError):
+        x.to_dask_dataframe()
+    g = x.dask
+    assert len(g) == 4
+    key = next(k for k in g if k[1:] == (0, 0))
+    np.testing.assert_array_equal(
+        np.asarray(g[key].compute()), np.arange(24.0).reshape(4, 6)[:2, :3]
+    )
+
+
+def test_reshape_order_keyword():
+    x = da.from_array(np.arange(24.0).reshape(4, 6), chunks=(2, 3))
+    assert x.reshape(24, order="C").shape == (24,)
+    with pytest.raises(NotImplementedError):
+        x.reshape(24, order="F")
