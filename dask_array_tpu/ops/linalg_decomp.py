@@ -588,13 +588,28 @@ def svd(a, coerce_signs=True, full_matrices=False, compute_uv=True):
     return u, s, vh
 
 
-def svd_compressed(a, k, iterator="power", n_power_iter=0, n_oversamples=10, seed=None, compute=False, coerce_signs=True):
-    """Randomized (compressed) SVD (parity: ``svd_compressed``,
-    ``_svd.py:329``) — pure composition of matmul/QR collections."""
+def compression_level(n, q, n_oversamples=10, min_subspace_size=20):
+    """Compression level for svd_compressed: ``q`` plus oversamples, floored
+    at ``min_subspace_size``, capped by the space size (parity:
+    ``compression_level``, ``/root/reference/dask_array/linalg/_svd.py:229``)."""
+    return min(max(min_subspace_size, q + n_oversamples), n)
+
+
+def compression_matrix(data, q, iterator="power", n_power_iter=0, n_oversamples=10, seed=None, compute=False):
+    """Orthonormal panel spanning the most active subspace (parity:
+    ``compression_matrix``, ``_svd.py:254``); returns the (comp, m) matrix
+    whose transpose is the sampled range basis."""
+    q_mat = _range_panel(data, q, iterator, n_power_iter, n_oversamples, seed)
+    return q_mat.T
+
+
+def _range_panel(a, k, iterator, n_power_iter, n_oversamples, seed):
+    """The randomized range finder shared by compression_matrix and
+    svd_compressed: sample, (power|QR)-iterate, orthonormalize via TSQR."""
     from dask_array_tpu.ops.random import default_rng
 
     m, n = a.shape
-    comp_level = min(k + n_oversamples, m, n)
+    comp_level = compression_level(min(m, n), k, n_oversamples=n_oversamples)
     rng = default_rng(seed)
     omega = rng.standard_normal(
         size=(n, comp_level), chunks=(a.chunks[1], -1)
@@ -625,7 +640,15 @@ def svd_compressed(a, k, iterator="power", n_power_iter=0, n_oversamples=10, see
         raise ValueError(
             f"Compression matrix iterator must be 'power' or 'QR', got {iterator!r}"
         )
+    return q
+
+
+def svd_compressed(a, k, iterator="power", n_power_iter=0, n_oversamples=10, seed=None, compute=False, coerce_signs=True):
+    """Randomized (compressed) SVD (parity: ``svd_compressed``,
+    ``_svd.py:329``) — pure composition of matmul/QR collections."""
+    q = _range_panel(a, k, iterator, n_power_iter, n_oversamples, seed)
     b = q.T @ a
+    comp_level = q.shape[1]
     if comp_level >= b.shape[1]:
         # square-ish compressed panel: the m>=n svd path needs ONE column
         # block (b is comp x n, small either way)

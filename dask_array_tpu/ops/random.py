@@ -36,7 +36,12 @@ def _jnp():
 
 
 # distributions whose jax sampler requires threefry keys
-_THREEFRY_ONLY = {"poisson", "negative_binomial"}
+_THREEFRY_ONLY = {
+    "poisson",
+    "negative_binomial",
+    "noncentral_chisquare",  # Poisson mixture
+    "noncentral_f",
+}
 
 
 class Random(ArrayExpr):
@@ -267,6 +272,121 @@ def _make_kernels():
     def permutation_kernel(key, shape, dtype, p):
         return jr.permutation(key, p["n"]).astype(dtype)
 
+    def hypergeometric(key, shape, dtype, p):
+        # exact sequential urn draws: nsample is STATIC, so one fori_loop
+        # of Bernoulli(good/total) updates traces into the program
+        import jax
+
+        f64 = jnp.float64
+        good0 = jnp.broadcast_to(jnp.asarray(p["ngood"], f64), shape)
+        total0 = good0 + jnp.broadcast_to(jnp.asarray(p["nbad"], f64), shape)
+
+        def body(i, state):
+            key, good, total, cnt = state
+            key, k = jr.split(key)
+            u = jr.uniform(k, shape, f64)
+            take_good = (u * total < good).astype(f64)
+            return key, good - take_good, total - 1.0, cnt + take_good
+
+        _, _, _, cnt = jax.lax.fori_loop(
+            0, int(p["nsample"]), body, (key, good0, total0, jnp.zeros(shape, f64))
+        )
+        return cnt.astype(dtype)
+
+    def logseries(key, shape, dtype, p):
+        # numpy's rk_logseries rejection, vectorized lanes (see vonmises)
+        import jax
+
+        f64 = jnp.float64
+        pp = jnp.broadcast_to(jnp.asarray(p["p"], f64), shape)
+        r = jnp.log1p(-pp)
+
+        def cond(state):
+            _, _, done, it = state
+            return (~jnp.all(done)) & (it < 200)
+
+        def body(state):
+            key, out, done, it = state
+            key, k1, k2 = jr.split(key, 3)
+            v = jr.uniform(k1, shape, f64, minval=1e-300)
+            u = jr.uniform(k2, shape, f64, minval=1e-300)
+            q = -jnp.expm1(r * u)
+            in_q2 = v <= q * q
+            res_q2 = jnp.floor(1.0 + jnp.log(v) / jnp.log(q))
+            bad = in_q2 & (res_q2 < 1.0)
+            val = jnp.where(in_q2, res_q2, jnp.where(v >= q, 1.0, 2.0))
+            val = jnp.where(v >= pp, 1.0, val)
+            acc = (v >= pp) | ~bad
+            out = jnp.where(~done & acc, val, out)
+            return key, out, done | acc, it + 1
+
+        init = (key, jnp.ones(shape, f64), jnp.zeros(shape, bool), 0)
+        _, out, _, _ = jax.lax.while_loop(cond, body, init)
+        return out.astype(dtype)
+
+    def multinomial(key, shape, dtype, p):
+        # conditional-binomial chain over the (static) category count; the
+        # category axis is the trailing dim of ``shape``
+        f64 = jnp.float64
+        pvals = jnp.asarray(p["pvals"], f64)
+        k = int(p["k"])
+        base = shape[:-1]
+        remaining = jnp.full(base, float(p["n"]), f64)
+        rem_p = jnp.asarray(1.0, f64)
+        outs = []
+        for i in range(k - 1):
+            key, ki = jr.split(key)
+            cond_p = jnp.clip(pvals[i] / jnp.maximum(rem_p, 1e-300), 0.0, 1.0)
+            x = jr.binomial(ki, remaining, cond_p, shape=base)
+            outs.append(x)
+            remaining = remaining - x
+            rem_p = rem_p - pvals[i]
+        outs.append(remaining)
+        return jnp.stack(outs, axis=-1).astype(dtype)
+
+    def noncentral_chisquare(key, shape, dtype, p):
+        # Poisson mixture: ncx2(df, nonc) == chisq(df + 2*Poisson(nonc/2))
+        k1, k2 = jr.split(key)
+        i = jr.poisson(k1, jnp.asarray(p["nonc"], jnp.float64) / 2.0, shape=shape)
+        a = jnp.asarray(p["df"], jnp.float64) / 2.0 + i
+        return (2.0 * jr.gamma(k2, a, shape=shape)).astype(dtype)
+
+    def noncentral_f(key, shape, dtype, p):
+        k1, k2 = jr.split(key)
+        num = noncentral_chisquare(k1, shape, np.dtype("f8"), {"df": p["dfnum"], "nonc": p["nonc"]})
+        den = jr.chisquare(k2, p["dfden"], shape=shape, dtype=jnp.float64)
+        out = (num / p["dfnum"]) / (den / p["dfden"])
+        return out.astype(dtype)
+
+    def zipf(key, shape, dtype, p):
+        # Devroye's rejection (numpy's rk_zipf), vectorized lanes
+        import jax
+
+        f64 = jnp.float64
+        a = jnp.broadcast_to(jnp.asarray(p["a"], f64), shape)
+        am1 = a - 1.0
+        b = 2.0 ** am1
+
+        def cond(state):
+            _, _, done, it = state
+            return (~jnp.all(done)) & (it < 200)
+
+        def body(state):
+            key, out, done, it = state
+            key, k1, k2 = jr.split(key, 3)
+            u = 1.0 - jr.uniform(k1, shape, f64)
+            v = jr.uniform(k2, shape, f64)
+            x = jnp.floor(u ** (-1.0 / am1))
+            in_range = (x >= 1.0) & (x < 2.0**62)
+            t = (1.0 + 1.0 / x) ** am1
+            acc = in_range & (v * x * (t - 1.0) / (b - 1.0) <= t / b)
+            out = jnp.where(~done & acc, x, out)
+            return key, out, done | acc, it + 1
+
+        init = (key, jnp.ones(shape, f64), jnp.zeros(shape, bool), 0)
+        _, out, _, _ = jax.lax.while_loop(cond, body, init)
+        return out.astype(dtype)
+
     return {k: v for k, v in locals().items() if callable(v)}
 
 
@@ -404,6 +524,51 @@ class Generator:
 
     def weibull(self, a, size=None, chunks="auto", **kw):
         return self._draw("weibull", size, float, chunks, a=float(a))
+
+    def hypergeometric(self, ngood, nbad, nsample, size=None, chunks="auto", **kw):
+        if not isinstance(nsample, Integral):
+            raise NotImplementedError("array-valued nsample is not supported")
+        return self._draw(
+            "hypergeometric", size, np.int64, chunks,
+            ngood=int(ngood), nbad=int(nbad), nsample=int(nsample),
+        )
+
+    def logseries(self, p, size=None, chunks="auto", **kw):
+        if not 0.0 < float(p) < 1.0:
+            raise ValueError("p must be in (0, 1)")
+        return self._draw("logseries", size, np.int64, chunks, p=float(p))
+
+    def multinomial(self, n, pvals, size=None, chunks="auto", **kw):
+        pvals = tuple(float(v) for v in np.asarray(pvals).ravel())
+        if np.sum(pvals[:-1]) > 1.0 + 1e-12:
+            raise ValueError("sum(pvals[:-1]) > 1.0")
+        k = len(pvals)
+        if size is None:
+            size = ()
+        if isinstance(size, Integral):
+            size = (int(size),)
+        out_size = tuple(int(s) for s in size) + (k,)
+        if chunks == "auto":
+            chunks = ("auto",) * len(size) + (k,)  # categories stay one block
+        return self._draw("multinomial", out_size, np.int64, chunks, n=int(n), pvals=pvals, k=k)
+
+    def noncentral_chisquare(self, df, nonc, size=None, chunks="auto", **kw):
+        if float(df) <= 0 or float(nonc) < 0:
+            raise ValueError("df must be > 0, nonc >= 0")
+        return self._draw("noncentral_chisquare", size, float, chunks, df=float(df), nonc=float(nonc))
+
+    def noncentral_f(self, dfnum, dfden, nonc, size=None, chunks="auto", **kw):
+        if float(dfnum) <= 0 or float(dfden) <= 0 or float(nonc) < 0:
+            raise ValueError("dfnum/dfden must be > 0, nonc >= 0")
+        return self._draw(
+            "noncentral_f", size, float, chunks,
+            dfnum=float(dfnum), dfden=float(dfden), nonc=float(nonc),
+        )
+
+    def zipf(self, a, size=None, chunks="auto", **kw):
+        if float(a) <= 1.0:
+            raise ValueError("a must be > 1")
+        return self._draw("zipf", size, np.int64, chunks, a=float(a))
 
     def multivariate_normal(self, mean, cov, size=None, chunks="auto", **kw):
         mean = np.asarray(mean, dtype="f8")
@@ -552,3 +717,21 @@ wald = _module_fn("wald")
 weibull = _module_fn("weibull")
 permutation = _module_fn("permutation")
 multivariate_normal = _module_fn("multivariate_normal")
+vonmises = _module_fn("vonmises")
+hypergeometric = _module_fn("hypergeometric")
+logseries = _module_fn("logseries")
+multinomial = _module_fn("multinomial")
+noncentral_chisquare = _module_fn("noncentral_chisquare")
+noncentral_f = _module_fn("noncentral_f")
+zipf = _module_fn("zipf")
+
+
+def random_integers(low, high=None, size=None, chunks="auto"):
+    """Legacy inclusive-endpoint randint (parity: reference random module)."""
+    return _module_rng().integers(low, high, size=size, endpoint=True, chunks=chunks)
+
+
+def seed(seed=None):
+    """Re-seed the module-level generator (legacy np.random.seed parity)."""
+    global _default
+    _default = Generator(seed)

@@ -524,3 +524,75 @@ def test_vonmises_tiny_kappa_terminates_in_f32():
         s = np.asarray(r.vonmises(0.0, kappa, size=(2000,), chunks=1000).compute())
         assert np.all(np.isfinite(s))
         assert np.all((s >= -np.pi) & (s <= np.pi))
+
+
+def test_round3_distributions_moments():
+    # hypergeometric/logseries/multinomial/noncentral_chisquare/noncentral_f/
+    # zipf: traced kernels (urn fori_loop, rejection while_loops, binomial
+    # chain, Poisson mixture) whose moments must match numpy's samplers
+    N = 40_000
+    g = da.random.default_rng(7)
+    ng = np.random.default_rng(7)
+
+    h = np.asarray(g.hypergeometric(30, 20, 15, size=N).compute())
+    hn = ng.hypergeometric(30, 20, 15, size=N)
+    assert abs(h.mean() - hn.mean()) < 0.1 and abs(h.var() - hn.var()) < 0.2
+
+    ls = np.asarray(g.logseries(0.6, size=N).compute())
+    lsn = ng.logseries(0.6, size=N)
+    assert abs(ls.mean() - lsn.mean()) < 0.05 and ls.min() >= 1
+
+    m = np.asarray(g.multinomial(50, [0.2, 0.3, 0.5], size=N).compute())
+    assert m.shape == (N, 3)
+    np.testing.assert_array_equal(np.unique(m.sum(axis=1)), [50])
+    np.testing.assert_allclose(m.mean(axis=0), [10, 15, 25], rtol=0.03)
+
+    nc = np.asarray(g.noncentral_chisquare(3.0, 2.5, size=N).compute())
+    assert abs(nc.mean() - 5.5) < 0.15  # E = df + nonc
+    assert abs(nc.var() - (2 * 3 + 4 * 2.5)) < 0.7  # Var = 2 df + 4 nonc
+
+    nf = np.asarray(g.noncentral_f(5.0, 20.0, 3.0, size=N).compute())
+    exp_mean = (20.0 * (5.0 + 3.0)) / (5.0 * (20.0 - 2.0))  # dfden(dfnum+nonc)/(dfnum(dfden-2))
+    assert abs(nf.mean() - exp_mean) < 0.05
+
+    z = np.asarray(g.zipf(3.0, size=N).compute())
+    zn = ng.zipf(3.0, size=N)
+    assert z.min() >= 1
+    assert abs((z == 1).mean() - (zn == 1).mean()) < 0.02
+    assert abs(z.mean() - zn.mean()) < 0.05
+
+
+def test_round3_distribution_validation():
+    g = da.random.default_rng(0)
+    with pytest.raises(ValueError):
+        g.zipf(1.0)
+    with pytest.raises(ValueError):
+        g.logseries(1.5)
+    with pytest.raises(ValueError):
+        g.noncentral_chisquare(-1.0, 1.0)
+    with pytest.raises(ValueError):
+        g.multinomial(5, [0.9, 0.2, 0.2])  # sum(pvals[:-1]) > 1, numpy's check
+
+
+def test_module_seed_and_random_integers():
+    da.random.seed(5)
+    a1 = np.asarray(da.random.random(4).compute())
+    da.random.seed(5)
+    a2 = np.asarray(da.random.random(4).compute())
+    np.testing.assert_array_equal(a1, a2)
+    ri = np.asarray(da.random.random_integers(1, 3, size=2000).compute())
+    assert sorted(np.unique(ri).tolist()) == [1, 2, 3]
+    assert hasattr(da.random, "vonmises") and hasattr(da.random, "zipf")
+
+
+def test_compression_matrix_public():
+    # parity: reference linalg exports compression_level/compression_matrix
+    assert da.linalg.compression_level(100, 5) == 20  # min_subspace floor
+    assert da.linalg.compression_level(100, 50) == 60
+    assert da.linalg.compression_level(10, 50) == 10  # capped by the space
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((128, 32))
+    cm = da.linalg.compression_matrix(da.from_array(x, chunks=(32, 16)), 10, seed=1)
+    q = np.asarray(cm.compute())
+    assert q.shape == (20, 128)
+    np.testing.assert_allclose(q @ q.T, np.eye(20), atol=1e-8)
