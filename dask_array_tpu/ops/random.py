@@ -358,6 +358,33 @@ def _make_kernels():
         out = (num / p["dfnum"]) / (den / p["dfden"])
         return out.astype(dtype)
 
+    def multivariate_hypergeometric(key, shape, dtype, p):
+        # exact k-category urn: nsample STATIC draws, each picking a category
+        # by cumulative remaining counts (marginals and count methods sample
+        # the same distribution; this is the traced analog)
+        import jax
+
+        f64 = jnp.float64
+        k = int(p["k"])
+        base = shape[:-1]
+        colors = jnp.asarray(p["colors"], f64)
+        rem0 = jnp.broadcast_to(colors, base + (k,)).astype(f64)
+
+        def body(i, state):
+            key, rem, cnt = state
+            key, kk = jr.split(key)
+            u = jr.uniform(kk, base, f64)
+            total = jnp.sum(rem, axis=-1, keepdims=True)
+            cum = jnp.cumsum(rem, axis=-1)
+            idx = jnp.sum((u[..., None] * total >= cum).astype(jnp.int32), axis=-1)
+            onehot = jax.nn.one_hot(idx, k, dtype=f64)
+            return key, rem - onehot, cnt + onehot
+
+        _, _, cnt = jax.lax.fori_loop(
+            0, int(p["nsample"]), body, (key, rem0, jnp.zeros(base + (k,), f64))
+        )
+        return cnt.astype(dtype)
+
     def zipf(key, shape, dtype, p):
         # Devroye's rejection (numpy's rk_zipf), vectorized lanes
         import jax
@@ -569,6 +596,29 @@ class Generator:
         if float(a) <= 1.0:
             raise ValueError("a must be > 1")
         return self._draw("zipf", size, np.int64, chunks, a=float(a))
+
+    def multivariate_hypergeometric(self, colors, nsample, size=None, method="marginals", chunks="auto", **kw):
+        if method not in ("marginals", "count"):
+            raise ValueError(f"method must be 'marginals' or 'count', got {method!r}")
+        colors = tuple(int(c) for c in np.asarray(colors).ravel())
+        if any(c < 0 for c in colors):
+            raise ValueError("colors must be non-negative")
+        if not isinstance(nsample, Integral):
+            raise NotImplementedError("array-valued nsample is not supported")
+        if int(nsample) > sum(colors):
+            raise ValueError("nsample > sum(colors)")
+        k = len(colors)
+        if size is None:
+            size = ()
+        if isinstance(size, Integral):
+            size = (int(size),)
+        out_size = tuple(int(s) for s in size) + (k,)
+        if chunks == "auto":
+            chunks = ("auto",) * len(size) + (k,)
+        return self._draw(
+            "multivariate_hypergeometric", out_size, np.int64, chunks,
+            colors=colors, nsample=int(nsample), k=k,
+        )
 
     def multivariate_normal(self, mean, cov, size=None, chunks="auto", **kw):
         mean = np.asarray(mean, dtype="f8")

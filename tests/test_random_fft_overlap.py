@@ -596,3 +596,19 @@ def test_compression_matrix_public():
     q = np.asarray(cm.compute())
     assert q.shape == (20, 128)
     np.testing.assert_allclose(q @ q.T, np.eye(20), atol=1e-8)
+
+
+def test_multivariate_hypergeometric():
+    N = 20_000
+    g = da.random.default_rng(11)
+    ng = np.random.default_rng(11)
+    m = np.asarray(g.multivariate_hypergeometric([16, 8, 4], 6, size=N).compute())
+    mn = ng.multivariate_hypergeometric([16, 8, 4], 6, size=N)
+    assert m.shape == (N, 3)
+    np.testing.assert_array_equal(np.unique(m.sum(axis=1)), [6])
+    np.testing.assert_allclose(m.mean(axis=0), mn.mean(axis=0), atol=0.06)
+    np.testing.assert_allclose(m.var(axis=0), mn.var(axis=0), atol=0.08)
+    with pytest.raises(ValueError):
+        g.multivariate_hypergeometric([3, 2], 10)  # nsample > sum(colors)
+    with pytest.raises(ValueError):
+        g.multivariate_hypergeometric([3, 2], 2, method="bogus")
