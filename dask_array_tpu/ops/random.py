@@ -555,9 +555,21 @@ class Generator:
     def hypergeometric(self, ngood, nbad, nsample, size=None, chunks="auto", **kw):
         if not isinstance(nsample, Integral):
             raise NotImplementedError("array-valued nsample is not supported")
+        ngood, nbad, nsample = int(ngood), int(nbad), int(nsample)
+        total = ngood + nbad
+        if nsample > total:
+            raise ValueError("ngood + nbad < nsample")
+        if nsample > total // 2:
+            # the traced urn is O(nsample) steps: sample the COMPLEMENT
+            # (same distribution, good_in_sample = ngood - good_in_rest)
+            rest = self._draw(
+                "hypergeometric", size, np.int64, chunks,
+                ngood=ngood, nbad=nbad, nsample=total - nsample,
+            )
+            return ngood - rest
         return self._draw(
             "hypergeometric", size, np.int64, chunks,
-            ngood=int(ngood), nbad=int(nbad), nsample=int(nsample),
+            ngood=ngood, nbad=nbad, nsample=nsample,
         )
 
     def logseries(self, p, size=None, chunks="auto", **kw):

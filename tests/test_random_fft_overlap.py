@@ -612,3 +612,18 @@ def test_multivariate_hypergeometric():
         g.multivariate_hypergeometric([3, 2], 10)  # nsample > sum(colors)
     with pytest.raises(ValueError):
         g.multivariate_hypergeometric([3, 2], 2, method="bogus")
+
+
+def test_hypergeometric_complement_path():
+    # nsample > total/2 samples the complement (O(min(nsample, total-nsample)))
+    N = 20_000
+    g = da.random.default_rng(7)
+    ng = np.random.default_rng(7)
+    h = np.asarray(g.hypergeometric(30, 20, 40, size=N).compute())
+    hn = ng.hypergeometric(30, 20, 40, size=N)
+    assert h.min() >= 20 and h.max() <= 30
+    assert abs(h.mean() - hn.mean()) < 0.1 and abs(h.var() - hn.var()) < 0.15
+    full = np.asarray(g.hypergeometric(5, 3, 8, size=50).compute())
+    np.testing.assert_array_equal(np.unique(full), [5])
+    with pytest.raises(ValueError):
+        g.hypergeometric(3, 2, 9)
