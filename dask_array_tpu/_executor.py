@@ -393,7 +393,7 @@ def _is_host_only(arr) -> bool:
     if isinstance(arr, np.ma.MaskedArray):
         return True
     dt = getattr(arr, "dtype", None)
-    return dt is not None and getattr(np.dtype(dt), "kind", "") == "V"
+    return dt is not None and getattr(np.dtype(dt), "kind", "") in "VUSOT"
 
 
 # ops that PASS a masked block through untouched (numpy.ma handles them);
@@ -432,11 +432,11 @@ def check_masked_ops(root) -> None:
 
 def node_traceable(node) -> bool:
     """A node joins the jitted program unless it opts out OR its value has
-    no device representation (structured dtype)."""
+    no device representation (structured/string/object dtypes)."""
     if not getattr(node, "_traceable", True):
         return False
     try:
-        return np.dtype(node.dtype).kind != "V"
+        return np.dtype(node.dtype).kind not in "VUSOT"
     except Exception:
         return True
 

@@ -178,11 +178,24 @@ class Einsum(ArrayExpr):
         return BlockView(self.chunks, dense=dense)
 
 
-def einsum(subscripts, *operands, dtype=None, optimize=False, split_every=None, **kwargs):
+def einsum(subscripts, *operands, dtype=None, optimize=False, split_every=None,
+           order="K", casting="safe", **kwargs):
     from dask_array_tpu._collection import new_collection
     from dask_array_tpu.ops._from_array import asarray
 
+    if order not in ("C", "F", "A", "K"):
+        raise ValueError(f"order must be one of 'C', 'F', 'A', or 'K' (got {order!r})")
+    if casting not in ("no", "equiv", "safe", "same_kind", "unsafe"):
+        raise ValueError(f"casting must be a numpy casting rule (got {casting!r})")
+    # `order` is a host-memory-layout request — value-free for device arrays;
+    # `casting` gates an explicit dtype= like numpy's einsum does
     arrays = [asarray(op) for op in operands]
+    if dtype is not None and casting != "unsafe":
+        natural = np.result_type(*[a.dtype for a in arrays])
+        if not np.can_cast(natural, np.dtype(dtype), casting=casting):
+            raise TypeError(
+                f"Cannot cast from {natural} to {np.dtype(dtype)} with casting rule {casting!r}"
+            )
     input_labels, out_labels = parse_einsum(subscripts, [a.ndim for a in arrays])
     kw = dict(kwargs)
     if dtype is not None:

@@ -555,12 +555,8 @@ def roll(array, shift, axis=None):
     shifts = (shift,) if isinstance(shift, Integral) else tuple(shift)
     axes = (axis,) if isinstance(axis, Integral) else tuple(axis)
     if len(shifts) != len(axes):
-        if len(shifts) == 1:
-            shifts = shifts * len(axes)
-        elif len(axes) == 1:
-            axes = axes * len(shifts)
-        else:
-            raise ValueError("shift and axis must have the same length")
+        # reference parity (manipulation/_roll.py:56): no scalar broadcast
+        raise ValueError("Must have the same number of shifts as axes.")
     for s, ax in zip(shifts, axes):
         result = _roll_one(result, s, validate_axis(ax, result.ndim))
     return result

@@ -104,7 +104,9 @@ def shape(a):
 
 def count_nonzero(a, axis=None):
     a = _asarray(a)
-    return (a != 0).sum(axis=axis, dtype=np.intp)
+    # astype(bool) (not `!= 0`) so str/object host-lane arrays follow
+    # numpy's truthiness (reference test_count_nonzero_str/_obj)
+    return a.astype(bool).sum(axis=axis, dtype=np.intp)
 
 
 def ptp(a, axis=None):
@@ -417,7 +419,11 @@ class NonzeroAxis(ArrayExpr):
     def _build(self, ctx):
         jnp = _jnp()
         dense = ctx.build(self.array).dense()
-        out = jnp.nonzero(dense)[self.axis_out]
+        if isinstance(dense, np.ndarray) and dense.dtype.kind not in "biufc":
+            # str/object/structured host lane: numpy truthiness
+            out = jnp.asarray(np.nonzero(dense)[self.axis_out])
+        else:
+            out = jnp.nonzero(dense)[self.axis_out]
         return BlockView(self.chunks, dense=out.astype(np.intp))
 
 
@@ -453,7 +459,11 @@ class Unique(ArrayExpr):
     @property
     def chunks(self):
         if self.which == "inverse":
-            return ((float("nan"),),)
+            # the inverse has one entry per input element: size is KNOWN
+            # whenever the input's is (reference asserts (x.size,) shape)
+            size = self.array.size
+            if not (isinstance(size, float) and np.isnan(size)):
+                return ((int(size),),)
         return ((float("nan"),),)
 
     @functools.cached_property
@@ -982,50 +992,89 @@ def apply_over_axes(func, a, axes):
 # ---------------------------------------------------------------------------
 
 
+def _is_lazy_collection(x):
+    from dask_array_tpu._collection import Array
+
+    return isinstance(x, Array) or hasattr(x, "__dask_graph__")
+
+
 def ravel_multi_index(multi_index, dims, mode="raise", order="C"):
-    jnp = _jnp()
-    if mode == "raise":
-        # bounds violations must raise (numpy contract) — raising is
-        # impossible inside a trace, so this path evaluates eagerly on host
-        from dask_array_tpu._collection import new_collection
+    """Reference parity (routines/_indexing.py:38): coords stack along a new
+    leading axis; per-block kernel drops it.  mode='raise' must raise on
+    out-of-bounds at compute time, so that path runs eagerly on host."""
+    from dask_array_tpu._collection import new_collection
 
-        arrs = (
-            [_asarray(m).expr for m in multi_index]
-            if isinstance(multi_index, (tuple, list))
-            else [_asarray(multi_index).expr]
+    if np.isscalar(dims):
+        dims = (dims,)
+    if _is_lazy_collection(dims) or any(_is_lazy_collection(d) for d in dims):
+        raise NotImplementedError(
+            f"Dask types are not supported in the `dims` argument: {dims!r}"
         )
-        return new_collection(_RavelMultiRaise(tuple(dims), order, *arrs))
-    if isinstance(multi_index, (tuple, list)):
-        arrs = [_asarray(m) for m in multi_index]
+    dims = tuple(int(d) for d in dims)
 
-        def _rmi(*idxs):
-            return jnp.ravel_multi_index(tuple(idxs), dims, mode=mode, order=order)
+    if hasattr(multi_index, "ndim") and multi_index.ndim > 0:
+        index_stack = _asarray(multi_index)
+    else:
+        from dask_array_tpu.ops.stacking import stack
 
-        out = elemwise(_rmi, *arrs)
-        return out.astype(np.intp)
-    m = _asarray(multi_index)
-    return elemwise(
-        lambda x: jnp.ravel_multi_index(tuple(x), dims, mode=mode, order=order), m
-    ).astype(np.intp)
+        coords = [_asarray(m) for m in multi_index]
+        if any(
+            isinstance(c, float) and np.isnan(c)
+            for m in coords
+            for c in np.asarray(m.shape).ravel().tolist()
+        ):
+            raise ValueError(
+                "ravel_multi_index requires known chunk sizes to broadcast "
+                "the coordinate arrays; call compute_chunk_sizes() first"
+            )
+        arrs = broadcast_arrays(*coords)
+        index_stack = stack(arrs)
+    lead = index_stack.shape[0]
+    if not (isinstance(lead, float) and np.isnan(lead)) and int(lead) != len(dims):
+        raise ValueError(
+            f"parameter multi_index must be a sequence of length {len(dims)}"
+        )
+    if not np.issubdtype(index_stack.dtype, np.signedinteger):
+        raise TypeError("only int indices permitted")
+    if len(index_stack.chunks[0]) != 1:
+        # the kernel reads every coordinate of one point together
+        index_stack = index_stack.rechunk({0: -1})
+
+    if mode == "raise":
+        return new_collection(
+            _RavelMultiRaise(dims, order, index_stack.expr)
+        )
+
+    from dask_array_tpu.ops._map_blocks import map_blocks
+
+    return map_blocks(
+        functools.partial(_ravel_multi_block, dims=dims, mode=mode, order=order),
+        index_stack,
+        dtype=np.intp,
+        chunks=index_stack.chunks[1:],
+        drop_axis=0,
+    )
+
+
+def _ravel_multi_block(block, dims=None, mode="wrap", order="C"):
+    jnp = _jnp()
+    if isinstance(block, np.ndarray):
+        return np.ravel_multi_index(tuple(block), dims, mode=mode, order=order)
+    out = jnp.ravel_multi_index(tuple(block), dims, mode=mode, order=order)
+    return out.astype(np.intp)
 
 
 class _RavelMultiRaise(ArrayExpr):
-    _parameters = ("dims", "order")
-    # operands[2:]: coordinate expressions (or one stacked multi-index)
+    """mode='raise' path: numpy's bounds check must fire at compute time,
+    which a trace cannot do — evaluates eagerly on host."""
+
+    _parameters = ("dims", "order", "stacked")  # stacked: (n_dims, ...) coords
 
     _traceable = False
 
-    @property
-    def coords(self):
-        return self.operands[2:]
-
     @functools.cached_property
     def chunks(self):
-        c = self.coords[0]
-        if len(self.coords) == 1 and c.ndim >= 1 and c.shape[0] == len(self.dims) and c.ndim > 1:
-            # single stacked (n_dims, ...) multi-index array
-            return tuple(c.chunks[1:])
-        return c.chunks
+        return tuple(self.stacked.chunks[1:])
 
     @functools.cached_property
     def _meta(self):
@@ -1034,24 +1083,41 @@ class _RavelMultiRaise(ArrayExpr):
     def _build(self, ctx):
         import jax.numpy as jnp
 
-        vals = [np.asarray(ctx.build(c).dense()) for c in self.coords]
-        if len(vals) == 1 and vals[0].ndim == len(self.chunks) + 1:
-            out = np.ravel_multi_index(tuple(vals[0]), self.dims, order=self.order)
-        else:
-            out = np.ravel_multi_index(tuple(vals), self.dims, order=self.order)
-        return BlockView(self.chunks, dense=jnp.asarray(out.astype(np.intp)))
+        val = np.asarray(ctx.build(self.stacked).dense())
+        out = np.ravel_multi_index(tuple(val), self.dims, order=self.order)
+        return BlockView(self.chunks, dense=jnp.asarray(np.asarray(out, dtype=np.intp)))
 
 
 def unravel_index(indices, shape, order="C"):
     jnp = _jnp()
     indices = _asarray(indices)
-    n = len(shape)
+    size = indices.size
+    size_known = not (isinstance(size, float) and np.isnan(size))
+    if not shape or (size_known and int(size) == 0):
+        # reference parity (routines/_indexing.py:31): empty shape or no
+        # indices -> one empty 1-D coordinate array per dimension
+        from dask_array_tpu.ops.creation import empty
+
+        return tuple(empty((0,), dtype=np.intp, chunks=1) for _ in shape)
     out = []
-    for i in range(n):
+    for i in range(len(shape)):
         out.append(
-            elemwise(lambda x, _i=i: jnp.unravel_index(x, shape)[_i], indices).astype(np.intp)
+            elemwise(
+                functools.partial(_unravel_one, shape=tuple(shape), order=order, i=i),
+                indices,
+            ).astype(np.intp)
         )
     return tuple(out)
+
+
+def _unravel_one(x, shape=None, order="C", i=0):
+    jnp = _jnp()
+    if order == "F":
+        # jnp.unravel_index is C-order only; F-order = C-order on the
+        # reversed shape, coordinates read back in reverse
+        coords = jnp.unravel_index(x, shape[::-1])
+        return coords[len(shape) - 1 - i]
+    return jnp.unravel_index(x, shape)[i]
 
 
 # ---------------------------------------------------------------------------
@@ -1149,6 +1215,9 @@ def argtopk(a, k, axis=-1, split_every=None):
 
 
 def insert(arr, obj, values, axis=None):
+    """numpy-parity insert (reference routines/_insert_delete.py:64; numpy's
+    size-1 branch inserts the whole ``values`` block at that position)."""
+    from dask_array_tpu.ops.manipulation import broadcast_to, moveaxis
     from dask_array_tpu.ops.stacking import concatenate
 
     arr = _asarray(arr)
@@ -1159,35 +1228,68 @@ def insert(arr, obj, values, axis=None):
     n = arr.shape[axis]
     if isinstance(obj, slice):
         obj = np.arange(*obj.indices(n))
-    obj = np.atleast_1d(np.asarray(obj))
-    obj = np.where(obj < 0, obj + n, obj)
-    values = _asarray(values)
-    if values.ndim < arr.ndim:
-        shape_v = tuple(
-            len(obj) if i == axis else s for i, s in enumerate(arr.shape)
+    obj_arr = np.asarray(obj)
+    scalar_obj = obj_arr.ndim == 0
+    obj_arr = np.atleast_1d(obj_arr)
+    if obj_arr.size and (obj_arr.min() < -n or obj_arr.max() > n):
+        bad = obj_arr[(obj_arr < -n) | (obj_arr > n)][0]
+        raise IndexError(
+            f"index {int(bad)} is out of bounds for axis {axis} with size {n}"
         )
-        from dask_array_tpu.ops.manipulation import broadcast_to
+    obj_arr = np.where(obj_arr < 0, obj_arr + n, obj_arr).astype(np.intp)
+    values = _asarray(values)
 
+    def _axis_slice(lo, hi):
+        return tuple(
+            slice(lo, hi) if i == axis else slice(None) for i in range(arr.ndim)
+        )
+
+    if obj_arr.size == 1:
+        # numpy: pad values to arr.ndim (leading 1s); a SCALAR obj moves
+        # values' first axis to the insert axis; the whole block goes in
+        if values.ndim < arr.ndim:
+            values = values.reshape((1,) * (arr.ndim - values.ndim) + values.shape)
+        if scalar_obj and arr.ndim > 1:
+            values = moveaxis(values, 0, axis)
+        # numpy assigns into the slot (broadcasting off-axis dims)
+        numnew = values.shape[axis]
+        slot = tuple(numnew if i == axis else s for i, s in enumerate(arr.shape))
+        if values.shape != slot:
+            values = broadcast_to(values, slot)
+        pos = int(obj_arr[0])
+        parts = []
+        if pos > 0:
+            parts.append(arr[_axis_slice(0, pos)])
+        parts.append(values)
+        if pos < n:
+            parts.append(arr[_axis_slice(pos, None)])
+        return concatenate(parts, axis=axis)
+
+    # multi-index branch: values broadcast to one slot per index, assigned
+    # in obj order at stable-sorted positions (numpy's mergesort interleave)
+    shape_v = tuple(len(obj_arr) if i == axis else s for i, s in enumerate(arr.shape))
+    if values.ndim < arr.ndim:
         if values.ndim == 0:
             values = broadcast_to(values, shape_v)
         else:
-            vshape = [1] * arr.ndim
-            vshape[axis] = -1 if len(obj) > 1 else 1
-            values = broadcast_to(values.reshape(tuple(
-                values.shape[0] if i == axis and values.ndim else 1 for i in range(arr.ndim)
-            )) if values.ndim == 1 else values, shape_v)
-    order = np.argsort(obj, kind="stable")
+            values = broadcast_to(
+                values.reshape((1,) * (arr.ndim - values.ndim) + values.shape),
+                shape_v,
+            )
+    elif values.shape != shape_v:
+        values = broadcast_to(values, shape_v)
+    order = np.argsort(obj_arr, kind="stable")
     parts = []
     pos = 0
-    for rank, ins_at in enumerate(np.sort(obj)):
+    for rank, ins_at in enumerate(np.sort(obj_arr)):
         ins_at = int(ins_at)
         if ins_at > pos:
-            parts.append(arr[tuple(slice(pos, ins_at) if i == axis else slice(None) for i in range(arr.ndim))])
+            parts.append(arr[_axis_slice(pos, ins_at)])
         src = int(order[rank])
-        parts.append(values[tuple(slice(src, src + 1) if i == axis else slice(None) for i in range(arr.ndim))])
+        parts.append(values[_axis_slice(src, src + 1)])
         pos = ins_at
     if pos < n:
-        parts.append(arr[tuple(slice(pos, None) if i == axis else slice(None) for i in range(arr.ndim))])
+        parts.append(arr[_axis_slice(pos, None)])
     return concatenate(parts, axis=axis)
 
 

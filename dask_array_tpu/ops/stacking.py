@@ -233,9 +233,19 @@ def concatenate(seq, axis=0, allow_unknown_chunksizes=False, **kwargs):
             if ax == axis:
                 continue
             s0, s1 = seq[0].shape[ax], a.shape[ax]
-            if not allow_unknown_chunksizes and not (
-                (isinstance(s0, float) and np.isnan(s0)) or (isinstance(s1, float) and np.isnan(s1))
-            ) and s0 != s1:
+            unknown = (isinstance(s0, float) and np.isnan(s0)) or (
+                isinstance(s1, float) and np.isnan(s1)
+            )
+            if not allow_unknown_chunksizes and unknown:
+                # reference parity: unknown sizes off the concat axis cannot
+                # be verified to align — explicit opt-in required
+                raise ValueError(
+                    f"Tried to concatenate arrays with unknown chunk sizes "
+                    f"along non-concatenated axis {ax}: {[s.shape for s in seq]}. "
+                    f"Pass allow_unknown_chunksizes=True (or call "
+                    f"compute_chunk_sizes()) to proceed."
+                )
+            if not allow_unknown_chunksizes and not unknown and s0 != s1:
                 raise ValueError(
                     f"Shapes do not align along non-concatenated axis {ax}: {[s.shape for s in seq]}"
                 )

@@ -140,8 +140,16 @@ trunc = _make("trunc")
 isfinite = _make("isfinite")
 isinf = _make("isinf")
 isnan = _make("isnan")
-isneginf = ufunc(lambda x: _jnp_mod.isneginf(x), name="isneginf", nin=1)
-isposinf = ufunc(lambda x: _jnp_mod.isposinf(x), name="isposinf", nin=1)
+def _isneginf(x):
+    return _jnp_mod.isneginf(x)
+
+
+def _isposinf(x):
+    return _jnp_mod.isposinf(x)
+
+
+isneginf = ufunc(_isneginf, name="isneginf", nin=1)
+isposinf = ufunc(_isposinf, name="isposinf", nin=1)
 # 64-bit bitcast ufuncs: TPU-safe formulations (see ops/_bitsafe.py)
 from dask_array_tpu.ops import _bitsafe as _bs
 
@@ -153,7 +161,11 @@ angle = _make("angle")
 i0 = _make("i0")
 sinc = _make("sinc")
 nan_to_num = _make("nan_to_num")
-fix = ufunc(lambda x: _jnp_mod.trunc(x).astype(_jnp_mod.result_type(x, float)), name="fix", nin=1)
+def _fix(x):
+    return _jnp_mod.trunc(x).astype(_jnp_mod.result_type(x, float))
+
+
+fix = ufunc(_fix, name="fix", nin=1)
 
 # binary
 add = _make("add")
