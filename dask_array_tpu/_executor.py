@@ -70,6 +70,20 @@ class BlockView:
         if self._blocks is not None:
             return self._blocks[tuple(index)]
         if has_unknown_chunks(self.chunks):
+            # an unknown axis with a SINGLE block needs no split point —
+            # the whole dense extent is the block (tsqr/svd factors over
+            # boolean-masked inputs land here)
+            if all(
+                len(c) == 1 or not has_unknown_chunks((c,)) for c in self.chunks
+            ):
+                out = []
+                for ax, i in enumerate(index):
+                    if has_unknown_chunks((self.chunks[ax],)):
+                        out.append(slice(None))
+                    else:
+                        bounds = cached_cumsum(self.chunks[ax], initial_zero=True)
+                        out.append(slice(int(bounds[i]), int(bounds[i + 1])))
+                return self._dense[tuple(out)]
             raise ValueError("cannot slice blocks out of an array with unknown chunks")
         return self._dense[block_slices(self.chunks, index)]
 

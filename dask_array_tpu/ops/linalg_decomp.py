@@ -61,9 +61,15 @@ class TSQR(ArrayExpr):
 
     @functools.cached_property
     def chunks(self):
+        from dask_array_tpu._chunks import has_unknown_chunks
+
         m_chunks, n_chunks = self.array.chunks
         n = sum(n_chunks)
         if self.which == "q":
+            if has_unknown_chunks((m_chunks,)):
+                # unknown row splits: q is one (unknown-height) row block so
+                # downstream per-block consumers can slice it (BlockView)
+                m_chunks = (float("nan"),)
             return (m_chunks, (n,))
         return ((n,), (n,))
 
@@ -204,9 +210,13 @@ class TSQRSVD(ArrayExpr):
 
     @functools.cached_property
     def chunks(self):
+        from dask_array_tpu._chunks import has_unknown_chunks
+
         m_chunks, n_chunks = self.array.chunks
         n = sum(n_chunks)
         if self.which == "u":
+            if has_unknown_chunks((m_chunks,)):
+                m_chunks = (float("nan"),)  # see TSQR.chunks
             return (m_chunks, (n,))
         if self.which == "s":
             return ((n,),)
@@ -496,6 +506,27 @@ def tsqr(a, compute_svd=False, _max_vchunk_size=None):
         )
     from dask_array_tpu import config
 
+    m, n = a.shape
+    if not (isinstance(m, float) and np.isnan(m)) and m < n:
+        # short input (reference tsqr supports it, `_qr.py:362`): the whole
+        # array is at most (n-1, n) — in-core after a row collapse.  The
+        # Gram/CholeskyQR path is invalid here (rank-deficient Gram).
+        if len(a.chunks[0]) != 1:
+            a = a.rechunk({0: -1})
+        dt = _float_dtype(a.dtype)
+        k = int(m)
+        q = _single(a.expr, "jnp.linalg.qr", 0, (m, k), dt, kwargs=(("mode", "reduced"),))
+        r = _single(a.expr, "jnp.linalg.qr", 1, (k, n), dt, kwargs=(("mode", "reduced"),))
+        if not compute_svd:
+            return q, r
+        # reference contract: vh is the FULL (n, n) right factor for short
+        # inputs (d_vh = max(k, n)); u is (m, k) (full == reduced, m < n)
+        kw = (("full_matrices", True),)
+        u = _single(a.expr, "svd", 0, (m, k), dt, kwargs=kw)
+        s = _single(a.expr, "svd", 1, (k,), dt, kwargs=kw)
+        vh = _single(a.expr, "svd", 2, (n, n), dt, kwargs=kw)
+        return u, s, vh
+
     q = new_collection(TSQR(a.expr, "q"))
     r = new_collection(TSQR(a.expr, "r"))
     if not compute_svd:
@@ -568,21 +599,33 @@ def svd(a, coerce_signs=True, full_matrices=False, compute_uv=True):
     m, n = a.shape
     m_blocks, n_blocks = len(a.chunks[0]), len(a.chunks[1])
     dt = _float_dtype(a.dtype)
+
+    def _known(v):
+        return not (isinstance(v, float) and np.isnan(v))
+
+    if m_blocks > 1 and n_blocks > 1:
+        raise NotImplementedError(
+            "svd of an array chunked along both axes is not supported; rechunk "
+            "so one axis has a single chunk, or use svd_compressed"
+        )
     if m_blocks == 1 and n_blocks == 1:
         k = min(m, n)
         u = _single(a.expr, "svd", 0, (m, k), dt, kwargs=(("full_matrices", False),))
         s = _single(a.expr, "svd", 1, (k,), dt, kwargs=(("full_matrices", False),))
         vh = _single(a.expr, "svd", 2, (k, n), dt, kwargs=(("full_matrices", False),))
-    elif m >= n and n_blocks == 1:
+    elif m_blocks >= n_blocks:
+        # numblocks dispatch (reference `_svd.py:201-222`): row-chunked goes
+        # through tsqr even when the SHAPE is short; trim the full factors
         u, s, vh = tsqr(a, compute_svd=True)
-    elif m < n and m_blocks == 1:
+        if _known(m) and _known(n) and m < n:
+            k = min(m, n)
+            u, vh = u[:, :k], vh[:k, :]
+    else:
         u_t, s, vh_t = tsqr(a.T, compute_svd=True)
         u, vh = vh_t.T, u_t.T
-    else:
-        raise NotImplementedError(
-            "svd of an array chunked along both axes is not supported; rechunk "
-            "so one axis has a single chunk, or use svd_compressed"
-        )
+        if _known(m) and _known(n) and m > n:
+            k = min(m, n)
+            u, vh = u[:, :k], vh[:k, :]
     if coerce_signs:
         u, vh = svd_flip(u, vh)
     return u, s, vh
@@ -1001,14 +1044,16 @@ def inv(a):
 def lstsq(a, b):
     m, n = a.shape
     dt = _float_dtype(np.promote_types(a.dtype, b.dtype))
+    # residuals and singular values are REAL even for complex systems
+    real_dt = np.empty((0,), dtype=dt).real.dtype
     nrhs = b.shape[1] if b.ndim == 2 else None
     x_shape = (n, nrhs) if nrhs else (n,)
     kwargs = (("rcond", None),)
     x = _single(a.expr, "jnp.linalg.lstsq", 0, x_shape, dt, kwargs=kwargs, extra=(b.expr,))
     resid_shape = (nrhs,) if nrhs else (1,)
-    residuals = _single(a.expr, "jnp.linalg.lstsq", 1, resid_shape, dt, kwargs=kwargs, extra=(b.expr,))
+    residuals = _single(a.expr, "jnp.linalg.lstsq", 1, resid_shape, real_dt, kwargs=kwargs, extra=(b.expr,))
     rank = _single(a.expr, "jnp.linalg.lstsq", 2, (), np.dtype(np.int32), kwargs=kwargs, extra=(b.expr,))
-    sv = _single(a.expr, "jnp.linalg.lstsq", 3, (min(m, n),), dt, kwargs=kwargs, extra=(b.expr,))
+    sv = _single(a.expr, "jnp.linalg.lstsq", 3, (min(m, n),), real_dt, kwargs=kwargs, extra=(b.expr,))
     return x, residuals, rank, sv
 
 
@@ -1019,6 +1064,10 @@ def norm(x, ord=None, axis=None, keepdims=False):
     from dask_array_tpu.ops.ufuncs import abs as _abs, sqrt
 
     if axis is None:
+        if ord is None:
+            # numpy: default norm of an unaxed array of ANY ndim is the
+            # 2-norm of the raveled values
+            return sqrt(red.sum(_abs(x) ** 2, keepdims=keepdims))
         axis = tuple(range(x.ndim))
     elif isinstance(axis, (int, np.integer)):
         axis = (int(axis) % x.ndim,)
