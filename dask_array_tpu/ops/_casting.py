@@ -16,6 +16,10 @@ def _astype(x, dtype=None, src_dtype=None):
         # the reference semantics, units and wrap rules included
         return x.astype(dt)
     src = np.dtype(src_dtype) if src_dtype is not None else np.dtype(x.dtype)
+    if dt.kind in "VUSOT":
+        # host-only target dtype (object/str/structured): the cast itself is
+        # a host operation — the result has no device representation
+        return np.asarray(x).astype(dt)
     if dt.kind == "u" and np.issubdtype(src, np.floating):
         # numpy float->unsigned casts truncate toward zero then wrap
         # modularly; XLA's convert clamps negatives to 0 — route through

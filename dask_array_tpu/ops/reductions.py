@@ -97,6 +97,10 @@ class Reduction(ArrayExpr):
         if dtype is not None:
             return np.empty((0,) * nd, dtype=np.dtype(dtype))
         _, np_fn, _ = _DENSE_KERNELS[self.kind]
+        if self.array.dtype.kind == "O":
+            # object-dtype reductions stay object (host lane; numpy cannot
+            # know the element type — reference test_object_reduction)
+            return np.empty((0,) * nd, dtype=object)
         probe = np.empty((1,) * self.array.ndim, dtype=self.array.dtype)
         with np.errstate(all="ignore"):
             out = np_fn(probe, axis=self.axes, keepdims=self.keepdims)
@@ -104,11 +108,22 @@ class Reduction(ArrayExpr):
 
     def _build(self, ctx):
         jnp = _jnp()
-        jnp_name, _, takes_dtype = _DENSE_KERNELS[self.kind]
-        fn = getattr(jnp, jnp_name)
+        jnp_name, np_fn, takes_dtype = _DENSE_KERNELS[self.kind]
         x = ctx.build(self.array).dense()
         from dask_array_tpu._chunks import device_dtype
+        from dask_array_tpu._executor import _is_host_only
 
+        if _is_host_only(x) or np.dtype(self.dtype).kind in "VUSOT":
+            # host lane: object/str/structured blocks reduce with numpy
+            kwargs = {"axis": self.axes, "keepdims": self.keepdims}
+            if takes_dtype and np.dtype(self.dtype).kind not in "VUSOT":
+                kwargs["dtype"] = self.dtype
+            kwargs.update(dict(self.extra or ()))
+            with np.errstate(all="ignore"):
+                dense = np_fn(np.asarray(x), **kwargs)
+            return BlockView(self.chunks, dense=np.asarray(dense, dtype=self.dtype))
+
+        fn = getattr(jnp, jnp_name)
         kwargs = {"axis": self.axes, "keepdims": self.keepdims}
         if takes_dtype:
             kwargs["dtype"] = device_dtype(self.dtype)
@@ -169,9 +184,26 @@ class Reduction(ArrayExpr):
         return pushed
 
 
+def _coerce(a):
+    """Accept raw numpy/array-likes everywhere reductions do (reference
+    reduction_1d_test: ``da.sum(np_array)`` works)."""
+    from dask_array_tpu._collection import Array
+
+    if isinstance(a, Array):
+        return a
+    from dask_array_tpu._expr import ArrayExpr
+
+    if isinstance(a, ArrayExpr):
+        return a
+    from dask_array_tpu.ops._from_array import asarray
+
+    return asarray(a)
+
+
 def _reduce(x, kind, axis=None, dtype=None, keepdims=False, split_every=None, extra=()):
     from dask_array_tpu._collection import Array, new_collection
 
+    x = _coerce(x)
     expr = x.expr if isinstance(x, Array) else x
     if axis is None:
         axes = tuple(range(expr.ndim))
@@ -181,6 +213,10 @@ def _reduce(x, kind, axis=None, dtype=None, keepdims=False, split_every=None, ex
         axes = (validate_axis(axis, expr.ndim),)
     if dtype is not None:
         dtype = np.dtype(dtype)
+    if split_every is not None:
+        # canonical {axis: n} form so equivalent specs share one name
+        # (reference: split_every=4 == {0:2,1:2} on 2 axes, same keys)
+        split_every = tuple(sorted(_normalize_split_every(split_every, axes).items()))
     return new_collection(
         Reduction(expr, kind, axes, bool(keepdims), dtype, split_every, extra)
     )
@@ -192,6 +228,29 @@ def sum(a, axis=None, dtype=None, keepdims=False, split_every=None, out=None):
 
 def prod(a, axis=None, dtype=None, keepdims=False, split_every=None, out=None):
     return handle_out(out, _reduce(a, "prod", axis, dtype, keepdims, split_every))
+
+
+def numel(x, axis=None, keepdims=False, dtype="f8", **kwargs):
+    """Count of elements along ``axis``, shaped like the reduction output
+    (reference chunk kernel: ``reductions/_common.py`` numel)."""
+    from dask_array_tpu._collection import Array
+
+    if isinstance(x, Array):
+        from dask_array_tpu.ops.creation import ones_like
+
+        return sum(ones_like(x, dtype=dtype), axis=axis, keepdims=keepdims)
+    return np.sum(np.ones_like(np.asarray(x)), axis=axis, keepdims=keepdims, dtype=np.dtype(dtype))
+
+
+def nannumel(x, axis=None, keepdims=False, dtype="f8", **kwargs):
+    """Count of non-NaN elements along ``axis`` (reference nannumel)."""
+    from dask_array_tpu._collection import Array
+
+    if isinstance(x, Array):
+        from dask_array_tpu.ops.ufuncs import isnan as da_isnan
+
+        return sum((~da_isnan(x)).astype(dtype), axis=axis, keepdims=keepdims)
+    return np.sum(~np.isnan(np.asarray(x)), axis=axis, keepdims=keepdims, dtype=np.dtype(dtype))
 
 
 def min(a, axis=None, keepdims=False, split_every=None, out=None):
@@ -258,6 +317,7 @@ def moment(a, order, axis=None, dtype=None, keepdims=False, ddof=0, split_every=
     """Central moment of the given order (power-sums formulation)."""
     if order < 0:
         raise ValueError("Order must be non-negative")
+    a = _coerce(a)
     dt = _var_dtype(a, dtype)
     if order == 0:
         from dask_array_tpu.ops.creation import ones
@@ -369,6 +429,7 @@ def var(a, axis=None, dtype=None, keepdims=False, ddof=0, split_every=None, out=
     """
     import jax.numpy as jnp
 
+    a = _coerce(a)
     dt = _var_dtype(a, dtype)
     cdt = np.dtype(dt)
     complex_data = np.dtype(a.dtype).kind == "c"
@@ -419,6 +480,12 @@ def var(a, axis=None, dtype=None, keepdims=False, ddof=0, split_every=None, out=
     # numpy returns the EXPLICITLY requested dtype, even integer (truncating)
     # or complex (imag 0); the internal real accumulator dtype differs then
     if dtype is not None and res.dtype != np.dtype(dtype):
+        if np.dtype(dtype).kind in "iu":
+            # numpy's integer-dtype moments do exact integer arithmetic; our
+            # float value can sit 1 ulp BELOW that integer (XLA rewrites /n
+            # as *reciprocal), which truncation would drop a whole unit —
+            # round to nearest first
+            res = elemwise(_jnp().rint, res)
         res = res.astype(np.dtype(dtype))
     return handle_out(out, res)
 
@@ -439,6 +506,7 @@ def nanvar(a, axis=None, dtype=None, keepdims=False, ddof=0, split_every=None, o
     the first element may be NaN."""
     import jax.numpy as jnp
 
+    a = _coerce(a)
     dt = _var_dtype(a, dtype)
     cdt = np.dtype(dt)
     complex_data = np.dtype(a.dtype).kind == "c"
@@ -484,6 +552,8 @@ def nanvar(a, axis=None, dtype=None, keepdims=False, ddof=0, split_every=None, o
     m2 = elemwise(jnp.maximum, q - tsq / n, 0)
     res = m2 / (n - ddof)
     if dtype is not None and res.dtype != np.dtype(dtype):
+        if np.dtype(dtype).kind in "iu":
+            res = elemwise(jnp.rint, res)  # see var(): 1-ulp-below truncation
         res = res.astype(np.dtype(dtype))
     return handle_out(out, res)
 
@@ -860,27 +930,112 @@ class Quantile(ArrayExpr):
         lead = () if self._scalar_q else ((len(self._q_arr),),)
         return lead + tuple(base)
 
+    # methods whose result is a single order statistic: numpy preserves the
+    # input dtype for these (quantile([ints], method='lower') is an int)
+    _DISCRETE_METHODS = frozenset(
+        {"lower", "higher", "nearest", "inverted_cdf", "closest_observation"}
+    )
+    # Hyndman & Fan continuous families: virtual index
+    # n*q + (alpha + q*(1 - alpha - beta)) - 1 (numpy _compute_virtual_index)
+    _HF_ALPHA_BETA = {
+        "interpolated_inverted_cdf": (0.0, 1.0),
+        "hazen": (0.5, 0.5),
+        "weibull": (0.0, 0.0),
+        "median_unbiased": (1 / 3.0, 1 / 3.0),
+        "normal_unbiased": (3 / 8.0, 3 / 8.0),
+    }
+
     @functools.cached_property
     def _meta(self):
-        dt = np.promote_types(self.array.dtype, np.float64) if np.issubdtype(self.array.dtype, np.integer) else self.array.dtype
-        if self.array.dtype == bool:
-            dt = np.dtype("f8")
+        if self.method in self._DISCRETE_METHODS:
+            dt = self.array.dtype
+        else:
+            dt = np.promote_types(self.array.dtype, np.float64) if np.issubdtype(self.array.dtype, np.integer) else self.array.dtype
+            if self.array.dtype == bool:
+                dt = np.dtype("f8")
         return np.empty((0,) * len(self.chunks), dtype=dt)
 
     def _build(self, ctx):
         jnp = _jnp()
         x = ctx.build(self.array).dense()
         q = jnp.asarray(self.q)
-        if self.method == "nearest":
-            dense = self._nearest(jnp, x, q)
-        else:
+        if self.method in ("linear", "lower", "higher", "midpoint") and not (
+            np.dtype(self.dtype).kind in "iub"
+        ):
             fn = jnp.nanquantile if self.kind.startswith("nan") else jnp.quantile
             dense = fn(x, q, axis=self.axis, method=self.method, keepdims=self.keepdims)
+        else:
+            dense = self._hf(jnp, x, q)
         return BlockView(self.chunks, dense=dense.astype(self.dtype))
 
-    def _nearest(self, jnp, x, q):
-        """numpy's 'nearest' rounds the virtual index half-to-even;
-        jax's builtin resolves ties differently — do it by hand.  Multiple
+    @staticmethod
+    def _host_tables(method, qi, ns):
+        """(lo, hi, gamma) per candidate count in ``ns``, computed with HOST
+        numpy float arithmetic (numpy's exact table,
+        ``numpy/lib/_function_base_impl.py _QuantileMethods``).
+
+        Indexes must be derived off-device: numpy's tie rules compare
+        ``n*q`` floats for exact equality, and XLA's excess-precision FP
+        contraction (mul+sub fused to one FMA rounding) flips those
+        comparisons for values like ``5*0.3``.  ``q`` is a static operand
+        and ``n`` a bounded integer, so every possible (lo, hi, gamma) is
+        precomputable; the traced program just gathers by the per-slice
+        count.  ``gamma < 0`` encodes "no interpolation" (discrete take)."""
+        ns = np.asarray(ns, dtype="f8")
+        with np.errstate(all="ignore"):
+            if method == "nearest":
+                idx = np.around(qi * (ns - 1))
+                lo = hi = idx
+                gamma = np.full(ns.shape, -1.0)
+            elif method == "lower":
+                lo = hi = np.floor(qi * (ns - 1))
+                gamma = np.full(ns.shape, -1.0)
+            elif method == "higher":
+                lo = hi = np.ceil(qi * (ns - 1))
+                gamma = np.full(ns.shape, -1.0)
+            elif method in ("inverted_cdf", "closest_observation"):
+                # numpy _discret_interpolation_to_boundaries: take `next`
+                # (floor+1) unless the method's gamma condition selects `prev`
+                vi = ns * qi - 1 - (0.5 if method == "closest_observation" else 0.0)
+                prev = np.floor(vi)
+                frac = vi - prev
+                if method == "inverted_cdf":
+                    cond = frac == 0
+                else:  # nearest-even order statistic at exact midpoints
+                    cond = (frac == 0) & (prev % 2 == 1)
+                lo = hi = np.where(cond, prev, prev + 1)
+                gamma = np.full(ns.shape, -1.0)
+            else:
+                if method in ("linear", "midpoint"):
+                    vi = qi * (ns - 1)
+                elif method == "averaged_inverted_cdf":
+                    vi = ns * qi - 1
+                else:
+                    alpha, beta = Quantile._HF_ALPHA_BETA[method]
+                    vi = ns * qi + (alpha + qi * (1 - alpha - beta)) - 1
+                prev = np.floor(vi)
+                frac = vi - prev
+                if method == "midpoint":
+                    gamma = np.where(frac == 0, 0.0, 0.5)
+                elif method == "averaged_inverted_cdf":
+                    gamma = np.where(frac == 0, 0.5, 1.0)
+                else:
+                    gamma = frac
+                lo, hi = prev, prev + 1
+        n_minus_1 = np.maximum(ns - 1, 0)
+        lo = np.clip(lo, 0, n_minus_1).astype("i4")
+        hi = np.clip(hi, 0, n_minus_1).astype("i4")
+        # all-NaN slice (n == 0): land on the last physical element (a NaN)
+        empty = ns == 0
+        if empty.any():
+            lo = np.where(empty, -1, lo).astype("i4")
+            hi = np.where(empty, -1, hi).astype("i4")
+        return lo, hi, gamma.astype("f8")
+
+    def _hf(self, jnp, x, q):
+        """Hand-rolled Hyndman & Fan quantile methods — jax's builtin
+        supports only linear/lower/higher/midpoint/nearest, and its 'nearest'
+        resolves ties differently from numpy's half-to-even.  Multiple
         reduced axes flatten into one work axis (numpy semantics)."""
         red = self._reduced_axes
         nd = x.ndim
@@ -895,26 +1050,39 @@ class Quantile(ArrayExpr):
             x2 = x2.reshape(x2.shape[: nd - len(red)] + (-1,))
             axis = x2.ndim - 1
         xs = jnp.sort(x2, axis=axis)  # nans sort last
+        N = x2.shape[axis]
         has_nan = None
-        if self.kind.startswith("nan"):
+        n = None  # traced per-slice count (nan kind only)
+        if self.kind.startswith("nan") and jnp.issubdtype(x2.dtype, jnp.floating):
             n = jnp.sum(~jnp.isnan(x2), axis=axis, keepdims=True)
-        else:
-            n = x2.shape[axis]
-            if jnp.issubdtype(x2.dtype, jnp.floating):
-                # numpy's non-nan quantile propagates NaN (NaNs sort last and
-                # would otherwise be indexed past); match it.
-                has_nan = jnp.any(jnp.isnan(x2), axis=axis, keepdims=True)
-        qv = jnp.atleast_1d(q)
+        elif jnp.issubdtype(x2.dtype, jnp.floating):
+            # numpy's non-nan quantile propagates NaN (NaNs sort last and
+            # would otherwise be indexed past); match it.
+            has_nan = jnp.any(jnp.isnan(x2), axis=axis, keepdims=True)
+        ns = np.arange(N + 1) if n is not None else np.array([N])
+        qv = np.atleast_1d(np.asarray(self.q, dtype="f8"))
+        work_shape = list(xs.shape)
+        work_shape[axis] = 1
         out = []
         for i in range(qv.shape[0]):
-            pos = qv[i] * (n - 1)
-            idx = jnp.round(pos).astype(jnp.int32)  # ties to even, as numpy
-            idx = jnp.clip(idx, 0, x2.shape[axis] - 1)
-            if isinstance(n, int):
-                taken = jnp.take(xs, idx, axis=axis)
-                taken = jnp.expand_dims(taken, axis)
+            lo_t, hi_t, g_t = self._host_tables(self.method, float(qv[i]), ns)
+            if n is None:
+                lo = jnp.broadcast_to(jnp.asarray(lo_t[0]), tuple(work_shape))
+                hi = jnp.broadcast_to(jnp.asarray(hi_t[0]), tuple(work_shape))
+                gamma = float(g_t[0])
             else:
-                taken = jnp.take_along_axis(xs, jnp.broadcast_to(idx, idx.shape), axis=axis)
+                lo = jnp.take(jnp.asarray(lo_t), n)
+                hi = jnp.take(jnp.asarray(hi_t), n)
+                gamma = jnp.take(jnp.asarray(g_t), n)
+            a = jnp.take_along_axis(xs, lo, axis=axis)
+            if isinstance(gamma, float) and gamma < 0:
+                taken = a  # discrete method: single order statistic
+            else:
+                b = jnp.take_along_axis(xs, hi, axis=axis)
+                g = jnp.broadcast_to(jnp.asarray(gamma), a.shape)
+                g = jnp.where(g < 0, 0.0, g)  # per-slice discrete rows
+                # numpy _lerp: switch formulation at t=0.5 for precision
+                taken = jnp.where(g >= 0.5, b - (b - a) * (1 - g), a + (b - a) * g)
             if has_nan is not None:
                 taken = jnp.where(has_nan, jnp.nan, taken)
             taken = jnp.squeeze(taken, axis=axis)
@@ -1092,8 +1260,13 @@ def percentile(a, q, method="linear", internal_method=None, **kwargs):
             FutureWarning,
         )
         internal_method, method = method, "linear"
-    if a.ndim != 1:
-        raise NotImplementedError("Percentiles only implemented for 1-d arrays")
+    if a.ndim == 0:
+        raise NotImplementedError("support for arrays of ndim 0 is not implemented.")
+    if a.ndim > 1:
+        # N-D percentile is numpy-style quantile of q/100 (reference
+        # `_percentile.py:248-251`)
+        q01 = np.true_divide(q, a.dtype.type(100) if a.dtype.kind == "f" else 100)
+        return quantile(a, q01, method=method, **kwargs)
     if internal_method in ("dask", "tdigest"):
         expr = a.expr if isinstance(a, Array) else a
         q_t = tuple(np.atleast_1d(np.asarray(q, dtype="f8")).tolist())
@@ -1104,6 +1277,8 @@ def percentile(a, q, method="linear", internal_method=None, **kwargs):
 
 
 def nanpercentile(a, q, method="linear", **kwargs):
+    """NaN-skipping percentile, any ndim (reference ``_percentile.py:256``:
+    ``nanquantile(a, q/100, **kwargs)``)."""
     import warnings
 
     if "interpolation" in kwargs:
@@ -1112,10 +1287,10 @@ def nanpercentile(a, q, method="linear", **kwargs):
             FutureWarning,
         )
         method = kwargs.pop("interpolation")
-    if a.ndim != 1:
-        raise NotImplementedError("Percentiles only implemented for 1-d arrays")
-    q01 = np.true_divide(q, 100)
-    return nanquantile(a, tuple(np.atleast_1d(q01).tolist()), axis=0, method=method)
+    q01 = np.true_divide(q, a.dtype.type(100) if a.dtype.kind == "f" else 100)
+    if a.ndim == 1 and "axis" not in kwargs:
+        kwargs["axis"] = 0
+    return nanquantile(a, q01, method=method, **kwargs)
 
 
 # -- generic reduction framework ------------------------------------------------------
@@ -1228,11 +1403,11 @@ class PartialReduce(ArrayExpr):
     (``reductions/_reduction.py:900``).
     """
 
-    _parameters = ("array", "func", "split_every", "keepdims", "_dtype", "output_size")
-    _defaults = {"output_size": 1}
+    _parameters = ("array", "func", "split_every", "keepdims", "_dtype", "output_size", "name_")
+    _defaults = {"output_size": 1, "name_": None}
 
     def _name_prefix(self):
-        return "partial-reduce"
+        return self.operand("name_") or "partial-reduce"
 
     @functools.cached_property
     def _split_dict(self):
@@ -1326,7 +1501,7 @@ def _build_tree_reduce_expr(
     if concatenate:
         agg = functools.partial(_concat_then, agg, tuple(sorted(axes)))
     # the final step sees <= split_every blocks per reduced axis: one group
-    return PartialReduce(expr, agg, se_t, bool(keepdims), dtype, output_size)
+    return PartialReduce(expr, agg, se_t, bool(keepdims), dtype, output_size, name)
 
 
 def _accepts_named_kw(fn, kw):
