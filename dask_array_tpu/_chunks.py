@@ -109,6 +109,10 @@ def normalize_chunks(chunks, shape=None, limit=None, dtype=None, previous_chunks
         chunks = ((0,),) * len(shape)
 
     if shape and len(shape) == 1 and len(chunks) > 1 and all(isinstance(c, (Number, str)) for c in chunks):
+        if any(isinstance(c, str) for c in chunks):
+            raise ValueError(
+                f"String values are not supported inside explicit chunk tuples. Got chunks={chunks}"
+            )
         chunks = (chunks,)
 
     if shape and len(chunks) != len(shape):
@@ -118,6 +122,27 @@ def normalize_chunks(chunks, shape=None, limit=None, dtype=None, previous_chunks
         )
     if -1 in chunks or None in chunks:
         chunks = tuple(s if c in (-1, None) else c for c, s in zip(chunks, shape))
+
+    # byte-size strings ("128 MiB") set the auto limit for their axes
+    # (reference `_core_utils.py:850-868`: one consistent value only)
+    for c in chunks:
+        if isinstance(c, str) and c != "auto":
+            chunk_string = c.replace(" ", "")
+            if not chunk_string or not chunk_string[-1].isalpha():
+                raise ValueError(
+                    "String chunk sizes must be 'auto' or byte sizes with a "
+                    f"byte unit like 'B', 'MB', or 'MiB'. Got {c!r}"
+                )
+            parsed = parse_bytes(c)
+            if parsed < 0:
+                raise ValueError(f"String chunk byte sizes must not be negative. Got {c!r}")
+            if limit is None:
+                limit = parsed
+            elif parsed != limit:
+                raise ValueError(
+                    f"Only one consistent value of limit or chunk is allowed. Used {parsed} != {limit}"
+                )
+    chunks = tuple("auto" if isinstance(c, str) and c != "auto" else c for c in chunks)
 
     # substitute auto-size along "auto" axes
     if any(c == "auto" for c in chunks):

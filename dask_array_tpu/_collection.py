@@ -111,7 +111,7 @@ class Array:
 
     @property
     def name(self) -> str:
-        return self._expr._name
+        return self._expr._collection_name()
 
     @property
     def _meta(self):

@@ -662,7 +662,18 @@ def execute(root: ArrayExpr, mode: str | None = None, want_view: bool = False):
         try:
             compiled, cache_key = _trace_fn(root, keys, mesh, args)
             if compiled is not None:
-                result = compiled(*args)
+                try:
+                    result = compiled(*args)
+                except TypeError as te:
+                    if "compiled with" not in str(te) and "Computation compiled for" not in str(te):
+                        raise
+                    # structural-cache hit with different LEAF avals (host
+                    # loaders produced other shapes than the cached program):
+                    # drop the entry and retrace, so shape-contract errors
+                    # surface as _build's ValueError, not a jax TypeError
+                    _fn_cache.pop(cache_key, None)
+                    compiled, cache_key = _trace_fn(root, keys, mesh, args)
+                    result = compiled(*args)
                 if want_view:
                     return BlockView(root.chunks, dense=result)
                 return result

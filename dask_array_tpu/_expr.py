@@ -129,6 +129,16 @@ class ArrayExpr:
     def _name_prefix(self) -> str:
         return type(self).__name__.lower()
 
+    def _collection_name(self) -> str:
+        """The user-facing collection name (``Array.name``).
+
+        Content-addressed by default; leaf types with an explicit
+        ``name=`` override report it verbatim (reference: from_array/
+        from_map/from_graph exact names) while their ``_name`` stays
+        content-addressed so the singleton registry cannot collide two
+        different arrays that share a forced name."""
+        return self._name
+
     def __hash__(self):
         return hash(self._name)
 

@@ -106,4 +106,4 @@ def from_graph(layer, _meta, chunks, keys, name, dependencies=(), rename=None):
     def load_block(key):
         return np.asarray(ev.get(key))
 
-    return from_map(load_block, keys, chunks=tuple(tuple(c) for c in chunks), dtype=dtype)
+    return from_map(load_block, keys, chunks=tuple(tuple(c) for c in chunks), dtype=dtype, name=name)

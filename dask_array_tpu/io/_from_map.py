@@ -26,8 +26,11 @@ from dask_array_tpu._expr import ArrayExpr
 class FromMap(ArrayExpr):
     """One host function call per block."""
 
-    _parameters = ("func", "args_per_block", "chunks_", "_dtype", "kwargs")
-    _defaults = {"kwargs": ()}
+    _parameters = ("func", "args_per_block", "chunks_", "_dtype", "kwargs", "name_", "opaque_")
+    _defaults = {"kwargs": (), "name_": None, "opaque_": False}
+
+    def _collection_name(self):
+        return self.operand("name_") or self._name
 
     @property
     def chunks(self):
@@ -55,6 +58,11 @@ class FromMap(ArrayExpr):
         blocks = {}
         for i, idx in enumerate(self._block_order):
             val = ctx.leaf(self._leaf_key(i))
+            if self.operand("opaque_"):
+                # opaque payload blocks (store(load_stored=False): each block
+                # IS the write target object) — no shape contract to enforce
+                blocks[tuple(idx)] = val
+                continue
             want = tuple(self.chunks_[ax][j] for ax, j in enumerate(idx))
             if tuple(val.shape) != want:
                 # size-preserving folds (expand_dims into the loader grid)
@@ -118,7 +126,8 @@ class FromMap(ArrayExpr):
             if all(idx[ax] in keep_ranges[ax] for ax in range(len(grid))):
                 kept_args.append(self.args_per_block[flat])
         culled = FromMap(
-            self.func, tuple(kept_args), new_chunks, self._dtype, self.kwargs
+            self.func, tuple(kept_args), new_chunks, self._dtype, self.kwargs,
+            None, self.operand("opaque_"),
         )
         out = culled
         if any(
@@ -148,7 +157,7 @@ class _LazyBlock:
         return self._value
 
 
-def from_map(func, *iterables, chunks=None, shape=None, args=None, dtype=None, meta=None, name=None, **kwargs):
+def from_map(func, *iterables, chunks=None, shape=None, args=None, dtype=None, meta=None, name=None, _opaque=False, **kwargs):
     """Create an Array from a function applied to each element of iterables.
 
     Each call produces one block (blocks stack along axis 0 unless
@@ -196,7 +205,7 @@ def from_map(func, *iterables, chunks=None, shape=None, args=None, dtype=None, m
             f"from_map got {n} calls but the chunk grid has {nblocks} blocks"
         )
     return new_collection(
-        FromMap(func, tuple(call_args), tuple(chunks), dtype, tuple(sorted(kwargs.items())))
+        FromMap(func, tuple(call_args), tuple(chunks), dtype, tuple(sorted(kwargs.items())), name, _opaque)
     )
 
 

@@ -54,7 +54,57 @@ class _DelayedStore:
         return None
 
 
-def store(sources, targets, lock=True, regions=None, compute=True, return_stored=False, **kwargs):
+def _compose_region(region, sl):
+    """Target index for a source-block slice ``sl`` written into ``region``.
+
+    Step-1 (or integer-start) region slices only; callers fall back to the
+    whole-array write for anything fancier."""
+    if region is None:
+        return sl
+    region = region if isinstance(region, tuple) else (region,)
+    out = []
+    for ax, s in enumerate(sl):
+        r = region[ax] if ax < len(region) else slice(None)
+        start = r.start or 0
+        step = r.step or 1
+        out.append(slice(start + s.start * step, start + (s.stop - 1) * step + 1, step))
+    return tuple(out)
+
+
+def _lazy_stored(src, tgt, region, lock, load_stored):
+    """A lazy array whose block computation WRITES the block to the target
+    and yields either the written value (``load_stored=True``) or the target
+    object itself (``load_stored=False`` — the icechunk contract,
+    reference ``test_store_load_stored_false_returns_targets_not_values``)."""
+    from dask_array_tpu._executor import block_slices, iter_block_indices
+    from dask_array_tpu.io._from_map import from_map
+
+    chunks = src.chunks
+    state: dict = {}
+
+    def dense_of():
+        if "v" not in state:
+            state["v"] = np.asarray(src.compute())
+        return state["v"]
+
+    def store_block(bid):
+        sl = block_slices(chunks, tuple(bid))
+        value = dense_of()[sl]
+        if lock is not None:
+            lock.acquire()
+        try:
+            tgt[_compose_region(region, sl)] = value
+        finally:
+            if lock is not None:
+                lock.release()
+        return value if load_stored else tgt
+
+    ids = [tuple(int(i) for i in b) for b in iter_block_indices([len(c) for c in chunks])]
+    dtype = src.dtype if load_stored else np.dtype(object)
+    return from_map(store_block, ids, chunks=chunks, dtype=dtype, _opaque=not load_stored)
+
+
+def store(sources, targets, lock=True, regions=None, compute=True, return_stored=False, load_stored=None, **kwargs):
     """Store lazy arrays into array-like (``__setitem__``-able) targets."""
     from dask_array_tpu._collection import Array
 
@@ -89,6 +139,16 @@ def store(sources, targets, lock=True, regions=None, compute=True, return_stored
             if lock is not None:
                 lock.release()
         return value
+
+    if load_stored is None:
+        load_stored = return_stored
+    if return_stored and not load_stored and not compute:
+        # icechunk contract: lazy array whose blocks ARE the write targets
+        out = [_lazy_stored(s, t, r, lock, False) for s, t, r in zip(sources, targets, regions)]
+        return out[0] if single else out
+    if return_stored and not compute:
+        out = [_lazy_stored(s, t, r, lock, True) for s, t, r in zip(sources, targets, regions)]
+        return out[0] if single else out
 
     thunks = [
         (lambda s=s, t=t, r=r: write_one(s, t, r))

@@ -124,6 +124,20 @@ def take(a, indices, axis=0):
         return reshape(flat, new_shape)
     n = a.shape[axis]
     if isinstance(n, float) and np.isnan(n):
+        if len(a.chunks[axis]) == 1:
+            # a SINGLE block of unknown size needs no split points: defer the
+            # take to per-block execution, where the concrete block supports
+            # negative indices and numpy's own bounds errors (reference
+            # test_unknown_chunks_length_one)
+            idx_arr = np.asarray(indices, dtype=np.int64)
+            out_chunks = tuple(
+                (len(idx_arr),) if ax == axis else c for ax, c in enumerate(a.chunks)
+            )
+
+            def _take_block(b, idx_arr=idx_arr, axis=axis):
+                return np.asarray(b).take(idx_arr, axis=axis)
+
+            return a.map_blocks(_take_block, chunks=out_chunks, dtype=a.dtype)
         raise ValueError(
             "Cannot take along an axis with unknown chunk sizes; call "
             "compute_chunk_sizes() first"
@@ -185,6 +199,20 @@ class TakeLazy(ArrayExpr):
     def _meta(self):
         return self.array._meta
 
+    def _host_index_values(self):
+        """Concrete index values if they exist WITHOUT computation (a host
+        leaf, possibly astype-wrapped); None for data-dependent indices."""
+        from dask_array_tpu.ops._from_array import FromArray
+
+        node = self.indices
+        while True:
+            if isinstance(node, FromArray) and isinstance(node.source, np.ndarray):
+                return node.source
+            deps = node.dependencies() if hasattr(node, "dependencies") else []
+            if len(deps) != 1 or type(node).__name__ not in ("Elemwise",):
+                return None
+            node = deps[0]
+
     def _build(self, ctx):
         import jax.numpy as jnp
 
@@ -192,8 +220,21 @@ class TakeLazy(ArrayExpr):
         idx = ctx.build(self.indices).dense()
         dim = self.array.shape[self.axis]
         if not (isinstance(dim, float) and math.isnan(dim)):
+            host_idx = self._host_index_values()
+            if host_idx is not None and host_idx.size and (
+                (host_idx.astype("i8") < -dim) | (host_idx.astype("i8") >= dim)
+            ).any():
+                # indices known before tracing: surface numpy's bounds error
+                # (reference test_index_with_int_dask_array_indexerror);
+                # data-DEPENDENT indices cannot raise inside a traced
+                # program — those gathers CLIP (documented divergence)
+                h = host_idx.astype("i8").ravel()
+                bad = h[(h < -dim) | (h >= dim)][0]
+                raise IndexError(
+                    f"index {int(bad)} is out of bounds for axis {self.axis} with size {dim}"
+                )
             idx = jnp.where(idx < 0, idx + dim, idx)  # numpy wrap semantics
-        dense = jnp.take(view.dense(), idx, axis=self.axis)
+        dense = jnp.take(view.dense(), idx, axis=self.axis, mode="clip")
         return BlockView(self.chunks, dense=dense)
 
 

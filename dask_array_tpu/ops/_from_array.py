@@ -53,10 +53,13 @@ def _storage_granule(src):
 
 
 class FromArray(ArrayExpr):
-    _parameters = ("source", "chunks_", "region")
-    _defaults = {"region": None}
+    _parameters = ("source", "chunks_", "region", "name_")
+    _defaults = {"region": None, "name_": None}
 
     _fusable_leaf = True
+
+    def _collection_name(self):
+        return self.operand("name_") or self._name
 
     @property
     def _traceable(self):
@@ -206,7 +209,7 @@ def from_array(x, chunks="auto", name=None, lock=False, asarray=None, fancy=True
         if prev is not None and len(prev) != len(x.shape):
             prev = None
     chunks = normalize_chunks(chunks, x.shape, dtype=x.dtype, previous_chunks=prev)
-    return new_collection(FromArray(x, chunks, None))
+    return new_collection(FromArray(x, chunks, None, name))
 
 
 def asarray(a, chunks=None, *, allow_unknown_chunksizes=False, dtype=None, order=None, like=None, **kwargs):

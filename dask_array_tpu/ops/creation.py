@@ -31,10 +31,13 @@ class BroadcastTrick(ArrayExpr):
     ``/root/reference/dask_array/creation/_ones_zeros.py:17-125``.
     """
 
-    _parameters = ("chunks_", "_dtype", "fill_value")
-    _defaults = {"fill_value": None}
+    _parameters = ("chunks_", "_dtype", "fill_value", "name_")
+    _defaults = {"fill_value": None, "name_": None}
 
     _fusable_leaf = True
+
+    def _collection_name(self):
+        return self.operand("name_") or self._name
 
     @property
     def chunks(self):
@@ -52,7 +55,14 @@ class BroadcastTrick(ArrayExpr):
 
         fill = self._fill()
         shape = self.shape
-        if fill is None:  # "empty": contents unspecified; zeros on TPU
+        if np.dtype(self._dtype).kind in "VUSOT":
+            # host-only dtype (str/object/structured): numpy constants
+            dense = (
+                np.zeros(shape, dtype=self._dtype)
+                if fill is None
+                else np.full(shape, fill, dtype=self._dtype)
+            )
+        elif fill is None:  # "empty": contents unspecified; zeros on TPU
             dense = jnp.zeros(shape, dtype=self._dtype)
         else:
             dense = jnp.full(shape, fill, dtype=self._dtype)
@@ -82,15 +92,15 @@ class BroadcastTrick(ArrayExpr):
 
 
 class Ones(BroadcastTrick):
-    _defaults = {"fill_value": 1}
+    _defaults = {**BroadcastTrick._defaults, "fill_value": 1}
 
 
 class Zeros(BroadcastTrick):
-    _defaults = {"fill_value": 0}
+    _defaults = {**BroadcastTrick._defaults, "fill_value": 0}
 
 
 class Empty(BroadcastTrick):
-    _defaults = {"fill_value": None}
+    _defaults = {**BroadcastTrick._defaults, "fill_value": None}
 
 
 class Full(BroadcastTrick):
@@ -103,7 +113,7 @@ def _wrap_shape(shape):
     return tuple(int(s) for s in shape)
 
 
-def _make(cls, shape, dtype, chunks, fill_value=None, meta=None):
+def _make(cls, shape, dtype, chunks, fill_value=None, meta=None, name=None):
     from dask_array_tpu._collection import new_collection
 
     shape = _wrap_shape(shape)
@@ -114,26 +124,26 @@ def _make(cls, shape, dtype, chunks, fill_value=None, meta=None):
             raise TypeError("full() requires a fill_value")
         if dtype is None:
             dtype = np.asarray(fill_value).dtype
-        return new_collection(Full(chunks, dtype, fill_value))
-    return new_collection(cls(chunks, dtype))
+        return new_collection(Full(chunks, dtype, fill_value, name))
+    return new_collection(cls(chunks, dtype, name_=name))
 
 
 def ones(shape, dtype=float, chunks="auto", name=None, meta=None):
-    return _make(Ones, shape, dtype, chunks)
+    return _make(Ones, shape, dtype, chunks, name=name)
 
 
 def zeros(shape, dtype=float, chunks="auto", name=None, meta=None):
-    return _make(Zeros, shape, dtype, chunks)
+    return _make(Zeros, shape, dtype, chunks, name=name)
 
 
 def empty(shape, dtype=float, chunks="auto", name=None, meta=None):
-    return _make(Empty, shape, dtype, chunks)
+    return _make(Empty, shape, dtype, chunks, name=name)
 
 
 def full(shape, fill_value, dtype=None, chunks="auto", name=None, meta=None):
     if dtype is None:
         dtype = np.asarray(fill_value).dtype
-    return _make(Full, shape, dtype, chunks, fill_value=fill_value)
+    return _make(Full, shape, dtype, chunks, fill_value=fill_value, name=name)
 
 
 def _like(maker, a, dtype=None, chunks=None, shape=None, **kw):
@@ -144,6 +154,8 @@ def _like(maker, a, dtype=None, chunks=None, shape=None, **kw):
     same_shape = shape is None
     if shape is None:
         shape = a.shape
+    elif isinstance(shape, Integral):
+        shape = (int(shape),)
     if dtype is None:
         dtype = a.dtype
 
@@ -190,24 +202,24 @@ def _check_like_order(order):
 
 def ones_like(a, dtype=None, order="C", chunks=None, name=None, shape=None):
     _check_like_order(order)
-    return _like(ones, a, dtype, chunks, shape)
+    return _like(ones, a, dtype, chunks, shape, name=name)
 
 
 def zeros_like(a, dtype=None, order="C", chunks=None, name=None, shape=None):
     _check_like_order(order)
-    return _like(zeros, a, dtype, chunks, shape)
+    return _like(zeros, a, dtype, chunks, shape, name=name)
 
 
 def empty_like(a, dtype=None, order="C", chunks=None, name=None, shape=None):
     _check_like_order(order)
-    return _like(empty, a, dtype, chunks, shape)
+    return _like(empty, a, dtype, chunks, shape, name=name)
 
 
 def full_like(a, fill_value, dtype=None, order="C", chunks=None, name=None, shape=None):
     _check_like_order(order)
     if dtype is None and hasattr(a, "dtype"):
         dtype = a.dtype
-    return _like(full, a, dtype, chunks, shape, fill_value=fill_value)
+    return _like(full, a, dtype, chunks, shape, fill_value=fill_value, name=name)
 
 
 # ---------------------------------------------------------------------------
@@ -267,6 +279,14 @@ def arange(start=0, stop=None, step=1, *, chunks="auto", like=None, dtype=None):
         # (arange(0, 1e-6, 1e-9) must not materialize 1e9 host elements)
         dtype = np.arange(type(start)(0), type(stop)(0), type(step)(1)).dtype
     dtype = np.dtype(dtype)
+    if dtype.kind in "iu" and not (
+        float(start).is_integer() and float(step).is_integer()
+    ):
+        # numpy casts start/step to the requested INT dtype first (the
+        # length still comes from the float arguments): arange(3.3, -9.1,
+        # -0.25, dtype='i8') is fifty 3s (step truncates to 0)
+        start, step = int(start), int(step)
+        stop = start + num * step
     chunks = normalize_chunks(chunks, (num,), dtype=dtype)
     return new_collection(Arange(start, stop, step, chunks, dtype))
 
@@ -488,16 +508,29 @@ class Pad(ArrayExpr):
 
         dense = ctx.build(self.array).dense()
         kw = dict(self.kwargs or ())
-        if callable(self.mode):
-            # numpy's function-mode contract (np.pad docs): the callable
-            # mutates each padded 1-D vector in place per axis
-            out = jnp.asarray(
-                np.pad(np.asarray(dense), self.pad_width, self.mode, **kw)
-            )
+        logical = np.dtype(self.dtype)
+        if callable(self.mode) or logical.kind in "VUSOT":
+            # function modes are arbitrary host code; host-only dtypes
+            # (str/object/structured) pad on the host lane
+            out_np = np.pad(np.asarray(dense), self.pad_width, self.mode, **kw)
+            if logical.kind in "VUSOT":
+                return BlockView(self.chunks, dense=out_np)
+            out = jnp.asarray(out_np)
         else:
+            if logical.kind in "Mm" and "constant_values" in kw:
+                # datetime shim: blocks are int64 ticks — convert the pad
+                # value(s) through the logical unit to ticks
+                def ticks(v):
+                    if isinstance(v, (tuple, list)):
+                        return type(v)(ticks(x) for x in v)
+                    return int(np.asarray(v).astype(logical).view("i8"))
+
+                kw["constant_values"] = ticks(kw["constant_values"])
             out = jnp.pad(dense, self.pad_width, mode=self.mode, **kw)
-        if out.dtype != self.dtype:
-            out = out.astype(self.dtype)
+        from dask_array_tpu._chunks import device_dtype
+
+        if out.dtype != device_dtype(self.dtype):
+            out = out.astype(device_dtype(self.dtype))
         return BlockView(self.chunks, dense=out)
 
 
@@ -518,6 +551,10 @@ def pad(array, pad_width, mode="constant", **kwargs):
         norm = tuple((int(lo), int(hi)) for lo, hi in pw)
     if len(norm) != array.ndim:
         raise ValueError("pad_width does not match array ndim")
+    if all(lo == 0 and hi == 0 for lo, hi in norm):
+        # 0-width pad is the identity — return the INPUT collection
+        # (reference test_pad_0_width: ``da_r is da_a``)
+        return array
     kw = tuple(sorted(
         (k, tuple(v) if isinstance(v, list) else v) for k, v in kwargs.items()
     ))
