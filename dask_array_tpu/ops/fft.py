@@ -56,7 +56,7 @@ class FFT(ArrayExpr):
     def _meta(self):
         in_dt = self.array.dtype
         if self.kind in ("irfft", "irfftn", "irfft2", "hfft"):
-            dt = np.float32 if in_dt in (np.dtype("complex64"),) else np.float64
+            dt = np.float32 if in_dt in (np.dtype("complex64"), np.dtype("float32")) else np.float64
         else:
             dt = np.complex64 if in_dt in (np.dtype("float32"), np.dtype("complex64")) else np.complex128
         return np.empty((0,) * self.array.ndim, dtype=dt)
@@ -87,44 +87,39 @@ def _check_single_chunk(a, axes):
             )
 
 
-def fft_wrap(fft_func, kind=None, dtype=None):
+def fft_wrap(fft_func, kind=None, dtype=None, allow_fftpack=False):
     """Wrap a (numpy/scipy-style) fft function for lazy arrays.
 
-    Parity: ``fft_wrap`` (``/root/reference/dask_array/fft.py:119``).
-    Functions whose name matches a jnp.fft routine get the native device
-    path; anything else is applied per (single-chunk-axis) block via
-    map_blocks.
+    Parity: ``fft_wrap`` (``/root/reference/dask_array/fft.py:119``):
+    ``kind`` defaults to the function's name and must belong to the
+    numpy.fft API (unknown kinds raise ValueError); ``scipy.fftpack``
+    sources warn unless ``allow_fftpack=True``.  Execution lowers to the
+    matching jnp.fft routine (on-device FFT kernels).
     """
-    name = kind or getattr(fft_func, "__name__", None)
-    import jax.numpy as jnp
+    import warnings
 
-    if name and hasattr(jnp.fft, name):
-        def wrapped(a, n=None, axis=None, norm=None, s=None, axes=None):
-            return _dispatch(name, a, n=n, axis=axis, s=s, axes=axes, norm=norm)
-
-        wrapped.__name__ = name
-        return wrapped
-
-    def fallback(a, n=None, axis=-1, norm=None):
-        from dask_array_tpu.ops._map_blocks import map_blocks
-
-        ax = validate_axis(axis, a.ndim)
-        _check_single_chunk(a, (ax,))
-        out_chunks = list(a.chunks)
-        if n is not None:
-            out_chunks[ax] = (int(n),)
-
-        def run(b):
-            kw = {"n": n, "axis": ax}
-            if norm is not None:
-                kw["norm"] = norm
-            return fft_func(b, **kw)
-
-        return map_blocks(
-            run, a, dtype=dtype or complex, chunks=tuple(out_chunks)
+    mod = getattr(fft_func, "__module__", "") or ""
+    if mod.startswith("scipy.fftpack") and not allow_fftpack:
+        warnings.warn(
+            f"Function {getattr(fft_func, '__name__', fft_func)} from "
+            "`scipy.fftpack` does not match NumPy's API and is considered "
+            "legacy. Please use `scipy.fft` instead. To suppress this "
+            "warning and allow usage, set `allow_fftpack=True`.",
+            FutureWarning,
         )
+    name = kind or getattr(fft_func, "__name__", None)
+    if not name or name.rstrip("2n") not in _OUT_CHUNK_FNS:
+        raise ValueError(f"Given unknown `kind` {name}.")
 
-    return fallback
+    if name.endswith("2") or name.endswith("n"):
+        def wrapped(a, s=None, axes=None, norm=None):
+            return _dispatch(name, a, s=s, axes=axes, norm=norm)
+    else:
+        def wrapped(a, n=None, axis=-1, norm=None):
+            return _dispatch(name, a, n=n, axis=axis, norm=norm)
+
+    wrapped.__name__ = name
+    return wrapped
 
 
 def _dispatch(kind, a, n=None, axis=None, s=None, axes=None, norm=None):
@@ -136,17 +131,24 @@ def _dispatch(kind, a, n=None, axis=None, s=None, axes=None, norm=None):
         ax = validate_axis(-1 if axis is None else axis, a.ndim)
         axes_t = (ax,)
         n_param = n
-    elif kind in ("fft2", "ifft2", "rfft2", "irfft2"):
-        axes_t = tuple(validate_axis(x, a.ndim) for x in (axes or (-2, -1)))
-        n_param = tuple(s) if s is not None else None
     else:
         if axes is not None:
             axes_t = tuple(validate_axis(x, a.ndim) for x in axes)
+        elif kind.endswith("2") and s is None:
+            axes_t = tuple(validate_axis(x, a.ndim) for x in (-2, -1))
         elif s is not None:
             # numpy semantics: s without axes means the LAST len(s) axes
             axes_t = tuple(range(a.ndim - len(s), a.ndim))
+        elif kind.endswith("2"):
+            axes_t = tuple(validate_axis(x, a.ndim) for x in (-2, -1))
         else:
             axes_t = tuple(range(a.ndim))
+        if len(set(axes_t)) != len(axes_t):
+            raise ValueError("Duplicate axes not allowed.")
+        if kind.endswith("2") and len(axes_t) != 2:
+            # numpy's *2 functions accept ANY axes count (they are fftn
+            # specializations); jnp's insist on exactly 2 — reroute to *n
+            kind = kind[:-1] + "n"
         n_param = tuple(s) if s is not None else None
     _check_single_chunk(a, axes_t)
     return new_collection(FFT(a.expr, kind, n_param, axes_t, norm))
@@ -209,14 +211,19 @@ def irfftn(a, s=None, axes=None, norm=None):
 
 
 def fftfreq(n, d=1.0, chunks="auto"):
+    """One iota of length n with the wrap applied elementwise, so an
+    EXPLICIT chunks spec describes the whole output (reference
+    ``_fftfreq_block``: r[i >= (n+1)//2] -= n; r /= n*d)."""
+    import jax.numpy as jnp
+
+    from dask_array_tpu._blockwise import elemwise
     from dask_array_tpu.ops.creation import arange
 
     n = int(n)
-    left = arange(0, (n - 1) // 2 + 1, chunks=chunks, dtype="f8")
-    right = arange(-(n // 2), 0, chunks=chunks, dtype="f8")
-    from dask_array_tpu.ops.stacking import concatenate
-
-    return concatenate([left, right]) / (n * d)
+    i = arange(0, n, chunks=chunks, dtype="f8")
+    cut = (n + 1) // 2
+    shifted = elemwise(lambda v: jnp.where(v >= cut, v - n, v), i)
+    return shifted / (n * d)
 
 
 def rfftfreq(n, d=1.0, chunks="auto"):
