@@ -106,5 +106,53 @@ def main():
     )
 
 
+def _orchestrate():
+    """Supervise the measurement in a child process so a sick axon tunnel
+    (multi-minute hangs at jax init / first compile — see CLAUDE.md) cannot
+    leave the driver with NO output: one TPU attempt with a generous
+    timeout, then a CPU-lane fallback, always printing exactly one JSON
+    line."""
+    import os
+    import subprocess
+    import sys
+
+    def run(extra_env, timeout):
+        env = dict(os.environ, DA_BENCH_CHILD="1", **extra_env)
+        if "JAX_PLATFORMS" in extra_env:
+            env.pop("PALLAS_AXON_POOL_IPS", None)  # skip axon registration
+        try:
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env, timeout=timeout, capture_output=True, text=True,
+            )
+        except subprocess.TimeoutExpired:
+            return None
+        for line in reversed((out.stdout or "").strip().splitlines()):
+            if line.startswith("{"):
+                return line
+        return None
+
+    line = run({}, timeout=2400)
+    if line is None:
+        print("bench.py: TPU attempt hung/failed; falling back to the CPU lane", file=sys.stderr)
+        line = run({"JAX_PLATFORMS": "cpu"}, timeout=1200)
+    if line is None:
+        line = json.dumps(
+            {
+                "metric": "blocked_matmul_bf16_tflops_per_chip",
+                "value": 0.0,
+                "unit": "TFLOP/s",
+                "vs_baseline": 0.0,
+                "note": "device unreachable (axon tunnel down) and CPU fallback failed",
+            }
+        )
+    print(line)
+
+
 if __name__ == "__main__":
-    main()
+    import os
+
+    if os.environ.get("DA_BENCH_CHILD") == "1":
+        main()
+    else:
+        _orchestrate()
