@@ -113,6 +113,26 @@ def build_case(rng, da):
             )
         else:
             d, ref = np.sin(d), np.sin(ref)
+    if d.ndim >= 1 and rng.integers(0, 8) == 0 and d.size:
+        # terminal quantile lane: a random Hyndman-Fan method over a random
+        # axis — the host-table index path must match numpy bit-for-bit on
+        # index selection (values may differ by chain rounding only)
+        methods = [
+            "linear", "lower", "higher", "midpoint", "nearest",
+            "inverted_cdf", "averaged_inverted_cdf", "closest_observation",
+            "interpolated_inverted_cdf", "hazen", "weibull",
+            "median_unbiased", "normal_unbiased",
+        ]
+        method = methods[int(rng.integers(0, len(methods)))]
+        q = float(rng.integers(0, 101)) / 100.0
+        axis = int(rng.integers(0, d.ndim))
+        dq = da.nanquantile(d, q, axis=axis, method=method)
+        import warnings
+
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            rq = np.nanquantile(ref, q, axis=axis, method=method)
+        return dq, rq
     if d.ndim >= 1 and rng.integers(0, 8) == 0:
         # terminal histogram lane (counts must agree exactly)
         # pad the range: binning exactly at the data min/max is 1-ulp
