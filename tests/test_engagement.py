@@ -125,3 +125,22 @@ def test_explain_reports_all_phases(rng, capsys):
     out = capsys.readouterr().out
     for phase in ("simplify", "lower", "fuse"):
         assert phase in out, out
+
+
+def test_quantile_hf_methods_stay_compiled(rng, monkeypatch):
+    """The Hyndman-Fan quantile path (host-computed index tables gathered
+    in-graph) must run through the compiled trace, not the eager fallback."""
+    state = _spy(monkeypatch)
+    x = rng.standard_normal((40, 30))
+    x[rng.uniform(size=x.shape) < 0.2] = np.nan
+    d = da.from_array(x, chunks=(10, 30))
+    for method in ["weibull", "closest_observation", "nearest"]:
+        got = np.asarray(da.nanquantile(d, 0.35, axis=1, method=method).compute())
+        import warnings
+
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            exp = np.nanquantile(x, 0.35, axis=1, method=method)
+        assert np.allclose(got, exp, equal_nan=True)
+    assert state["trace"] >= 3
+    assert state["eager"] == 0
