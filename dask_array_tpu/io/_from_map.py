@@ -65,13 +65,17 @@ class FromMap(ArrayExpr):
                 continue
             want = tuple(self.chunks_[ax][j] for ax, j in enumerate(idx))
             if tuple(val.shape) != want:
-                # size-preserving folds (expand_dims into the loader grid)
-                # legitimately re-rank blocks; true size mismatches are user
-                # errors (parity: reference rejects_values_shape_mismatch)
-                if int(np.prod(val.shape)) != int(np.prod(want)):
+                # unit-axis folds (expand_dims into the loader grid)
+                # legitimately re-RANK blocks; anything that would reorder
+                # elements (same size, permuted dims) is a user error the
+                # reference also rejects (its test_from_map.py
+                # rejects_reordering_shape_mismatch)
+                if tuple(d for d in val.shape if d != 1) != tuple(
+                    d for d in want if d != 1
+                ):
                     raise ValueError(
                         f"from_map block {tuple(idx)} has shape {tuple(val.shape)}, "
-                        f"expected {want} from chunks"
+                        f"incompatible with the declared chunk shape: expected {want}"
                     )
                 val = jnp.reshape(val, want) if not isinstance(val, np.ndarray) else val.reshape(want)
             blocks[tuple(idx)] = val
@@ -139,6 +143,13 @@ class FromMap(ArrayExpr):
         return out
 
 
+def fm_pinned(fm):
+    """True when a FromMap leaf must not be rewritten/merged: a user-supplied
+    name pins its identity (reference: named from_delayed stays as built)
+    and opaque payload blocks have no reshape/merge semantics."""
+    return fm.operand("name_") is not None or bool(fm.operand("opaque_"))
+
+
 class _LazyBlock:
     """Host buffer produced on demand (when the executor binds leaves)."""
 
@@ -152,9 +163,25 @@ class _LazyBlock:
 
     def materialize(self):
         if self._value is None:
-            out = self.func(*self.args, **self.kwargs)
+            out = self.func(
+                *[_resolve_delayed(a) for a in self.args],
+                **{k: _resolve_delayed(v) for k, v in self.kwargs.items()},
+            )
             self._value = np.asarray(out)
         return self._value
+
+
+def _resolve_delayed(v):
+    """Recursively compute nested ``Delayed`` arguments (the reference
+    consumes multi-task dask.delayed bodies; ours resolves sub-calls at
+    host-materialization time)."""
+    if isinstance(v, Delayed):
+        return v.compute()
+    if isinstance(v, tuple):
+        return tuple(_resolve_delayed(x) for x in v)
+    if isinstance(v, list):
+        return [_resolve_delayed(x) for x in v]
+    return v
 
 
 def from_map(func, *iterables, chunks=None, shape=None, args=None, dtype=None, meta=None, name=None, _opaque=False, **kwargs):
@@ -164,6 +191,40 @@ def from_map(func, *iterables, chunks=None, shape=None, args=None, dtype=None, m
     ``chunks``+``shape`` describe a full grid).
     """
     from dask_array_tpu._collection import new_collection
+
+    if (
+        len(iterables) == 1
+        and isinstance(iterables[0], np.ndarray)
+        and iterables[0].dtype == object
+    ):
+        # reference form: a single object ndarray whose SHAPE is the block
+        # grid (values[idx] is block idx's argument) — N-D native, 0-d ok
+        # (/root/reference/dask_array/tests/test_from_map.py:130-180)
+        values = iterables[0]
+        if chunks is None:
+            raise ValueError(
+                "from_map with an object values grid requires chunks="
+            )
+        if shape is not None:
+            chunks = normalize_chunks(chunks, shape, dtype=dtype)
+        chunks = tuple(tuple(int(x) for x in c) for c in chunks)
+        grid = tuple(len(c) for c in chunks)
+        if values.shape != grid:
+            raise ValueError(
+                f"from_map values grid {values.shape} does not match the "
+                f"block grid {grid} implied by chunks"
+            )
+        call_args = tuple(
+            (v,) + tuple(args or ()) for v in values.ravel(order="C")
+        )
+        if dtype is None:
+            dtype = np.asarray(func(*call_args[0], **kwargs)).dtype
+        return new_collection(
+            FromMap(
+                func, call_args, chunks, np.dtype(dtype),
+                tuple(sorted(kwargs.items())), name, _opaque,
+            )
+        )
 
     iterables = [list(it) for it in iterables]
     if not iterables:
@@ -221,7 +282,10 @@ class Delayed:
         self._key = key
 
     def compute(self):
-        return self.func(*self.args, **self.kwargs)
+        return self.func(
+            *[_resolve_delayed(a) for a in self.args],
+            **{k: _resolve_delayed(v) for k, v in self.kwargs.items()},
+        )
 
 
 def delayed(func, *args, **kwargs):
@@ -248,7 +312,7 @@ def from_delayed(value, shape, dtype=None, meta=None, name=None):
 
     chunks = tuple((s,) for s in shape)
     return new_collection(
-        FromMap(fn, (tuple(args),), chunks, np.dtype(dtype), tuple(sorted(kw.items())))
+        FromMap(fn, (tuple(args),), chunks, np.dtype(dtype), tuple(sorted(kw.items())), name)
     )
 
 

@@ -153,12 +153,50 @@ def _resolve_edges(a, bins, range):
     return expr, n, new_collection(expr)
 
 
+def _validate_bins_range(bins, range, for_histogram=True):
+    """Reference-parity argument validation (its ``_histogram.py`` raises
+    clear errors naming bins/range; test_histogram_bin_range_raises)."""
+    from dask_array_tpu._collection import Array
+
+    if bins is None:
+        raise ValueError("histogram requires a bins argument: pass bin edges or a bin count")
+    if isinstance(bins, Array):
+        if bins.ndim > 1:
+            raise ValueError(f"bins must be a scalar count or 1-D edges, got {bins.ndim}-D")
+    elif np.ndim(bins) > 1:
+        raise ValueError(f"bins must be a scalar count or 1-D edges, got {np.ndim(bins)}-D")
+    if range is not None:
+        if isinstance(range, Array):
+            if range.ndim != 1 or range.shape[0] != 2:
+                raise ValueError(
+                    f"range must be a pair (lo, hi), got an array of shape {range.shape}"
+                )
+        elif np.ndim(range) == 0:
+            raise TypeError(f"range must be a pair (lo, hi), got {range!r}")
+        elif np.ndim(range) > 1 or builtins.len(range) != 2:
+            raise ValueError(f"range must be a pair (lo, hi), got {range!r}")
+
+
 def histogram(a, bins=None, range=None, normed=False, weights=None, density=None):
     from dask_array_tpu._collection import Array, new_collection
     from dask_array_tpu.ops._from_array import asarray, from_array
 
-    if bins is None:
-        bins = 10
+    if normed:
+        raise ValueError(
+            "The normed= keyword is deprecated in numpy and unsupported here; "
+            "use density=True instead"
+        )
+    _validate_bins_range(bins, range)
+    if isinstance(bins, Array) and bins.ndim == 0:
+        # a scalar dask bin COUNT fixes the output shape, so it must be
+        # resolved at graph-build time; with density the reference refuses
+        # outright (message parity: its _histogram.py:214)
+        if density or normed:
+            raise NotImplementedError(
+                "`bins` cannot be a scalar Dask object when density=True; "
+                "compute it first or pass a concrete int"
+            )
+        bins = int(bins.compute())
     a = asarray(a)
     if weights is not None:
         weights = asarray(weights)
@@ -240,9 +278,14 @@ def histogramdd(sample, bins=10, range=None, normed=False, weights=None, density
     from dask_array_tpu._collection import Array, new_collection
     from dask_array_tpu.ops._from_array import asarray, from_array
 
+    if normed and density:
+        raise TypeError("Cannot specify both 'normed' and 'density'")
     if isinstance(sample, Array):
         if sample.ndim != 2:
-            raise ValueError("sample array must be 2-D (N, D)")
+            raise ValueError(
+                "Single array input to histogramdd should be columnar, i.e. "
+                f"have two dimensions (N, D); got {sample.ndim}-D"
+            )
         d = sample.shape[1]
         coords = [sample[:, i] for i in builtins.range(d)]
     else:
@@ -250,12 +293,28 @@ def histogramdd(sample, bins=10, range=None, normed=False, weights=None, density
         d = len(coords)
     dens = bool(density) if density is not None else bool(normed)
 
-    if not isinstance(bins, (list, tuple)):
+    if isinstance(bins, (list, tuple)):
+        if len(bins) != d:
+            raise ValueError(
+                "The dimension of bins must be equal to the dimension of the "
+                f"sample: got {len(bins)} bins for {d} dimensions"
+            )
+    else:
         bins = [bins] * d
     if range is None:
         ranges = [None] * d
     else:
         ranges = list(range)
+        if len(ranges) != d:
+            raise ValueError(
+                "range argument requires one entry, a min max pair, per "
+                f"dimension: got {len(ranges)} entries for {d} dimensions"
+            )
+        for r in ranges:
+            if r is not None and (np.ndim(r) != 1 or builtins.len(r) != 2):
+                raise ValueError(
+                    f"range argument should be a sequence of pairs, got {r!r}"
+                )
     edge_arrays = []
     nbins = []
     for i in builtins.range(d):

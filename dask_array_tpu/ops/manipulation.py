@@ -117,6 +117,8 @@ def transpose(a, axes=None):
         axes = tuple(validate_axis(ax, expr.ndim) for ax in axes)
         if len(set(axes)) != expr.ndim:
             raise ValueError("axes don't match array")
+    if isinstance(a, Array) and axes == tuple(range(expr.ndim)):
+        return a  # identity permutation: skip entirely (reference parity)
     return new_collection(make_transpose(expr, axes))
 
 
@@ -241,9 +243,9 @@ class ExpandDims(ArrayExpr):
         # rank grid directly (stack() = expand_dims + concatenate, and this
         # is what lets stack-of-from_delayed collapse to ONE FromMap —
         # the reference's grouped-layer discipline, test_from_map.py)
-        from dask_array_tpu.io._from_map import FromMap
+        from dask_array_tpu.io._from_map import FromMap, fm_pinned
 
-        if type(self.array) is FromMap:
+        if type(self.array) is FromMap and not fm_pinned(self.array):
             fm = self.array
             return FromMap(
                 fm.func, fm.args_per_block, self.chunks, fm.operand("_dtype"), fm.kwargs
@@ -342,7 +344,7 @@ def atleast_1d(*arys):
         if a.ndim == 0:
             a = expand_dims(a, 0)
         out.append(a)
-    return out[0] if len(out) == 1 else out
+    return out[0] if len(out) == 1 else tuple(out)
 
 
 def atleast_2d(*arys):
@@ -354,7 +356,7 @@ def atleast_2d(*arys):
         while a.ndim < 2:
             a = expand_dims(a, 0)
         out.append(a)
-    return out[0] if len(out) == 1 else out
+    return out[0] if len(out) == 1 else tuple(out)
 
 
 def atleast_3d(*arys):
@@ -370,7 +372,7 @@ def atleast_3d(*arys):
         elif a.ndim == 2:
             a = expand_dims(a, 2)
         out.append(a)
-    return out[0] if len(out) == 1 else out
+    return out[0] if len(out) == 1 else tuple(out)
 
 
 class BroadcastTo(ArrayExpr):

@@ -43,6 +43,30 @@ def where(condition, x=None, y=None):
         return nonzero(condition)
     if x is None or y is None:
         raise ValueError("either both or neither of x and y should be given")
+    from dask_array_tpu._collection import Array
+
+    shapes = [np.shape(condition), np.shape(x), np.shape(y)]
+    if (
+        not isinstance(condition, Array)
+        and np.ndim(condition) == 0
+        and not any(s != s for sh in shapes for s in sh)  # no nan dims
+    ):
+        # scalar truth: no elementwise select — return the chosen branch
+        # directly (reference test_where_bool_optimization: `w1 is d`),
+        # applying numpy's broadcast/promotion rules only when needed
+        chosen = x if condition else y
+        out_dtype = np.result_type(
+            getattr(x, "dtype", x), getattr(y, "dtype", y)
+        )
+        shape = np.broadcast_shapes(*shapes)
+        c = _asarray(chosen)
+        if c.dtype != out_dtype:
+            c = c.astype(out_dtype)
+        if c.shape != shape:
+            from dask_array_tpu.ops.manipulation import broadcast_to
+
+            c = broadcast_to(c, shape)
+        return c
     jnp = _jnp()
     return elemwise(jnp.where, condition, x, y)
 
@@ -123,6 +147,21 @@ def average(a, axis=None, weights=None, returned=False, keepdims=False):
         scl = _count(a, axis, keepdims=keepdims, split_every=None, dtype=avg.dtype)
     else:
         w = _asarray(weights)
+        if w.shape != a.shape:
+            # numpy's validation contract (np.average raises these verbatim)
+            if axis is None:
+                raise TypeError(
+                    "Axis must be specified when shapes of a and weights differ."
+                )
+            if w.ndim != 1:
+                raise TypeError(
+                    "1D weights expected when shapes of a and weights differ."
+                )
+            ax = validate_axis(axis, a.ndim)
+            if w.shape[0] != a.shape[ax]:
+                raise ValueError(
+                    "Length of weights not compatible with specified axis."
+                )
         if w.ndim != a.ndim and axis is not None and w.ndim == 1:
             ax = validate_axis(axis, a.ndim)
             shape_w = [1] * a.ndim
@@ -806,21 +845,27 @@ def diagonal(a, offset=0, axis1=0, axis2=1):
 
 
 def aligned_coarsen_chunks(chunks, multiple):
-    """Rechunk targets aligned to a coarsening factor (parity helper)."""
-    out = []
-    carry = 0
-    for c in chunks:
-        c += carry
-        keep = (c // multiple) * multiple
-        carry = c - keep
-        if keep:
-            out.append(keep)
-    if carry:
-        if out:
-            out[-1] += carry
-        else:
-            out.append(carry)
-    return tuple(out)
+    """Rechunk targets aligned to a coarsening factor.
+
+    Contract (reference ``routines/_coarsen.py:22`` properties): element
+    count conserved; chunks already divisible by ``multiple`` are untouched;
+    at most one chunk is added; at most one chunk is left indivisible and it
+    is the last.
+    """
+    floors = [(c // multiple) * multiple for c in chunks]
+    excess = sum(c - f for c, f in zip(chunks, floors))
+    # hand whole multiples of the excess to the smallest chunks that lost
+    # something (never to already-aligned chunks, which stay verbatim)
+    donees = sorted(
+        (i for i, (c, f) in enumerate(zip(chunks, floors)) if f != c),
+        key=lambda i: floors[i],
+    )
+    units, remainder = divmod(excess, multiple)
+    for k in range(units):
+        floors[donees[k]] += multiple
+    if remainder:
+        floors.append(remainder)
+    return tuple(f for f in floors if f > 0)
 
 
 class Coarsen(ArrayExpr):

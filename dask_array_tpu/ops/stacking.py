@@ -81,6 +81,13 @@ class Concatenate(ArrayExpr):
             return None
         f0 = arrs[0]
         axis = self.axis
+        from dask_array_tpu.io._from_map import fm_pinned
+
+        if any(fm_pinned(a) for a in arrs):
+            # opaque payload blocks have no merge semantics; a user-supplied
+            # name pins the leaf's identity (reference: named from_delayed is
+            # left as built, test_from_map.py:355-367)
+            return None
         if not all(
             a.func is f0.func
             and a.kwargs == f0.kwargs

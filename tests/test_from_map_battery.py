@@ -229,6 +229,185 @@ def test_collapsed_plan_stays_small_at_width():
     assert len(list(opt.walk())) == 1
 
 
+# ---------------------------------------------------------------------------
+# reference spine, second pass: object values grids, 0-d, shape discipline,
+# named leaves, multi-task delayed bodies, nested stacks, dedup
+# (/root/reference/dask_array/tests/test_from_map.py:102-420)
+# ---------------------------------------------------------------------------
+
+
+def _obj(values):
+    a = np.empty(len(values), dtype=object)
+    a[:] = list(values)
+    return a
+
+
+def test_from_map_object_values_grid_1d():
+    a = from_map(lambda v: np.full(5, v, dtype="int64"), _obj([1, 2, 3]), chunks=((5, 5, 5),), dtype="int64")
+    assert a.shape == (15,)
+    expected = np.concatenate([np.full(5, v) for v in [1, 2, 3]]).astype("int64")
+    np.testing.assert_array_equal(np.asarray(a.compute()), expected)
+
+
+def test_from_map_object_values_grid_2d():
+    # the values array's SHAPE is the block grid — N-D falls out directly
+    values = np.empty((2, 2), dtype=object)
+    values[:] = [[1, 2], [3, 4]]
+    a = from_map(lambda v: np.full((2, 3), v, dtype="int64"), values, chunks=((2, 2), (3, 3)), dtype="int64")
+    assert a.shape == (4, 6)
+    assert a.numblocks == (2, 2)
+    expected = np.block(
+        [[np.full((2, 3), 1), np.full((2, 3), 2)], [np.full((2, 3), 3), np.full((2, 3), 4)]]
+    ).astype("int64")
+    np.testing.assert_array_equal(np.asarray(a.compute()), expected)
+
+
+def test_from_map_object_values_grid_3d_noncontiguous():
+    # a transposed (non-C-contiguous) values view with distinct cells catches
+    # a row/column swap in the C-order ravel
+    base = np.empty((3, 2), dtype=object)
+    base[:] = (np.arange(6).reshape(3, 2) * 10).tolist()
+    vals = base.T
+    assert vals.shape == (2, 3) and not vals.flags["C_CONTIGUOUS"]
+    a = from_map(lambda v: np.full((2, 4), v, dtype="int64"), vals, chunks=((2, 2), (4, 4, 4)), dtype="int64")
+    got = np.asarray(a.compute())
+    for i in range(2):
+        for j in range(3):
+            assert (got[2 * i : 2 * i + 2, 4 * j : 4 * j + 4] == int(vals[i, j])).all()
+
+
+def test_from_map_0d_block_grid_scalar_coerced():
+    values = np.empty((), dtype=object)
+    values[()] = 7
+    a = from_map(lambda v: v * 2, values, chunks=(), dtype="int64")
+    assert a.shape == ()
+    assert int(a.compute()) == 14
+
+
+def test_from_map_object_grid_requires_chunks():
+    with pytest.raises(ValueError, match="chunks"):
+        from_map(mk, _obj([1, 2, 3]), dtype="int64")
+
+
+def test_from_map_object_grid_block_grid_mismatch():
+    with pytest.raises(ValueError, match="block grid"):
+        from_map(mk, _obj([1, 2]), chunks=((5, 5, 5),), dtype="int64")
+
+
+def test_from_map_rejects_reordering_shape_mismatch():
+    # same element count, permuted shape: must fail loudly, never silently
+    # reshape elements into the wrong order
+    values = np.empty((1, 1), dtype=object)
+    values[0, 0] = 0
+    bad = from_map(lambda _: np.arange(6).reshape(3, 2), values, chunks=((2,), (3,)), dtype="int64")
+    with pytest.raises(ValueError, match="incompatible with the declared chunk shape"):
+        bad.compute()
+
+
+def test_named_from_delayed_name_preserved():
+    a = from_delayed(delayed(mk)(7), shape=(4, 3), dtype="f8", name="myblock")
+    assert a.name == "myblock"
+    np.testing.assert_array_equal(np.asarray(a.compute()), mk(7))
+    # a named leaf's identity is pinned: stack must NOT rename it onto a
+    # merged FromMap
+    b = from_delayed(delayed(mk)(8), shape=(4, 3), dtype="f8", name="other")
+    s = da.stack([a, b])
+    assert type(s.expr.simplify()) is not FromMap
+    np.testing.assert_array_equal(np.asarray(s.compute()), np.stack([mk(7), mk(8)]))
+
+
+def test_multi_task_delayed_body_resolves():
+    # a delayed whose body depends on two other delayed values: sub-calls
+    # resolve recursively at host-materialization time (the reference consumes
+    # multi-task dask.delayed bodies).  Identical bodies are content-addressed
+    # to ONE leaf (sound: same code, same args), so the stack still collapses.
+    def multi():
+        a = delayed(np.ones)(5)
+        b = delayed(np.zeros)(5)
+        return delayed(lambda x, y: (x + y).astype("int64"))(a, b)
+
+    pieces = [from_delayed(multi(), shape=(5,), dtype="int64") for _ in range(2)]
+    arr = da.stack(pieces)
+    np.testing.assert_array_equal(
+        np.asarray(arr.compute()), np.stack([np.ones(5), np.ones(5)]).astype("int64")
+    )
+
+    # genuinely different bodies (different baked constants) decline the merge
+    def scaled(k):
+        return delayed(lambda x, y, k=k: (x * k + y).astype("int64"))(
+            delayed(np.ones)(5), delayed(np.zeros)(5)
+        )
+
+    arr2 = da.stack([from_delayed(scaled(2), shape=(5,), dtype="int64"),
+                     from_delayed(scaled(3), shape=(5,), dtype="int64")])
+    assert type(arr2.expr.simplify()) is not FromMap
+    np.testing.assert_array_equal(
+        np.asarray(arr2.compute()),
+        np.stack([np.full(5, 2), np.full(5, 3)]).astype("int64"),
+    )
+
+
+def test_nested_stacks_build_3d_from_map():
+    parts = [from_delayed(delayed(np.full)((5,), v, "int64"), shape=(5,), dtype="int64") for v in [1, 2, 3, 4]]
+    arr = da.stack([da.stack(parts[:2]), da.stack(parts[2:])])
+    opt = arr.expr.simplify()
+    assert type(opt) is FromMap
+    assert arr.shape == (2, 2, 5)
+    expected = np.stack(
+        [np.stack([np.full(5, 1), np.full(5, 2)]), np.stack([np.full(5, 3), np.full(5, 4)])]
+    ).astype("int64")
+    np.testing.assert_array_equal(np.asarray(arr.compute()), expected)
+
+
+def test_mixed_rank_block_collapses_to_one_from_map():
+    # block over 1-D leaves wraps each in expand_dims; that folds into the
+    # FromMap grid, so the mixed-rank block still collapses to one node
+    def leaf1d(v):
+        return from_delayed(delayed(np.full)((3,), v, "int64"), shape=(3,), dtype="int64")
+
+    arr = da.block([[leaf1d(1)], [leaf1d(2)]])
+    opt = arr.expr.simplify()
+    assert type(opt) is FromMap
+    assert arr.shape == (2, 3)
+    np.testing.assert_array_equal(
+        np.asarray(arr.compute()),
+        np.block([[np.full((3,), 1)], [np.full((3,), 2)]]).astype("int64"),
+    )
+
+
+def test_coalesced_from_map_dedup_same_and_distinct():
+    def build(vals):
+        return da.concatenate(
+            [from_delayed(delayed(mk)(v), shape=(4, 3), dtype="f8") for v in vals]
+        )
+
+    assert build([1, 2, 3]).expr.simplify()._name == build([1, 2, 3]).expr.simplify()._name
+    assert build([1, 2, 3]).expr.simplify()._name != build([1, 2, 9]).expr.simplify()._name
+
+
+def test_direct_from_map_dedups():
+    a = from_map(mk_block, [0, 1, 2, 3], chunks=((2, 2), (3, 3)))
+    b = from_map(mk_block, [0, 1, 2, 3], chunks=((2, 2), (3, 3)))
+    assert a.expr._name == b.expr._name
+
+
+def test_value_correctness_through_rechunk():
+    x = da.concatenate(
+        [from_delayed(delayed(np.full)((5,), v, "int64"), shape=(5,), dtype="int64") for v in [1, 2, 3, 4]]
+    ).rechunk((4,))
+    expected = np.concatenate([np.full(5, v) for v in [1, 2, 3, 4]]).astype("int64")
+    np.testing.assert_array_equal(np.asarray(x.compute()), expected)
+
+
+def test_opaque_from_map_never_merges():
+    # opaque payload blocks (store load_stored=False targets) must not be
+    # concatenated into a merged loader grid
+    a = from_map(lambda i: np.full((2,), i, "f8"), [0, 1], chunks=((2, 2),), dtype="f8", _opaque=True)
+    b = from_map(lambda i: np.full((2,), i, "f8"), [2, 3], chunks=((2, 2),), dtype="f8", _opaque=True)
+    m = da.concatenate([a, b], axis=0)
+    assert type(m.expr.simplify()) is not FromMap
+
+
 def test_mixed_consumers_still_correct():
     # one part consumed directly AND through the collapsed stack
     parts = _parts(3)

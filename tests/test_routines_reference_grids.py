@@ -455,14 +455,15 @@ def test_ptp_grid(rng, shape, axis):
 def test_atleast_nd_grid(rng, funcname):
     da_func = getattr(da, funcname)
     np_func = getattr(np, funcname)
-    # no args -> empty list
-    assert da_func() == []
+    # no args -> same empty container as numpy (tuple on numpy >= 2)
+    assert da_func() == np_func()
+    assert type(da_func()) is type(np_func())
     # one arg of each rank
     for shape in [(), (4,), (4, 6), (4, 6, 8)]:
         x = rng.random(shape)
         d = da.from_array(x, chunks=tuple(max(1, s // 2) for s in shape))
         assert_eq(da_func(d), np_func(x))
-    # two args -> list of results
+    # two args -> same container type as numpy (tuple of results)
     x1, x2 = rng.random((4,)), rng.random((4, 6))
     r = da_func(da.from_array(x1, chunks=2), da.from_array(x2, chunks=2))
     e = np_func(x1, x2)
