@@ -13,6 +13,8 @@ from numbers import Integral
 
 import numpy as np
 
+from dask_array_tpu._chunks import PerformanceWarning
+
 
 def _require_zarr():
     """The real zarr package when importable, else the vendored lite
@@ -61,6 +63,68 @@ def from_zarr(url, component=None, storage_options=None, chunks=None, name=None,
     return from_map(load, slices, chunks=chunks, shape=shape, dtype=z.dtype)
 
 
+def _window_blockdim(chunks, sl, dim):
+    """Chunk profile of the window ``sl`` cut out of an axis chunked as
+    ``chunks`` (each output chunk is the window's overlap with one chunk)."""
+    start, stop, _ = sl.indices(int(dim))
+    out = []
+    pos = 0
+    for c in chunks:
+        lo, hi = max(start, pos), min(stop, pos + c)
+        if hi > lo:
+            out.append(hi - lo)
+        pos += c
+    return tuple(out) or (0,)
+
+
+def _align_to_existing(arr, z, region):
+    """Rechunk ``arr`` so every dask chunk is a whole multiple of the target
+    zarr array's on-disk chunks — partial-granule writes from different dask
+    blocks would race / read-modify-write.  Warns ``PerformanceWarning`` when
+    a rechunk is forced (reference ``io/_zarr.py:229-265``)."""
+    import warnings
+
+    from dask_array_tpu._chunks import normalize_chunks
+    from dask_array_tpu._slicing import normalize_index
+
+    granules = tuple(int(c) for c in z.chunks)
+    target = normalize_chunks(
+        "auto", shape=tuple(z.shape), dtype=z.dtype,
+        previous_chunks=tuple((g,) for g in granules),
+    )
+    if region is not None:
+        index = normalize_index(region, tuple(z.shape))
+        if not all(isinstance(r, slice) and (r.step or 1) == 1 for r in index):
+            return arr  # exotic region: leave the caller's chunking alone
+        target = tuple(
+            _window_blockdim(c, r, s)
+            for s, c, r in zip(z.shape, target, index)
+        )
+    if tuple(arr.chunks) == tuple(target):
+        return arr
+    if region is not None:
+        # a region window may start mid-granule; the windowed target keeps
+        # interior boundaries granule-aligned in the global frame
+        return arr.rechunk(target)
+    for ax, (dw, zw) in enumerate(zip(arr.chunks, granules)):
+        # every chunk but the trailing remainder must cover whole granules,
+        # else two dask blocks share one on-disk chunk (read-modify-write)
+        if any(c % zw != 0 for c in dw[:-1]):
+            warnings.warn(
+                f"The input array will be rechunked along axis {ax}: its "
+                f"chunks {dw} are not multiples of the Zarr array's "
+                f"on-disk chunk size {zw}, which is required to write "
+                "safely. Rechunk to a multiple yourself to avoid this.",
+                PerformanceWarning,
+                stacklevel=3,
+            )
+            break
+    else:
+        # already granule-aligned everywhere: write as-is
+        return arr
+    return arr.rechunk(target)
+
+
 def to_zarr(arr, url, component=None, storage_options=None, overwrite=False, region=None, compute=True, return_stored=False, **kwargs):
     """Write an Array to zarr (regular chunks required, like the reference)."""
     zarr = _require_zarr()
@@ -76,15 +140,26 @@ def to_zarr(arr, url, component=None, storage_options=None, overwrite=False, reg
             "Attempting to save array with unknown chunk sizes; call "
             "compute_chunk_sizes() first"
         )
-    # zarr requires regular chunking (all equal except possibly the last)
-    for axis in arr.chunks:
-        if len(set(axis[:-1])) > 1 or (len(axis) > 1 and axis[-1] > axis[0]):
-            raise ValueError(
-                "zarr requires uniform chunk sizes; rechunk first "
-                f"(got {arr.chunks})"
-            )
+    # zarr requires regular chunking (all equal except possibly the last);
+    # irregular grids auto-rechunk with a warning (reference io/_zarr.py:405)
+    irregular = any(
+        len(set(axis[:-1])) > 1 or (len(axis) > 1 and axis[-1] > axis[0])
+        for axis in arr.chunks
+    )
+    if irregular and not isinstance(url, zarr.Array):
+        import warnings
+
+        warnings.warn(
+            "The array uses irregular chunk sizes; rechunking to regular "
+            "(uniform) chunks so the data can be written safely. Rechunk "
+            "manually (arr = arr.rechunk(...)) to avoid this.",
+            PerformanceWarning,
+            stacklevel=2,
+        )
+        arr = arr.rechunk(tuple(max(axis) for axis in arr.chunks))
     if isinstance(url, zarr.Array):
         z = url
+        arr = _align_to_existing(arr, z, region)
     elif region is not None:
         # region writes target an EXISTING array (the patch's shape is a
         # window of it, not the array's shape)

@@ -128,10 +128,16 @@ def test_to_zarr_region_write(tmp_path, rng):
     np.testing.assert_allclose(got[4:], patch)
 
 
-def test_to_zarr_irregular_chunks_raise(tmp_path, rng):
-    d = da.from_array(rng.standard_normal((10,)), chunks=(3, 4, 3))
-    with pytest.raises(ValueError, match="uniform"):
+def test_to_zarr_irregular_chunks_warns_and_rechunks(tmp_path, rng):
+    # reference behavior (io/_zarr.py:405): irregular grids auto-rechunk to
+    # regular with a PerformanceWarning instead of refusing
+    x = rng.standard_normal((10,))
+    d = da.from_array(x, chunks=(3, 4, 3))
+    with pytest.warns(da.PerformanceWarning, match="irregular"):
         da.to_zarr(d, str(tmp_path / "bad.zarr"))
+    np.testing.assert_array_equal(
+        np.asarray(da.from_zarr(str(tmp_path / "bad.zarr")).compute()), x
+    )
 
 
 def test_to_zarr_unknown_chunks_raise(tmp_path, rng):
