@@ -56,6 +56,7 @@ class FromMap(ArrayExpr):
         import jax.numpy as jnp
 
         blocks = {}
+        resolved = [list(c) for c in self.chunks_]
         for i, idx in enumerate(self._block_order):
             val = ctx.leaf(self._leaf_key(i))
             if self.operand("opaque_"):
@@ -64,6 +65,27 @@ class FromMap(ArrayExpr):
                 blocks[tuple(idx)] = val
                 continue
             want = tuple(self.chunks_[ax][j] for ax, j in enumerate(idx))
+            if any(w != w for w in want):  # nan dims: the declared shape is
+                # unknown (from_delayed(shape=(nan,))) — adopt the produced
+                # block's shape; the eager lane re-derives real chunks
+                if len(val.shape) != len(want):
+                    raise ValueError(
+                        f"from_map block {tuple(idx)} has ndim {len(val.shape)}, "
+                        f"expected {len(want)}"
+                    )
+                for ax, j in enumerate(idx):
+                    size = int(val.shape[ax])
+                    prev = resolved[ax][j]
+                    if prev == prev and prev != size and not (
+                        isinstance(prev, float)
+                    ):
+                        raise ValueError(
+                            f"from_map block {tuple(idx)} axis {ax} has size "
+                            f"{size}, inconsistent with {prev} from a sibling"
+                        )
+                    resolved[ax][j] = size
+                blocks[tuple(idx)] = val
+                continue
             if tuple(val.shape) != want:
                 # unit-axis folds (expand_dims into the loader grid)
                 # legitimately re-RANK blocks; anything that would reorder
@@ -79,7 +101,8 @@ class FromMap(ArrayExpr):
                     )
                 val = jnp.reshape(val, want) if not isinstance(val, np.ndarray) else val.reshape(want)
             blocks[tuple(idx)] = val
-        return BlockView(self.chunks_, blocks=blocks)
+        chunks = tuple(tuple(c) for c in resolved)
+        return BlockView(chunks, blocks=blocks)
 
     def _structural_operands(self):
         # func/args only determine host-produced contents; the program shape

@@ -587,6 +587,10 @@ def svd(a, coerce_signs=True, full_matrices=False, compute_uv=True):
     ``/root/reference/dask_array/linalg/_svd.py``: ``compute_uv=False``
     returns only the singular values, ``full_matrices=True`` is rejected
     unless uv is not computed)."""
+    if a.ndim != 2:
+        raise ValueError(
+            f"Array must be 2D for svd, got {a.ndim}D (shape {a.shape})"
+        )
     if not compute_uv:
         # full_matrices does not change the singular values
         _, s, _ = svd(a, coerce_signs=False)

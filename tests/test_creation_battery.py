@@ -209,3 +209,66 @@ def test_like_family_order_kwarg():
         with pytest.raises(NotImplementedError):
             fn(d, order="F")
     assert da.full_like(d, 7, order="C").compute().max() == 7
+
+
+# --- reference spine stragglers (test_creation.py tile/auto/like corners) ---
+
+
+def test_tile_basic_grid():
+    a = da.asarray([0, 1, 2])
+    b = [[1, 2], [3, 4]]
+    for reps in [2, (2, 2), (1, 2), (2, 1), (2, 3, 4, 0)]:
+        np.testing.assert_array_equal(
+            np.asarray(da.tile(a, reps).compute()), np.tile([0, 1, 2], reps)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(da.tile(b, reps).compute()), np.tile(b, reps)
+        )
+
+
+def test_string_auto_chunk_uses_real_itemsize():
+    # DIVERGENCE (stronger): the reference refuses auto chunks for string
+    # fills; here the fixed-width dtype's itemsize drives the auto grid
+    x = da.full((10000, 10000), "auto_chunk", chunks="auto")
+    assert x.dtype == np.dtype("<U10")
+    assert all(c[0] < 10000 for c in x.chunks)
+
+
+def test_from_array_getitem_fused():
+    arr = np.arange(100).reshape(10, 10)
+    darr = da.from_array(arr, chunks=(5, 5))
+    result = darr[slice(1, 5), :][slice(1, 3), :]
+    np.testing.assert_array_equal(
+        np.asarray(result.compute()), arr[slice(1, 5), :][slice(1, 3), :]
+    )
+    # the two slices fuse into one (slice-of-slice composition)
+    from dask_array_tpu._slicing import Slice
+
+    opt = result.expr.simplify()
+    assert sum(1 for e in opt.walk() if isinstance(e, Slice)) <= 1
+
+
+@pytest.mark.parametrize("dtype", ["u4", np.float32, None, np.int64])
+def test_nan_empty_full_like(dtype):
+    x1 = da.from_array(np.random.default_rng(3).standard_normal(50), chunks=10)
+    y1 = x1[x1 < 0.5]
+    y2 = np.asarray(x1.compute())
+    y2 = y2[y2 < 0.5]
+    a_da = np.asarray(da.empty_like(y1, dtype=dtype).compute())
+    a_np = np.empty_like(y2, dtype=dtype)
+    assert a_da.shape == a_np.shape and a_da.dtype == a_np.dtype
+    np.testing.assert_array_equal(
+        np.asarray(da.full_like(y1, 7, dtype=dtype).compute()),
+        np.full_like(y2, 7, dtype=dtype),
+    )
+
+
+def test_like_forgets_graph():
+    import pickle
+
+    x = da.arange(3).map_blocks(lambda b: b)  # unpicklable local lambda
+    with pytest.raises(Exception):
+        pickle.dumps(x)
+    for func in [da.array, da.asarray, da.asanyarray]:
+        a = func(1, like=x)
+        pickle.dumps(a)  # like= must not retain x's graph
