@@ -51,6 +51,9 @@ def compute_expr(expr: ArrayExpr, optimize: bool = True):
 
 def compute_to_numpy(expr: ArrayExpr):
     out = compute_expr(expr)
+    validate = getattr(expr, "_host_validate", None)
+    if validate is not None:
+        validate(out)
     if isinstance(out, np.ma.MaskedArray):
         return out  # masked host lane: np.asarray would drop the mask
     arr = np.asarray(out)

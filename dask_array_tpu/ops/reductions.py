@@ -608,6 +608,16 @@ class ArgReduction(ArrayExpr):
             dense = fn(x, axis=self.axis, keepdims=self.keepdims)
         return BlockView(self.chunks, dense=dense.astype(np.intp))
 
+    def _host_validate(self, result):
+        # jnp's arg-reductions encode "no valid element" (all-NaN slice /
+        # empty axis) as -1, which numpy raises for; re-raise at the host
+        # fetch so direct computes match numpy (in-graph consumers keep the
+        # sentinel — a traced program cannot raise data-dependently)
+        if np.any(np.asarray(result) == -1):
+            if self.kind.startswith("nan"):
+                raise ValueError(f"All-NaN slice encountered in {self.kind}")
+            raise ValueError(f"attempt to get {self.kind} of an empty sequence")
+
 
 def _argreduce(a, kind, axis=None, keepdims=False, split_every=None, out=None):
     from dask_array_tpu._collection import Array, new_collection

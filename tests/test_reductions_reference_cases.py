@@ -123,14 +123,19 @@ def test_arg_reductions_match(rng, name):
         assert_eq(getattr(da, name)(d, axis=axis), getattr(np, name)(x, axis=axis))
 
 
-def test_nanarg_all_nan_slice_jax_semantics():
+def test_nanarg_all_nan_slice_raises_at_fetch():
     # numpy/dask RAISE "All-NaN slice encountered"; a traced XLA program
-    # cannot raise on data values, so this framework follows jax's own
-    # documented choice: nanarg* of an all-NaN slice returns -1
+    # cannot raise on data values, so the -1 sentinel jax produces is
+    # validated at the HOST FETCH of a direct compute (numpy parity for the
+    # user-visible call; in-graph consumers see the sentinel)
     x = np.full((4,), np.nan)
     d = da.from_array(x, chunks=2)
-    assert int(da.nanargmax(d).compute()) == -1
-    assert int(da.nanargmin(d).compute()) == -1
+    with pytest.raises(ValueError, match="All-NaN"):
+        da.nanargmax(d).compute()
+    with pytest.raises(ValueError, match="All-NaN"):
+        da.nanargmin(d).compute()
+    # downstream consumption keeps the sentinel (documented semantics)
+    assert int((da.nanargmax(d) + 0).compute()) == -1
 
 
 def test_arg_reductions_unknown_chunksize_raise(rng):
