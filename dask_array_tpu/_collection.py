@@ -772,11 +772,13 @@ class Array:
         return map_overlap(func, self, depth=depth, boundary=boundary, trim=trim, **kwargs)
 
     def freeze_chunks(self):
-        """Mark the current chunking as load-bearing (block the optimizer
-        from rechunking across this point)."""
-        from dask_array_tpu.ops._map_blocks import ChunksFreeze
+        """Pin the current chunking as load-bearing: the optimizer may
+        rewrite the subtree, but this collection's layout survives."""
+        from dask_array_tpu.ops._map_blocks import ChunksFreeze, freeze
 
-        return new_collection(ChunksFreeze(self._expr))
+        if type(self._expr) is ChunksFreeze:
+            return self
+        return new_collection(freeze(self._expr))
 
     def compute_chunk_sizes(self):
         """Compute unknown (nan) chunk sizes (materializes the array).

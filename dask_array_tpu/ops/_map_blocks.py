@@ -97,13 +97,26 @@ class MapBlocksInfo(Blockwise):
 
 
 class ChunksFreeze(ArrayExpr):
-    """Optimization barrier: chunks below are load-bearing (parity:
-    ``ChunksFreeze``, ``/root/reference/dask_array/_expr.py:993``)."""
+    """Layout pin: the chunks advertised HERE are load-bearing, whatever the
+    optimizer does to the subtree below (parity: ``ChunksFreeze``,
+    ``/root/reference/dask_array/_expr.py:993``).
 
-    _parameters = ("array",)
+    The frozen layout is captured as an OPERAND at construction, so even if
+    simplify (sliding-window fusion) or a ``_lower`` (reduction trees,
+    custom exprs) rewrites the child onto different chunks, consumers that
+    froze their input — ``map_blocks`` with ``block_info``/``block_id``
+    payloads — still see the layout they were built against.  Delivery is
+    free in the dense executor: the child's dense value is re-viewed under
+    the frozen chunk grid (no data movement).
+    """
+
+    _parameters = ("array", "chunks_")
+    _defaults = {"chunks_": None}
 
     @property
     def chunks(self):
+        if self.operand("chunks_") is not None:
+            return self.operand("chunks_")
         return self.array.chunks
 
     @property
@@ -111,9 +124,21 @@ class ChunksFreeze(ArrayExpr):
         return self.array._meta
 
     def _build(self, ctx):
-        return ctx.build(self.array)
+        from dask_array_tpu._executor import BlockView
+
+        view = ctx.build(self.array)
+        if self.operand("chunks_") is None or view.chunks == self.chunks:
+            return view
+        return BlockView(self.chunks, dense=view.dense())
 
     # declines every pushdown (inherited defaults return None)
+
+
+def freeze(expr: ArrayExpr) -> ArrayExpr:
+    """Pin ``expr``'s current chunk layout (idempotent)."""
+    if type(expr) is ChunksFreeze:
+        return expr
+    return ChunksFreeze(expr, tuple(tuple(c) for c in expr.chunks))
 
 
 def map_blocks(
@@ -193,11 +218,15 @@ def map_blocks(
             )
         explicit_chunks = chunks
 
+    # block_id/block_info payloads are computed against the inputs' layout
+    # AT CONSTRUCTION; pin it so optimizer rewrites (sliding-window fusion,
+    # lower-time chunk drift) cannot desynchronize the payloads
+    pin_inputs = inject_id or inject_info
     pairs = []
     for a in args:
         if isinstance(a, Array):
             ind = tuple(range(ndim - a.ndim, ndim))
-            pairs.extend([a.expr, ind])
+            pairs.extend([freeze(a.expr) if pin_inputs else a.expr, ind])
         else:
             pairs.extend([a, None])
 
