@@ -504,6 +504,25 @@ class Elemwise(Blockwise):
         name = getattr(self.func, "__name__", None)
         return name if name else "elemwise"
 
+    def _accept_transpose(self, axes):
+        """transpose(elemwise(f, a, b)) == elemwise(f, transpose(a),
+        transpose(b)) when no operand broadcasts (reference
+        test_transpose_slice_pushdown.py spine: broadcasting declines —
+        permuting a broadcast dim changes which axis each operand fills)."""
+        from dask_array_tpu.ops.manipulation import make_transpose
+
+        nd = self.out_ndim
+        out_shape = self.shape
+        new_args = []
+        for a in self.args:
+            if isinstance(a, ArrayExpr):
+                if a.ndim != nd or tuple(a.shape) != tuple(out_shape):
+                    return None
+                new_args.append(make_transpose(a, axes))
+            else:
+                new_args.append(a)
+        return Elemwise(self.operand("func"), self.operand("kwargs"), *new_args)
+
     @functools.cached_property
     def _meta(self):
         meta = compute_meta(self.func, self.out_ndim, *self.args, **self._kwargs_dict)

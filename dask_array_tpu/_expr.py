@@ -338,6 +338,10 @@ class ArrayExpr:
             # Take and Shuffle share the reorder-pushdown protocol: both
             # carry .axis and ._rebase(child, axis)
             return self._shuffle_pushdown(parent, dependents)
+        from dask_array_tpu.ops.manipulation import Transpose
+
+        if type(parent) is Transpose:
+            return self._transpose_pushdown(parent, dependents)
         return None
 
     # -- pushdown gates (sharing-aware) ---------------------------------------
@@ -384,6 +388,18 @@ class ArrayExpr:
         return None
 
     def _accept_shuffle(self, shuffle_expr):
+        return None
+
+    def _transpose_pushdown(self, parent, dependents):
+        deps = dependents.get(self._name, ())
+        if len(deps) > 1:
+            return None
+        out = self._accept_transpose(parent.axes)
+        _record_rewrite(f"{type(self).__name__}._accept_transpose", parent, out, "simplify")
+        return out
+
+    def _accept_transpose(self, axes):
+        """Return an expression equivalent to transpose(self, axes), or None."""
         return None
 
     # -- drivers ---------------------------------------------------------------

@@ -112,3 +112,21 @@ def test_choice_with_p():
     out = np.asarray(da.random.default_rng(0).choice(v, size=1000, p=p, chunks=100).compute())
     assert set(np.unique(out)) <= set(v)
     assert 0.3 < (out == 4.0).mean() < 0.5
+
+
+def test_from_array_hdf5_dataset_naming(tmp_path):
+    # reference test_hdf5.py naming spine: an h5py dataset cannot be
+    # content-tokenized — the identity fallback must give a STABLE name
+    # (keys are the program's identity), and explicit name= is verbatim
+    h5py = pytest.importorskip("h5py")
+    x = np.arange(24.0).reshape(4, 6)
+    fn = str(tmp_path / "n.h5")
+    d = da.from_array(x, chunks=(2, 3))
+    da.to_hdf5(fn, "/data/x", d)
+    with h5py.File(fn, "r") as f:
+        e = da.from_array(f["/data/x"], chunks=(2, 3))
+        assert e.name == e.expr._name  # stable across accesses
+        np.testing.assert_array_equal(np.asarray(e.compute()), x)
+        e2 = da.from_array(f["/data/x"], chunks=(2, 3), name="my-hdf5-data")
+        assert e2.name == "my-hdf5-data"
+        np.testing.assert_array_equal(np.asarray(e2.compute()), x)

@@ -306,3 +306,91 @@ def test_interleaved_reshape_composes(rng):
     np.testing.assert_allclose(
         np.asarray(out.compute()), (x.reshape((6, 4)) + 1).sum(axis=0)
     )
+
+
+# ---------------------------------------------------------------------------
+# transpose pushdown through elemwise (reference
+# test_transpose_slice_pushdown.py spine: transpose commutes with
+# non-broadcasting elemwise, declines on broadcasting, composes with slices)
+# ---------------------------------------------------------------------------
+
+
+def _only_types(expr, *names):
+    got = {type(e).__name__ for e in expr.walk()}
+    return got <= set(names), got
+
+
+def test_transpose_pushes_through_elemwise_add(rng):
+    xn = rng.standard_normal((4, 6))
+    x = da.from_array(xn, chunks=(2, 3))
+    y = da.from_array(xn * 2, chunks=(2, 3))
+    r = (x + y).T
+    opt = r.expr.simplify()
+    ok, got = _only_types(opt, "Elemwise", "Transpose", "FromArray")
+    assert type(opt).__name__ == "Elemwise", got  # transpose moved inside
+    np.testing.assert_allclose(np.asarray(r.compute()), (xn + xn * 2).T)
+
+
+def test_transpose_pushes_through_elemwise_mul_and_scalar(rng):
+    xn = rng.standard_normal((4, 6))
+    x = da.from_array(xn, chunks=(2, 3))
+    for r, expected in [((x * 3.0).T, (xn * 3.0).T), (da.negative(x).T, (-xn).T)]:
+        opt = r.expr.simplify()
+        assert type(opt).__name__ == "Elemwise"
+        np.testing.assert_allclose(np.asarray(r.compute()), expected)
+
+
+def test_transpose_custom_axes_through_elemwise(rng):
+    xn = rng.standard_normal((3, 4, 5))
+    x = da.from_array(xn, chunks=2)
+    y = da.from_array(xn + 1, chunks=2)
+    r = (x + y).transpose((2, 0, 1))
+    opt = r.expr.simplify()
+    assert type(opt).__name__ == "Elemwise"
+    np.testing.assert_allclose(
+        np.asarray(r.compute()), (xn + xn + 1).transpose((2, 0, 1))
+    )
+
+
+def test_transpose_through_elemwise_broadcasting_no_pushdown(rng):
+    xn = rng.standard_normal((4, 6))
+    x = da.from_array(xn, chunks=(2, 3))
+    b = da.from_array(np.arange(6.0), chunks=3)
+    r = (x + b).T
+    opt = r.expr.simplify()
+    assert type(opt).__name__ == "Transpose"  # declined: b broadcasts
+    np.testing.assert_allclose(np.asarray(r.compute()), (xn + np.arange(6.0)).T)
+
+
+def test_double_transpose_with_elemwise_between_collapses(rng):
+    xn = rng.standard_normal((4, 6))
+    x = da.from_array(xn, chunks=(2, 3))
+    r = (x.T + 1.0).T
+    opt = r.expr.simplify()
+    names = [type(e).__name__ for e in opt.walk()]
+    assert "Transpose" not in names, names
+    np.testing.assert_allclose(np.asarray(r.compute()), xn + 1.0)
+
+
+def test_transpose_pushdown_declines_on_shared_elemwise(rng):
+    xn = rng.standard_normal((4, 4))
+    x = da.from_array(xn, chunks=2)
+    e = x + x
+    shared = e.T + e  # e consumed twice: pushing would duplicate it
+    opt = shared.expr.simplify()
+    elemwise_adds = [e2 for e2 in opt.walk() if type(e2).__name__ == "Elemwise"]
+    # inner e appears ONCE (shared), not duplicated into transposed copies
+    inner = [e2 for e2 in elemwise_adds if any(
+        type(d).__name__ == "FromArray" for d in e2.dependencies())]
+    assert len(inner) == 1, [type(e2).__name__ for e2 in opt.walk()]
+    np.testing.assert_allclose(np.asarray(shared.compute()), (xn + xn).T + (xn + xn))
+
+
+def test_transpose_custom_axes_integer_slice(rng):
+    xn = rng.standard_normal((3, 4, 5))
+    x = da.from_array(xn, chunks=2)
+    r = x.transpose((2, 0, 1))[1]
+    np.testing.assert_allclose(np.asarray(r.compute()), xn.transpose((2, 0, 1))[1])
+    # the slice maps through the permutation onto the source
+    opt = r.expr.simplify()
+    assert "FromArray" in {type(e).__name__ for e in opt.walk()}
