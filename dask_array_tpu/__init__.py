@@ -309,3 +309,23 @@ def optimize(x, keys=None, **kwargs):
     if isinstance(x, Array):
         return x.optimize()
     return x
+
+
+# -- star-import surface -------------------------------------------------------
+# `from dask_array_tpu import *` must not bind submodule names (`io` would
+# shadow the stdlib module and `xarray` the real package) nor import-time
+# helpers like `annotations` (reference guard:
+# tests/test_public_namespace.py "star_import_binds_no_submodules").
+# Submodules stay reachable as attributes (da.fft, da.linalg, ...).
+import types as _types  # noqa: E402
+
+__version__ = "0.3.0"
+
+__all__ = sorted(
+    _name
+    for _name, _value in globals().items()
+    if not _name.startswith("_")
+    and _name != "annotations"  # the __future__ feature flag is not API
+    and not isinstance(_value, _types.ModuleType)
+)
+del _types

@@ -203,6 +203,13 @@ class Blockwise(ArrayExpr):
             chunks.append(tuple(c))
         return tuple(chunks)
 
+    @property
+    def ndim(self):
+        # derivable from the index pattern: metadata access (ndim/dtype)
+        # must not force chunk computation (reference
+        # tests/test_lazy_metadata.py::test_ndim_does_not_compute_chunks)
+        return len(self.out_ind)
+
     @functools.cached_property
     def _meta(self):
         dtype = self.operand("_dtype")

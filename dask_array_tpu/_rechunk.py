@@ -102,7 +102,7 @@ class Rechunk(ArrayExpr):
         if isinstance(nb, float) and math.isnan(nb):
             return (0, 0)
         moved = _moved_fraction(self.array.chunks, self.target_chunks)
-        return (int(nb * moved), int(nb))
+        return (int(round(nb * moved)), int(nb))
 
 
 def _axis_moved_fraction(src, dst):
