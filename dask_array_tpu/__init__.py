@@ -265,7 +265,7 @@ float64 = _np.float64
 complex64 = _np.complex64
 complex128 = _np.complex128
 
-__version__ = "0.1.0"
+__version__ = "0.3.0"
 
 
 def compute(*collections, **kwargs):
@@ -306,6 +306,11 @@ def compute(*collections, **kwargs):
 
 
 def optimize(x, keys=None, **kwargs):
+    """Return ``x`` with its expression optimized (simplify -> lower -> fuse).
+
+    Module-level spelling of ``Array.optimize()``; non-Array inputs pass
+    through unchanged (dask.optimize API compat).
+    """
     if isinstance(x, Array):
         return x.optimize()
     return x
@@ -319,8 +324,6 @@ def optimize(x, keys=None, **kwargs):
 # Submodules stay reachable as attributes (da.fft, da.linalg, ...).
 import types as _types  # noqa: E402
 
-__version__ = "0.3.0"
-
 __all__ = sorted(
     _name
     for _name, _value in globals().items()
@@ -329,3 +332,33 @@ __all__ = sorted(
     and not isinstance(_value, _types.ModuleType)
 )
 del _types
+
+
+# -- derived docstrings ----------------------------------------------------------
+# API-parity functions that shadow a numpy name and carry no docstring of
+# their own inherit numpy's documentation (+ a provenance note) — the
+# reference's ``derived_from`` pattern, applied once at import.
+from dask_array_tpu.utils._derived import derive_docstrings as _derive_docstrings  # noqa: E402
+
+_derive_docstrings(
+    globals(),
+    __all__,
+    [
+        ("", _np),
+        ("linalg.", _np.linalg),
+        ("fft.", _np.fft),
+        ("lib.stride_tricks.", _np.lib.stride_tricks),
+        ("ma.", _np.ma),
+    ],
+)
+for _mod, _srcs in (
+    (linalg, [("linalg.", _np.linalg), ("", _np)]),
+    (fft, [("fft.", _np.fft)]),
+    (random, [("random.", _np.random)]),
+):
+    _derive_docstrings(
+        {_n: getattr(_mod, _n) for _n in dir(_mod) if not _n.startswith("_")},
+        [_n for _n in dir(_mod) if not _n.startswith("_")],
+        _srcs,
+    )
+del _derive_docstrings, _mod, _srcs

@@ -22,6 +22,8 @@ from dask_array_tpu._chunks import has_unknown_chunks
 
 
 def new_collection(expr: ArrayExpr) -> "Array":
+    """Wrap an expression as a user-facing :class:`Array` (cycle-free
+    constructor; reference ``_new_collection.py:6``)."""
     return Array(expr)
 
 

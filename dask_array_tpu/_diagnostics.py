@@ -120,7 +120,7 @@ def explain(x, fuse: bool = True, file=None):
         out.append(line)
 
     emit(f"explain: {type(expr).__name__}  shape={expr.shape}  chunks={expr.chunksize}")
-    emit(f"  raw: {_node_count(expr)} nodes")
+    emit(f"  raw: {_node_count(expr)} nodes, leaf reads {_fmt_bytes(_leaf_read_bytes(expr))}")
 
     with trace_rewrites() as tr_s:
         t0 = time.perf_counter()
@@ -128,7 +128,8 @@ def explain(x, fuse: bool = True, file=None):
         t_simplify = time.perf_counter() - t0
     emit(
         f"  simplify: {t_simplify * 1e3:.2f} ms, {len(tr_s)} rewrites -> "
-        f"{_node_count(simplified)} nodes"
+        f"{_node_count(simplified)} nodes, leaf reads "
+        f"{_fmt_bytes(_leaf_read_bytes(simplified))}"
     )
     for rule, n in tr_s.counter().most_common():
         emit(f"    {rule}: {n}")
@@ -189,6 +190,17 @@ def explain(x, fuse: bool = True, file=None):
         "fused": fused,
         "times_ms": {"simplify": t_simplify * 1e3, "lower": t_lower * 1e3},
         "transfer_bytes": (lo, hi),
+        "nodes": {
+            "raw": _node_count(expr),
+            "simplified": _node_count(simplified),
+            "lowered": _node_count(lowered),
+            "fused": _node_count(fused),
+        },
+        "read_bytes": {
+            "raw": _leaf_read_bytes(expr),
+            "simplified": _leaf_read_bytes(simplified),
+            "fused": _leaf_read_bytes(fused),
+        },
         "rewrites": {"simplify": tr_s.counter(), "lower": tr_l.counter()},
         "plan_fingerprint": plan_fp,
     }

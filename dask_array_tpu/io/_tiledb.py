@@ -17,6 +17,11 @@ def _require_tiledb():
 
 
 def from_tiledb(uri, attribute=None, chunks=None, storage_options=None, **kwargs):
+    """Load a chunked array from a TileDB array (URI or open handle).
+
+    Chunks default to the store's tile extents so reads stay
+    granule-aligned.  Reference parity: ``io/_tiledb.py``.
+    """
     tiledb = _require_tiledb()
     from dask_array_tpu.io._from_map import from_map
     from dask_array_tpu._chunks import normalize_chunks
@@ -49,6 +54,12 @@ def from_tiledb(uri, attribute=None, chunks=None, storage_options=None, **kwargs
 
 
 def to_tiledb(darray, uri, compute=True, return_stored=False, storage_options=None, **kwargs):
+    """Write a chunked array to a TileDB array (creating it if needed).
+
+    ``compute=False`` returns a lazy store barrier; ``return_stored=True``
+    returns arrays whose blocks read back from the written store.
+    Reference parity: ``io/_tiledb.py``.
+    """
     tiledb = _require_tiledb()
     from dask_array_tpu.io._store import store
 

@@ -50,6 +50,14 @@ def apply_gufunc(
     meta=None,
     **kwargs,
 ):
+    """Apply a generalized ufunc ``func`` with ``signature`` over chunked arrays.
+
+    Core dimensions (the signature's bracketed indices) must be single-chunk
+    (or ``allow_rechunk=True`` to realign); loop dimensions broadcast and
+    stay chunked.  Supports multiple outputs, ``axes``/``axis``/``keepdims``
+    with numpy.gufunc semantics, and ``vectorize=True`` to wrap a scalar
+    function.  Reference parity: ``_gufunc.py:154``.
+    """
     from dask_array_tpu._collection import Array, new_collection
     from dask_array_tpu.ops._from_array import asarray
     from dask_array_tpu.ops.manipulation import expand_dims, moveaxis

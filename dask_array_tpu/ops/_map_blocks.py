@@ -154,6 +154,15 @@ def map_blocks(
     meta=None,
     **kwargs,
 ):
+    """Apply ``func`` to every block of one or more chunked arrays.
+
+    ``func`` receives aligned blocks (plus ``block_info``/``block_id`` when
+    its signature asks for them) and may change dtype (``dtype=``), chunk
+    sizes (``chunks=``), or dimensionality (``drop_axis=``/``new_axis=``).
+    jax-traceable funcs stay on the compiled fast path; host-only funcs fall
+    back to per-block eager execution.  Reference parity:
+    ``_map_blocks.py:21``.
+    """
     from dask_array_tpu._collection import Array, new_collection
     from dask_array_tpu.ops._from_array import asarray
 

@@ -447,6 +447,12 @@ def overlap(x, depth, boundary=None, *, allow_rechunk=True):
 
 
 def trim_internal(x, axes, boundary=None):
+    """Trim ``axes[ax]`` elements off every internal block boundary of ``x``.
+
+    The inverse of :func:`overlap`: after a ghosted block computation the
+    halo rows are cut back so chunks return to their pre-overlap layout.
+    Reference parity: ``_overlap.py:643``.
+    """
     from dask_array_tpu._collection import new_collection
 
     dep, bd = _normalize(x, axes, boundary)
@@ -454,6 +460,7 @@ def trim_internal(x, axes, boundary=None):
 
 
 def trim_overlap(x, depth, boundary=None):
+    """Alias of :func:`trim_internal` taking a map_overlap-style ``depth``."""
     return trim_internal(x, depth, boundary=boundary)
 
 
@@ -838,6 +845,13 @@ class Push(ArrayExpr):
 
 
 def push(array, n=None, axis=-1):
+    """Forward-fill NaNs along ``axis`` (bottleneck-style ``push``).
+
+    ``n`` bounds how far a value propagates (default: unlimited).  Runs as
+    an associative scan inside the traced program; cross-block carries use
+    the same banded plan as the sliding-window reductions.  Reference
+    parity: ``_overlap.py:1449``.
+    """
     from dask_array_tpu._collection import new_collection
     from dask_array_tpu.ops._from_array import asarray
 

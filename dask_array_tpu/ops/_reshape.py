@@ -335,6 +335,12 @@ class ReshapeBlockwise(ArrayExpr):
 
 
 def reshape_blockwise(x, shape, chunks=None):
+    """Reshape block-wise: each block reshapes independently (NO data moves
+    between blocks, unlike :func:`reshape` which may rechunk).  The target
+    ``shape`` must be consistent with a per-block reshape; pass ``chunks``
+    when expanding dimensions.  Reference parity:
+    ``manipulation/_reshape.py:615``.
+    """
     from dask_array_tpu._collection import Array, new_collection
 
     expr = x.expr if isinstance(x, Array) else x

@@ -892,6 +892,15 @@ _LU_MAX_BLOCKS = 16
 
 
 def lu(a):
+    """Blocked LU decomposition ``a = p @ l @ u`` of a square chunked array.
+
+    Runs the right-looking blocked algorithm over the chunk grid: in-core
+    ``lu`` on the diagonal panel, triangular solves on the row/column
+    panels, Schur-complement updates on the trailing blocks — all inside
+    one traced XLA program (panels iterate under ``lax.fori_loop`` past 16
+    blocks).  Requires a square regular chunk grid.  Reference parity:
+    ``linalg/_lu.py:265``.
+    """
     m, n = a.shape
     if m != n:
         raise ValueError("lu requires a square array")
@@ -1010,6 +1019,11 @@ def solve(a, b, sym_pos=None, assume_a="gen"):
 
 
 def solve_triangular(a, b, lower=False, trans=0, unit_diagonal=False):
+    """Solve ``a x = b`` for triangular ``a``, block-forward/back substitution.
+
+    ``trans`` in ``(0, 'N') | (1, 'T') | (2, 'C')`` solves with ``a``,
+    ``a.T`` or ``a.conj().T``.  Reference parity: ``linalg/_solve.py:125``.
+    """
     from dask_array_tpu._collection import new_collection
 
     dt = _float_dtype(np.promote_types(a.dtype, b.dtype))

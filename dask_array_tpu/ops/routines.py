@@ -93,6 +93,11 @@ def iscomplexobj(x):
 
 
 def isnull(values):
+    """Element-wise NaN/NaT test (pandas semantics: null == NaN or NaT).
+
+    Non-float dtypes return all-False.  Reference parity:
+    ``routines/_misc.py isnull``.
+    """
     jnp = _jnp()
     v = _asarray(values)
     if np.issubdtype(v.dtype, np.floating) or np.issubdtype(v.dtype, np.complexfloating):
@@ -103,6 +108,7 @@ def isnull(values):
 
 
 def notnull(values):
+    """Element-wise inverse of :func:`isnull`."""
     jnp = _jnp()
     return ~isnull(values)
 
@@ -919,6 +925,13 @@ class Coarsen(ArrayExpr):
 
 
 def coarsen(reduction, x, axes, trim_excess=False, **kwargs):
+    """Downsample ``x`` by applying ``reduction`` over non-overlapping windows.
+
+    ``axes`` maps axis -> window size (e.g. ``{0: 2, 1: 4}``).  With
+    ``trim_excess`` the trailing remainder is dropped instead of raising.
+    Reference parity: ``routines/_coarsen.py``; the reduction runs inside
+    one fused XLA program via a reshape-reduce formulation.
+    """
     from dask_array_tpu._collection import new_collection
     from dask_array_tpu._rechunk import Rechunk
 
@@ -1239,6 +1252,12 @@ class TopK(ArrayExpr):
 
 
 def topk(a, k, axis=-1, split_every=None):
+    """The ``k`` largest (``k<0``: smallest) elements along ``axis``, sorted.
+
+    Block-wise tournament selection: each block contributes its own top-k
+    and the partials merge in a tree (reference ``routines/_topk.py``),
+    so the full axis is never gathered.  ``split_every`` bounds the fan-in.
+    """
     from dask_array_tpu._collection import new_collection
 
     a = _asarray(a)
@@ -1247,6 +1266,12 @@ def topk(a, k, axis=-1, split_every=None):
 
 
 def argtopk(a, k, axis=-1, split_every=None):
+    """Indices of the ``k`` largest (``k<0``: smallest) elements along ``axis``.
+
+    Lazy analog of ``np.argsort``-then-slice, computed block-wise with a
+    tournament merge so only ``k`` candidates per block travel (reference
+    ``routines/_topk.py``).  ``split_every`` bounds the merge fan-in.
+    """
     from dask_array_tpu._collection import new_collection
 
     a = _asarray(a)

@@ -83,6 +83,12 @@ def _arity(fn):
 
 
 def wrap_elemwise(fn, name=None):
+    """Wrap a scalar/elementwise callable as a lazy chunked ufunc.
+
+    The result broadcasts like numpy, participates in blockwise fusion and
+    slice pushdown, and exposes ``.outer``.  Reference parity:
+    ``_ufunc.py:128``.
+    """
     return ufunc(fn, name=name)
 
 

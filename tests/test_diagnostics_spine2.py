@@ -206,3 +206,71 @@ def test_plain_import_does_not_load_xarray_or_pandas():
     r = subprocess.run([sys.executable, "-c", code], capture_output=True,
                        text=True, env=env, cwd="/root/repo")
     assert r.returncode == 0, r.stderr[-500:]
+
+
+# -- reference test_diagnostics.py: phase/rule attribution ---------------------
+
+
+@pytest.fixture
+def sliced_pipeline():
+    x = da.from_array(np.ones((100, 100)), chunks=(10, 10))
+    y = da.from_array(np.ones((100, 100)), chunks=(10, 10))
+    return ((x + y) * 2).sum(axis=0)[:50]
+
+
+def test_trace_records_slice_pushdown(sliced_pipeline):
+    from dask_array_tpu import trace_rewrites
+
+    with trace_rewrites() as t:
+        sliced_pipeline.expr.simplify()
+    assert t.records
+    # the slice was rewritten away: some rule fired on a Slice node
+    assert any(r.before_type == "Slice" for r in t.records), t.summary()
+    for r in t.records:
+        assert r.rule and r.after_type
+        assert r.phase in ("simplify", "lower")
+
+
+def test_trace_records_lowering():
+    # in this architecture Reduction is directly executable (no blockwise +
+    # PartialReduce lowering); the nodes that genuinely LOWER are logical
+    # pipelines like Reshape (rechunk-to-mergeable + blockwise reshape).
+    # Use a fresh shape so the process-global lowering cache cannot have
+    # seen it (cached lowerings legitimately skip re-recording).
+    from dask_array_tpu import trace_rewrites
+
+    x = da.from_array(np.ones((54, 8)), chunks=(9, 4))
+    r = x.reshape(27, 16)
+    with trace_rewrites() as t:
+        r.expr.simplify().lower_completely()
+    lower_rules = {r.rule for r in t.records if r.phase == "lower"}
+    assert any(rule.endswith("._lower") for rule in lower_rules), (
+        lower_rules,
+        t.summary(),
+    )
+
+
+def test_explain_phases(sliced_pipeline):
+    import io
+
+    report = da.explain(sliced_pipeline, file=io.StringIO())
+    nodes = report["nodes"]
+    reads = report["read_bytes"]
+    # pushdown shrinks bytes read at the leaves (slice absorbed into leaf)
+    assert reads["simplified"] < reads["raw"]
+    assert reads["fused"] == reads["simplified"]
+    # the walk still covers every node after fusion (group wrappers add one)
+    assert nodes["fused"] >= 1 and nodes["lowered"] >= 1
+    assert report["rewrites"]["simplify"]  # rule attribution present
+    # this pipeline fully simplifies (no logical nodes remain to lower);
+    # lower-rule attribution is pinned by test_trace_records_lowering
+
+
+def test_explain_repr_mentions_phases(sliced_pipeline):
+    import io
+
+    buf = io.StringIO()
+    da.explain(sliced_pipeline, file=buf)
+    text = buf.getvalue()
+    for token in ("raw", "simplify", "lower", "fuse", "leaf reads"):
+        assert token in text, text
