@@ -64,6 +64,34 @@ class Take(ArrayExpr):
             inner = self.array
             composed = np.ascontiguousarray(np.asarray(inner.indices)[idx])
             return Take(inner.array, composed, self.axis, self.out_chunks_axis)
+        # span culling: when the indices only touch a sub-range of blocks,
+        # slice the source to the block-aligned window first so slice
+        # pushdown culls the untouched leaf blocks (the eager lane and leaf
+        # transfer both stop paying for blocks the gather never reads)
+        src_axis_chunks = self.array.chunks[self.axis]
+        if (
+            isinstance(n, (int, np.integer))
+            and idx.size
+            and len(src_axis_chunks) > 1
+            and not any(isinstance(c, float) and math.isnan(c) for c in src_axis_chunks)
+            and idx.min() >= 0
+            and idx.max() < n
+        ):
+            bounds = np.cumsum((0,) + tuple(src_axis_chunks))
+            lo_b = int(np.searchsorted(bounds, idx.min(), side="right") - 1)
+            hi_b = int(np.searchsorted(bounds, idx.max(), side="right"))
+            if hi_b - lo_b < len(src_axis_chunks):
+                lo, hi = int(bounds[lo_b]), int(bounds[hi_b])
+                index = tuple(
+                    slice(lo, hi) if ax == self.axis else slice(None)
+                    for ax in range(self.array.ndim)
+                )
+                return Take(
+                    Slice(self.array, index),
+                    np.ascontiguousarray(idx - lo),
+                    self.axis,
+                    self.out_chunks_axis,
+                )
         return None
 
     def _accept_slice(self, index):

@@ -266,6 +266,14 @@ class Arange(ArrayExpr):
     def _accept_rechunk(self, target_chunks):
         return Arange(self.start, self.stop, self.step, tuple(target_chunks), self._dtype)
 
+    def _accept_shuffle(self, shuffle_expr):
+        # A reorder (Take/Shuffle) of an arithmetic progression is computed
+        # directly from the host index array — the source iota never
+        # materializes (an eager-lane take on a huge arange must not build
+        # the full range; the trace lane relies on XLA folding iota+gather,
+        # which also stops paying once the gather is a leaf).
+        return _affine_reorder(shuffle_expr, self.start, self.step, self.shape[0], self._dtype)
+
 
 def arange(start=0, stop=None, step=1, *, chunks="auto", like=None, dtype=None):
     from dask_array_tpu._collection import new_collection
@@ -289,6 +297,21 @@ def arange(start=0, stop=None, step=1, *, chunks="auto", like=None, dtype=None):
         stop = start + num * step
     chunks = normalize_chunks(chunks, (num,), dtype=dtype)
     return new_collection(Arange(start, stop, step, chunks, dtype))
+
+
+def _affine_reorder(shuffle_expr, start, step, n, dtype):
+    """Serve a Take/Shuffle parent over an affine progression leaf by
+    computing ``start + idx*step`` host-side (output-sized, same cost as
+    shipping the index array the gather would need anyway)."""
+    from dask_array_tpu.ops._from_array import FromArray
+
+    idx = getattr(shuffle_expr, "_flat_index", None)
+    if idx is None:
+        idx = np.asarray(shuffle_expr.indices, dtype=np.int64)
+    if idx.size and (idx.min() < 0 or idx.max() >= n):
+        return None  # out-of-range semantics stay with the real gather
+    vals = np.ascontiguousarray((start + idx * step).astype(dtype))
+    return FromArray(vals, (tuple(shuffle_expr.chunks[shuffle_expr.axis]),))
 
 
 class Linspace(ArrayExpr):
@@ -336,6 +359,10 @@ class Linspace(ArrayExpr):
         count = max(0, -(-(stop - start) // step)) if step > 0 else max(0, -(-(start - stop) // -step))
         nc, _ = sliced_blockdim(self.chunks_[0], ind)
         return Arange(new_start, new_start + count * new_step, new_step, (tuple(nc),), self._dtype)
+
+    def _accept_shuffle(self, shuffle_expr):
+        # same build formula as _build (start + idx*step), so values match
+        return _affine_reorder(shuffle_expr, self.start, self._step, self.num, self._dtype)
 
 
 def linspace(start, stop, num=50, endpoint=True, retstep=False, chunks="auto", dtype=None):

@@ -226,7 +226,13 @@ def test_take_of_take_composes():
     tc = t[[5, 2, 8, 1]][[2, 0]]
     takes = [n for n in tc.expr.simplify().walk() if isinstance(n, Take)]
     assert len(takes) == 1
-    np.testing.assert_array_equal(takes[0].indices, [8, 5])
+    # composed to [8, 5]; span culling then rebases onto the touched
+    # block window [5, 10), so the take carries window-relative indices
+    from dask_array_tpu.ops._from_array import FromArray
+
+    leaf = next(n for n in tc.expr.simplify().walk() if isinstance(n, FromArray))
+    base = leaf.region[0].start if leaf.region else 0
+    np.testing.assert_array_equal(np.asarray(takes[0].indices) + base, [8, 5])
     assert_eq(tc, np.arange(10.0)[[8, 5]])
 
 
@@ -285,3 +291,83 @@ def test_shuffle_pushes_through_concatenate_values(rng):
     from dask_array_tpu._shuffle import Shuffle
 
     assert not isinstance(s.expr.simplify(), Shuffle)
+
+
+# -- creation absorbs reorders ------------------------------------------------
+
+
+def test_take_of_arange_absorbs_to_values_leaf():
+    # the source iota must never materialize: an eager-lane take on a huge
+    # arange allocated the full range before this absorption existed
+    from dask_array_tpu.ops._from_array import FromArray
+
+    a = da.arange(1_000_000_000_000, chunks=200_000_000, dtype="int64")
+    idx = np.array([999_999_999_999, 0, 123_456_789_012], dtype="int64")
+    t = da.take(a, idx, axis=0)
+    opt = t.expr.simplify()
+    assert isinstance(opt, FromArray)
+    assert opt.source.nbytes == idx.nbytes
+    np.testing.assert_array_equal(np.asarray(t.compute()), idx)
+
+
+def test_take_of_arange_step_dtype():
+    a = da.arange(10, 5000, 7, chunks=100, dtype="int32")
+    ref = np.arange(10, 5000, 7, dtype="int32")
+    idx = np.array([0, 700, 3, 699])
+    got = da.take(a, idx)
+    assert got.dtype == np.dtype("int32")
+    np.testing.assert_array_equal(np.asarray(got.compute()), np.take(ref, idx))
+
+
+def test_take_of_linspace_matches_numpy():
+    ls = da.linspace(-2.5, 7.25, 1001, chunks=128)
+    idx = np.array([1000, 0, 500, 3, 998])
+    got = np.asarray(da.take(ls, idx).compute())
+    np.testing.assert_allclose(got, np.take(np.linspace(-2.5, 7.25, 1001), idx), rtol=1e-15)
+
+
+def test_shuffle_of_arange_absorbs():
+    from dask_array_tpu.ops._from_array import FromArray
+
+    s = da.shuffle(da.arange(100, chunks=10), [[5, 3], [97, 0, 1]], axis=0)
+    assert isinstance(s.expr.simplify(), FromArray)
+    np.testing.assert_array_equal(np.asarray(s.compute()), [5, 3, 97, 0, 1])
+
+
+def test_take_negative_indices_on_arange():
+    # take() normalizes negatives before the expression is built
+    idx = np.array([-1, -200, 5])
+    got = da.take(da.arange(1000, chunks=100), idx)
+    np.testing.assert_array_equal(np.asarray(got.compute()), np.take(np.arange(1000), idx))
+
+
+# -- span culling -------------------------------------------------------------
+
+
+def test_take_span_culling_ships_one_block():
+    from dask_array_tpu.ops._from_array import FromArray
+
+    src = np.arange(1000.0)
+    tk = da.take(da.from_array(src, chunks=100), np.array([550, 555, 560]))
+    opt = tk.expr.simplify()
+    leaves = [n for n in opt.walk() if isinstance(n, FromArray)]
+    assert len(leaves) == 1
+    # slice pushdown composed the block-aligned window into the leaf region
+    assert leaves[0].region == (slice(500, 600, None),)
+    np.testing.assert_array_equal(np.asarray(tk.compute()), src[[550, 555, 560]])
+
+
+def test_take_span_culling_2d_other_axis(rng):
+    src = rng.standard_normal((10, 1000))
+    A = da.from_array(src, chunks=(5, 100))
+    idx = np.array([321, 345, 399, 300])
+    got = da.take(A, idx, axis=1)
+    assert_eq(got, np.take(src, idx, axis=1))
+
+
+def test_take_full_span_no_rewrite_loop(rng):
+    # indices touching the first and last block: culling declines, values ok
+    src = rng.standard_normal(1000)
+    idx = np.array([0, 999, 500])
+    got = da.take(da.from_array(src, chunks=100), idx)
+    assert_eq(got, src[idx])
