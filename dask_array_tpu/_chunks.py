@@ -62,6 +62,27 @@ def device_dtype(dt):
     return np.dtype("i8") if dt.kind in "Mm" else dt
 
 
+def host_only_dtype(dt) -> bool:
+    """True for dtypes with NO device representation (structured records,
+    strings, objects, numpy-2 StringDType): their blocks stay host numpy
+    and execute through the eager lane.
+
+    ml_dtypes extension scalars (bfloat16, float8_*, int4, ...) report
+    numpy kind 'V' exactly like structured dtypes but ARE first-class
+    device dtypes — misclassifying them silently demotes every bf16
+    computation to per-op eager dispatch (a ~1000x headline regression),
+    so they are explicitly carved out here.
+    """
+    dt = np.dtype(dt)
+    if dt.kind not in "VUSOT":
+        return False
+    return not (
+        dt.kind == "V"
+        and dt.names is None
+        and getattr(dt.type, "__module__", "") == "ml_dtypes"
+    )
+
+
 def is_integer(x) -> bool:
     return isinstance(x, Integral) or (isinstance(x, float) and x.is_integer())
 

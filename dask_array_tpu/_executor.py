@@ -406,8 +406,13 @@ def _is_host_only(arr) -> bool:
     ``reductions/_common.py:675-830``, ``_dispatch.py:36,248``)."""
     if isinstance(arr, np.ma.MaskedArray):
         return True
+    from dask_array_tpu._chunks import host_only_dtype
+
     dt = getattr(arr, "dtype", None)
-    return dt is not None and getattr(np.dtype(dt), "kind", "") in "VUSOT"
+    try:
+        return dt is not None and host_only_dtype(dt)
+    except TypeError:
+        return False
 
 
 # ops that PASS a masked block through untouched (numpy.ma handles them);
@@ -449,8 +454,10 @@ def node_traceable(node) -> bool:
     no device representation (structured/string/object dtypes)."""
     if not getattr(node, "_traceable", True):
         return False
+    from dask_array_tpu._chunks import host_only_dtype
+
     try:
-        return np.dtype(node.dtype).kind not in "VUSOT"
+        return not host_only_dtype(node.dtype)
     except Exception:
         return True
 

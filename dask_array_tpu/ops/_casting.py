@@ -8,7 +8,7 @@ from dask_array_tpu._blockwise import Elemwise
 
 
 def _astype(x, dtype=None, src_dtype=None):
-    from dask_array_tpu._chunks import device_dtype
+    from dask_array_tpu._chunks import device_dtype, host_only_dtype
 
     dt = np.dtype(dtype)
     if isinstance(x, np.ndarray):
@@ -16,7 +16,7 @@ def _astype(x, dtype=None, src_dtype=None):
         # the reference semantics, units and wrap rules included
         return x.astype(dt)
     src = np.dtype(src_dtype) if src_dtype is not None else np.dtype(x.dtype)
-    if dt.kind in "VUSOT":
+    if host_only_dtype(dt):
         # host-only target dtype (object/str/structured): the cast itself is
         # a host operation — the result has no device representation
         return np.asarray(x).astype(dt)

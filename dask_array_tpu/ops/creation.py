@@ -55,7 +55,9 @@ class BroadcastTrick(ArrayExpr):
 
         fill = self._fill()
         shape = self.shape
-        if np.dtype(self._dtype).kind in "VUSOT":
+        from dask_array_tpu._chunks import host_only_dtype
+
+        if host_only_dtype(self._dtype):
             # host-only dtype (str/object/structured): numpy constants
             dense = (
                 np.zeros(shape, dtype=self._dtype)
@@ -536,11 +538,13 @@ class Pad(ArrayExpr):
         dense = ctx.build(self.array).dense()
         kw = dict(self.kwargs or ())
         logical = np.dtype(self.dtype)
-        if callable(self.mode) or logical.kind in "VUSOT":
+        from dask_array_tpu._chunks import host_only_dtype
+
+        if callable(self.mode) or host_only_dtype(logical):
             # function modes are arbitrary host code; host-only dtypes
             # (str/object/structured) pad on the host lane
             out_np = np.pad(np.asarray(dense), self.pad_width, self.mode, **kw)
-            if logical.kind in "VUSOT":
+            if host_only_dtype(logical):
                 return BlockView(self.chunks, dense=out_np)
             out = jnp.asarray(out_np)
         else:

@@ -110,13 +110,13 @@ class Reduction(ArrayExpr):
         jnp = _jnp()
         jnp_name, np_fn, takes_dtype = _DENSE_KERNELS[self.kind]
         x = ctx.build(self.array).dense()
-        from dask_array_tpu._chunks import device_dtype
+        from dask_array_tpu._chunks import device_dtype, host_only_dtype
         from dask_array_tpu._executor import _is_host_only
 
-        if _is_host_only(x) or np.dtype(self.dtype).kind in "VUSOT":
+        if _is_host_only(x) or host_only_dtype(self.dtype):
             # host lane: object/str/structured blocks reduce with numpy
             kwargs = {"axis": self.axes, "keepdims": self.keepdims}
-            if takes_dtype and np.dtype(self.dtype).kind not in "VUSOT":
+            if takes_dtype and not host_only_dtype(self.dtype):
                 kwargs["dtype"] = self.dtype
             kwargs.update(dict(self.extra or ()))
             with np.errstate(all="ignore"):

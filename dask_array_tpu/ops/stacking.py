@@ -151,7 +151,9 @@ class Concatenate(ArrayExpr):
         if any(isinstance(p, np.ma.MaskedArray) for p in parts):
             # masked host lane: np.concatenate would drop the mask
             return BlockView(self.chunks, dense=np.ma.concatenate(parts, axis=self.axis))
-        if np.dtype(dtype).kind == "V":
+        from dask_array_tpu._chunks import host_only_dtype
+
+        if np.dtype(dtype).kind == "V" and host_only_dtype(dtype):
             # structured host lane: record arrays concatenate on host numpy
             return BlockView(self.chunks, dense=np.concatenate(parts, axis=self.axis))
         from dask_array_tpu._chunks import device_dtype

@@ -144,3 +144,64 @@ def test_quantile_hf_methods_stay_compiled(rng, monkeypatch):
         assert np.allclose(got, exp, equal_nan=True)
     assert state["trace"] >= 3
     assert state["eager"] == 0
+
+
+def test_ml_dtypes_stay_compiled(monkeypatch):
+    """bfloat16 / float8 arrays must run through the compiled trace.
+
+    ml_dtypes extension scalars report numpy kind 'V' exactly like
+    structured record dtypes; the structured host lane must NOT capture
+    them (doing so silently demoted the headline bf16 matmul ~1000x to
+    per-op eager dispatch)."""
+    import jax.numpy as jnp
+
+    state = _spy(monkeypatch)
+    a = da.ones((32, 32), chunks=16, dtype=jnp.bfloat16)
+    out = np.asarray((a @ a).compute(), dtype=np.float32)
+    assert np.allclose(out, 32.0)
+    assert state["trace"] == 1 and state["eager"] == 0
+
+    import ml_dtypes
+
+    b = da.full((16,), 1.5, chunks=8, dtype=ml_dtypes.float8_e4m3fn)
+    got = np.asarray((b + b).compute(), dtype=np.float32)
+    assert np.allclose(got, 3.0)
+    assert state["eager"] == 0
+
+
+def test_host_only_dtype_classification():
+    """The single predicate deciding host-lane routing: structured records,
+    strings, objects, and raw void are host-only; every ml_dtypes device
+    scalar is not."""
+    import jax.numpy as jnp
+    import ml_dtypes
+
+    from dask_array_tpu._chunks import host_only_dtype
+
+    for dt in (
+        jnp.bfloat16,
+        ml_dtypes.float8_e4m3fn,
+        ml_dtypes.float8_e5m2,
+        ml_dtypes.int4,
+        np.float32,
+        np.int64,
+        np.bool_,
+        "datetime64[ns]",
+    ):
+        assert not host_only_dtype(dt), dt
+    for dt in (np.dtype([("a", "f4"), ("b", "i8")]), "U8", "S4", object, "V8"):
+        assert host_only_dtype(dt), dt
+
+
+def test_bf16_nodes_traceable():
+    """node_traceable must hold for every node of a bf16 pipeline (the
+    executor's trace-lane gate — regression test for the ml_dtypes
+    kind-'V' misclassification)."""
+    import jax.numpy as jnp
+
+    from dask_array_tpu._executor import node_traceable
+
+    a = da.ones((32, 32), chunks=16, dtype=jnp.bfloat16)
+    y = ((a @ a) + a.T)[:16]
+    expr = y.optimize().expr
+    assert all(node_traceable(n) for n in expr.walk())
