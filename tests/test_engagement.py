@@ -205,3 +205,29 @@ def test_bf16_nodes_traceable():
     y = ((a @ a) + a.T)[:16]
     expr = y.optimize().expr
     assert all(node_traceable(n) for n in expr.walk())
+
+
+@pytest.mark.parametrize(
+    "build",
+    [
+        lambda a: a.sum(axis=0),
+        lambda a: (a + a.T).mean(),
+        lambda a: a.rechunk((8, 32)),
+        lambda a: a[5:20, ::2],
+        lambda a: da.cumsum(a, axis=1),
+        lambda a: da.map_overlap(lambda b: b * 2, a, depth=1, boundary="reflect"),
+        lambda a: da.concatenate([a, a], axis=0),
+    ],
+    ids=["sum", "mean", "rechunk", "slice", "cumsum", "overlap", "concat"],
+)
+def test_bf16_family_sweep_stays_compiled(monkeypatch, build):
+    """Representative op families in bfloat16 all execute on the compiled
+    trace (nothing else re-inherits the structured-host-lane
+    misclassification)."""
+    import jax.numpy as jnp
+
+    state = _spy(monkeypatch)
+    a = da.ones((32, 32), chunks=16, dtype=jnp.bfloat16)
+    out = build(a)
+    np.asarray(out.compute())
+    assert state["eager"] == 0
