@@ -229,15 +229,25 @@ class TakeLazy(ArrayExpr):
 
     def _host_index_values(self):
         """Concrete index values if they exist WITHOUT computation (a host
-        leaf, possibly astype-wrapped); None for data-dependent indices."""
+        leaf, possibly astype-wrapped); None for data-dependent indices.
+
+        Only VALUE-PRESERVING casts are unwrapped: a general Elemwise
+        (``i - 10``, ``abs(i)``) changes the values, so bounds-checking the
+        raw leaf would raise (or miss) IndexError for the wrong numbers."""
+        from dask_array_tpu.ops._casting import _astype
         from dask_array_tpu.ops._from_array import FromArray
 
         node = self.indices
         while True:
             if isinstance(node, FromArray) and isinstance(node.source, np.ndarray):
                 return node.source
-            deps = node.dependencies() if hasattr(node, "dependencies") else []
-            if len(deps) != 1 or type(node).__name__ not in ("Elemwise",):
+            if type(node).__name__ == "FusedBlockwise":
+                node = node.root  # display wrapper; inner nodes re-checked
+                continue
+            if type(node).__name__ != "Elemwise" or getattr(node, "func", None) is not _astype:
+                return None
+            deps = node.dependencies()
+            if len(deps) != 1:
                 return None
             node = deps[0]
 

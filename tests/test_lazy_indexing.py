@@ -239,3 +239,19 @@ class TestMultiFancyGetitem:
     def test_mismatched_broadcast_raises(self):
         with pytest.raises(ValueError):
             self.d[np.array([0, 1, 2]), np.array([0, 1])]
+
+
+def test_lazy_index_arithmetic_bounds_check_uses_transformed_values():
+    """a[i - k] must not bounds-check the RAW leaf values: arithmetic on a
+    lazy index array changes the values, so only value-preserving casts may
+    be unwrapped for the early host-side IndexError."""
+    a_np = np.arange(5.0)
+    a = da.from_array(a_np, chunks=2)
+    i = da.from_array(np.array([10, 11]), chunks=2)
+    # raw leaf values (10, 11) are out of bounds for dim 5, but i-10 is fine
+    got = np.asarray(a[i - 10].compute())
+    np.testing.assert_array_equal(got, a_np[[0, 1]])
+    # astype is value-preserving: still raises early for real OOB values
+    j = da.from_array(np.array([7], dtype=np.int32), chunks=1)
+    with pytest.raises(IndexError):
+        a[j.astype(np.int64)].compute()
