@@ -94,16 +94,21 @@ def main():
     tflops = flops / dt / 1e12
     peak = _peak_tflops(dev)
     target = 0.90 * peak
-    print(
-        json.dumps(
-            {
-                "metric": f"blocked_matmul_{n}x{n}_chunks{chunk}_bf16_tflops_per_chip",
-                "value": round(tflops, 2),
-                "unit": "TFLOP/s",
-                "vs_baseline": round(tflops / target, 4),
-            }
-        )
-    )
+    record = {
+        "metric": f"blocked_matmul_{n}x{n}_chunks{chunk}_bf16_tflops_per_chip",
+        "value": round(tflops, 2),
+        "unit": "TFLOP/s",
+        "vs_baseline": round(tflops / target, 4),
+    }
+    # lane guard: a silent trace->eager demotion (e.g. a dtype
+    # misclassification) shows up as a catastrophic number — name the
+    # cause in the record instead of leaving a bare 0.00x
+    from dask_array_tpu._diagnostics import tier_report
+
+    tiers = tier_report(y)
+    if tiers["counts"].get("trace", 0) != sum(tiers["counts"].values()):
+        record["note"] = f"NOT fully on the compiled trace lane: {tiers['counts']}"
+    print(json.dumps(record))
 
 
 def _orchestrate():
