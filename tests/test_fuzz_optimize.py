@@ -171,7 +171,7 @@ def _nan(v):
     return isinstance(v, float) and np.isnan(v)
 
 
-@settings(max_examples=80, deadline=None)
+@settings(max_examples=int(__import__("os").environ.get("DA_FUZZ_EXAMPLES", 80)), deadline=None)
 @given(ops=op_chain(), seed=st.integers(0, 2**31 - 1), start=st.integers(0, 4))
 def test_fuzz_chain_matches_numpy(ops, seed, start):
     rng = np.random.default_rng(seed)
@@ -188,7 +188,7 @@ def test_fuzz_chain_matches_numpy(ops, seed, start):
     assert s1._name == s2._name
 
 
-@settings(max_examples=15, deadline=None)
+@settings(max_examples=int(__import__("os").environ.get("DA_FUZZ_EXAMPLES_DEEP", 15)), deadline=None)
 @given(
     n=st.integers(5, 60),
     c1=st.integers(1, 20),
