@@ -128,7 +128,16 @@ def histogram(data, edges, weights=None, *, interpret=False):
 
     del interpret
     data = jnp.ravel(data)
-    exact64 = np.dtype(data.dtype).itemsize > 4 or np.dtype(edges.dtype).itemsize > 4
+
+    def _needs_two_float(dt):
+        dt = np.dtype(dt)
+        if dt.kind in "iu":
+            # 32-bit ints exceed f32's 2^24 exact range but fit the
+            # two-float path's ~2^48; smaller ints compare exactly in f32
+            return dt.itemsize >= 4
+        return dt.itemsize > 4
+
+    exact64 = _needs_two_float(data.dtype) or _needs_two_float(edges.dtype)
     n = data.size
     nbins = int(edges.shape[0]) - 1
     n_pad = max(_round_up(n, _TILE), _TILE)
@@ -200,10 +209,17 @@ def use_pallas_histogram(dtype, weights_dtype=None):
 
     def f32_exact(d):
         d = np.dtype(d)
+        if d.kind == "b" or (d.kind in "iu" and d.itemsize <= 2):
+            return True  # bool / small ints are exact f32 values
         return d in (np.dtype("f4"), np.dtype("f2")) or d == jnp.bfloat16.dtype
 
     def supported(d):
-        return f32_exact(d) or np.dtype(d) == np.dtype("f8")
+        d = np.dtype(d)
+        if d.kind in "iu" and d.itemsize == 4:
+            return True  # 32-bit ints: exact on the two-float path
+        # int64 declines: values past ~2^48 would mis-bin (XLA lane keeps
+        # numpy semantics, slow but never wrong)
+        return f32_exact(d) or d == np.dtype("f8")
 
     ok_dtype = supported(dtype)
     if weights_dtype is not None and not f32_exact(weights_dtype):

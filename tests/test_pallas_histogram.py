@@ -207,3 +207,46 @@ def test_da_histogram_f64_routes_to_pallas(rng):
     ref, redges = np.histogram(data, bins=32, range=(-3, 3))
     np.testing.assert_array_equal(got, ref)
     np.testing.assert_allclose(edges, redges)
+
+
+# ---------------------------------------------------------------------------
+# integer dtypes (round-3 fourth pass): da.histogram of ints routes through
+# the kernel — 32-bit ints on the two-float path (exact past f32's 2^24),
+# small ints/bool on the f32 path; int64 DECLINES to the XLA lane
+# ---------------------------------------------------------------------------
+
+
+def test_kernel_int32_exact_past_2_24(rng):
+    # values straddling 2^24: a bare f32 cast would merge adjacent bins
+    base = 1 << 24
+    x = (base + rng.integers(-8, 8, size=4000)).astype(np.int32)
+    edges = np.arange(base - 8, base + 9, dtype=np.int64)
+    got = np.asarray(khist(x, edges))
+    exp, _ = np.histogram(x, bins=edges)
+    np.testing.assert_array_equal(got, exp)
+
+
+@pytest.mark.parametrize("dt", ["i1", "i2", "u2", "bool"])
+def test_kernel_small_int_dtypes(rng, dt):
+    x = rng.integers(0, 2 if dt == "bool" else 100, size=3000).astype(dt)
+    edges = np.linspace(0, 100, 11)
+    got = np.asarray(khist(x, edges))
+    exp, _ = np.histogram(x, bins=edges)
+    np.testing.assert_array_equal(got, exp)
+
+
+def test_histogram_int_routing(rng):
+    from dask_array_tpu.kernels.histogram import use_pallas_histogram
+
+    with config.set({"tpu.histogram-kernel": "auto"}):
+        # int64 declines (values past ~2^48 would mis-bin on two-float)
+        assert use_pallas_histogram(np.dtype("i8"))[0] is False
+
+    # end-to-end through da.histogram with the kernel forced on CPU
+    x = (1 << 24) + rng.integers(-50, 50, size=5000).astype(np.int32)
+    d = da.from_array(x, chunks=1300)
+    with config.set({"tpu.histogram-kernel": "pallas"}):
+        h, e = da.histogram(d, bins=10, range=(x.min(), x.max()))
+        got = np.asarray(h.compute())
+    exp, _ = np.histogram(x, bins=10, range=(x.min(), x.max()))
+    np.testing.assert_array_equal(got, exp)
