@@ -83,6 +83,24 @@ def host_only_dtype(dt) -> bool:
     )
 
 
+def is_float_dtype(dt) -> bool:
+    """``np.issubdtype(dt, np.floating)`` extended to ml_dtypes floats
+    (bfloat16, float8_*), which live OUTSIDE numpy's type hierarchy —
+    a bare issubdtype check silently routes the TPU's native dtype down
+    integer/f64 promotion paths (f64 is ~100x emulated on this chip)."""
+    dt = np.dtype(dt)
+    if dt.kind == "f":
+        return True
+    if dt.kind == "V" and dt.names is None:
+        import jax.numpy as jnp
+
+        try:
+            return jnp.issubdtype(dt, jnp.floating)
+        except Exception:
+            return False
+    return False
+
+
 def is_integer(x) -> bool:
     return isinstance(x, Integral) or (isinstance(x, float) and x.is_integer())
 

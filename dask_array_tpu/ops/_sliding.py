@@ -177,8 +177,10 @@ class MovingWindowReduction(ArrayExpr):
 
     @functools.cached_property
     def _meta(self):
+        from dask_array_tpu._chunks import is_float_dtype
+
         dt = self.array.dtype
-        if not np.issubdtype(dt, np.floating):
+        if not is_float_dtype(dt):
             dt = np.dtype("f8")
         return np.empty((0,) * self.array.ndim, dtype=dt)
 

@@ -92,7 +92,9 @@ class Random(ArrayExpr):
         # shard-parallelized by XLA on a mesh.  (Per-block keying via
         # vmap(fold_in) is unsound with the fast "rbg" PRNG: vmapped rbg
         # sampling ignores the batched key.)
-        gd = gen_dtype if np.issubdtype(dtype, np.floating) else dtype
+        from dask_array_tpu._chunks import is_float_dtype
+
+        gd = gen_dtype if is_float_dtype(dtype) else dtype
         dense = raw_kernel(base, self.shape, gd, params)
         if dense.dtype != dtype:
             dense = dense.astype(dtype)
@@ -107,7 +109,9 @@ def _float_kernel(fn, needs_dtype=True):
     def kernel(key, shape, dtype, params):
         jnp = _jnp()
         if needs_dtype:
-            out = fn(key, shape=shape, dtype=dtype if np.issubdtype(dtype, np.floating) else np.float64, **params)
+            from dask_array_tpu._chunks import is_float_dtype
+
+            out = fn(key, shape=shape, dtype=dtype if is_float_dtype(dtype) else np.float64, **params)
         else:
             out = fn(key, shape=shape, **params)
         if out.dtype != dtype:

@@ -1184,7 +1184,12 @@ class ApproxPercentile(ArrayExpr):
         calc_q = np.pad(q, 1, mode="constant")
         calc_q[-1] = 100.0
         method = self.method
-        if not np.issubdtype(self.array.dtype, np.number):
+        from dask_array_tpu._chunks import is_float_dtype
+
+        if not (
+            np.issubdtype(self.array.dtype, np.number)
+            or is_float_dtype(self.array.dtype)
+        ):
             method = "nearest"
         vals_parts, count_parts = [], []
         total_n = 0

@@ -1,0 +1,70 @@
+"""ml_dtypes routing: bfloat16/float8 live OUTSIDE numpy's type hierarchy
+(`np.issubdtype(bfloat16, np.floating)` is False, dtype kind is 'V'), so
+every kind/issubdtype gate needs the extended predicates
+(`_chunks.host_only_dtype`, `_chunks.is_float_dtype`).  These tests pin the
+routing decisions where a bare numpy check silently demotes the TPU's
+native dtype to host lanes, f64 emulation (~100x slow on this chip), or
+wrong-method fallbacks.
+"""
+
+import numpy as np
+import pytest
+
+import dask_array_tpu as da
+from dask_array_tpu._chunks import is_float_dtype
+
+
+@pytest.fixture
+def bf16():
+    import jax.numpy as jnp
+
+    return jnp.bfloat16
+
+
+def test_is_float_dtype_table(bf16):
+    import ml_dtypes
+
+    for dt in (np.float16, np.float32, np.float64, bf16, ml_dtypes.float8_e4m3fn):
+        assert is_float_dtype(dt), dt
+    for dt in (np.int32, np.int64, bool, ml_dtypes.int4, "U4", object,
+               np.dtype([("a", "f4")]), "datetime64[ns]", np.complex64):
+        assert not is_float_dtype(dt), dt
+
+
+def test_sliding_mean_keeps_bf16(bf16):
+    """Moving-window reductions must not promote bf16 meta/compute to f64
+    (emulated ~100x slow on this TPU)."""
+    x = da.ones((32,), chunks=16, dtype=bf16)
+    v = da.sliding_window_view(x, 8, axis=0).mean(axis=-1)
+    assert np.dtype(v.dtype) == np.dtype(bf16)
+    out = v.compute()
+    assert np.dtype(out.dtype) == np.dtype(bf16)
+    assert np.allclose(np.asarray(out, dtype=np.float32), 1.0)
+
+
+def test_overlap_push_keeps_bf16(bf16):
+    x = da.ones((32,), chunks=16, dtype=bf16)
+    out = da.push(x, axis=0)
+    assert np.dtype(out.dtype) == np.dtype(bf16)
+    got = out.compute()
+    assert np.dtype(got.dtype) == np.dtype(bf16)
+
+
+def test_random_bf16_generates_in_float_lane(bf16):
+    """dtype=bfloat16 requests must ride the float generation lane (the
+    configured gen dtype), not fall to the f64 branch."""
+    rng = da.random.default_rng(7)
+    x = rng.standard_normal((64,), chunks=32, dtype=bf16)
+    assert np.dtype(x.dtype) == np.dtype(bf16)
+    vals = np.asarray(x.compute(), dtype=np.float32)
+    assert np.isfinite(vals).all()
+    assert vals.std() > 0.5  # actually random, not zeros
+
+
+def test_percentile_bf16_is_numeric(bf16):
+    """bf16 counts as numeric for the approximate-percentile method gate
+    (the non-number fallback is for object/datetime inputs)."""
+    x_np = np.arange(100, dtype=np.float32)
+    x = da.from_array(x_np.astype(bf16), chunks=25)
+    got = float(np.asarray(da.percentile(x, 50).compute(), dtype=np.float32)[0])
+    assert abs(got - 49.5) <= 1.0  # bf16 resolution around 50
