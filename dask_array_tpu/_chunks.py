@@ -83,6 +83,28 @@ def host_only_dtype(dt) -> bool:
     )
 
 
+def dtype_key(dt) -> str:
+    """Canonical UNIQUE string for a dtype (token / plan-cache keys).
+
+    ``dt.str`` is NOT unique: 14 ml_dtypes scalars (float8 variants, int4,
+    float4/6, ...) all collapse to ``'<V1'``, float8_e5m2 reports a
+    non-parseable ``'<f1'``, and none round-trip through ``np.dtype()`` —
+    keying programs or tokens on it could alias arrays of DIFFERENT dtypes
+    (wrong-dtype cache hits).  Registered ml_dtypes names are unique and
+    round-trip; structured dtypes get their full field spec (``.str``
+    would collapse equal-itemsize layouts)."""
+    dt = np.dtype(dt)
+    if dt.names is not None:
+        return str(dt)
+    s = dt.str
+    try:
+        if np.dtype(s) == dt:
+            return s
+    except TypeError:
+        pass
+    return dt.name
+
+
 def is_float_dtype(dt) -> bool:
     """``np.issubdtype(dt, np.floating)`` extended to ml_dtypes floats
     (bfloat16, float8_*), which live OUTSIDE numpy's type hierarchy —

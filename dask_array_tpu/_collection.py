@@ -83,7 +83,9 @@ class Persisted(ArrayExpr):
         yield (f"persist-{self.pinned_name}", self.buffer)
 
     def _structural_operands(self):
-        return [("buf", np.dtype(self.buffer.dtype).str, self._meta.dtype.str), self.chunks_]
+        from dask_array_tpu._chunks import dtype_key
+
+        return [("buf", dtype_key(self.buffer.dtype), dtype_key(self._meta.dtype)), self.chunks_]
 
     def _build(self, ctx):
         from dask_array_tpu._executor import BlockView

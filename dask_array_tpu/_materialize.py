@@ -100,7 +100,9 @@ class Barrier(ArrayExpr):
         yield (self._leaf_key, buf)
 
     def _structural_operands(self):
-        return [("buf", self.dtype.str), self.chunks]
+        from dask_array_tpu._chunks import dtype_key
+
+        return [("buf", dtype_key(self.dtype)), self.chunks]
 
     def _build(self, ctx):
         from dask_array_tpu._executor import BlockView

@@ -116,7 +116,19 @@ class _Flattener:
         elif t is str:
             c += [T_STR, self.sidx(o)]
         elif t is np.dtype or isinstance(o, np.dtype):
-            c += [T_DTYPE, self.sidx(o.str)]
+            from dask_array_tpu._chunks import dtype_key
+
+            key = dtype_key(o)
+            try:
+                roundtrips = np.dtype(key) == o
+            except Exception:
+                roundtrips = False
+            if roundtrips:
+                c += [T_DTYPE, self.sidx(key)]
+            else:
+                # structured field specs don't np.dtype()-round-trip from a
+                # string: token fallback (never-guess discipline)
+                self.token(o)
         elif t is slice:
             parts = (o.start, o.stop, o.step)
             if all(p is None or isinstance(p, Integral) for p in parts):

@@ -107,7 +107,9 @@ class FromMap(ArrayExpr):
     def _structural_operands(self):
         # func/args only determine host-produced contents; the program shape
         # is fixed by the chunk grid + dtype
-        return [("frommap", self._dtype.str), self.chunks_]
+        from dask_array_tpu._chunks import dtype_key
+
+        return [("frommap", dtype_key(self._dtype)), self.chunks_]
 
     def _accept_slice(self, index):
         """Cull untouched blocks (the IO payoff of slice pushdown: only the

@@ -128,4 +128,6 @@ def astype_expr(expr, dtype):
     dtype = np.dtype(dtype)
     if expr.dtype == dtype:
         return expr
-    return Elemwise(_astype, (("dtype", dtype.str), ("src_dtype", expr.dtype.str)), expr)
+    # np.dtype objects, NOT .str: ml_dtypes collapse to ambiguous void
+    # codes as strings (bfloat16 -> "<V2") and would decode as raw void
+    return Elemwise(_astype, (("dtype", np.dtype(dtype)), ("src_dtype", np.dtype(expr.dtype))), expr)

@@ -87,7 +87,9 @@ class FromArray(ArrayExpr):
     def _structural_operands(self):
         # the bound buffer's spec, not its contents: same-shaped datasets
         # share one compiled executable
-        return [("buf", np.dtype(self.source.dtype).str), self.chunks_]
+        from dask_array_tpu._chunks import dtype_key
+
+        return [("buf", dtype_key(self.source.dtype)), self.chunks_]
 
     def _build(self, ctx):
         import jax.numpy as jnp

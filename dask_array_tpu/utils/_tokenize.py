@@ -22,6 +22,8 @@ from numbers import Number
 
 import numpy as np
 
+from dask_array_tpu._chunks import dtype_key
+
 # Arrays at or below this many bytes are tokenized by content; larger ones by
 # a per-object identity uuid (stable for the lifetime of the object).  Content
 # hashing of multi-GiB leaves would make expression construction O(nbytes).
@@ -91,14 +93,14 @@ def _normalize(obj, out: list) -> None:
     elif typ is complex:
         out.append(f"c:{obj!r}")
     elif isinstance(obj, np.dtype):
-        out.append(f"dtype:{obj.str}")
+        out.append(f"dtype:{dtype_key(obj)}")
     elif isinstance(obj, np.generic):
         if isinstance(obj, (np.longdouble, np.clongdouble)):
             # .item() narrows to a Python float and would alias distinct
             # long-double constants; the raw bytes are exact
-            out.append(f"npscalar:{obj.dtype.str}:{obj.tobytes().hex()}")
+            out.append(f"npscalar:{dtype_key(obj.dtype)}:{obj.tobytes().hex()}")
         else:
-            out.append(f"npscalar:{obj.dtype.str}:{obj.item()!r}")
+            out.append(f"npscalar:{dtype_key(obj.dtype)}:{obj.item()!r}")
     elif typ in (tuple, list):
         out.append("(" if typ is tuple else "[")
         for item in obj:
@@ -133,13 +135,13 @@ def _normalize(obj, out: list) -> None:
     elif isinstance(obj, np.ndarray):
         if obj.nbytes <= _CONTENT_HASH_LIMIT:
             arr = np.ascontiguousarray(obj)
-            out.append(f"nd:{arr.dtype.str}:{arr.shape}:")
+            out.append(f"nd:{dtype_key(arr.dtype)}:{arr.shape}:")
             out.append(hashlib.blake2b(arr.tobytes(), digest_size=16).hexdigest())
         else:
             policy = _big_array_policy()
             if policy == "content":
                 arr = np.ascontiguousarray(obj)
-                out.append(f"ndc:{arr.dtype.str}:{arr.shape}:")
+                out.append(f"ndc:{dtype_key(arr.dtype)}:{arr.shape}:")
                 out.append(hashlib.blake2b(arr.tobytes(), digest_size=16).hexdigest())
             elif policy == "sample":
                 # process-stable sampled digest: head + tail + a strided
@@ -159,14 +161,14 @@ def _normalize(obj, out: list) -> None:
                     factor = max(1.0, (obj.size / 65536.0) ** (1.0 / max(1, obj.ndim)))
                     sub = obj[tuple(slice(None, None, max(1, int(factor))) for _ in obj.shape)]
                     h.update(np.ascontiguousarray(sub).tobytes())
-                out.append(f"nds:{obj.dtype.str}:{obj.shape}:{obj.strides}:{h.hexdigest()}")
+                out.append(f"nds:{dtype_key(obj.dtype)}:{obj.shape}:{obj.strides}:{h.hexdigest()}")
             else:
                 # identity of the OWNING buffer plus this view's window (data
                 # pointer + strides): sibling views of one base must not collide
                 owner = obj.base if obj.base is not None else obj
                 ptr = obj.__array_interface__["data"][0]
                 out.append(
-                    f"ndbig:{obj.dtype.str}:{obj.shape}:{obj.strides}:{ptr}:"
+                    f"ndbig:{dtype_key(obj.dtype)}:{obj.shape}:{obj.strides}:{ptr}:"
                     f"{_identity_token(owner)}"
                 )
     elif hasattr(obj, "_name") and hasattr(obj, "operands"):

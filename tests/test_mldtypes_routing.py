@@ -68,3 +68,52 @@ def test_percentile_bf16_is_numeric(bf16):
     x = da.from_array(x_np.astype(bf16), chunks=25)
     got = float(np.asarray(da.percentile(x, 50).compute(), dtype=np.float32)[0])
     assert abs(got - 49.5) <= 1.0  # bf16 resolution around 50
+
+
+def test_astype_bf16_is_real_bfloat16(bf16):
+    """astype must carry the dtype OBJECT: serializing via .str collapses
+    bfloat16 to '<V2' (raw void), which then routed every downstream op to
+    the structured host lane and broke dtype inference entirely."""
+    y = da.eye(4, chunks=4).astype(bf16)
+    assert np.dtype(y.dtype) == np.dtype(bf16)
+    out = (y + y.T).compute()
+    assert np.dtype(out.dtype) == np.dtype(bf16)
+    assert float(np.asarray(out, dtype=np.float32)[0, 0]) == 2.0
+
+
+def test_dtype_key_unique_across_ml_dtypes():
+    """14 ml_dtypes scalars share .str '<V1'; dtype_key must keep them (and
+    structured layouts of equal itemsize) distinct, or token/plan caches
+    could serve a program compiled for the WRONG dtype."""
+    import ml_dtypes
+
+    from dask_array_tpu._chunks import dtype_key
+
+    fams = ["float8_e4m3fn", "float8_e5m2", "float8_e4m3", "int4", "uint4",
+            "int2", "float4_e2m1fn", "bfloat16"]
+    keys = [dtype_key(np.dtype(getattr(ml_dtypes, n))) for n in fams]
+    assert len(set(keys)) == len(fams)
+    for k, n in zip(keys, fams):
+        assert np.dtype(k) == np.dtype(getattr(ml_dtypes, n))  # round-trips
+    assert dtype_key(np.dtype([("a", "f4")])) != dtype_key(np.dtype([("b", "f4")]))
+
+
+def test_tokenize_distinguishes_fp8_variants():
+    import ml_dtypes
+
+    from dask_array_tpu.utils._tokenize import tokenize
+
+    a = np.zeros(8, dtype=ml_dtypes.float8_e4m3fn)
+    b = np.zeros(8, dtype=ml_dtypes.int4)
+    assert tokenize(a) != tokenize(b)
+    assert tokenize(np.dtype(ml_dtypes.float8_e4m3fn)) != tokenize(np.dtype(ml_dtypes.uint4))
+
+
+def test_from_array_bf16_singletons_not_aliased(bf16):
+    """Same-bytes arrays of different ml_dtypes must build DISTINCT leaves."""
+    raw = np.zeros(8, dtype=np.uint16)
+    x = da.from_array(raw.view(bf16), chunks=4)
+    import ml_dtypes
+
+    y = da.from_array(raw.view(ml_dtypes.float8_e4m3fn).reshape(8, 2)[:, 0], chunks=4)
+    assert x.expr._name != y.expr._name
