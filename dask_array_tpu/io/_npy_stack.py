@@ -47,7 +47,13 @@ def from_npy_stack(dirname, mmap_mode="r"):
     n = len(chunks[axis])
 
     def load(i):
-        return np.load(os.path.join(dirname, f"{i}.npy"), mmap_mode=mmap_mode)
+        block = np.load(os.path.join(dirname, f"{i}.npy"), mmap_mode=mmap_mode)
+        if block.dtype != dtype and block.dtype.itemsize == dtype.itemsize:
+            # ml_dtypes round-trip: np.save writes bfloat16/float8 as raw
+            # void descrs ('<V2'), so np.load returns void — the pickled
+            # info dtype is the logical type; re-view restores it
+            block = block.view(dtype)
+        return block
 
     shape = tuple(sum(c) for c in chunks)
     return from_map(load, range(n), chunks=chunks, shape=shape, dtype=dtype)

@@ -149,6 +149,16 @@ class ZarrLiteArray:
             }
         with open(meta_path, "w") as f:
             json.dump(meta, f)
+        if zarr_format == 2:
+            from dask_array_tpu._chunks import dtype_key
+
+            key = dtype_key(dtype)
+            if dtype.kind == "V" and dtype.names is None and key != dtype.str:
+                # ml_dtypes (bfloat16, ...): the .zarray descr is the raw
+                # void storage type; record the LOGICAL dtype in .zattrs
+                # (free-form sidecar — real zarr readers see plain void)
+                with open(os.path.join(root, ".zattrs"), "w") as f:
+                    json.dump({"dask_array_tpu:dtype": key}, f)
         arr._sep = "." if zarr_format == 2 else "/"
         return arr
 
@@ -172,6 +182,13 @@ class ZarrLiteArray:
                         "install the real zarr package"
                     )
             dtype = np.dtype(meta["dtype"])
+            zattrs = os.path.join(root, ".zattrs")
+            if dtype.kind == "V" and dtype.names is None and os.path.exists(zattrs):
+                logical = json.load(open(zattrs)).get("dask_array_tpu:dtype")
+                if logical is not None:
+                    cand = np.dtype(logical)
+                    if cand.itemsize == dtype.itemsize:
+                        dtype = cand  # ml_dtypes round-trip (see create)
             arr = cls(
                 root, meta["shape"], dtype, meta["chunks"], 2,
                 _decode_fill(meta.get("fill_value"), dtype), comp_id,

@@ -117,3 +117,28 @@ def test_from_array_bf16_singletons_not_aliased(bf16):
 
     y = da.from_array(raw.view(ml_dtypes.float8_e4m3fn).reshape(8, 2)[:, 0], chunks=4)
     assert x.expr._name != y.expr._name
+
+
+def test_npy_stack_bf16_round_trip(bf16, tmp_path):
+    """np.save writes bfloat16 as a raw-void descr; the loader re-views with
+    the pickled logical dtype (reading used to poison the trace with a
+    void-dtype numpy leaf)."""
+    x = da.full((8, 8), 3, chunks=4, dtype=bf16)
+    da.to_npy_stack(str(tmp_path / "n"), x, axis=0)
+    back = da.from_npy_stack(str(tmp_path / "n"))
+    assert np.dtype(back.dtype) == np.dtype(bf16)
+    out = back.compute()
+    assert np.dtype(out.dtype) == np.dtype(bf16)
+    assert np.allclose(np.asarray(out, dtype=np.float32), 3.0)
+
+
+def test_zarr_bf16_round_trip(bf16, tmp_path):
+    """zarr v2 stores the raw void descr; the logical dtype rides .zattrs
+    (real zarr readers still see plain 2-byte void data)."""
+    x = da.full((8, 8), 5, chunks=4, dtype=bf16)
+    da.to_zarr(x, str(tmp_path / "z"))
+    back = da.from_zarr(str(tmp_path / "z"))
+    assert np.dtype(back.dtype) == np.dtype(bf16)
+    out = back.compute()
+    assert np.dtype(out.dtype) == np.dtype(bf16)
+    assert np.allclose(np.asarray(out, dtype=np.float32), 5.0)
