@@ -36,6 +36,13 @@ def _float_dtype(dt):
         return dt
     if dt == np.float32:
         return dt
+    if dt.kind not in "fc":
+        from dask_array_tpu._chunks import is_float_dtype
+
+        if is_float_dtype(dt):
+            # ml_dtypes floats (bfloat16/float8): factorizations need more
+            # precision, but f32 — NOT emulated f64 (~100x slow here)
+            return np.dtype("f4")
     return np.dtype("f8")
 
 

@@ -142,3 +142,16 @@ def test_zarr_bf16_round_trip(bf16, tmp_path):
     out = back.compute()
     assert np.dtype(out.dtype) == np.dtype(bf16)
     assert np.allclose(np.asarray(out, dtype=np.float32), 5.0)
+
+
+def test_linalg_bf16_promotes_to_f32_not_f64(bf16):
+    """Factorizations of bf16 inputs promote to f32 (emulated f64 is ~100x
+    slow on this TPU); numpy's own LAPACK refuses sub-f32 floats outright,
+    so f32 is both the capability extension and the fast lane."""
+    rng = np.random.default_rng(11)
+    a_np = rng.standard_normal((16, 8)).astype(np.float32)
+    a = da.from_array(a_np.astype(bf16), chunks=(8, 8))
+    q, r = da.linalg.qr(a)
+    assert np.dtype(q.dtype) == np.dtype("f4")
+    got = np.asarray((q @ r).compute(), dtype=np.float32)
+    assert np.allclose(got, a_np, atol=0.15)  # bf16 input resolution
