@@ -125,13 +125,24 @@ class Reduction(ArrayExpr):
 
         fn = getattr(jnp, jnp_name)
         kwargs = {"axis": self.axes, "keepdims": self.keepdims}
+        out_dt = device_dtype(self.dtype)
         if takes_dtype:
-            kwargs["dtype"] = device_dtype(self.dtype)
+            acc_dt = out_dt
+            from dask_array_tpu._chunks import is_float_dtype
+
+            if np.dtype(out_dt).itemsize < 4 and is_float_dtype(out_dt):
+                # sub-f32 float accumulators STALL once the partial's ulp
+                # exceeds the addend (a 64x64 bf16 sum of 256s plateaus at
+                # 2^19); accumulate in f32, cast the result — XLA fuses
+                # both casts into the reduce, and numpy's own sub-f32
+                # accumulation is strictly less accurate, never more
+                acc_dt = np.dtype("f4")
+            kwargs["dtype"] = acc_dt
         extra = dict(self.extra or ())
         kwargs.update(extra)
         dense = fn(x, **kwargs)
-        if dense.dtype != device_dtype(self.dtype):
-            dense = dense.astype(device_dtype(self.dtype))
+        if dense.dtype != out_dt:
+            dense = dense.astype(out_dt)
         return BlockView(self.chunks, dense=dense)
 
     def _accept_slice(self, index):

@@ -155,3 +155,23 @@ def test_linalg_bf16_promotes_to_f32_not_f64(bf16):
     assert np.dtype(q.dtype) == np.dtype("f4")
     got = np.asarray((q @ r).compute(), dtype=np.float32)
     assert np.allclose(got, a_np, atol=0.15)  # bf16 input resolution
+
+
+@pytest.mark.parametrize("dt", ["bfloat16", "float16"])
+@pytest.mark.parametrize("kind", ["sum", "mean", "nansum"])
+def test_subf32_reductions_accumulate_in_f32(bf16, dt, kind):
+    """Sub-f32 float reductions keep the numpy OUTPUT dtype but accumulate
+    in f32: a bf16 accumulator stalls once the partial's ulp exceeds the
+    addend (64x64 of 256.0 plateaus at 2^19 instead of 2^20), and numpy's
+    own sub-f32 accumulation is strictly less accurate — never more."""
+    import jax.numpy as jnp
+
+    dtype = jnp.bfloat16 if dt == "bfloat16" else np.float16
+    if dt == "float16" and kind != "sum":
+        pytest.skip("one dtype x all kinds and one kind x all dtypes suffice")
+    fill = 256.0 if dt == "bfloat16" else 0.25  # f16 max is 65504
+    x = da.full((64, 64), fill, chunks=16, dtype=dtype)
+    out = getattr(da, kind)(x).compute()
+    assert np.dtype(out.dtype) == np.dtype(dtype)
+    expect = fill if kind == "mean" else fill * 64 * 64
+    assert float(np.asarray(out, dtype=np.float64)) == expect
