@@ -80,6 +80,44 @@ def test_integer_ufunc(rng, name):
     assert_eq(getattr(da, name)(dx, dy), getattr(np, name)(x, y))
 
 
+def test_arccosh_domain(rng):
+    x = rng.uniform(1.1, 4.0, (6, 8))
+    assert_eq(da.arccosh(da.from_array(x, chunks=(3, 4))), np.arccosh(x), rtol=1e-6)
+
+
+def test_logical_bitwise_not(rng):
+    b = rng.integers(0, 2, (5, 6)).astype(bool)
+    i = rng.integers(-30, 30, (5, 6))
+    db, di = da.from_array(b, chunks=3), da.from_array(i, chunks=2)
+    assert_eq(da.logical_not(db), np.logical_not(b))
+    assert_eq(da.bitwise_not(di), np.bitwise_not(i))
+    assert_eq(da.invert(di), np.invert(i))
+    assert_eq(~di, ~i)
+    assert_eq(~db, ~b)
+
+
+def test_isneginf_isposinf(rng):
+    x = np.array([np.inf, -np.inf, 0.0, np.nan, 1.5, -2.0])
+    d = da.from_array(x, chunks=2)
+    assert_eq(da.isneginf(d), np.isneginf(x))
+    assert_eq(da.isposinf(d), np.isposinf(x))
+
+
+def test_ldexp(rng):
+    x = rng.uniform(0.5, 1.5, (6,))
+    e = rng.integers(-3, 4, (6,))
+    assert_eq(
+        da.ldexp(da.from_array(x, chunks=2), da.from_array(e, chunks=3)),
+        np.ldexp(x, e),
+    )
+
+
+def test_float_constants():
+    assert da.euler_gamma == np.euler_gamma
+    assert da.pi == np.pi
+    assert da.e == np.e
+
+
 def test_nep13_numpy_ufunc_dispatch(rng):
     # np.sin(dask_array) must return a lazy Array via __array_ufunc__
     x = rng.standard_normal((8, 8))
