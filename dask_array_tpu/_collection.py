@@ -690,7 +690,7 @@ class Array:
         return swapaxes(self, axis1, axis2)
 
     def repeat(self, repeats, axis=None):
-        from dask_array_tpu.ops._tile import repeat
+        from dask_array_tpu.ops.creation import repeat
 
         return repeat(self, repeats, axis=axis)
 
