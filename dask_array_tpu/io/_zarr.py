@@ -168,14 +168,18 @@ def to_zarr(arr, url, component=None, storage_options=None, overwrite=False, reg
             storage_options=storage_options, **kwargs,
         )
     else:
+        # an explicit chunks= targets the on-disk granularity; default to
+        # the array's own grid
+        store_chunks = kwargs.pop("chunks", tuple(c[0] for c in arr.chunks))
         z = zarr.open_array(
             url,
             mode="w" if overwrite else "a",
             path=component,
             shape=arr.shape,
             dtype=arr.dtype,
-            chunks=tuple(c[0] for c in arr.chunks),
+            chunks=store_chunks,
             storage_options=storage_options,
             **kwargs,
         )
+        arr = _align_to_existing(arr, z, None)
     return store(arr, z, regions=region, compute=compute, return_stored=return_stored, lock=False)

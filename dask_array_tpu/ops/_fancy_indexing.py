@@ -51,14 +51,20 @@ class Take(ArrayExpr):
     def _simplify_down(self):
         n = self.array.shape[self.axis]
         idx = np.asarray(self.indices)
-        # identity take (same order, same chunk grid) disappears
+        # identity take (same order) disappears; if only the chunk grid
+        # differs it degrades to a relayout (reference
+        # test_take_sorted_indexer aliases every block — a Rechunk is this
+        # framework's alias-or-collective equivalent, never a gather)
         if (
             isinstance(n, (int, np.integer))
             and len(idx) == n
-            and self.chunks == self.array.chunks
             and np.array_equal(idx, np.arange(n))
         ):
-            return self.array
+            if self.chunks == self.array.chunks:
+                return self.array
+            from dask_array_tpu._rechunk import Rechunk
+
+            return Rechunk(self.array, self.chunks)
         # take-of-take on one axis composes: x[i1][i2] == x[i1[i2]]
         if type(self.array) is Take and self.array.axis == self.axis:
             inner = self.array
@@ -169,6 +175,11 @@ def take(a, indices, axis=0):
         raise ValueError(
             "Cannot take along an axis with unknown chunk sizes; call "
             "compute_chunk_sizes() first"
+        )
+    if indices.dtype.kind not in "iub":
+        raise IndexError(
+            f"only integers, slices, ellipsis, newaxis and integer or "
+            f"boolean arrays are valid indices (got dtype {indices.dtype})"
         )
     idx = indices.astype(np.int64)
     if n == n:  # not nan

@@ -9,6 +9,7 @@ onto the surviving parts so upstream work is culled.
 from __future__ import annotations
 
 import functools
+import math
 from numbers import Integral
 
 import numpy as np
@@ -47,6 +48,43 @@ class Concatenate(ArrayExpr):
     def _meta(self):
         dtype = functools.reduce(np.promote_types, [a.dtype for a in self.arrays])
         return np.empty((0,) * self.arrays[0].ndim, dtype=dtype)
+
+    def _accept_rechunk(self, target_chunks):
+        """Distribute a rechunk onto the inputs (reference
+        test_rechunk_pushdown_concatenate_other_axis): non-concat axes apply
+        to every input; the concat axis only when the target boundaries
+        land on every input seam (a crossing chunk needs the seam-spanning
+        relayout — the Rechunk stays above and owns it)."""
+        from dask_array_tpu._rechunk import Rechunk
+
+        axis = self.axis
+        if has_unknown_chunks(self.chunks) or any(
+            isinstance(c, float) and math.isnan(c) for t in target_chunks for c in t
+        ):
+            return None
+        tgt_axis = list(target_chunks[axis])
+        per_input = []
+        pos = 0
+        for a in self.arrays:
+            span = sum(a.chunks[axis])
+            grp = []
+            left = span
+            while left > 0:
+                if pos >= len(tgt_axis) or tgt_axis[pos] > left:
+                    return None  # target chunk crosses an input seam
+                grp.append(tgt_axis[pos])
+                left -= tgt_axis[pos]
+                pos += 1
+            per_input.append(tuple(grp))
+        if pos != len(tgt_axis):
+            return None  # trailing zero-width target chunks: decline
+        new_inputs = []
+        for a, grp in zip(self.arrays, per_input):
+            tgt = tuple(
+                grp if ax == axis else target_chunks[ax] for ax in range(a.ndim)
+            )
+            new_inputs.append(a if tgt == a.chunks else Rechunk(a, tgt))
+        return Concatenate(self.axis, *new_inputs)
 
     def _simplify_down(self):
         if len(self.arrays) == 1:
