@@ -167,6 +167,7 @@ def to_zarr(arr, url, component=None, storage_options=None, overwrite=False, reg
             url, mode="a", path=component,
             storage_options=storage_options, **kwargs,
         )
+        arr = _align_to_existing(arr, z, region)
     else:
         # an explicit chunks= targets the on-disk granularity; default to
         # the array's own grid

@@ -156,6 +156,16 @@ def take(a, indices, axis=0):
 
         new_shape = a.shape[:axis] + indices.shape + a.shape[axis + 1:]
         return reshape(flat, new_shape)
+    if indices.size == 0:
+        # numpy accepts an empty list as a valid empty integer index even
+        # though np.asarray([]) is float64 (reference tests/test_slicing.py
+        # empty-selection cases)
+        indices = indices.astype(np.int64)
+    if indices.dtype.kind not in "iub":
+        raise IndexError(
+            f"only integers, slices, ellipsis, newaxis and integer or "
+            f"boolean arrays are valid indices (got dtype {indices.dtype})"
+        )
     n = a.shape[axis]
     if isinstance(n, float) and np.isnan(n):
         if len(a.chunks[axis]) == 1:
@@ -175,11 +185,6 @@ def take(a, indices, axis=0):
         raise ValueError(
             "Cannot take along an axis with unknown chunk sizes; call "
             "compute_chunk_sizes() first"
-        )
-    if indices.dtype.kind not in "iub":
-        raise IndexError(
-            f"only integers, slices, ellipsis, newaxis and integer or "
-            f"boolean arrays are valid indices (got dtype {indices.dtype})"
         )
     idx = indices.astype(np.int64)
     if n == n:  # not nan

@@ -67,6 +67,11 @@ class Concatenate(ArrayExpr):
         pos = 0
         for a in self.arrays:
             span = sum(a.chunks[axis])
+            if span == 0:
+                # a zero-span input would get an empty per-axis profile ();
+                # decline rather than hand downstream chunk-walkers an
+                # unusual zero-block axis invariant
+                return None
             grp = []
             left = span
             while left > 0:
