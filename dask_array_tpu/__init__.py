@@ -294,6 +294,9 @@ def compute(*collections, **kwargs):
         lowered = [optimize_expr(c.expr) for _, c in arrays]
         denses = execute_many(lowered)
         for (i, c), dense in zip(arrays, denses):
+            if isinstance(dense, _np.ma.MaskedArray):
+                out[i] = dense  # masked host lane: np.asarray would drop the mask
+                continue
             arr = _np.asarray(dense)
             dt = c.dtype
             if getattr(dt, "kind", "") in "Mm" and arr.dtype != dt:

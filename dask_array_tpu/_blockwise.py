@@ -120,6 +120,51 @@ def _shim_host_operand(a):
     return a
 
 
+def _contains_masked(args) -> bool:
+    for a in args:
+        if isinstance(a, np.ma.MaskedArray):
+            return True
+        if isinstance(a, (list, tuple)) and _contains_masked(a):
+            return True
+    return False
+
+
+def _to_host(a):
+    """Pull device operands to host numpy for a masked-block call (numpy
+    ufunc dispatch on a MaskedArray + jax.Array pair would defer to jax and
+    strip the mask)."""
+    if isinstance(a, (list, tuple)):
+        return type(a)(_to_host(v) for v in a)
+    if hasattr(a, "devices"):  # jax.Array
+        return np.asarray(a)
+    return a
+
+
+def masked_host_kernel(fn):
+    """The numpy(.ma) counterpart of a traced kernel, for masked host blocks.
+
+    jnp kernels silently DROP the mask (tracing coerces np.ma to a plain
+    array); numpy ufuncs dispatch through ``MaskedArray.__array_ufunc__``
+    and preserve it (including domain masking, e.g. sqrt of negatives), and
+    ``np.ma`` holds masked versions of the non-ufunc names (``where``,
+    ``concatenate``, ...).  Non-jax callables (operator.*, user map_blocks
+    kernels, ``_astype``) pass through untouched — per-block numpy execution
+    is the reference's entire masked-array story
+    (``/root/reference/dask_array/_dispatch.py:36``).  Returns ``None`` when
+    no mask-safe counterpart exists, so callers raise loudly instead of
+    miscomputing.
+    """
+    mod = getattr(fn, "__module__", "") or ""
+    if not mod.startswith("jax"):
+        return fn
+    name = getattr(fn, "__name__", "")
+    np_fn = getattr(np, name, None)
+    if isinstance(np_fn, np.ufunc):
+        return np_fn
+    ma_fn = getattr(np.ma, name, None)
+    return ma_fn if ma_fn is not None else np_fn
+
+
 class Blockwise(ArrayExpr):
     """Apply ``func`` block-wise following an index pattern.
 
@@ -450,6 +495,15 @@ class Blockwise(ArrayExpr):
         return BlockView(self.chunks, blocks=blocks)
 
     def _call(self, args, kwargs, out_coord):
+        if _contains_masked(args):
+            fn = masked_host_kernel(self.func)
+            if fn is None:
+                raise NotImplementedError(
+                    f"{getattr(self.func, '__name__', self.func)!r} has no "
+                    "mask-preserving host kernel; call x.filled(...) first"
+                )
+            with np.errstate(all="ignore"):
+                return fn(*_to_host(args), **kwargs)
         return self.func(*args, **kwargs)
 
 
@@ -571,7 +625,7 @@ class Elemwise(Blockwise):
                 ctx.build(a).dense() if isinstance(a, ArrayExpr) else _shim_host_operand(a)
                 for a in self.args
             ]
-            dense = self.func(*args, **self._kwargs_dict)
+            dense = self._call(args, self._kwargs_dict, None)
             # numpy dtype-rule parity: jax may promote differently (e.g.
             # int32+float32); the declared meta dtype wins
             if hasattr(dense, "dtype") and dense.dtype != self.dtype:

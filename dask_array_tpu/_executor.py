@@ -415,7 +415,9 @@ def _is_host_only(arr) -> bool:
         return False
 
 
-# ops that PASS a masked block through untouched (numpy.ma handles them);
+# ops verified MASK-PRESERVING on the host lane: passthroughs (numpy.ma
+# handles them), plus compute ops whose kernels dispatch to numpy(.ma)
+# counterparts when blocks are masked (``_blockwise.masked_host_kernel``);
 # anything else would silently drop the mask through jnp, so it raises
 _MASKED_PASSTHROUGH = {
     "FromArray",
@@ -425,6 +427,13 @@ _MASKED_PASSTHROUGH = {
     "ExpandDims",
     "Rechunk",
     "MapBlocks",
+    # compute surface (VERDICT r3 #2): jnp kernels swap to their numpy(.ma)
+    # counterparts on masked host blocks
+    "Elemwise",
+    "Blockwise",
+    "Transpose",
+    "Squeeze",
+    "Reduction",
 }
 
 
@@ -433,15 +442,33 @@ def check_masked_ops(root) -> None:
     it).  Runs on the LOGICAL tree (before lowering, where MapBlocks is
     still distinct from Elemwise).  Reference parity: masked sources flow
     through numpy block kernels untouched
-    (``tests/test_collection.py:1322``); here only the passthrough surface
-    is supported — fill the mask for numeric work."""
+    (``tests/test_collection.py:1322``); elemwise/blockwise/reductions
+    execute with numpy(.ma) kernels on the host lane — the rest of the
+    surface raises rather than silently dropping the mask."""
     leaves_masked = any(
         isinstance(b, np.ma.MaskedArray) for _, b in collect_leaves(root)
     )
     if not leaves_masked:
         return
+    # only nodes whose OWN subtree carries a masked leaf are gated: an
+    # unmasked branch (e.g. ones() mixed into a masked elemwise) computes
+    # normally and converts at the consuming kernel
+    masked_below: dict[str, bool] = {}
+
+    def rec(node) -> bool:
+        got = masked_below.get(node._name)
+        if got is not None:
+            return got
+        masked_below[node._name] = False  # cycle guard (trees only, but safe)
+        own = any(
+            isinstance(b, np.ma.MaskedArray) for _, b in node._leaf_buffers()
+        )
+        flag = own or any(rec(d) for d in node.dependencies())
+        masked_below[node._name] = flag
+        return flag
+
     for node in root.walk():
-        if type(node).__name__ not in _MASKED_PASSTHROUGH:
+        if rec(node) and type(node).__name__ not in _MASKED_PASSTHROUGH:
             raise NotImplementedError(
                 f"{type(node).__name__} on a masked array would silently "
                 "drop the mask on the TPU backend; call x.filled(...) "
@@ -618,7 +645,14 @@ def execute_many(roots, mode: str | None = None):
         vals = {}
         for k, b in union:
             b = _materialize_buf(b)
-            vals[k] = jnp.asarray(np.asarray(b)) if not hasattr(b, "dtype") or isinstance(b, np.ndarray) else b
+            if _is_host_only(b):
+                # structured/masked: stays host numpy (np.asarray on a
+                # masked array would drop the mask)
+                vals[k] = b if isinstance(b, np.ndarray) else np.asarray(b)
+            elif not hasattr(b, "dtype") or isinstance(b, np.ndarray):
+                vals[k] = jnp.asarray(np.asarray(b))
+            else:
+                vals[k] = b
     ctx = BuildContext(vals, mode="eager", mesh=mesh)
     return [ctx.build(r).dense() for r in roots]
 

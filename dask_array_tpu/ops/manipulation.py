@@ -19,6 +19,8 @@ from dask_array_tpu._slicing import Slice, is_basic_index
 
 
 def _transpose_fn(block, axes=None):
+    if isinstance(block, np.ma.MaskedArray):
+        return np.transpose(block, axes)  # masked host lane (asanyarray-based)
     import jax.numpy as jnp
 
     return jnp.transpose(block, axes)
@@ -58,7 +60,10 @@ class Transpose(Blockwise):
         import jax.numpy as jnp
 
         view = ctx.build(self.array)
-        dense = jnp.transpose(view.dense(), self.axes)
+        dense = view.dense()
+        if isinstance(dense, np.ma.MaskedArray):
+            jnp = np  # masked host lane: numpy's transpose preserves the mask
+        dense = jnp.transpose(dense, self.axes)
         return BlockView(self.chunks, dense=dense)
 
     def _accept_rechunk(self, target_chunks):
@@ -183,7 +188,10 @@ class Squeeze(ArrayExpr):
         import jax.numpy as jnp
 
         view = ctx.build(self.array)
-        return BlockView(self.chunks, dense=jnp.squeeze(view.dense(), axis=self.axes))
+        dense = view.dense()
+        if isinstance(dense, np.ma.MaskedArray):
+            jnp = np  # masked host lane
+        return BlockView(self.chunks, dense=jnp.squeeze(dense, axis=self.axes))
 
     def _accept_rechunk(self, target_chunks):
         from dask_array_tpu._rechunk import Rechunk

@@ -114,13 +114,21 @@ class Reduction(ArrayExpr):
         from dask_array_tpu._executor import _is_host_only
 
         if _is_host_only(x) or host_only_dtype(self.dtype):
-            # host lane: object/str/structured blocks reduce with numpy
+            # host lane: object/str/structured/masked blocks reduce with
+            # numpy (np reducers dispatch mask-aware through np.ma —
+            # reference parity: per-block numpy kernels on masked sources,
+            # /root/reference/dask_array/tests/test_reductions.py:1094)
             kwargs = {"axis": self.axes, "keepdims": self.keepdims}
             if takes_dtype and not host_only_dtype(self.dtype):
                 kwargs["dtype"] = self.dtype
             kwargs.update(dict(self.extra or ()))
+            masked = isinstance(x, np.ma.MaskedArray)
             with np.errstate(all="ignore"):
-                dense = np_fn(np.asarray(x), **kwargs)
+                dense = np_fn(x if masked else np.asarray(x), **kwargs)
+            if masked and isinstance(dense, np.ma.MaskedArray):
+                if dense.dtype != self.dtype:
+                    dense = dense.astype(self.dtype)
+                return BlockView(self.chunks, dense=dense)
             return BlockView(self.chunks, dense=np.asarray(dense, dtype=self.dtype))
 
         fn = getattr(jnp, jnp_name)
