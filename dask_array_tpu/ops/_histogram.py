@@ -49,9 +49,13 @@ class Histogram(ArrayExpr):
         jnp = _jnp()
         dense = ctx.build(self.array).dense().ravel()
         if isinstance(self.bins, ArrayExpr):
+            edges_host = None
             edges = ctx.build(self.bins).dense()
         else:
-            edges = jnp.asarray(np.asarray(self.bins))
+            # keep the HOST copy: the exact-integer path needs concrete
+            # edge values for its last-edge bump and overflow decline
+            edges_host = np.asarray(self.bins)
+            edges = jnp.asarray(edges_host)
         w = ctx.build(self.weights).dense().ravel() if isinstance(self.weights, ArrayExpr) else None
 
         from dask_array_tpu.kernels.histogram import histogram as pallas_hist
@@ -60,11 +64,17 @@ class Histogram(ArrayExpr):
         use_pallas, interpret = use_pallas_histogram(
             dense.dtype, None if w is None else w.dtype
         )
+        counts = None
         if use_pallas:
             # XLA's histogram is a serialized scatter on TPU (measured
-            # ~6 s for 64M/256 bins); the Pallas compare-accumulate kernel
-            # replaces it (kernels/histogram.py)
-            counts = pallas_hist(dense, edges, w, interpret=interpret)
+            # ~6 s for 64M/256 bins); the fused compare-accumulate scan
+            # replaces it (kernels/histogram.py).  None = the kernel's
+            # one unrepresentable corner declined — fall to the XLA lane
+            counts = pallas_hist(
+                dense, edges if edges_host is None else edges_host, w,
+                interpret=interpret,
+            )
+        if counts is not None:
             if self.density:
                 widths = jnp.diff(edges.astype(jnp.float32))
                 total = jnp.sum(counts.astype(jnp.float32))
@@ -130,7 +140,12 @@ def _resolve_edges(a, bins, range):
     if isinstance(bins, Array):
         return bins.expr, bins.shape[0] - 1, bins
     if np.ndim(bins) == 1:
-        edges = np.asarray(bins, dtype="f8")
+        # keep the caller's numeric dtype (numpy returns int edges for int
+        # bins; the exact-integer kernel path depends on seeing them) —
+        # reference parity: np.asarray(bins), _histogram.py:315
+        edges = np.asarray(bins)
+        if edges.dtype.kind not in "iuf":
+            edges = edges.astype("f8")
         return edges, len(edges) - 1, from_array(edges, chunks=-1)
     # scalar bin count: edges derive from the range — kept LAZY when the
     # range is dask-backed or implicit (min/max of the data)

@@ -238,9 +238,12 @@ def test_kernel_small_int_dtypes(rng, dt):
 def test_histogram_int_routing(rng):
     from dask_array_tpu.kernels.histogram import use_pallas_histogram
 
-    with config.set({"tpu.histogram-kernel": "auto"}):
-        # int64 declines (values past ~2^48 would mis-bin on two-float)
-        assert use_pallas_histogram(np.dtype("i8"))[0] is False
+    # int64 now takes the kernel: exact-integer compare for int/int pairs,
+    # three-float (bit-exact f64) for int/float mixes (VERDICT r3 #4)
+    assert use_pallas_histogram(np.dtype("i8"))[0] in (True, False)  # backend-gated
+    with config.set({"tpu.histogram-kernel": "pallas"}):
+        assert use_pallas_histogram(np.dtype("i8"))[0] is True
+        assert use_pallas_histogram(np.dtype("u8"))[0] is True
 
     # end-to-end through da.histogram with the kernel forced on CPU
     x = (1 << 24) + rng.integers(-50, 50, size=5000).astype(np.int32)
@@ -250,3 +253,83 @@ def test_histogram_int_routing(rng):
         got = np.asarray(h.compute())
     exp, _ = np.histogram(x, bins=10, range=(x.min(), x.max()))
     np.testing.assert_array_equal(got, exp)
+
+
+# ---------------------------------------------------------------------------
+# 64-bit integers (round-4): exact-integer compare for int/int pairs,
+# three-float bit-exact f64 compare for int64/float mixes — at EVERY
+# magnitude, including past 2^48 where the two-float path would mis-bin
+# ---------------------------------------------------------------------------
+
+
+def test_kernel_int64_int_edges_exact_past_2_48(rng):
+    # adjacent int64 values around 2^56: two-float resolution is ~2^7
+    # here, so this mis-bins unless the compare is exact-integer
+    base = np.int64(1) << 56
+    x = base + rng.integers(-8, 8, size=4000).astype(np.int64)
+    edges = (base + np.arange(-8, 9)).astype(np.int64)
+    got = np.asarray(khist(x, edges))
+    exp, _ = np.histogram(x, bins=edges)
+    np.testing.assert_array_equal(got, exp)
+
+
+def test_kernel_int64_negative_and_full_range(rng):
+    x = rng.integers(-(2**62), 2**62, size=10000, dtype=np.int64)
+    edges = np.linspace(-(2**62), 2**62, 17).astype(np.int64)
+    got = np.asarray(khist(x, edges))
+    exp, _ = np.histogram(x, bins=edges)
+    np.testing.assert_array_equal(got, exp)
+
+
+def test_kernel_uint64_exact(rng):
+    x = rng.integers(0, 2**63, size=5000, dtype=np.uint64) + np.uint64(2**63)
+    step = np.uint64((2**63 - 2) // 8)
+    edges = np.uint64(2**63) + np.arange(9, dtype=np.uint64) * step
+    got = np.asarray(khist(x, edges))
+    exp, _ = np.histogram(x, bins=edges)
+    np.testing.assert_array_equal(got, exp)
+
+
+def test_kernel_int64_last_edge_inclusive():
+    edges = np.array([0, 10, 20], dtype=np.int64)
+    x = np.array([0, 10, 20, 21, -1], dtype=np.int64)
+    got = np.asarray(khist(x, edges))
+    exp, _ = np.histogram(x, bins=edges)
+    np.testing.assert_array_equal(got, exp)  # 20 counts in the last bin
+
+
+def test_kernel_int64_float_edges_numpy_parity(rng):
+    # int64 vs FLOAT edges: numpy promotes both to f64 (lossy past 2^53);
+    # the three-float path must reproduce numpy's f64 comparisons exactly
+    base = np.int64(1) << 55
+    x = base + rng.integers(-1000, 1000, size=4000).astype(np.int64)
+    edges = np.linspace(float(base - 1000), float(base + 1000), 33)
+    got = np.asarray(khist(x, edges))
+    exp, _ = np.histogram(x, bins=edges)
+    np.testing.assert_array_equal(got, exp)
+
+
+def test_kernel_int64_max_edge_declines():
+    # e_last + 1 would overflow int64: the kernel declines (None) and the
+    # op-level lane falls back to XLA — never mis-bins
+    edges = np.array([0, np.iinfo(np.int64).max], dtype=np.int64)
+    x = np.array([1, 2, 3], dtype=np.int64)
+    assert khist(x, edges) is None
+    # end-to-end: da.histogram still answers correctly via the XLA lane
+    d = da.from_array(x, chunks=2)
+    with config.set({"tpu.histogram-kernel": "pallas"}):
+        h, _ = da.histogram(d, bins=edges)
+        got = np.asarray(h.compute())
+    exp, _ = np.histogram(x, bins=edges)
+    np.testing.assert_array_equal(got, exp)
+
+
+def test_histogram_int_edges_dtype_parity(rng):
+    # numpy returns the caller's integer edges dtype; so do we
+    x = rng.integers(0, 100, size=500).astype(np.int64)
+    edges = np.arange(0, 101, 10, dtype=np.int64)
+    d = da.from_array(x, chunks=130)
+    h, e = da.histogram(d, bins=edges)
+    exp_h, exp_e = np.histogram(x, bins=edges)
+    assert np.asarray(e.compute()).dtype == exp_e.dtype
+    np.testing.assert_array_equal(np.asarray(h.compute()), exp_h)
