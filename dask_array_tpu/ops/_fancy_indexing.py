@@ -287,6 +287,17 @@ class TakeLazy(ArrayExpr):
                 raise IndexError(
                     f"index {int(bad)} is out of bounds for axis {self.axis} with size {dim}"
                 )
+            if ctx.mode == "eager" and host_idx is None and getattr(idx, "size", 0):
+                # eager values are concrete: data-DEPENDENT indices get
+                # numpy's bounds error too (the trace lane clips — a traced
+                # program cannot raise data-dependently; docs/divergences.md)
+                h = np.asarray(idx).astype("i8").ravel()
+                oob = h[(h < -dim) | (h >= dim)]
+                if oob.size:
+                    raise IndexError(
+                        f"index {int(oob[0])} is out of bounds for axis "
+                        f"{self.axis} with size {dim}"
+                    )
             idx = jnp.where(idx < 0, idx + dim, idx)  # numpy wrap semantics
         dense = jnp.take(view.dense(), idx, axis=self.axis, mode="clip")
         return BlockView(self.chunks, dense=dense)

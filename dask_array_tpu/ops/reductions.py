@@ -625,6 +625,12 @@ class ArgReduction(ArrayExpr):
                 dense = dense.reshape((1,) * self.array.ndim)
         else:
             dense = fn(x, axis=self.axis, keepdims=self.keepdims)
+        if ctx.mode == "eager":
+            # eager values are concrete: raise where numpy raises even for
+            # in-graph consumers (the trace lane keeps jax's -1 sentinel —
+            # a traced program cannot raise data-dependently; see
+            # docs/divergences.md)
+            self._host_validate(dense)
         return BlockView(self.chunks, dense=dense.astype(np.intp))
 
     def _host_validate(self, result):
