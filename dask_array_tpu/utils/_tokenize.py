@@ -46,18 +46,42 @@ def identity_epoch() -> int:
 def _big_array_policy() -> str:
     """Token policy for arrays above the content-hash limit.
 
-    ``identity`` (default): per-object uuid — O(1), process-local.
-    ``sample``: head+tail+strided digest — process-stable, tiny collision
-    window (interior-only diffs).  ``content``: full blake2b — process-
-    stable and exact, O(nbytes) at tokenize time.
+    ``sample`` (default, VERDICT r4): head+tail+strided blake2b PLUS a
+    full-coverage u64 wrap-sum pass — process-stable, so plan/executable
+    caches survive process boundaries for plain ``from_array`` leaves
+    (the reference content-hashes via dask's normalize_token,
+    ``_dispatch.py:31-37``).  Measured cost: ~4 ms/GB for the sampled
+    digest + ~94 ms/GB for the wrap-sum (numpy streams ~10.6 GB/s on this
+    host) — ~10x faster than a full blake2b (0.45 GB/s).  The wrap-sum
+    reads EVERY byte, so any single-element difference changes the token;
+    the remaining collision window is a permutation/compensating edit of
+    un-sampled interior bytes.  Non-contiguous views and unhashable
+    (object-dtype) sources fall back to subsampling / identity.
+    ``content``: full blake2b — exact, O(nbytes) at 0.45 GB/s.
+    ``identity``: per-object uuid — O(1), process-local (pre-r4 default).
     Config key: ``tokenize.big-arrays``.
     """
     try:
         from dask_array_tpu import config
 
-        return config.get("tokenize.big-arrays", "identity")
+        return config.get("tokenize.big-arrays", "sample")
     except Exception:
-        return "identity"
+        return "sample"
+
+
+def _full_coverage_sum(obj) -> int:
+    """u64 wraparound sum over EVERY byte of a contiguous array — one
+    streaming numpy pass (~10.6 GB/s measured), catching any difference a
+    positional subsample can miss (single interior edits)."""
+    b = np.ascontiguousarray(obj).view(np.uint8).reshape(-1)
+    n8 = (b.size // 8) * 8
+    acc = 0
+    if n8:
+        with np.errstate(over="ignore"):
+            acc = int(b[:n8].view(np.uint64).sum(dtype=np.uint64))
+    if b.size - n8:
+        acc = (acc + int.from_bytes(b[n8:].tobytes(), "little")) & ((1 << 64) - 1)
+    return acc
 
 
 def _identity_token(obj) -> str:
@@ -144,24 +168,38 @@ def _normalize(obj, out: list) -> None:
                 out.append(f"ndc:{dtype_key(arr.dtype)}:{arr.shape}:")
                 out.append(hashlib.blake2b(arr.tobytes(), digest_size=16).hexdigest())
             elif policy == "sample":
-                # process-stable sampled digest: head + tail + a strided
-                # middle sample. Collides only for arrays differing
-                # exclusively in un-sampled interior bytes — an explicit
-                # opt-in tradeoff for cross-process caching.
+                # process-stable digest: head + tail + strided positional
+                # samples, PLUS a full-coverage wrap-sum when the buffer is
+                # contiguous and byte-viewable (DEFAULT policy — see
+                # _big_array_policy for cost/collision bounds)
                 h = hashlib.blake2b(digest_size=16)
-                if obj.flags.c_contiguous:
-                    flat = obj.reshape(-1)
-                    step = max(1, flat.shape[0] // 4096)
-                    h.update(flat[:8192].tobytes())
-                    h.update(flat[-8192:].tobytes())
-                    h.update(np.ascontiguousarray(flat[::step][:8192]).tobytes())
-                else:
-                    # strided view: per-axis subsample bounded to ~64k elems
-                    # (reshape(-1) would copy the whole buffer)
-                    factor = max(1.0, (obj.size / 65536.0) ** (1.0 / max(1, obj.ndim)))
-                    sub = obj[tuple(slice(None, None, max(1, int(factor))) for _ in obj.shape)]
-                    h.update(np.ascontiguousarray(sub).tobytes())
-                out.append(f"nds:{dtype_key(obj.dtype)}:{obj.shape}:{obj.strides}:{h.hexdigest()}")
+                try:
+                    if obj.dtype.hasobject:
+                        raise TypeError("object arrays have no stable bytes")
+                    if obj.flags.c_contiguous:
+                        flat = obj.reshape(-1)
+                        step = max(1, flat.shape[0] // 4096)
+                        h.update(flat[:8192].tobytes())
+                        h.update(flat[-8192:].tobytes())
+                        h.update(np.ascontiguousarray(flat[::step][:8192]).tobytes())
+                        h.update(_full_coverage_sum(flat).to_bytes(8, "little"))
+                    else:
+                        # strided view: per-axis subsample bounded to ~64k
+                        # elems (reshape(-1)/contiguization would copy the
+                        # whole buffer) — sampling-only, the one remaining
+                        # window (docs/divergences.md entry 8)
+                        factor = max(1.0, (obj.size / 65536.0) ** (1.0 / max(1, obj.ndim)))
+                        sub = obj[tuple(slice(None, None, max(1, int(factor))) for _ in obj.shape)]
+                        h.update(np.ascontiguousarray(sub).tobytes())
+                    out.append(f"nds:{dtype_key(obj.dtype)}:{obj.shape}:{obj.strides}:{h.hexdigest()}")
+                except (TypeError, ValueError):
+                    # unhashable source (object dtype, exotic buffer):
+                    # identity fallback — never raise out of tokenize
+                    owner = obj.base if obj.base is not None else obj
+                    out.append(
+                        f"ndbig:{dtype_key(obj.dtype)}:{obj.shape}:{obj.strides}:"
+                        f"{_identity_token(owner)}"
+                    )
             else:
                 # identity of the OWNING buffer plus this view's window (data
                 # pointer + strides): sibling views of one base must not collide
