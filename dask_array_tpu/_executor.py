@@ -687,6 +687,17 @@ def execute(root: ArrayExpr, mode: str | None = None, want_view: bool = False):
     from dask_array_tpu.parallel.mesh import current_mesh
 
     mesh = current_mesh()
+
+    if mesh is not None and config.get("tpu.execution-lane", "auto") == "shard-map":
+        # per-block shard_map lane (prototype): irregular grids become
+        # first-class on the mesh — blocks stacked and sharded whole, no
+        # pad-to-regular GSPMD constraints (parallel/shardlane.py)
+        from dask_array_tpu.parallel.shardlane import try_execute_shard
+
+        res = try_execute_shard(root, mesh)
+        if res is not None:
+            return BlockView(root.chunks, dense=res) if want_view else res
+
     traceable = root.known_chunks and all(node_traceable(node) for node in root.walk())
     if mode is None:
         mode = "trace" if (config.get("tpu.jit", True) and traceable) else "eager"

@@ -1,0 +1,301 @@
+"""Per-block shard_map execution lane (prototype — VERDICT r3 #5).
+
+The default executor answers the chunks-vs-sharding duality with GSPMD:
+dense whole-array ops plus ``with_sharding_constraint``, padding UNEVEN
+dims at partition time (which can insert pad/all-gather traffic and
+recompute padding work).  This lane makes irregular chunk grids
+first-class on the mesh instead: blocks along the chunked axis are padded
+to the tallest block, stacked on a leading BLOCK axis, and the block axis
+is sharded over every mesh axis.  Inside ``jax.shard_map`` each device
+owns whole blocks and runs per-block logic:
+
+  * elemwise trees apply per-block (padding computes garbage that is
+    never read back),
+  * reductions mask padding to the reduction identity, reduce locally,
+    and combine with ONE tiny ``psum``/``pmin``/``pmax`` — the compiled
+    HLO contains NO all-gather (``tests/test_shardlane.py`` pins this),
+  * cumulative scans run the genuine BLELLOCH two-phase schedule across
+    devices: a local scan per device, one tiny all-gather of per-device
+    totals, then a local carry apply — the cross-device traffic is
+    ``ndev * rest`` elements, not the array
+    (reference: ``CumReductionBlelloch``,
+    ``/root/reference/dask_array/reductions/_cumulative.py:267``).
+
+Engage with config ``tpu.execution-lane = "shard-map"`` (default
+``"auto"`` keeps the GSPMD lane).  Scope (a prototype, declines
+otherwise): leaves are ``from_array`` host buffers sharing one chunk
+grid, chunked along axis 0 only (IRREGULAR block heights welcome — that
+is the point), combined by elemwise trees, optionally terminated by one
+typed reduction (sum/prod/min/max/mean over all axes or axis 0) or one
+cumsum/cumprod along axis 0.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import numpy as np
+
+#: engagement counter for tests (incremented on every lane execution)
+ENGAGED = {"count": 0}
+
+_REDUCE_IDENT = {
+    "sum": 0.0,
+    "prod": 1.0,
+    "min": np.inf,
+    "max": -np.inf,
+    "mean": 0.0,
+}
+
+
+def _unwrap(expr):
+    while type(expr).__name__ == "FusedBlockwise":
+        expr = expr.root
+    return expr
+
+
+def _plan(root):
+    """Validate the subtree and return an execution plan, or None.
+
+    plan = (kind, terminal, elem_root, leaves) where kind is "elemwise" |
+    "reduce" | "cumulative", terminal the Reduction/CumReduction node (or
+    None) and leaves the FromArray nodes in deterministic order.
+    """
+    from dask_array_tpu.ops._from_array import FromArray
+    from dask_array_tpu.ops.reductions import CumReduction, Reduction
+
+    root = _unwrap(root)
+    terminal = None
+    kind = "elemwise"
+    if isinstance(root, Reduction):
+        if root.kind not in _REDUCE_IDENT or root.keepdims:
+            return None
+        axes = tuple(root.axes)
+        nd = root.array.ndim
+        if axes not in (tuple(range(nd)), (0,)):
+            return None
+        terminal, kind = root, "reduce"
+        elem_root = _unwrap(root.array)
+    elif isinstance(root, CumReduction):
+        if root.kind not in ("cumsum", "cumprod") or root.axis != 0:
+            return None
+        terminal, kind = root, "cumulative"
+        elem_root = _unwrap(root.array)
+    else:
+        elem_root = root
+
+    # walk the elemwise tree down to FromArray leaves
+    leaves = []
+    seen = set()
+
+    def walk(node):
+        node = _unwrap(node)
+        if isinstance(node, FromArray):
+            if node._name not in seen:
+                seen.add(node._name)
+                leaves.append(node)
+            return True
+        if type(node).__name__ != "Elemwise":
+            return False
+        for a in node.args:
+            from dask_array_tpu._expr import ArrayExpr
+
+            if isinstance(a, ArrayExpr) and not walk(a):
+                return False
+        return True
+
+    if not walk(elem_root):
+        return None
+    if not leaves:
+        return None
+    grid = leaves[0].chunks
+    if any(l.chunks != grid for l in leaves):
+        return None  # one shared grid only (prototype)
+    if any(len(c) != 1 for c in grid[1:]):
+        return None  # chunked along axis 0 only
+    if any(isinstance(h, float) and math.isnan(h) for h in grid[0]):
+        return None  # known heights required
+    if any(isinstance(l.source, np.ma.MaskedArray) for l in leaves):
+        return None  # masked stays on the host lane
+    return kind, terminal, elem_root, leaves
+
+
+def _eval_elem(node, env):
+    """Apply the elemwise tree to the per-device stacked blocks."""
+    from dask_array_tpu._expr import ArrayExpr
+
+    node = _unwrap(node)
+    if node._name in env:
+        return env[node._name]
+    args = [
+        _eval_elem(a, env) if isinstance(a, ArrayExpr) else a
+        for a in node.args
+    ]
+    out = node.func(*args, **node._kwargs_dict)
+    env[node._name] = out
+    return out
+
+
+def try_execute_shard(root, mesh):
+    """Execute ``root`` through the shard_map lane; None = declined."""
+    plan = _plan(root)
+    if plan is None:
+        return None
+    kind, terminal, elem_root, leaves = plan
+
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    axes = tuple(mesh.axis_names)
+    ndev = int(np.prod(list(mesh.shape.values())))
+    grid = leaves[0].chunks
+    heights = tuple(int(h) for h in grid[0])
+    k = len(heights)
+    hmax = max(heights) if heights else 1
+    kpad = -(-max(k, 1) // ndev) * ndev  # blocks padded to a device multiple
+    rest = tuple(int(sum(c)) for c in grid[1:])
+
+    # stack each leaf's blocks into (kpad, hmax, *rest) host buffers
+    stacked = []
+    for leaf in leaves:
+        ((key, src),) = list(leaf._leaf_buffers())
+        src = np.asarray(src)
+        buf = np.zeros((kpad, hmax) + rest, dtype=src.dtype)
+        pos = 0
+        for i, h in enumerate(heights):
+            buf[i, :h] = src[pos : pos + h]
+            pos += h
+        stacked.append(buf)
+    sizes = np.zeros((kpad,), dtype=np.int32)
+    sizes[:k] = heights
+
+    sh = NamedSharding(mesh, P(axes))
+    dev_args = [jax.device_put(b, sh) for b in stacked]
+    dev_sizes = jax.device_put(sizes, sh)
+
+    n_true = sum(heights)
+    out_dtype = np.dtype(_unwrap(root).dtype)
+
+    def local(fn_args, fn_sizes):
+        env = {}
+        for leaf, arr in zip(leaves, fn_args):
+            env[leaf._name] = arr
+        val = _eval_elem(elem_root, env)
+        # padding validity mask over (k_loc, hmax)
+        mask = (
+            jnp.arange(hmax, dtype=jnp.int32)[None, :]
+            < fn_sizes[:, None]
+        ).reshape((fn_sizes.shape[0], hmax) + (1,) * len(rest))
+        return val, mask
+
+    if kind == "reduce":
+        rkind = terminal.kind
+        if rkind == "prod":
+            # a cross-device prod all-reduce has no sign-safe collective
+            # (psum-of-logs breaks on negatives/zeros); GSPMD lane instead
+            return None
+        ident = _REDUCE_IDENT[rkind]
+        full = len(terminal.axes) == terminal.array.ndim
+        acc_dtype = np.dtype(terminal.dtype)
+        # count of TRUE elements folded into each output element
+        count = n_true * (math.prod(rest) if full else 1)
+
+        def body(fn_sizes, *fn_args):
+            val, mask = local(fn_args, fn_sizes)
+            val = jnp.where(mask, val, jnp.asarray(ident, val.dtype))
+            red_axes = None if full else (0, 1)
+            op = {"sum": jnp.sum, "mean": jnp.sum,
+                  "min": jnp.min, "max": jnp.max}[rkind]
+            if rkind in ("sum", "mean"):
+                part = op(val, axis=red_axes, dtype=acc_dtype if acc_dtype.kind in "fc" else None)
+                tot = jax.lax.psum(part, axes)
+            elif rkind == "min":
+                tot = jax.lax.pmin(op(val, axis=red_axes), axes)
+            else:
+                tot = jax.lax.pmax(op(val, axis=red_axes), axes)
+            if rkind == "mean":
+                tot = tot / jnp.asarray(count, tot.dtype)
+            return tot
+
+        fn = jax.jit(
+            jax.shard_map(
+                body,
+                mesh=mesh,
+                in_specs=(P(axes),) + (P(axes),) * len(dev_args),
+                out_specs=P(),
+            )
+        )
+        out = fn(dev_sizes, *dev_args)
+        ENGAGED["count"] += 1
+        return out.astype(out_dtype) if out.dtype != out_dtype else out
+
+    if kind == "cumulative":
+        ckind = terminal.kind
+        ident = 0.0 if ckind == "cumsum" else 1.0
+        cdtype = np.dtype(terminal.dtype)
+
+        def body(fn_sizes, *fn_args):
+            val, mask = local(fn_args, fn_sizes)
+            val = jnp.where(mask, val, jnp.asarray(ident, val.dtype)).astype(
+                cdtype if cdtype.kind != "M" else val.dtype
+            )
+            k_loc = val.shape[0]
+            flat = val.reshape((k_loc * hmax,) + rest)
+            scan = jnp.cumsum(flat, axis=0) if ckind == "cumsum" else jnp.cumprod(flat, axis=0)
+            total = scan[-1]
+            # Blelloch phase 2: ONE tiny all-gather of per-device totals,
+            # exclusive-scan them, apply the carry locally
+            totals = jax.lax.all_gather(total, axes, tiled=False)
+            totals = totals.reshape((ndev,) + rest)
+            me = jax.lax.axis_index(axes)
+            if ckind == "cumsum":
+                carry_all = jnp.cumsum(totals, axis=0) - totals  # exclusive
+                scan = scan + carry_all[me]
+            else:
+                # exclusive cumprod (division would be unsafe with zeros)
+                ex = jnp.concatenate(
+                    [jnp.ones((1,) + rest, totals.dtype),
+                     jnp.cumprod(totals[:-1], axis=0)], axis=0
+                )
+                scan = scan * ex[me]
+            return scan.reshape((k_loc, hmax) + rest)
+
+        fn = jax.jit(
+            jax.shard_map(
+                body,
+                mesh=mesh,
+                in_specs=(P(axes),) + (P(axes),) * len(dev_args),
+                out_specs=P(axes),
+            )
+        )
+        stacked_out = fn(dev_sizes, *dev_args)
+        ENGAGED["count"] += 1
+        return _unstack(stacked_out, heights, out_dtype)
+
+    # pure elemwise: compute stacked, reassemble
+    def body(fn_sizes, *fn_args):
+        val, _ = local(fn_args, fn_sizes)
+        return val
+
+    fn = jax.jit(
+        jax.shard_map(
+            body,
+            mesh=mesh,
+            in_specs=(P(axes),) + (P(axes),) * len(dev_args),
+            out_specs=P(axes),
+        )
+    )
+    stacked_out = fn(dev_sizes, *dev_args)
+    ENGAGED["count"] += 1
+    return _unstack(stacked_out, heights, out_dtype)
+
+
+def _unstack(stacked, heights, out_dtype):
+    """(k, hmax, *rest) stacked blocks -> dense (sum(heights), *rest)."""
+    import jax.numpy as jnp
+
+    parts = [stacked[i, :h] for i, h in enumerate(heights)]
+    out = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
+    return out.astype(out_dtype) if out.dtype != out_dtype else out
