@@ -134,8 +134,25 @@ _ROOFLINE_BYTES = {
     "stencil2d_4096": 2 * 4096 * 4096 * 4,
 }
 if label in _ROOFLINE_BYTES:
+    # health gate (VERDICT r3 #10): the achievable stream rate swings with
+    # tunnel health (measured 537-666 GB/s on the SAME chip), so memory-
+    # bound rows report the ratio to a SAME-SESSION copy-stream bound, not
+    # to the unreachable 819 GB/s spec figure.  Regressions gate on ratio.
+    import jax
+    import jax.numpy as jnp
+
+    _buf = jnp.asarray(np.zeros((8192, 8192), dtype="f4"))
+    _copy = jax.jit(lambda v: v * jnp.float32(1.0000001))  # non-unit: no alias
+    _ = np.asarray(_copy(_buf).ravel()[0])
+    _t0 = time.perf_counter()
+    for _i in range(10):
+        _o = _copy(_buf)
+    _ = np.asarray(_o.ravel()[0])
+    _tc = (time.perf_counter() - _t0 - rtt) / 10
+    bound_gbps = 2 * _buf.nbytes / _tc / 1e9
     gbps = _ROOFLINE_BYTES[label] / t_steady / 1e9
-    extra = f" | {gbps:7.1f} GB/s effective (HBM roofline ~819)"
+    extra = (f" | {gbps:7.1f} GB/s effective | bound {bound_gbps:5.0f} GB/s"
+             f" | ratio {gbps/bound_gbps:5.2f}")
 print(f"{label:24s} build {t_build*1e3:8.2f} ms | optimize {t_opt*1e3:8.2f} ms | "
       f"first(run+compile) {t_first:7.2f} s | steady {t_steady*1e3:9.2f} ms{extra}", flush=True)
 """
