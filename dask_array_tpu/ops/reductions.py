@@ -363,8 +363,31 @@ def _axes_of(a, axis):
     return (validate_axis(axis, a.ndim),)
 
 
+def _unmasked_ones_block(b):
+    """1 where valid, 0 where masked (host kernel for masked counts)."""
+    if isinstance(b, np.ma.MaskedArray):
+        return (~np.ma.getmaskarray(b)).astype("f8")
+    return np.ones_like(np.asarray(b), dtype="f8") if isinstance(b, np.ndarray) else _jnp().ones_like(b, dtype="f8")
+
+
+def _has_masked_leaves(expr) -> bool:
+    from dask_array_tpu._executor import collect_leaves
+
+    return builtins.any(
+        isinstance(b, np.ma.MaskedArray) for _, b in collect_leaves(expr)
+    )
+
+
 def _count(a, axis, keepdims, split_every, dtype="f8"):
     from dask_array_tpu.ops.creation import ones
+
+    if _has_masked_leaves(a.expr):
+        # np.ma semantics: masked elements are excluded from the count
+        # (the reference gets this from its masked-aware numel dispatch,
+        # /root/reference/dask_array/_dispatch.py) — one extra reduction,
+        # only on the masked host lane
+        valid = elemwise(_unmasked_ones_block, a)
+        return sum(valid, axis=axis, dtype=dtype, keepdims=keepdims, split_every=split_every)
 
     axes = _axes_of(a, axis)
     sizes = [a.shape[ax] for ax in axes]
@@ -463,7 +486,12 @@ def var(a, axis=None, dtype=None, keepdims=False, ddof=0, split_every=None, out=
         rdt = np.dtype(cdt.char.lower().replace("c", "f")) if cdt.kind == "c" else cdt
     from dask_array_tpu.ops._overlap import SlidingWindowView
 
-    if isinstance(a.expr, SlidingWindowView):
+    if _has_masked_leaves(a.expr):
+        # masked host lane: the [0,...] shift element could itself be
+        # masked, poisoning every d = x - s; the unshifted sums are exact
+        # over the valid elements (correctness lane, not a perf lane)
+        s = None
+    elif isinstance(a.expr, SlidingWindowView):
         # sliding moments: the first ELEMENT of the view is a poor shift for
         # trending data (windows far from it lose relative precision); the
         # source nanmean is in-range for every window, costs one extra

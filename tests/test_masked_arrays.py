@@ -149,3 +149,22 @@ def test_masked_tokenize_ignores_bytes_under_mask():
     a1 = np.ma.array([1.0, 777.0], mask=[0, 1])
     a2 = np.ma.array([1.0, -5.0], mask=[0, 1])
     assert tokenize(a1) == tokenize(a2)
+
+
+def test_masked_var_std_mask_aware_count(marr):
+    # np.ma excludes masked elements from BOTH the sums and the count
+    x = da.from_array(marr, chunks=5)
+    assert float(x.var().compute()) == pytest.approx(float(marr.var()), rel=1e-12)
+    assert float(x.std().compute()) == pytest.approx(float(marr.std()), rel=1e-12)
+    got = x.var(axis=0).compute()
+    _assert_ma_eq(got, marr.var(axis=0))
+
+
+def test_masked_var_heavily_masked():
+    src = np.ma.array(np.arange(24.0).reshape(4, 6), mask=False)
+    src[1] = np.ma.masked           # whole row
+    src[0, ::2] = np.ma.masked      # half a row
+    x = da.from_array(src, chunks=2)
+    assert float(x.var().compute()) == pytest.approx(float(src.var()), rel=1e-12)
+    got = x.var(axis=1, ddof=1).compute()
+    _assert_ma_eq(got, src.var(axis=1, ddof=1))

@@ -10,6 +10,7 @@ import numpy as np
 import pytest
 
 import dask_array_tpu as da
+from dask_array_tpu import config
 from dask_array_tpu._test_utils import assert_eq
 
 _REDUCERS = ["sum", "prod", "mean", "min", "max", "any", "all", "std", "var"]
@@ -134,8 +135,14 @@ def test_nanarg_all_nan_slice_raises_at_fetch():
         da.nanargmax(d).compute()
     with pytest.raises(ValueError, match="All-NaN"):
         da.nanargmin(d).compute()
-    # downstream consumption keeps the sentinel (documented semantics)
-    assert int((da.nanargmax(d) + 0).compute()) == -1
+    if config.get("tpu.jit", True):
+        # trace lane: downstream consumption keeps the sentinel — a traced
+        # program cannot raise data-dependently (docs/divergences.md #1)
+        assert int((da.nanargmax(d) + 0).compute()) == -1
+    else:
+        # eager lane is numpy-strict: raises even for in-graph consumers
+        with pytest.raises(ValueError, match="All-NaN"):
+            (da.nanargmax(d) + 0).compute()
 
 
 def test_arg_reductions_unknown_chunksize_raise(rng):
