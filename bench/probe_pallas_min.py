@@ -9,10 +9,13 @@ Each runs in this one process; any SIGABRT kills the process, so run this
 probe standalone.  python bench/probe_pallas_min.py [copy|transp|band|time_transp]
 """
 
+import os
 import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
