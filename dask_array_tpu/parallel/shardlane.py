@@ -69,13 +69,22 @@ def _plan(root):
     terminal = None
     kind = "elemwise"
     if isinstance(root, Reduction):
-        if root.kind not in _REDUCE_IDENT or root.keepdims:
+        if root.keepdims:
             return None
         axes = tuple(root.axes)
         nd = root.array.ndim
-        if axes not in (tuple(range(nd)), (0,)):
+        if 0 not in axes and axes:
+            # non-0 axes reduce block-locally: no collective, padding rows
+            # drop at unpad (prod is fine here — no cross-device combine)
+            if root.kind not in ("sum", "mean", "min", "max", "prod"):
+                return None
+            terminal, kind = root, "reduce_local"
+        elif axes in (tuple(range(nd)), (0,)):
+            if root.kind not in _REDUCE_IDENT:
+                return None
+            terminal, kind = root, "reduce"
+        else:
             return None
-        terminal, kind = root, "reduce"
         elem_root = _unwrap(root.array)
     elif isinstance(root, CumReduction):
         if root.kind not in ("cumsum", "cumprod") or root.axis != 0:
@@ -189,6 +198,38 @@ def try_execute_shard(root, mesh):
             < fn_sizes[:, None]
         ).reshape((fn_sizes.shape[0], hmax) + (1,) * len(rest))
         return val, mask
+
+    if kind == "reduce_local":
+        rkind = terminal.kind
+        acc_dtype = np.dtype(terminal.dtype)
+        red_axes = tuple(ax + 1 for ax in terminal.axes)  # +1: stacked hmax dim
+        count = math.prod(
+            int(sum(grid[ax])) for ax in terminal.axes
+        )
+
+        def body(fn_sizes, *fn_args):
+            val, _ = local(fn_args, fn_sizes)
+            op = {"sum": jnp.sum, "mean": jnp.sum, "prod": jnp.prod,
+                  "min": jnp.min, "max": jnp.max}[rkind]
+            kw = {}
+            if rkind in ("sum", "mean", "prod") and acc_dtype.kind in "fc":
+                kw["dtype"] = acc_dtype
+            out = op(val, axis=red_axes, **kw)
+            if rkind == "mean":
+                out = out / jnp.asarray(count, out.dtype)
+            return out
+
+        fn = jax.jit(
+            jax.shard_map(
+                body,
+                mesh=mesh,
+                in_specs=(P(axes),) + (P(axes),) * len(dev_args),
+                out_specs=P(axes),
+            )
+        )
+        stacked_out = fn(dev_sizes, *dev_args)
+        ENGAGED["count"] += 1
+        return _unstack(stacked_out, heights, out_dtype)
 
     if kind == "reduce":
         rkind = terminal.kind

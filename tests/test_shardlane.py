@@ -188,3 +188,23 @@ def test_default_lane_unchanged(mesh8, irregular):
         out = (x * 2).compute()
         assert ENGAGED["count"] == before
     np.testing.assert_allclose(np.asarray(out), src * 2, rtol=1e-12)
+
+
+@pytest.mark.parametrize("red", ["sum", "mean", "max", "prod"])
+def test_irregular_local_axis_reduction(mesh8, irregular, red):
+    # non-0 axes reduce block-locally: no collective needed, padded rows
+    # drop at unpad — values match numpy on the irregular grid
+    src, x = irregular
+    with use_mesh(mesh8), config.set({"tpu.execution-lane": "shard-map"}):
+        out = _engaged(lambda: getattr(x * 0.5, red)(axis=1).compute())
+    want = getattr(np, red)(src * 0.5, axis=1)
+    np.testing.assert_allclose(np.asarray(out), want, rtol=1e-10)
+
+
+def test_irregular_local_axis_reduction_3d(mesh8):
+    heights = (5, 9, 3, 7)
+    src = np.random.default_rng(9).standard_normal((sum(heights), 4, 3))
+    x = da.from_array(src, chunks=(heights, 4, 3))
+    with use_mesh(mesh8), config.set({"tpu.execution-lane": "shard-map"}):
+        out = _engaged(lambda: (x + 2).sum(axis=(1, 2)).compute())
+    np.testing.assert_allclose(np.asarray(out), (src + 2).sum(axis=(1, 2)), rtol=1e-10)
