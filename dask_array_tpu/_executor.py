@@ -434,6 +434,8 @@ _MASKED_PASSTHROUGH = {
     "Transpose",
     "Squeeze",
     "Reduction",
+    "CumReduction",
+    "ArgReduction",
 }
 
 

@@ -646,6 +646,10 @@ class ArgReduction(ArrayExpr):
     def _build(self, ctx):
         jnp = _jnp()
         x = ctx.build(self.array).dense()
+        if isinstance(x, np.ma.MaskedArray):
+            # masked host lane: numpy's arg-reductions dispatch mask-aware
+            # (masked elements never win)
+            jnp = np
         fn = getattr(jnp, self._DENSE[self.kind])
         if self.axis is None:
             dense = fn(x)
@@ -653,6 +657,7 @@ class ArgReduction(ArrayExpr):
                 dense = dense.reshape((1,) * self.array.ndim)
         else:
             dense = fn(x, axis=self.axis, keepdims=self.keepdims)
+        dense = np.asarray(dense) if jnp is np else dense
         if ctx.mode == "eager":
             # eager values are concrete: raise where numpy raises even for
             # in-graph consumers (the trace lane keeps jax's -1 sentinel —
@@ -817,6 +822,12 @@ class CumReduction(ArrayExpr):
     def _build(self, ctx):
         jnp = _jnp()
         x = ctx.build(self.array).dense()
+        if isinstance(x, np.ma.MaskedArray):
+            # masked host lane: np.cum* dispatch to the mask-aware
+            # MaskedArray methods (masked terms contribute the identity)
+            with np.errstate(all="ignore"):
+                dense = getattr(np, self.kind)(x, axis=self.axis, dtype=self.dtype)
+            return BlockView(self.chunks, dense=dense)
         fn = getattr(jnp, self.kind)
         dense = fn(x, axis=self.axis, dtype=self.dtype)
         return BlockView(self.chunks, dense=dense)

@@ -168,3 +168,27 @@ def test_masked_var_heavily_masked():
     assert float(x.var().compute()) == pytest.approx(float(src.var()), rel=1e-12)
     got = x.var(axis=1, ddof=1).compute()
     _assert_ma_eq(got, src.var(axis=1, ddof=1))
+
+
+def test_masked_cumsum_cumprod():
+    src = np.ma.array([3.0, 1.0, 2.0, 9.0], mask=[0, 1, 0, 0])
+    x = da.from_array(src, chunks=2)
+    _assert_ma_eq(da.cumsum(x).compute(), np.cumsum(src))
+    _assert_ma_eq(da.cumprod(x).compute(), np.cumprod(src))
+    m2 = np.ma.array(np.arange(12.0).reshape(3, 4), mask=False)
+    m2[1, 2] = np.ma.masked
+    y = da.from_array(m2, chunks=2)
+    _assert_ma_eq(da.cumsum(y, axis=0).compute(), np.cumsum(m2, axis=0))
+
+
+def test_masked_argmax_ignores_masked():
+    src = np.ma.array([3.0, 100.0, 2.0, 9.0], mask=[0, 1, 0, 0])
+    x = da.from_array(src, chunks=2)
+    # the masked 100 must not win
+    assert int(da.argmax(x).compute()) == 3
+    assert int(da.argmin(x).compute()) == 2
+    m2 = np.ma.array([[3.0, 1.0], [2.0, 9.0]], mask=[[0, 1], [0, 0]])
+    y = da.from_array(m2, chunks=1)
+    np.testing.assert_array_equal(
+        np.asarray(da.argmax(y, axis=1).compute()), np.argmax(m2, axis=1)
+    )
