@@ -27,11 +27,19 @@ symmetric depths ≤ 8 per axis, boundary per axis in {reflect, nearest,
 periodic, constant scalar}, dtype f32/bf16/f64, row count divisible by a
 viable band height.  Everything else stays on the XLA path.
 
-The kernel is gated by config ``tpu.stencil-kernel`` (default "off": the
-axon remote-compile helper in this image crashes on most non-trivial
-Mosaic kernels — see the decision record; flip to "on"/"auto" on
-platforms with a healthy Mosaic toolchain, or "interpret" for CPU
-validation).
+The kernel is gated by config ``tpu.stencil-kernel`` (default "auto"
+since round 4: a once-per-process probe compile+run gates engagement —
+``mosaic_accepts_band`` — because Mosaic acceptance is session-dependent
+on this platform; "on" trusts the toolchain, "off" forces XLA,
+"interpret" runs the kernel in interpret mode for CPU validation).
+
+SHIPPED round 4 (win-or-delete record, bench/README.md): 4096² f32
+depth-1 Laplace measured 0.233 ms / 575 GB/s effective — at the same-
+session copy-stream bound (0.224 ms) and 2.3x the best whole-array XLA
+formulation (pad+shifted-slices, 0.540 ms).  Round 3's SIGABRT was two
+bugs on our side: i64 index maps (x64 traces python ints as i64, Mosaic
+cannot legalize them) and out-of-range halo block indices (the spec'd
+clamp aborts this platform's runtime) — see the index-map comments.
 """
 
 from __future__ import annotations
@@ -185,13 +193,19 @@ def band_stencil_call(x, func, depth, boundary, *, band=None, interpret=False):
 
 def _pick_band(M, N, dtype):
     """Largest viable band height: divides M, multiple of the halo view,
-    and the padded block (~3 buffers) fits comfortably in VMEM."""
+    and the kernel's VMEM working set fits the ~16 MB scoped limit.
+
+    The working set is NOT 3 buffers: center + 2 halo views + output +
+    the user func's temporaries (a 4-point roll func materializes ~5
+    block-sized intermediates in VMEM) — measured OOM at T=128/N=4096
+    with the old 3-buffer model (Mosaic reported 16.37M > 16M).  Model
+    it as ~10 padded-block buffers against a 13 MB budget."""
     itemsize = np.dtype(dtype).itemsize
-    budget = 12 * 1024 * 1024  # leave headroom of the ~16 MB VMEM
+    budget = 13 * 1024 * 1024
     for T in (512, 256, 128, 64, 32, 16, 8):
         if T % _H or M % T or M // T < 2:
             continue
-        if 3 * (T + 16) * N * itemsize <= budget:
+        if 10 * (T + 16) * (N + 16) * itemsize <= budget:
             return T
     return None
 
@@ -219,13 +233,19 @@ def mosaic_accepts_band() -> bool:
         x = jnp.arange(16 * 128, dtype=jnp.float32).reshape(16, 128)
 
         def f(p):
-            return p[1:-1, 1:-1] * 2
+            # SHAPE-PRESERVING (the kernel contract: func sees the padded
+            # band and the kernel trims) — a trimming func here mis-probed
+            # as "Mosaic rejects" with a (7,127)-vs-(8,128) swap error
+            return p * 2
 
         out = band_stencil_call(x, f, (1, 1), ("nearest", "nearest"), band=8)
         ok = bool(
             np.allclose(np.asarray(out), np.asarray(x) * 2, rtol=1e-6)
         )  # force execution: the helper can also abort at RUN time
-    except Exception:
+        if not ok:
+            _MOSAIC_ACCEPTS["band_error"] = "value mismatch"
+    except Exception as e:  # stash the reason for diagnosis (tier_report)
+        _MOSAIC_ACCEPTS["band_error"] = f"{type(e).__name__}: {e}"
         ok = False
     _MOSAIC_ACCEPTS["band"] = ok
     return ok
@@ -241,7 +261,7 @@ def use_band_stencil(arrays, depths, bounds, trim):
     """
     from dask_array_tpu import config
 
-    setting = config.get("tpu.stencil-kernel", "off")
+    setting = config.get("tpu.stencil-kernel", "auto")
     if setting in ("off", False, None):
         return False, False
     interpret = setting == "interpret"

@@ -54,20 +54,31 @@ def blocked_matmul(n=8192, chunk=1024, dtype="bfloat16", seed=0):
     return a @ b
 
 
-def stencil2d(n=4096, chunk=1024, dtype="float32", seed=0, form="slices", persist=False):
+def stencil2d(n=4096, chunk=1024, dtype="float32", seed=0, form="auto", persist=False):
     """depth-1 map_overlap Laplace stencil (BASELINE config 4).
 
-    ``form="slices"`` (default) consumes the halo directly with shifted
-    slices of the ghosted block (``trim=False``) — the idiomatic
-    map_overlap pattern, and ~1.9x faster on TPU than re-shifting with
-    ``jnp.roll`` (measured 215 vs 114 GB/s, bench/probe_stencil.py: XLA
-    lowers each roll to two slice-copies, while the slice form reads five
-    overlapping windows of ONE buffer).  ``form="roll"`` keeps the legacy
-    roll-on-ghosted-block formulation (``trim=True``).
+    ``form="auto"`` (default since round 4) picks the fastest available
+    formulation: the ROLL form when the Pallas band kernel will engage
+    (``tpu.stencil-kernel`` auto-probe — the kernel runs the roll func on
+    VMEM bands at the copy-stream bound, measured 0.233 ms / 575 GB/s vs
+    the best XLA form's 0.540 ms on 4096² f32), otherwise the shifted-
+    slices form (``trim=False``, ~1.9x faster than roll under plain XLA:
+    215 vs 114 GB/s, bench/probe_stencil.py).  ``form="slices"`` /
+    ``form="roll"`` force a formulation.
     """
     import jax.numpy as jnp
 
     import dask_array_tpu as da
+
+    if form == "auto":
+        from dask_array_tpu import config
+        from dask_array_tpu.kernels.stencil import mosaic_accepts_band
+
+        setting = config.get("tpu.stencil-kernel", "auto")
+        kernel_on = setting not in ("off", False, None) and (
+            setting == "on" or (setting == "auto" and mosaic_accepts_band())
+        )
+        form = "roll" if kernel_on else "slices"
 
     x = da.random.default_rng(seed).standard_normal((n, n), dtype=dtype, chunks=chunk)
     if persist:
