@@ -314,6 +314,12 @@ def tier_report(x, file=None):
     mode = "eager (whole tree)" if counts.get("eager") else "trace (one jitted XLA program)"
     lines.append(f"  mode: {mode}")
     lines.append(f"  native plankit: {'engaged' if native.available() else 'Python fallback'}")
+    from dask_array_tpu.kernels.stencil import _MOSAIC_ACCEPTS
+
+    probed = _MOSAIC_ACCEPTS.get("band")
+    if probed is not None:
+        state = "accepted" if probed else f"declined ({_MOSAIC_ACCEPTS.get('band_error', '?')[:80]})"
+        lines.append(f"  pallas band kernel (mosaic probe): {state}")
     for name, tier in rows:
         if tier != "trace":
             lines.append(f"  {name}: {tier}")

@@ -272,6 +272,11 @@ _eager_keys: set = set()
 # (roots strong-ref, leaf union, compiled executable)
 _em_fastpath: dict = {}
 
+# execute() repeat-call memo: same idea for single-root steady loops
+# (serving): skip the traceable walk, leaf collection, and program-key
+# construction — only the device_put guard and the compiled call run
+_ex_fastpath: dict = {}
+
 
 def _mesh_key(mesh):
     """Stable mesh identity for cache keys.  ``id(mesh)`` is unsafe: after a
@@ -690,6 +695,37 @@ def execute(root: ArrayExpr, mode: str | None = None, want_view: bool = False):
 
     mesh = current_mesh()
 
+    # repeat-call fast path: the same root OBJECT re-executed (a steady
+    # serving loop) skips the traceable walk, leaf collection, and program
+    # key build — mirrors _em_fastpath; keyed on identity with a strong
+    # root ref so the id stays valid; donation always misses (a donating
+    # call consumes its own buffers)
+    fp_key = (
+        id(root),
+        _mesh_key(mesh),
+        _trace_config_key(),
+    )
+    hit = _ex_fastpath.get(fp_key)
+    if (
+        hit is not None
+        and mode is None
+        and not config.get("tpu.donate-leaves", False)
+        and config.get("tpu.jit", True)
+        and config.get("tpu.execution-lane", "auto") == "auto"
+    ):
+        leaf_pairs_c, compiled = hit
+        args = _device_put_leaves(leaf_pairs_c, mesh, donate=False)
+        try:
+            result = compiled(*args)
+            return BlockView(root.chunks, dense=result) if want_view else result
+        except TypeError as te:
+            if "compiled with" not in str(te) and "Computation compiled for" not in str(te):
+                raise
+            # host loaders produced different shapes than the cached
+            # program: drop the memo and take the slow path (which retraces
+            # and surfaces contract errors as _build's ValueError)
+            _ex_fastpath.pop(fp_key, None)
+
     if mesh is not None and config.get("tpu.execution-lane", "auto") == "shard-map":
         # per-block shard_map lane (prototype): irregular grids become
         # first-class on the mesh — blocks stacked and sharded whole, no
@@ -728,6 +764,19 @@ def execute(root: ArrayExpr, mode: str | None = None, want_view: bool = False):
                     _fn_cache.pop(cache_key, None)
                     compiled, cache_key = _trace_fn(root, keys, mesh, args)
                     result = compiled(*args)
+                if not donate and config.get("tpu.jit", True) and fp_key not in _ex_fastpath:
+                    # entry dies with the root object (weakref finalize), so
+                    # a recycled id can never hit a stale entry and the memo
+                    # never pins leaf buffers beyond the root's own lifetime
+                    import weakref
+
+                    try:
+                        weakref.finalize(root, _ex_fastpath.pop, fp_key, None)
+                        while len(_ex_fastpath) >= 64:
+                            _ex_fastpath.pop(next(iter(_ex_fastpath)))
+                        _ex_fastpath[fp_key] = (leaf_pairs, compiled)
+                    except TypeError:
+                        pass  # non-weakref-able expr: skip the memo
                 if want_view:
                     return BlockView(root.chunks, dense=result)
                 return result

@@ -125,6 +125,8 @@ def _plan(root):
         return None  # chunked along axis 0 only
     if any(isinstance(h, float) and math.isnan(h) for h in grid[0]):
         return None  # known heights required
+    if not grid or not grid[0] or sum(grid[0]) == 0:
+        return None  # empty arrays: nothing to shard
     if any(isinstance(l.source, np.ma.MaskedArray) for l in leaves):
         return None  # masked stays on the host lane
     return kind, terminal, elem_root, leaves
