@@ -15,6 +15,11 @@ import dask_array_tpu as da
 from dask_array_tpu import config
 from dask_array_tpu import _executor as EX
 
+# the memo only populates on the COMPILED path; the eager lane never uses it
+pytestmark = pytest.mark.skipif(
+    not config.get("tpu.jit", True), reason="eager lane: compiled path off"
+)
+
 
 def test_fastpath_hits_and_matches():
     src = np.random.default_rng(0).standard_normal((64, 64))
