@@ -26,8 +26,12 @@ Engage with config ``tpu.execution-lane = "shard-map"`` (default
 otherwise): leaves are ``from_array`` host buffers sharing one chunk
 grid, chunked along axis 0 only (IRREGULAR block heights welcome — that
 is the point), combined by elemwise trees, optionally terminated by one
-typed reduction (sum/prod/min/max/mean over all axes or axis 0) or one
-cumsum/cumprod along axis 0.
+typed reduction (sum/prod/min/max/mean over all axes or axis 0), one
+cumsum/cumprod along axis 0, or one MATMUL against a single-block
+right-hand side (``ij,jk->ik`` / ``ij,j->i``): the rhs is replicated
+(weights-stationary) and every device runs its row blocks' GEMM on its
+own MXU — the compiled HLO contains NO collective at all, where the
+GSPMD lane must pad the uneven row dim before the dot.
 """
 
 from __future__ import annotations
@@ -55,19 +59,106 @@ def _unwrap(expr):
     return expr
 
 
+def _walk_elem(node, leaves, seen):
+    """Walk an elemwise tree down to FromArray leaves; False = decline."""
+    from dask_array_tpu._expr import ArrayExpr
+    from dask_array_tpu.ops._from_array import FromArray
+
+    node = _unwrap(node)
+    if isinstance(node, FromArray):
+        if node._name not in seen:
+            seen.add(node._name)
+            leaves.append(node)
+        return True
+    if type(node).__name__ != "Elemwise":
+        return False
+    for a in node.args:
+        if isinstance(a, ArrayExpr) and not _walk_elem(a, leaves, seen):
+            return False
+    return True
+
+
+def _leaf_grid_ok(leaves):
+    """Shared, known, axis-0-chunked, unmasked leaf grid — or None."""
+    if not leaves:
+        return None
+    grid = leaves[0].chunks
+    if any(l.chunks != grid for l in leaves):
+        return None  # one shared grid only (prototype)
+    if any(len(c) != 1 for c in grid[1:]):
+        return None  # chunked along axis 0 only
+    if any(isinstance(h, float) and math.isnan(h) for h in grid[0]):
+        return None  # known heights required
+    if not grid or not grid[0] or sum(grid[0]) == 0:
+        return None  # empty arrays: nothing to shard
+    if any(isinstance(l.source, np.ma.MaskedArray) for l in leaves):
+        return None  # masked stays on the host lane
+    return grid
+
+
+def _plan_matmul(root):
+    """Einsum terminal: irregular-rows matmul against a single-block rhs.
+
+    Accepts exactly ``ab,bc->ac`` / ``ab,b->a`` shapes (modulo label
+    names): lhs an elemwise tree over the shared axis-0-chunked grid
+    (single chunk along the contracted axis), rhs an elemwise tree whose
+    leaves are single-block everywhere (it will be replicated).
+    """
+    labels = root.input_labels
+    if len(labels) != 2 or len(root.arrays) != 2:
+        return None
+    l0, l1 = labels
+    out = root.out_labels
+    if len(l0) != 2 or len(set(l0)) != 2:
+        return None
+    a, b = l0
+    if len(l1) == 2:  # matrix @ matrix: ab,bc->ac with c a fresh label
+        if l1[0] != b or l1[1] in (a, b) or out != a + l1[1]:
+            return None
+    elif l1 == b:  # matrix @ vector: ab,b->a
+        if out != a:
+            return None
+    else:
+        return None
+    lhs, rhs = root.arrays
+    lhs_leaves, rhs_leaves = [], []
+    if not _walk_elem(lhs, lhs_leaves, set()):
+        return None
+    if not _walk_elem(rhs, rhs_leaves, set()):
+        return None
+    if _leaf_grid_ok(lhs_leaves) is None:
+        return None
+    if not rhs_leaves:
+        return None
+    rgrid = rhs_leaves[0].chunks
+    if any(l.chunks != rgrid for l in rhs_leaves):
+        return None
+    if any(len(c) != 1 for c in rgrid):
+        return None  # rhs must be one block (it is replicated)
+    if any(isinstance(h, float) and math.isnan(h) for c in rgrid for h in c):
+        return None
+    if any(isinstance(l.source, np.ma.MaskedArray) for l in rhs_leaves):
+        return None
+    return "matmul", root, _unwrap(lhs), lhs_leaves, (_unwrap(rhs), rhs_leaves)
+
+
 def _plan(root):
     """Validate the subtree and return an execution plan, or None.
 
-    plan = (kind, terminal, elem_root, leaves) where kind is "elemwise" |
-    "reduce" | "cumulative", terminal the Reduction/CumReduction node (or
-    None) and leaves the FromArray nodes in deterministic order.
+    plan = (kind, terminal, elem_root, leaves, aux) where kind is
+    "elemwise" | "reduce" | "reduce_local" | "cumulative" | "matmul",
+    terminal the Reduction/CumReduction/Einsum node (or None), leaves the
+    axis-0-sharded FromArray nodes in deterministic order, and aux the
+    kind-specific extra ("matmul": the rhs tree + its leaves).
     """
-    from dask_array_tpu.ops._from_array import FromArray
+    from dask_array_tpu.ops.linalg import Einsum
     from dask_array_tpu.ops.reductions import CumReduction, Reduction
 
     root = _unwrap(root)
     terminal = None
     kind = "elemwise"
+    if isinstance(root, Einsum):
+        return _plan_matmul(root)
     if isinstance(root, Reduction):
         if root.keepdims:
             return None
@@ -96,40 +187,11 @@ def _plan(root):
 
     # walk the elemwise tree down to FromArray leaves
     leaves = []
-    seen = set()
-
-    def walk(node):
-        node = _unwrap(node)
-        if isinstance(node, FromArray):
-            if node._name not in seen:
-                seen.add(node._name)
-                leaves.append(node)
-            return True
-        if type(node).__name__ != "Elemwise":
-            return False
-        for a in node.args:
-            from dask_array_tpu._expr import ArrayExpr
-
-            if isinstance(a, ArrayExpr) and not walk(a):
-                return False
-        return True
-
-    if not walk(elem_root):
+    if not _walk_elem(elem_root, leaves, set()):
         return None
-    if not leaves:
+    if _leaf_grid_ok(leaves) is None:
         return None
-    grid = leaves[0].chunks
-    if any(l.chunks != grid for l in leaves):
-        return None  # one shared grid only (prototype)
-    if any(len(c) != 1 for c in grid[1:]):
-        return None  # chunked along axis 0 only
-    if any(isinstance(h, float) and math.isnan(h) for h in grid[0]):
-        return None  # known heights required
-    if not grid or not grid[0] or sum(grid[0]) == 0:
-        return None  # empty arrays: nothing to shard
-    if any(isinstance(l.source, np.ma.MaskedArray) for l in leaves):
-        return None  # masked stays on the host lane
-    return kind, terminal, elem_root, leaves
+    return kind, terminal, elem_root, leaves, None
 
 
 def _eval_elem(node, env):
@@ -153,7 +215,7 @@ def try_execute_shard(root, mesh):
     plan = _plan(root)
     if plan is None:
         return None
-    kind, terminal, elem_root, leaves = plan
+    kind, terminal, elem_root, leaves, aux = plan
 
     import jax
     import jax.numpy as jnp
@@ -200,6 +262,49 @@ def try_execute_shard(root, mesh):
             < fn_sizes[:, None]
         ).reshape((fn_sizes.shape[0], hmax) + (1,) * len(rest))
         return val, mask
+
+    if kind == "matmul":
+        # weights-stationary GEMM: rhs (one block, possibly an elemwise
+        # tree) is replicated; each device contracts its own row blocks
+        # on its MXU.  Padding rows multiply to garbage that _unstack
+        # drops; the compiled HLO contains NO collective (pinned by
+        # tests/test_shardlane.py) where GSPMD's pad-to-regular lowering
+        # of the uneven row dim is not collective-free.
+        rhs_root, rhs_leaves = aux
+        rhs_repl = NamedSharding(mesh, P())
+        rhs_args = []
+        for leaf in rhs_leaves:
+            ((_, src),) = list(leaf._leaf_buffers())
+            rhs_args.append(jax.device_put(np.asarray(src), rhs_repl))
+        rhs_vec = len(terminal.input_labels[1]) == 1
+        kwargs = dict(terminal.kwargs or ())
+        from dask_array_tpu import config
+
+        precision = kwargs.get("precision") or config.get(
+            "tpu.matmul-precision", "highest"
+        )
+
+        def body(fn_sizes, *fn_args):
+            lhs_args = fn_args[: len(leaves)]
+            val, _ = local(lhs_args, fn_sizes)
+            renv = {}
+            for leaf, arr in zip(rhs_leaves, fn_args[len(leaves):]):
+                renv[leaf._name] = arr
+            rhs = _eval_elem(rhs_root, renv)
+            spec = "bhj,j->bh" if rhs_vec else "bhj,jk->bhk"
+            return jnp.einsum(spec, val, rhs, precision=precision)
+
+        fn = jax.jit(
+            jax.shard_map(
+                body,
+                mesh=mesh,
+                in_specs=(P(axes),) + (P(axes),) * len(dev_args) + (P(),) * len(rhs_args),
+                out_specs=P(axes),
+            )
+        )
+        stacked_out = fn(dev_sizes, *dev_args, *rhs_args)
+        ENGAGED["count"] += 1
+        return _unstack(stacked_out, heights, out_dtype)
 
     if kind == "reduce_local":
         rkind = terminal.kind

@@ -171,13 +171,15 @@ def test_lane_on_2d_mesh(mesh2x4, irregular):
 
 def test_lane_declines_cleanly(mesh8, irregular):
     # outside the prototype surface the lane declines and the GSPMD lane
-    # answers — values still correct
+    # answers — values still correct (a CHUNKED rhs cannot be replicated
+    # whole, so the matmul branch declines)
     src, x = irregular
+    w = da.from_array(np.ones((6, 4)), chunks=(3, 2))
     with use_mesh(mesh8), config.set({"tpu.execution-lane": "shard-map"}):
         before = ENGAGED["count"]
-        out = (x @ np.ones((6, 3))).compute()  # matmul: not in scope
+        out = (x @ w).compute()
         assert ENGAGED["count"] == before
-    np.testing.assert_allclose(np.asarray(out), src @ np.ones((6, 3)), rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(out), src @ np.ones((6, 4)), rtol=1e-10)
 
 
 def test_default_lane_unchanged(mesh8, irregular):
@@ -208,3 +210,88 @@ def test_irregular_local_axis_reduction_3d(mesh8):
     with use_mesh(mesh8), config.set({"tpu.execution-lane": "shard-map"}):
         out = _engaged(lambda: (x + 2).sum(axis=(1, 2)).compute())
     np.testing.assert_allclose(np.asarray(out), (src + 2).sum(axis=(1, 2)), rtol=1e-10)
+
+
+def test_irregular_matmul_values(mesh8, irregular):
+    # weights-stationary GEMM: uneven row blocks each contract locally
+    # against the replicated rhs
+    src, x = irregular
+    w = np.random.default_rng(11).standard_normal((6, 5))
+    with use_mesh(mesh8), config.set({"tpu.execution-lane": "shard-map"}):
+        out = _engaged(lambda: (x @ w).compute())
+    np.testing.assert_allclose(np.asarray(out), src @ w, rtol=1e-10)
+
+
+def test_irregular_matvec_values(mesh8, irregular):
+    src, x = irregular
+    v = np.random.default_rng(12).standard_normal((6,))
+    with use_mesh(mesh8), config.set({"tpu.execution-lane": "shard-map"}):
+        out = _engaged(lambda: (x @ v).compute())
+    np.testing.assert_allclose(np.asarray(out), src @ v, rtol=1e-10)
+
+
+def test_matmul_elemwise_both_sides(mesh8, irregular):
+    # lhs AND rhs may each be elemwise trees over their own leaf sets
+    src, x = irregular
+    w_src = np.random.default_rng(13).standard_normal((6, 4))
+    w = da.from_array(w_src)  # one block
+    with use_mesh(mesh8), config.set({"tpu.execution-lane": "shard-map"}):
+        out = _engaged(lambda: ((x * 2 + 1) @ (w - 0.5)).compute())
+    np.testing.assert_allclose(
+        np.asarray(out), (src * 2 + 1) @ (w_src - 0.5), rtol=1e-10
+    )
+
+
+def test_irregular_tensordot_engages(mesh8, irregular):
+    # tensordot/dot route through the same Einsum node
+    src, x = irregular
+    w = np.random.default_rng(14).standard_normal((6, 2))
+    with use_mesh(mesh8), config.set({"tpu.execution-lane": "shard-map"}):
+        out = _engaged(lambda: da.tensordot(x, w, axes=1).compute())
+    np.testing.assert_allclose(np.asarray(out), src @ w, rtol=1e-10)
+
+
+def test_matmul_hlo_has_no_collective(mesh8):
+    # the branch's whole point: every device contracts its own row blocks
+    # — the compiled program contains NO collective at all
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    heights = _HEIGHTS
+    hmax = max(heights)
+    kpad = 16
+    src = np.random.default_rng(15).standard_normal((sum(heights), 6))
+    w = np.random.default_rng(16).standard_normal((6, 5))
+    buf = np.zeros((kpad, hmax, 6), dtype=src.dtype)
+    pos = 0
+    for i, h in enumerate(heights):
+        buf[i, :h] = src[pos:pos + h]
+        pos += h
+
+    def body(v, r):
+        return jnp.einsum("bhj,jk->bhk", v, r, precision="highest")
+
+    fn = jax.jit(jax.shard_map(
+        body, mesh=mesh8, in_specs=(P("d"), P()), out_specs=P("d")
+    ))
+    args = (
+        jax.device_put(buf, NamedSharding(mesh8, P("d"))),
+        jax.device_put(w, NamedSharding(mesh8, P())),
+    )
+    hlo = fn.lower(*args).compile().as_text()
+    for coll in ("all-gather", "all-reduce", "all-to-all", "collective-permute"):
+        assert coll not in hlo, coll
+
+
+def test_matmul_declines_transposed_contraction(mesh8, irregular):
+    # 'ji,jk->ik' contracts the SHARDED axis — out of scope, GSPMD answers
+    src, x = irregular
+    w = np.random.default_rng(17).standard_normal((sum(_HEIGHTS), 3))
+    with use_mesh(mesh8), config.set({"tpu.execution-lane": "shard-map"}):
+        before = ENGAGED["count"]
+        out = da.tensordot(x, w, axes=((0,), (0,))).compute()
+        assert ENGAGED["count"] == before
+    np.testing.assert_allclose(
+        np.asarray(out), np.tensordot(src, w, axes=((0,), (0,))), rtol=1e-10
+    )
