@@ -24,14 +24,16 @@ owns whole blocks and runs per-block logic:
 Engage with config ``tpu.execution-lane = "shard-map"`` (default
 ``"auto"`` keeps the GSPMD lane).  Scope (a prototype, declines
 otherwise): leaves are ``from_array`` host buffers sharing one chunk
-grid, chunked along axis 0 only (IRREGULAR block heights welcome — that
-is the point), combined by elemwise trees, optionally terminated by one
-typed reduction (sum/prod/min/max/mean over all axes or axis 0), one
-cumsum/cumprod along axis 0, or one MATMUL against a single-block
-right-hand side (``ij,jk->ik`` / ``ij,j->i``): the rhs is replicated
-(weights-stationary) and every device runs its row blocks' GEMM on its
-own MXU — the compiled HLO contains NO collective at all, where the
-GSPMD lane must pad the uneven row dim before the dot.
+grid, chunked along any ONE axis ``d`` (IRREGULAR block heights welcome —
+that is the point), combined by elemwise trees, optionally terminated by
+one typed reduction (sum/prod/min/max/mean over all axes, over ``d``, or
+block-locally over unsharded axes), one cumsum/cumprod (two-phase
+Blelloch along ``d``; collective-free block-local scans along unsharded
+axes), or — for row grids (``d == 0``) — one MATMUL against a
+single-block right-hand side (``ij,jk->ik`` / ``ij,j->i``): the rhs is
+replicated (weights-stationary) and every device runs its row blocks'
+GEMM on its own MXU — the compiled HLO contains NO collective at all,
+where the GSPMD lane must pad the uneven row dim before the dot.
 """
 
 from __future__ import annotations
@@ -79,21 +81,25 @@ def _walk_elem(node, leaves, seen):
 
 
 def _leaf_grid_ok(leaves):
-    """Shared, known, axis-0-chunked, unmasked leaf grid — or None."""
+    """Shared, known, single-chunked-axis, unmasked leaf grid — or
+    ``None``.  Returns ``(grid, d)`` with ``d`` the one chunked axis
+    (0 when every axis is a single block)."""
     if not leaves:
         return None
     grid = leaves[0].chunks
     if any(l.chunks != grid for l in leaves):
         return None  # one shared grid only (prototype)
-    if any(len(c) != 1 for c in grid[1:]):
-        return None  # chunked along axis 0 only
-    if any(isinstance(h, float) and math.isnan(h) for h in grid[0]):
+    chunked = [ax for ax, c in enumerate(grid) if len(c) != 1]
+    if len(chunked) > 1:
+        return None  # chunked along ONE axis only
+    d = chunked[0] if chunked else 0
+    if any(isinstance(h, float) and math.isnan(h) for c in grid for h in c):
         return None  # known heights required
-    if not grid or not grid[0] or sum(grid[0]) == 0:
+    if not grid or not grid[d] or sum(grid[d]) == 0:
         return None  # empty arrays: nothing to shard
     if any(isinstance(l.source, np.ma.MaskedArray) for l in leaves):
         return None  # masked stays on the host lane
-    return grid
+    return grid, d
 
 
 def _plan_matmul(root):
@@ -126,8 +132,9 @@ def _plan_matmul(root):
         return None
     if not _walk_elem(rhs, rhs_leaves, set()):
         return None
-    if _leaf_grid_ok(lhs_leaves) is None:
-        return None
+    ok = _leaf_grid_ok(lhs_leaves)
+    if ok is None or ok[1] != 0:
+        return None  # rows sharded; a chunked contraction axis declines
     if not rhs_leaves:
         return None
     rgrid = rhs_leaves[0].chunks
@@ -139,17 +146,18 @@ def _plan_matmul(root):
         return None
     if any(isinstance(l.source, np.ma.MaskedArray) for l in rhs_leaves):
         return None
-    return "matmul", root, _unwrap(lhs), lhs_leaves, (_unwrap(rhs), rhs_leaves)
+    return "matmul", root, _unwrap(lhs), lhs_leaves, 0, (_unwrap(rhs), rhs_leaves)
 
 
 def _plan(root):
     """Validate the subtree and return an execution plan, or None.
 
-    plan = (kind, terminal, elem_root, leaves, aux) where kind is
+    plan = (kind, terminal, elem_root, leaves, d, aux) where kind is
     "elemwise" | "reduce" | "reduce_local" | "cumulative" | "matmul",
     terminal the Reduction/CumReduction/Einsum node (or None), leaves the
-    axis-0-sharded FromArray nodes in deterministic order, and aux the
-    kind-specific extra ("matmul": the rhs tree + its leaves).
+    FromArray nodes in deterministic order, d the one chunked (sharded)
+    axis, and aux the kind-specific extra ("matmul": the rhs tree + its
+    leaves).
     """
     from dask_array_tpu.ops.linalg import Einsum
     from dask_array_tpu.ops.reductions import CumReduction, Reduction
@@ -162,23 +170,12 @@ def _plan(root):
     if isinstance(root, Reduction):
         if root.keepdims:
             return None
-        axes = tuple(root.axes)
-        nd = root.array.ndim
-        if 0 not in axes and axes:
-            # non-0 axes reduce block-locally: no collective, padding rows
-            # drop at unpad (prod is fine here — no cross-device combine)
-            if root.kind not in ("sum", "mean", "min", "max", "prod"):
-                return None
-            terminal, kind = root, "reduce_local"
-        elif axes in (tuple(range(nd)), (0,)):
-            if root.kind not in _REDUCE_IDENT:
-                return None
-            terminal, kind = root, "reduce"
-        else:
+        if root.kind not in ("sum", "mean", "min", "max", "prod"):
             return None
+        terminal, kind = root, "reduce"  # split on d below, once known
         elem_root = _unwrap(root.array)
     elif isinstance(root, CumReduction):
-        if root.kind not in ("cumsum", "cumprod") or root.axis != 0:
+        if root.kind not in ("cumsum", "cumprod"):
             return None
         terminal, kind = root, "cumulative"
         elem_root = _unwrap(root.array)
@@ -189,9 +186,29 @@ def _plan(root):
     leaves = []
     if not _walk_elem(elem_root, leaves, set()):
         return None
-    if _leaf_grid_ok(leaves) is None:
+    ok = _leaf_grid_ok(leaves)
+    if ok is None:
         return None
-    return kind, terminal, elem_root, leaves, None
+    grid, d = ok
+
+    if kind == "reduce":
+        axes = tuple(terminal.axes)
+        nd = terminal.array.ndim
+        if d not in axes and axes:
+            # unsharded axes reduce block-locally: no collective, padding
+            # drops at unpad (prod is fine — no cross-device combine)
+            kind = "reduce_local"
+        elif axes in (tuple(range(nd)), (d,)):
+            if terminal.kind not in _REDUCE_IDENT:
+                return None
+        else:
+            return None
+    elif kind == "cumulative" and terminal.axis != d:
+        # an unsharded scan axis never crosses a block boundary: pure
+        # block-local work, no collective at all
+        kind = "cumulative_local"
+
+    return kind, terminal, elem_root, leaves, d, None
 
 
 def _eval_elem(node, env):
@@ -215,7 +232,7 @@ def try_execute_shard(root, mesh):
     plan = _plan(root)
     if plan is None:
         return None
-    kind, terminal, elem_root, leaves, aux = plan
+    kind, terminal, elem_root, leaves, d, aux = plan
 
     import jax
     import jax.numpy as jnp
@@ -224,21 +241,28 @@ def try_execute_shard(root, mesh):
     axes = tuple(mesh.axis_names)
     ndev = int(np.prod(list(mesh.shape.values())))
     grid = leaves[0].chunks
-    heights = tuple(int(h) for h in grid[0])
+    heights = tuple(int(h) for h in grid[d])
     k = len(heights)
     hmax = max(heights) if heights else 1
     kpad = -(-max(k, 1) // ndev) * ndev  # blocks padded to a device multiple
-    rest = tuple(int(sum(c)) for c in grid[1:])
+    nd = len(grid)
+    # per-block shape: the chunked axis padded to the tallest block
+    block_shape = tuple(
+        hmax if ax == d else int(sum(c)) for ax, c in enumerate(grid)
+    )
+    rest = block_shape[:d] + block_shape[d + 1:]
 
-    # stack each leaf's blocks into (kpad, hmax, *rest) host buffers
+    # stack each leaf's blocks into (kpad, *block_shape) host buffers
     stacked = []
     for leaf in leaves:
         ((key, src),) = list(leaf._leaf_buffers())
         src = np.asarray(src)
-        buf = np.zeros((kpad, hmax) + rest, dtype=src.dtype)
+        buf = np.zeros((kpad,) + block_shape, dtype=src.dtype)
         pos = 0
         for i, h in enumerate(heights):
-            buf[i, :h] = src[pos : pos + h]
+            sel = (i,) + (slice(None),) * d + (slice(0, h),)
+            srcsel = (slice(None),) * d + (slice(pos, pos + h),)
+            buf[sel] = src[srcsel]
             pos += h
         stacked.append(buf)
     sizes = np.zeros((kpad,), dtype=np.int32)
@@ -256,11 +280,13 @@ def try_execute_shard(root, mesh):
         for leaf, arr in zip(leaves, fn_args):
             env[leaf._name] = arr
         val = _eval_elem(elem_root, env)
-        # padding validity mask over (k_loc, hmax)
+        # padding validity mask: (k_loc, 1..., hmax at stacked axis d, ...1)
         mask = (
             jnp.arange(hmax, dtype=jnp.int32)[None, :]
             < fn_sizes[:, None]
-        ).reshape((fn_sizes.shape[0], hmax) + (1,) * len(rest))
+        ).reshape(
+            (fn_sizes.shape[0],) + (1,) * d + (hmax,) + (1,) * (nd - d - 1)
+        )
         return val, mask
 
     if kind == "matmul":
@@ -336,7 +362,9 @@ def try_execute_shard(root, mesh):
         )
         stacked_out = fn(dev_sizes, *dev_args)
         ENGAGED["count"] += 1
-        return _unstack(stacked_out, heights, out_dtype)
+        # d's position among the surviving (unreduced) axes
+        out_d = d - sum(1 for ax in terminal.axes if ax < d)
+        return _unstack(stacked_out, heights, out_dtype, out_d)
 
     if kind == "reduce":
         rkind = terminal.kind
@@ -353,7 +381,7 @@ def try_execute_shard(root, mesh):
         def body(fn_sizes, *fn_args):
             val, mask = local(fn_args, fn_sizes)
             val = jnp.where(mask, val, jnp.asarray(ident, val.dtype))
-            red_axes = None if full else (0, 1)
+            red_axes = None if full else (0, d + 1)
             op = {"sum": jnp.sum, "mean": jnp.sum,
                   "min": jnp.min, "max": jnp.max}[rkind]
             if rkind in ("sum", "mean"):
@@ -390,7 +418,9 @@ def try_execute_shard(root, mesh):
                 cdtype if cdtype.kind != "M" else val.dtype
             )
             k_loc = val.shape[0]
-            flat = val.reshape((k_loc * hmax,) + rest)
+            # bring the stacked scan axis next to the block axis so local
+            # blocks flatten into one contiguous scan (identity when d==0)
+            flat = jnp.moveaxis(val, d + 1, 1).reshape((k_loc * hmax,) + rest)
             scan = jnp.cumsum(flat, axis=0) if ckind == "cumsum" else jnp.cumprod(flat, axis=0)
             total = scan[-1]
             # Blelloch phase 2: ONE tiny all-gather of per-device totals,
@@ -408,7 +438,9 @@ def try_execute_shard(root, mesh):
                      jnp.cumprod(totals[:-1], axis=0)], axis=0
                 )
                 scan = scan * ex[me]
-            return scan.reshape((k_loc, hmax) + rest)
+            return jnp.moveaxis(
+                scan.reshape((k_loc, hmax) + rest), 1, d + 1
+            )
 
         fn = jax.jit(
             jax.shard_map(
@@ -420,7 +452,35 @@ def try_execute_shard(root, mesh):
         )
         stacked_out = fn(dev_sizes, *dev_args)
         ENGAGED["count"] += 1
-        return _unstack(stacked_out, heights, out_dtype)
+        return _unstack(stacked_out, heights, out_dtype, d)
+
+    if kind == "cumulative_local":
+        # scan axis is unsharded: never crosses a block boundary, so each
+        # device scans its own blocks with no collective at all
+        ckind = terminal.kind
+        scan_ax = terminal.axis + 1
+        cdtype = np.dtype(terminal.dtype)
+
+        def body(fn_sizes, *fn_args):
+            val, _ = local(fn_args, fn_sizes)
+            val = val.astype(cdtype if cdtype.kind != "M" else val.dtype)
+            return (
+                jnp.cumsum(val, axis=scan_ax)
+                if ckind == "cumsum"
+                else jnp.cumprod(val, axis=scan_ax)
+            )
+
+        fn = jax.jit(
+            jax.shard_map(
+                body,
+                mesh=mesh,
+                in_specs=(P(axes),) + (P(axes),) * len(dev_args),
+                out_specs=P(axes),
+            )
+        )
+        stacked_out = fn(dev_sizes, *dev_args)
+        ENGAGED["count"] += 1
+        return _unstack(stacked_out, heights, out_dtype, d)
 
     # pure elemwise: compute stacked, reassemble
     def body(fn_sizes, *fn_args):
@@ -437,13 +497,15 @@ def try_execute_shard(root, mesh):
     )
     stacked_out = fn(dev_sizes, *dev_args)
     ENGAGED["count"] += 1
-    return _unstack(stacked_out, heights, out_dtype)
+    return _unstack(stacked_out, heights, out_dtype, d)
 
 
-def _unstack(stacked, heights, out_dtype):
-    """(k, hmax, *rest) stacked blocks -> dense (sum(heights), *rest)."""
+def _unstack(stacked, heights, out_dtype, axis=0):
+    """(k, *block_shape) stacked blocks -> dense, concatenated along
+    ``axis`` (each block trimmed to its true height there)."""
     import jax.numpy as jnp
 
-    parts = [stacked[i, :h] for i, h in enumerate(heights)]
-    out = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
+    pre = (slice(None),) * axis
+    parts = [stacked[(i,) + pre + (slice(0, h),)] for i, h in enumerate(heights)]
+    out = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=axis)
     return out.astype(out_dtype) if out.dtype != out_dtype else out

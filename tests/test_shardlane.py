@@ -295,3 +295,87 @@ def test_matmul_declines_transposed_contraction(mesh8, irregular):
     np.testing.assert_allclose(
         np.asarray(out), np.tensordot(src, w, axes=((0,), (0,))), rtol=1e-10
     )
+
+
+# ---- single chunked axis != 0 (generalized lane) ----
+
+_WIDTHS = (13, 5, 21, 9, 7, 17, 3, 11)  # irregular column blocks (sum 86)
+
+
+@pytest.fixture
+def irregular_cols():
+    src = np.random.default_rng(21).standard_normal((5, sum(_WIDTHS)))
+    x = da.from_array(src, chunks=(5, _WIDTHS))
+    return src, x
+
+
+def test_colgrid_elemwise_values(mesh8, irregular_cols):
+    src, x = irregular_cols
+    with use_mesh(mesh8), config.set({"tpu.execution-lane": "shard-map"}):
+        out = _engaged(lambda: (x * 3 - 2).compute())
+    np.testing.assert_allclose(np.asarray(out), src * 3 - 2, rtol=1e-12)
+
+
+@pytest.mark.parametrize("red,axis", [
+    ("sum", None), ("sum", 1), ("mean", 1), ("max", 1),
+    ("sum", 0), ("mean", 0), ("prod", 0),
+])
+def test_colgrid_reduction_values(mesh8, irregular_cols, red, axis):
+    # axis=1 is the sharded axis (psum combine); axis=0 is block-local
+    src, x = irregular_cols
+    with use_mesh(mesh8), config.set({"tpu.execution-lane": "shard-map"}):
+        out = _engaged(lambda: getattr(x + 0.5, red)(axis=axis).compute())
+    want = getattr(np, red)(src + 0.5, axis=axis)
+    np.testing.assert_allclose(np.asarray(out), want, rtol=1e-10)
+
+
+def test_colgrid_blelloch_cumsum(mesh8, irregular_cols):
+    # cumulative along the SHARDED axis 1: the two-phase schedule, with
+    # the moveaxis round-trip
+    src, x = irregular_cols
+    with use_mesh(mesh8), config.set({"tpu.execution-lane": "shard-map"}):
+        out = _engaged(lambda: da.cumsum(x, axis=1).compute())
+    np.testing.assert_allclose(np.asarray(out), np.cumsum(src, axis=1), rtol=1e-10)
+
+
+def test_colgrid_local_cumsum(mesh8, irregular_cols):
+    # cumulative along the UNSHARDED axis 0: block-local, no collective
+    src, x = irregular_cols
+    with use_mesh(mesh8), config.set({"tpu.execution-lane": "shard-map"}):
+        out = _engaged(lambda: da.cumsum(x, axis=0).compute())
+    np.testing.assert_allclose(np.asarray(out), np.cumsum(src, axis=0), rtol=1e-10)
+
+
+def test_rowgrid_local_cumprod(mesh8, irregular):
+    # row-sharded grid, scan along unsharded axis 1
+    src, x = irregular
+    with use_mesh(mesh8), config.set({"tpu.execution-lane": "shard-map"}):
+        out = _engaged(lambda: da.cumprod(x, axis=1).compute())
+    np.testing.assert_allclose(np.asarray(out), np.cumprod(src, axis=1), rtol=1e-8)
+
+
+def test_midaxis_3d_grid(mesh8):
+    # 3-D array chunked along the MIDDLE axis
+    depths = (4, 9, 2, 6, 5)
+    src = np.random.default_rng(22).standard_normal((3, sum(depths), 4))
+    x = da.from_array(src, chunks=(3, depths, 4))
+    with use_mesh(mesh8), config.set({"tpu.execution-lane": "shard-map"}):
+        out1 = _engaged(lambda: (x ** 2).compute())
+        out2 = _engaged(lambda: x.sum(axis=1).compute())
+        out3 = _engaged(lambda: x.sum(axis=(0, 2)).compute())
+        out4 = _engaged(lambda: da.cumsum(x, axis=1).compute())
+    np.testing.assert_allclose(np.asarray(out1), src ** 2, rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(out2), src.sum(axis=1), rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(out3), src.sum(axis=(0, 2)), rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(out4), np.cumsum(src, axis=1), rtol=1e-10)
+
+
+def test_two_chunked_axes_decline(mesh8):
+    # more than one chunked axis stays out of scope — GSPMD answers
+    src = np.random.default_rng(23).standard_normal((10, 10))
+    x = da.from_array(src, chunks=((3, 7), (4, 6)))
+    with use_mesh(mesh8), config.set({"tpu.execution-lane": "shard-map"}):
+        before = ENGAGED["count"]
+        out = (x + 1).compute()
+        assert ENGAGED["count"] == before
+    np.testing.assert_allclose(np.asarray(out), src + 1, rtol=1e-12)
