@@ -172,6 +172,21 @@ def _plan(root):
             return None
         if root.kind not in ("sum", "mean", "min", "max", "prod"):
             return None
+        inner = _unwrap(root.array)
+        if isinstance(inner, Einsum):
+            # reduction OVER the matmul: the GEMM runs per-device and the
+            # reduce composes on top (padded rows masked before combining)
+            mm = _plan_matmul(inner)
+            if mm is None:
+                return None
+            axes = tuple(root.axes)
+            nd = root.array.ndim
+            if 0 in axes:
+                if axes not in (tuple(range(nd)), (0,)):
+                    return None
+                if root.kind == "prod":
+                    return None  # no sign-safe cross-device prod collective
+            return "matmul", inner, mm[2], mm[3], 0, mm[5] + (root,)
         terminal, kind = root, "reduce"  # split on d below, once known
         elem_root = _unwrap(root.array)
     elif isinstance(root, CumReduction):
@@ -296,7 +311,8 @@ def try_execute_shard(root, mesh):
         # drops; the compiled HLO contains NO collective (pinned by
         # tests/test_shardlane.py) where GSPMD's pad-to-regular lowering
         # of the uneven row dim is not collective-free.
-        rhs_root, rhs_leaves = aux
+        rhs_root, rhs_leaves = aux[0], aux[1]
+        post = aux[2] if len(aux) == 3 else None  # composed terminal Reduction
         rhs_repl = NamedSharding(mesh, P())
         rhs_args = []
         for leaf in rhs_leaves:
@@ -309,28 +325,68 @@ def try_execute_shard(root, mesh):
         precision = kwargs.get("precision") or config.get(
             "tpu.matmul-precision", "highest"
         )
+        if post is not None:
+            p_axes = tuple(post.axes)
+            p_nd = post.array.ndim
+            p_full = p_axes == tuple(range(p_nd))
+            p_sharded = 0 in p_axes
+            p_acc = np.dtype(post.dtype)
+            ncols = int(post.array.shape[-1]) if not rhs_vec else 1
+            p_count = n_true * (ncols if p_full else 1) if p_sharded else ncols
 
         def body(fn_sizes, *fn_args):
             lhs_args = fn_args[: len(leaves)]
-            val, _ = local(lhs_args, fn_sizes)
+            val, mask = local(lhs_args, fn_sizes)
             renv = {}
             for leaf, arr in zip(rhs_leaves, fn_args[len(leaves):]):
                 renv[leaf._name] = arr
             rhs = _eval_elem(rhs_root, renv)
             spec = "bhj,j->bh" if rhs_vec else "bhj,jk->bhk"
-            return jnp.einsum(spec, val, rhs, precision=precision)
+            mm = jnp.einsum(spec, val, rhs, precision=precision)
+            if post is None:
+                return mm
+            op = {"sum": jnp.sum, "mean": jnp.sum, "prod": jnp.prod,
+                  "min": jnp.min, "max": jnp.max}[post.kind]
+            kw = {"dtype": p_acc} if (
+                post.kind in ("sum", "mean", "prod") and p_acc.kind in "fc"
+            ) else {}
+            if not p_sharded:
+                # unsharded axes only: block-local reduce, rows unpad later
+                out = op(mm, axis=tuple(ax + 1 for ax in p_axes), **kw)
+                if post.kind == "mean":
+                    out = out / jnp.asarray(p_count, out.dtype)
+                return out
+            # the sharded row axis folds in: mask the padded GEMM rows to
+            # the identity, reduce locally, combine with one collective
+            mask2 = mask.reshape(mask.shape[:2] + (1,) * (mm.ndim - 2))
+            ident = jnp.asarray(_REDUCE_IDENT[post.kind], mm.dtype)
+            masked = jnp.where(mask2, mm, ident)
+            red_axes = None if p_full else (0, 1)
+            part = op(masked, axis=red_axes, **kw)
+            if post.kind in ("sum", "mean"):
+                tot = jax.lax.psum(part, axes)
+            elif post.kind == "min":
+                tot = jax.lax.pmin(part, axes)
+            else:
+                tot = jax.lax.pmax(part, axes)
+            if post.kind == "mean":
+                tot = tot / jnp.asarray(p_count, tot.dtype)
+            return tot
 
+        out_sharded = post is None or not p_sharded
         fn = jax.jit(
             jax.shard_map(
                 body,
                 mesh=mesh,
                 in_specs=(P(axes),) + (P(axes),) * len(dev_args) + (P(),) * len(rhs_args),
-                out_specs=P(axes),
+                out_specs=P(axes) if out_sharded else P(),
             )
         )
-        stacked_out = fn(dev_sizes, *dev_args, *rhs_args)
+        out = fn(dev_sizes, *dev_args, *rhs_args)
         ENGAGED["count"] += 1
-        return _unstack(stacked_out, heights, out_dtype)
+        if out_sharded:
+            return _unstack(out, heights, out_dtype)
+        return out.astype(out_dtype) if out.dtype != out_dtype else out
 
     if kind == "reduce_local":
         rkind = terminal.kind

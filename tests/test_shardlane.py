@@ -379,3 +379,52 @@ def test_two_chunked_axes_decline(mesh8):
         out = (x + 1).compute()
         assert ENGAGED["count"] == before
     np.testing.assert_allclose(np.asarray(out), src + 1, rtol=1e-12)
+
+
+# ---- composed reduction OVER the matmul ----
+
+@pytest.mark.parametrize("red,axis", [
+    ("sum", None), ("sum", 0), ("mean", None), ("mean", 0),
+    ("max", None), ("min", 0),
+    ("sum", 1), ("mean", 1), ("prod", 1), ("max", 1),
+])
+def test_matmul_then_reduction(mesh8, irregular, red, axis):
+    src, x = irregular
+    w = np.random.default_rng(31).standard_normal((6, 5))
+    with use_mesh(mesh8), config.set({"tpu.execution-lane": "shard-map"}):
+        out = _engaged(lambda: getattr(x @ w, red)(axis=axis).compute())
+    want = getattr(np, red)(src @ w, axis=axis)
+    np.testing.assert_allclose(np.asarray(out), want, rtol=1e-9, atol=1e-12)
+
+
+def test_matvec_then_sum(mesh8, irregular):
+    src, x = irregular
+    v = np.random.default_rng(32).standard_normal((6,))
+    with use_mesh(mesh8), config.set({"tpu.execution-lane": "shard-map"}):
+        out = _engaged(lambda: (x @ v).sum().compute())
+    np.testing.assert_allclose(float(out), (src @ v).sum(), rtol=1e-9)
+
+
+def test_matmul_then_prod_over_rows_declines(mesh8, irregular):
+    # prod over the sharded axis has no sign-safe collective — GSPMD answers
+    src, x = irregular
+    w = np.abs(np.random.default_rng(33).standard_normal((6, 3))) * 0.6 + 0.7
+    with use_mesh(mesh8), config.set({"tpu.execution-lane": "shard-map"}):
+        before = ENGAGED["count"]
+        out = (x @ w).prod(axis=0).compute()
+        assert ENGAGED["count"] == before
+    np.testing.assert_allclose(
+        np.asarray(out), (src @ w).prod(axis=0), rtol=3e-7
+    )
+
+
+def test_flagship_shape_in_lane(mesh8, irregular):
+    # the graft-entry pipeline tail: (scaled @ w) then row-sum — one
+    # shard_map program, one psum
+    src, x = irregular
+    w = np.random.default_rng(34).standard_normal((6, 4))
+    with use_mesh(mesh8), config.set({"tpu.execution-lane": "shard-map"}):
+        out = _engaged(lambda: ((x * 0.5 - 1) @ w).sum(axis=0).compute())
+    np.testing.assert_allclose(
+        np.asarray(out), ((src * 0.5 - 1) @ w).sum(axis=0), rtol=1e-9
+    )
