@@ -428,3 +428,14 @@ def test_flagship_shape_in_lane(mesh8, irregular):
     np.testing.assert_allclose(
         np.asarray(out), ((src * 0.5 - 1) @ w).sum(axis=0), rtol=1e-9
     )
+
+
+def test_matmul_on_2d_mesh(mesh2x4, irregular):
+    # the block axis shards over BOTH mesh axes; still zero collectives
+    src, x = irregular
+    w = np.random.default_rng(35).standard_normal((6, 5))
+    with use_mesh(mesh2x4), config.set({"tpu.execution-lane": "shard-map"}):
+        out = _engaged(lambda: (x @ w).compute())
+        out2 = _engaged(lambda: (x @ w).mean().compute())
+    np.testing.assert_allclose(np.asarray(out), src @ w, rtol=1e-10)
+    np.testing.assert_allclose(float(out2), (src @ w).mean(), rtol=1e-9)
