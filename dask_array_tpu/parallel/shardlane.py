@@ -55,6 +55,22 @@ _REDUCE_IDENT = {
 }
 
 
+def _reduce_ident(kind, dtype):
+    """The identity of ``kind`` IN ``dtype`` (padding fill value): ±inf
+    maps to the integer extrema for int dtypes, True/False for bool."""
+    dtype = np.dtype(dtype)
+    if kind in ("sum", "mean"):
+        return np.zeros((), dtype)[()]
+    if kind == "prod":
+        return np.ones((), dtype)[()]
+    if dtype.kind in "iu":
+        info = np.iinfo(dtype)
+        return info.max if kind == "min" else info.min
+    if dtype.kind == "b":
+        return kind == "min"
+    return np.inf if kind == "min" else -np.inf
+
+
 def _unwrap(expr):
     while type(expr).__name__ == "FusedBlockwise":
         expr = expr.root
@@ -359,7 +375,7 @@ def try_execute_shard(root, mesh):
             # the sharded row axis folds in: mask the padded GEMM rows to
             # the identity, reduce locally, combine with one collective
             mask2 = mask.reshape(mask.shape[:2] + (1,) * (mm.ndim - 2))
-            ident = jnp.asarray(_REDUCE_IDENT[post.kind], mm.dtype)
+            ident = jnp.asarray(_reduce_ident(post.kind, mm.dtype), mm.dtype)
             masked = jnp.where(mask2, mm, ident)
             red_axes = None if p_full else (0, 1)
             part = op(masked, axis=red_axes, **kw)
@@ -428,7 +444,6 @@ def try_execute_shard(root, mesh):
             # a cross-device prod all-reduce has no sign-safe collective
             # (psum-of-logs breaks on negatives/zeros); GSPMD lane instead
             return None
-        ident = _REDUCE_IDENT[rkind]
         full = len(terminal.axes) == terminal.array.ndim
         acc_dtype = np.dtype(terminal.dtype)
         # count of TRUE elements folded into each output element
@@ -436,6 +451,7 @@ def try_execute_shard(root, mesh):
 
         def body(fn_sizes, *fn_args):
             val, mask = local(fn_args, fn_sizes)
+            ident = _reduce_ident(rkind, np.dtype(val.dtype))
             val = jnp.where(mask, val, jnp.asarray(ident, val.dtype))
             red_axes = None if full else (0, d + 1)
             op = {"sum": jnp.sum, "mean": jnp.sum,

@@ -439,3 +439,36 @@ def test_matmul_on_2d_mesh(mesh2x4, irregular):
         out2 = _engaged(lambda: (x @ w).mean().compute())
     np.testing.assert_allclose(np.asarray(out), src @ w, rtol=1e-10)
     np.testing.assert_allclose(float(out2), (src @ w).mean(), rtol=1e-9)
+
+
+@pytest.mark.parametrize("red", ["min", "max", "sum", "mean"])
+def test_integer_reductions_over_sharded_axis(mesh8, red):
+    # integer identities: padding must fill with the int extrema, not
+    # float inf (which cannot even coerce)
+    heights = (3, 5, 2, 7)
+    src = np.arange(10, 10 + sum(heights) * 4, dtype=np.int32).reshape(
+        sum(heights), 4
+    )
+    x = da.from_array(src, chunks=(heights, 4))
+    with use_mesh(mesh8), config.set({"tpu.execution-lane": "shard-map"}):
+        out = _engaged(lambda: getattr(x, red)(axis=0).compute())
+    np.testing.assert_allclose(np.asarray(out), getattr(np, red)(src, axis=0))
+
+
+def test_bool_reduction_over_sharded_axis(mesh8):
+    heights = (3, 5, 2, 7)
+    src = (np.arange(sum(heights) * 4).reshape(sum(heights), 4) % 3) == 0
+    x = da.from_array(src, chunks=(heights, 4))
+    with use_mesh(mesh8), config.set({"tpu.execution-lane": "shard-map"}):
+        out = _engaged(lambda: x.min(axis=0).compute())
+    np.testing.assert_array_equal(np.asarray(out), src.min(axis=0))
+
+
+def test_integer_matmul_then_min(mesh8):
+    heights = (3, 5, 2, 7)
+    src = np.arange(sum(heights) * 4, dtype=np.int64).reshape(sum(heights), 4)
+    w = np.arange(4 * 3, dtype=np.int64).reshape(4, 3) - 5
+    x = da.from_array(src, chunks=(heights, 4))
+    with use_mesh(mesh8), config.set({"tpu.execution-lane": "shard-map"}):
+        out = _engaged(lambda: (x @ w).min(axis=0).compute())
+    np.testing.assert_array_equal(np.asarray(out), (src @ w).min(axis=0))
