@@ -472,3 +472,45 @@ def test_integer_matmul_then_min(mesh8):
     with use_mesh(mesh8), config.set({"tpu.execution-lane": "shard-map"}):
         out = _engaged(lambda: (x @ w).min(axis=0).compute())
     np.testing.assert_array_equal(np.asarray(out), (src @ w).min(axis=0))
+
+
+def test_matmul_sum_hlo_single_allreduce(mesh8):
+    # composed GEMM+sum compiles to ONE all-reduce and zero all-gathers
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    heights = _HEIGHTS
+    hmax = max(heights)
+    kpad = 16
+    src = np.random.default_rng(41).standard_normal((sum(heights), 6))
+    w = np.random.default_rng(42).standard_normal((6, 5))
+    buf = np.zeros((kpad, hmax, 6), dtype=src.dtype)
+    pos = 0
+    for i, h in enumerate(heights):
+        buf[i, :h] = src[pos:pos + h]
+        pos += h
+    sizes = np.zeros((kpad,), dtype=np.int32)
+    sizes[: len(heights)] = heights
+
+    def body(s, v, r):
+        mm = jnp.einsum("bhj,jk->bhk", v, r, precision="highest")
+        mask = (jnp.arange(hmax, dtype=jnp.int32)[None, :] < s[:, None])[..., None]
+        return jax.lax.psum(jnp.where(mask, mm, 0.0).sum(axis=(0, 1)), ("d",))
+
+    fn = jax.jit(jax.shard_map(
+        body, mesh=mesh8, in_specs=(P("d"), P("d"), P()), out_specs=P()
+    ))
+    sh = NamedSharding(mesh8, P("d"))
+    args = (
+        jax.device_put(sizes, sh),
+        jax.device_put(buf, sh),
+        jax.device_put(w, NamedSharding(mesh8, P())),
+    )
+    hlo = fn.lower(*args).compile().as_text()
+    assert "all-gather" not in hlo
+    assert hlo.count("all-reduce-start") + hlo.count("all-reduce(") <= 2
+    assert "all-reduce" in hlo
+    np.testing.assert_allclose(
+        np.asarray(fn(*args)), (src @ w).sum(axis=0), rtol=1e-10
+    )
