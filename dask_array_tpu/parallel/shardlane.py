@@ -52,7 +52,16 @@ _REDUCE_IDENT = {
     "min": np.inf,
     "max": -np.inf,
     "mean": 0.0,
+    # nan variants combine cross-device with their own masking (padding ->
+    # NaN / 0); listed here so the plan gate admits them
+    "nansum": 0.0,
+    "nanmean": 0.0,
+    "nanmin": np.inf,
+    "nanmax": -np.inf,
 }
+
+#: kinds the lane can execute at all (nanprod joins only block-locally)
+_LANE_KINDS = tuple(_REDUCE_IDENT) + ("nanprod",)
 
 
 def _reduce_ident(kind, dtype):
@@ -186,7 +195,7 @@ def _plan(root):
     if isinstance(root, Reduction):
         if root.keepdims:
             return None
-        if root.kind not in ("sum", "mean", "min", "max", "prod"):
+        if root.kind not in _LANE_KINDS:
             return None
         inner = _unwrap(root.array)
         if isinstance(inner, Einsum):
@@ -195,6 +204,8 @@ def _plan(root):
             mm = _plan_matmul(inner)
             if mm is None:
                 return None
+            if root.kind.startswith("nan"):
+                return None  # composed GEMM reduces stay plain-kind
             axes = tuple(root.axes)
             nd = root.array.ndim
             if 0 in axes:
@@ -415,9 +426,13 @@ def try_execute_shard(root, mesh):
         def body(fn_sizes, *fn_args):
             val, _ = local(fn_args, fn_sizes)
             op = {"sum": jnp.sum, "mean": jnp.sum, "prod": jnp.prod,
-                  "min": jnp.min, "max": jnp.max}[rkind]
+                  "min": jnp.min, "max": jnp.max,
+                  "nansum": jnp.nansum, "nanmean": jnp.nanmean,
+                  "nanprod": jnp.nanprod,
+                  "nanmin": jnp.nanmin, "nanmax": jnp.nanmax}[rkind]
             kw = {}
-            if rkind in ("sum", "mean", "prod") and acc_dtype.kind in "fc":
+            if rkind in ("sum", "mean", "prod", "nansum", "nanmean",
+                         "nanprod") and acc_dtype.kind in "fc":
                 kw["dtype"] = acc_dtype
             out = op(val, axis=red_axes, **kw)
             if rkind == "mean":
@@ -451,21 +466,46 @@ def try_execute_shard(root, mesh):
 
         def body(fn_sizes, *fn_args):
             val, mask = local(fn_args, fn_sizes)
-            ident = _reduce_ident(rkind, np.dtype(val.dtype))
-            val = jnp.where(mask, val, jnp.asarray(ident, val.dtype))
+            # nan kinds on non-float data ARE the plain kinds (numpy: no
+            # NaN to skip), so the nan machinery engages on floats only
+            nan_kind = rkind.startswith("nan") and np.dtype(val.dtype).kind in "fc"
+            base = rkind[3:] if rkind.startswith("nan") else rkind
             red_axes = None if full else (0, d + 1)
-            op = {"sum": jnp.sum, "mean": jnp.sum,
-                  "min": jnp.min, "max": jnp.max}[rkind]
-            if rkind in ("sum", "mean"):
-                part = op(val, axis=red_axes, dtype=acc_dtype if acc_dtype.kind in "fc" else None)
+            acc_kw = {"dtype": acc_dtype} if acc_dtype.kind in "fc" else {}
+            if base in ("sum", "mean"):
+                zero = jnp.zeros((), val.dtype)
+                if nan_kind:
+                    real = mask & ~jnp.isnan(val)
+                    part = jnp.sum(jnp.where(real, val, zero), axis=red_axes, **acc_kw)
+                else:
+                    part = jnp.sum(jnp.where(mask, val, zero), axis=red_axes, **acc_kw)
                 tot = jax.lax.psum(part, axes)
-            elif rkind == "min":
-                tot = jax.lax.pmin(op(val, axis=red_axes), axes)
-            else:
-                tot = jax.lax.pmax(op(val, axis=red_axes), axes)
-            if rkind == "mean":
-                tot = tot / jnp.asarray(count, tot.dtype)
-            return tot
+                if rkind == "nanmean" and nan_kind:
+                    # data-dependent denominator: psum the non-NaN count
+                    # (an all-NaN slice divides 0/0 -> NaN, numpy's value)
+                    cnt = jax.lax.psum(
+                        jnp.sum(real, axis=red_axes, dtype=jnp.int32), axes
+                    )
+                    tot = tot / cnt.astype(tot.dtype)
+                elif rkind in ("mean", "nanmean"):
+                    tot = tot / jnp.asarray(count, tot.dtype)
+                return tot
+            # min/max: mask padding to the dtype identity; for nan kinds a
+            # device whose shard is all NaN+padding must not poison the
+            # pmin/pmax, so NaN locals swap to the identity and an
+            # any-real-value vote restores NaN iff NO device had one
+            pop = jax.lax.pmin if base == "min" else jax.lax.pmax
+            ident = jnp.asarray(_reduce_ident(base, np.dtype(val.dtype)), val.dtype)
+            if nan_kind:
+                v = jnp.where(mask & ~jnp.isnan(val), val, ident)
+                part = (jnp.min if base == "min" else jnp.max)(v, axis=red_axes)
+                has = jnp.any(mask & ~jnp.isnan(val), axis=red_axes)
+                tot = pop(part, axes)
+                any_has = jax.lax.pmax(has.astype(jnp.int32), axes)
+                return jnp.where(any_has > 0, tot, jnp.asarray(jnp.nan, tot.dtype))
+            v = jnp.where(mask, val, ident)
+            part = (jnp.min if base == "min" else jnp.max)(v, axis=red_axes)
+            return pop(part, axes)
 
         fn = jax.jit(
             jax.shard_map(

@@ -514,3 +514,62 @@ def test_matmul_sum_hlo_single_allreduce(mesh8):
     np.testing.assert_allclose(
         np.asarray(fn(*args)), (src @ w).sum(axis=0), rtol=1e-10
     )
+
+
+# ---- nan-variant reductions ----
+
+@pytest.fixture
+def irregular_nan():
+    src = np.random.default_rng(51).standard_normal((sum(_HEIGHTS), 6))
+    src[::7, ::2] = np.nan
+    src[:, 3] = np.nan  # one all-NaN column (nanmin/nanmean corner)
+    x = da.from_array(src, chunks=(_HEIGHTS, 6))
+    return src, x
+
+
+@pytest.mark.parametrize("red,axis", [
+    ("nansum", None), ("nansum", 0), ("nanmean", 0), ("nanmax", None),
+    ("nanmin", 0), ("nanmax", 0), ("nanmean", None),
+])
+def test_nan_reductions_over_sharded_axis(mesh8, irregular_nan, red, axis):
+    src, x = irregular_nan
+    with use_mesh(mesh8), config.set({"tpu.execution-lane": "shard-map"}):
+        out = _engaged(lambda: getattr(da, red)(x, axis=axis).compute())
+    import warnings
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")  # numpy all-NaN slice warnings
+        want = getattr(np, red)(src, axis=axis)
+    np.testing.assert_allclose(np.asarray(out), want, rtol=1e-10)
+
+
+@pytest.mark.parametrize("red", ["nansum", "nanmean", "nanmin", "nanprod"])
+def test_nan_reductions_block_local(mesh8, irregular_nan, red):
+    src, x = irregular_nan
+    with use_mesh(mesh8), config.set({"tpu.execution-lane": "shard-map"}):
+        out = _engaged(lambda: getattr(da, red)(x, axis=1).compute())
+    want = getattr(np, red)(src, axis=1)
+    np.testing.assert_allclose(np.asarray(out), want, rtol=1e-10)
+
+
+def test_nan_reduction_int_data(mesh8):
+    # nan kinds on integer data are the plain kinds (no NaN to skip)
+    heights = (3, 5, 2, 7)
+    src = np.arange(sum(heights) * 4, dtype=np.int32).reshape(sum(heights), 4)
+    x = da.from_array(src, chunks=(heights, 4))
+    with use_mesh(mesh8), config.set({"tpu.execution-lane": "shard-map"}):
+        out = _engaged(lambda: da.nansum(x, axis=0).compute())
+        out2 = _engaged(lambda: da.nanmean(x).compute())
+    np.testing.assert_array_equal(np.asarray(out), src.sum(axis=0))
+    np.testing.assert_allclose(float(out2), src.mean())
+
+
+def test_nanmax_device_poisoning(mesh8):
+    # 16 block slots on 8 devices: blocks 8.. are pure padding, and block
+    # 1 is ALL NaN — no device's NaN local may poison the pmax
+    heights = (2, 3, 2, 2, 2, 2, 2, 2, 2, 2, 2)
+    src = np.random.default_rng(52).standard_normal((sum(heights), 4))
+    src[2:5] = np.nan  # the whole second block
+    x = da.from_array(src, chunks=(heights, 4))
+    with use_mesh(mesh8), config.set({"tpu.execution-lane": "shard-map"}):
+        out = _engaged(lambda: da.nanmax(x, axis=0).compute())
+    np.testing.assert_allclose(np.asarray(out), np.nanmax(src, axis=0), rtol=1e-12)
