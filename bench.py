@@ -75,24 +75,46 @@ def main():
 
         # measure the host<->device fetch round-trip so it can be excluded
         # (it is tunnel latency, not device time)
-        rtt = min(
-            _timed(lambda: np.asarray(out[0, 0])) for _ in range(5)
-        )
+        def _rtt():
+            return min(_timed(lambda: np.asarray(out[0, 0])) for _ in range(5))
 
-        iters = 20 if on_tpu else 3
-        best = float("inf")
-        for _trial in range(3):
+        rtt = _rtt()
+
+        def _trial(iters):
             t0 = time.perf_counter()
+            o = None
             for _ in range(iters):
-                out = y.compute_device()
-            _ = np.asarray(out[0, 0])  # drain the queue
-            dt = (time.perf_counter() - t0 - rtt) / iters
-            best = min(best, dt)
-        dt = best
+                o = y.compute_device()
+            _ = np.asarray(o[0, 0])  # drain the queue
+            return time.perf_counter() - t0
+
+        # the rtt swings tens of ms with tunnel health; a short trial lets
+        # a STALE rtt subtraction move the result (one sick-session run
+        # printed 210 TFLOP/s, above the 197 physical peak).  Grow the
+        # trial until steady work dwarfs any rtt error, and subtract the
+        # SMALLER of the before/after rtt samples (conservative).
+        iters = 20 if on_tpu else 3
+        el = _trial(iters)
+        if on_tpu:
+            est = max((el - rtt) / iters, 1e-4)
+            iters = min(600, max(iters, int(1.5 / est) + 1))
+        best = min(_trial(iters) for _trial_i in range(3))
+        rtt = min(rtt, _rtt())
+        dt = (best - rtt) / iters
 
     flops = 2.0 * n * n * n
     tflops = flops / dt / 1e12
     peak = _peak_tflops(dev)
+    if on_tpu and tflops > peak:
+        # physically impossible: timing noise, not speed — report the
+        # work-inclusive lower bound and say why
+        tflops = flops / (best / iters) / 1e12
+        suspect_note = (
+            f"rtt-corrected reading exceeded the {peak} TFLOP/s physical peak "
+            "(tunnel timing noise); reporting the uncorrected lower bound"
+        )
+    else:
+        suspect_note = None
     target = 0.90 * peak
     record = {
         "metric": f"blocked_matmul_{n}x{n}_chunks{chunk}_bf16_tflops_per_chip",
@@ -108,6 +130,8 @@ def main():
     tiers = tier_report(y)
     if tiers["counts"].get("trace", 0) != sum(tiers["counts"].values()):
         record["note"] = f"NOT fully on the compiled trace lane: {tiers['counts']}"
+    elif suspect_note:
+        record["note"] = suspect_note
     print(json.dumps(record))
 
 
