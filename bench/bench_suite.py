@@ -27,6 +27,13 @@ adaptive iters, multi-output workloads as ONE program via execute_many):
                            ~819 GB/s HBM roofline (on a mesh the same
                            boundary emits an ICI all-to-all —
                            tests/test_rechunk_collective.py)
+
+Superseded rows (see bench/README.md for the dated records): round 3
+moved the persisted reduction trio to 0.51 ms / 779 GB/s (one-pass
+shifted power sums) and the stencil to 0.64 ms (shifted slices); round 4
+SHIPPED the Pallas band kernel — stencil2d_4096 steady 0.25 ms / 540
+GB/s at the copy-stream bound — and re-measured relayout at 664 GB/s
+(ratio 0.96 of the same-session bound).
 """
 
 from __future__ import annotations
