@@ -19,7 +19,13 @@ owns whole blocks and runs per-block logic:
     totals, then a local carry apply — the cross-device traffic is
     ``ndev * rest`` elements, not the array
     (reference: ``CumReductionBlelloch``,
-    ``/root/reference/dask_array/reductions/_cumulative.py:267``).
+    ``/root/reference/dask_array/reductions/_cumulative.py:267``),
+  * 2-D matmul/matvec terminals run on the MXU in one of two forms:
+    free (row) axis chunked — the rhs replicates whole and the compiled
+    HLO holds NO collective; or CONTRACTION axis chunked (the classic
+    tensor-parallel split) — both operands restack along the shared
+    contraction profile, each device contracts its own blocks, and the
+    partials combine with exactly ONE ``psum``.
 
 Engage with config ``tpu.execution-lane = "shard-map"`` (default
 ``"auto"`` keeps the GSPMD lane).  Scope (a prototype, declines
@@ -29,11 +35,12 @@ that is the point), combined by elemwise trees, optionally terminated by
 one typed reduction (sum/prod/min/max/mean over all axes, over ``d``, or
 block-locally over unsharded axes), one cumsum/cumprod (two-phase
 Blelloch along ``d``; collective-free block-local scans along unsharded
-axes), or — for row grids (``d == 0``) — one MATMUL against a
-single-block right-hand side (``ij,jk->ik`` / ``ij,j->i``): the rhs is
-replicated (weights-stationary) and every device runs its row blocks'
-GEMM on its own MXU — the compiled HLO contains NO collective at all,
-where the GSPMD lane must pad the uneven row dim before the dot.
+axes), or one 2-D MATMUL/matvec: rows chunked → rhs replicated whole
+(weights-stationary per-device MXU GEMMs, zero collectives); contraction
+chunked → both operands restacked along the shared profile, per-device
+partial GEMMs, ONE psum (the classic tensor-parallel split).  The rhs's
+own declared chunk grid never matters — blocks restack from the dense
+host buffer.
 """
 
 from __future__ import annotations
@@ -86,6 +93,71 @@ def _unwrap(expr):
     return expr
 
 
+def _masked_combine(val, mask, rkind, acc_dtype, red_axes, mesh_axes, count):
+    """Mask padding to the identity, reduce locally over ``red_axes``
+    (None = all axes), combine across devices with ONE tiny collective.
+
+    nan kinds on float data skip NaNs: nanmean psums a data-dependent
+    non-NaN count, and nanmin/nanmax swap NaN locals to the identity with
+    an any-real-value vote so an all-NaN+padding device cannot poison the
+    pmin/pmax (NaN restored iff NO device held a real value).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    nan_kind = rkind.startswith("nan") and np.dtype(val.dtype).kind in "fc"
+    base = rkind[3:] if rkind.startswith("nan") else rkind
+    acc_kw = {"dtype": acc_dtype} if acc_dtype.kind in "fc" else {}
+    if base in ("sum", "mean"):
+        zero = jnp.zeros((), val.dtype)
+        if nan_kind:
+            real = mask & ~jnp.isnan(val)
+            part = jnp.sum(jnp.where(real, val, zero), axis=red_axes, **acc_kw)
+        else:
+            part = jnp.sum(jnp.where(mask, val, zero), axis=red_axes, **acc_kw)
+        tot = jax.lax.psum(part, mesh_axes)
+        if rkind == "nanmean" and nan_kind:
+            cnt = jax.lax.psum(
+                jnp.sum(real, axis=red_axes, dtype=jnp.int32), mesh_axes
+            )
+            tot = tot / cnt.astype(tot.dtype)
+        elif rkind in ("mean", "nanmean"):
+            tot = tot / jnp.asarray(count, tot.dtype)
+        return tot
+    pop = jax.lax.pmin if base == "min" else jax.lax.pmax
+    ident = jnp.asarray(_reduce_ident(base, np.dtype(val.dtype)), val.dtype)
+    if nan_kind:
+        v = jnp.where(mask & ~jnp.isnan(val), val, ident)
+        part = (jnp.min if base == "min" else jnp.max)(v, axis=red_axes)
+        has = jnp.any(mask & ~jnp.isnan(val), axis=red_axes)
+        tot = pop(part, mesh_axes)
+        any_has = jax.lax.pmax(has.astype(jnp.int32), mesh_axes)
+        return jnp.where(any_has > 0, tot, jnp.asarray(jnp.nan, tot.dtype))
+    v = jnp.where(mask, val, ident)
+    part = (jnp.min if base == "min" else jnp.max)(v, axis=red_axes)
+    return pop(part, mesh_axes)
+
+
+def _local_reduce(val, rkind, acc_dtype, red_axes, count):
+    """Block-local reduce (no padding in scope along ``red_axes``, no
+    collective): plain jnp/nan ops with float accumulation dtypes."""
+    import jax.numpy as jnp
+
+    op = {"sum": jnp.sum, "mean": jnp.sum, "prod": jnp.prod,
+          "min": jnp.min, "max": jnp.max,
+          "nansum": jnp.nansum, "nanmean": jnp.nanmean,
+          "nanprod": jnp.nanprod,
+          "nanmin": jnp.nanmin, "nanmax": jnp.nanmax}[rkind]
+    kw = {}
+    if rkind in ("sum", "mean", "prod", "nansum", "nanmean",
+                 "nanprod") and acc_dtype.kind in "fc":
+        kw["dtype"] = acc_dtype
+    out = op(val, axis=red_axes, **kw)
+    if rkind == "mean":
+        out = out / jnp.asarray(count, out.dtype)
+    return out
+
+
 def _walk_elem(node, leaves, seen):
     """Walk an elemwise tree down to FromArray leaves; False = decline."""
     from dask_array_tpu._expr import ArrayExpr
@@ -103,6 +175,57 @@ def _walk_elem(node, leaves, seen):
         if isinstance(a, ArrayExpr) and not _walk_elem(a, leaves, seen):
             return False
     return True
+
+
+def _leaf_grid_ok2(leaves):
+    """Shared, known, unmasked leaf grid chunked along exactly TWO axes
+    — or ``None``.  Returns ``(grid, (d1, d2))`` with ``d1 < d2``."""
+    if not leaves:
+        return None
+    grid = leaves[0].chunks
+    if any(l.chunks != grid for l in leaves):
+        return None
+    chunked = [ax for ax, c in enumerate(grid) if len(c) != 1]
+    if len(chunked) != 2:
+        return None
+    if any(isinstance(h, float) and math.isnan(h) for c in grid for h in c):
+        return None
+    if any(sum(grid[ax]) == 0 for ax in chunked):
+        return None
+    if any(isinstance(l.source, np.ma.MaskedArray) for l in leaves):
+        return None
+    return grid, tuple(chunked)
+
+
+def _plan_grid2(kind, terminal, elem_root, leaves):
+    """The 2-D-chunk-grid lane: blocks of a two-axis grid flatten
+    row-major onto the sharded block axis with a 2-D validity mask.
+    Scope: elemwise; reductions over BOTH chunked axes (with or without
+    the rest — one collective) or over NEITHER (block-local); cumulative
+    scans along unchunked axes.  A reduction straddling exactly one
+    chunked axis would need grid-patterned cross-device combines —
+    GSPMD answers."""
+    ok = _leaf_grid_ok2(leaves)
+    if ok is None:
+        return None
+    grid, dims = ok
+    if kind == "elemwise":
+        return "g2_elemwise", None, elem_root, leaves, dims, None
+    if kind in ("reduce", "reduce_local"):
+        axes = tuple(terminal.axes)
+        nd = terminal.array.ndim
+        covered = set(dims) <= set(axes)
+        disjoint = not (set(dims) & set(axes))
+        if disjoint and axes:
+            return "g2_reduce_local", terminal, elem_root, leaves, dims, None
+        if covered and (axes == tuple(range(nd)) or set(axes) == set(dims)):
+            if terminal.kind not in _REDUCE_IDENT or terminal.kind == "prod":
+                return None  # no sign-safe cross-device prod collective
+            return "g2_reduce", terminal, elem_root, leaves, dims, None
+        return None
+    if kind in ("cumulative", "cumulative_local") and terminal.axis not in dims:
+        return "g2_cumulative_local", terminal, elem_root, leaves, dims, None
+    return None
 
 
 def _leaf_grid_ok(leaves):
@@ -128,12 +251,22 @@ def _leaf_grid_ok(leaves):
 
 
 def _plan_matmul(root):
-    """Einsum terminal: irregular-rows matmul against a single-block rhs.
+    """Einsum terminal: a 2-D matmul/matvec with one chunked lhs axis.
 
-    Accepts exactly ``ab,bc->ac`` / ``ab,b->a`` shapes (modulo label
-    names): lhs an elemwise tree over the shared axis-0-chunked grid
-    (single chunk along the contracted axis), rhs an elemwise tree whose
-    leaves are single-block everywhere (it will be replicated).
+    Generalized parse: one contraction label shared by both operands (at
+    EITHER position of either operand), output = lhs free label then rhs
+    free label.  Two lanes by which lhs axis is chunked:
+
+    * **rows** (free axis chunked): the rhs is replicated whole
+      (weights-stationary) and each device runs its row blocks' GEMM on
+      its own MXU — ZERO collectives in the compiled HLO.
+    * **contraction chunked** (``matmul_k`` — the classic tensor-parallel
+      pattern): both operands are restacked along the shared contraction
+      profile, each device contracts its own blocks, and the partial
+      products combine with ONE ``psum`` — the output is replicated.
+
+    Either operand may be an elemwise tree; the rhs's own declared chunk
+    grid is irrelevant (blocks are restacked from the dense host buffer).
     """
     labels = root.input_labels
     if len(labels) != 2 or len(root.arrays) != 2:
@@ -142,13 +275,23 @@ def _plan_matmul(root):
     out = root.out_labels
     if len(l0) != 2 or len(set(l0)) != 2:
         return None
-    a, b = l0
-    if len(l1) == 2:  # matrix @ matrix: ab,bc->ac with c a fresh label
-        if l1[0] != b or l1[1] in (a, b) or out != a + l1[1]:
+    common = set(l0) & set(l1)
+    if len(common) != 1 or len(set(l1)) != len(l1):
+        return None
+    c = common.pop()
+    lpos = l0.index(c)
+    lfree = l0[1 - lpos]
+    if len(l1) == 2:  # matrix rhs
+        rpos = l1.index(c)
+        rfree = l1[1 - rpos]
+        if out != lfree + rfree:
             return None
-    elif l1 == b:  # matrix @ vector: ab,b->a
-        if out != a:
+        rhs_vec = False
+    elif len(l1) == 1:  # vector rhs
+        rpos = 0
+        if out != lfree:
             return None
+        rhs_vec = True
     else:
         return None
     lhs, rhs = root.arrays
@@ -158,20 +301,28 @@ def _plan_matmul(root):
     if not _walk_elem(rhs, rhs_leaves, set()):
         return None
     ok = _leaf_grid_ok(lhs_leaves)
-    if ok is None or ok[1] != 0:
-        return None  # rows sharded; a chunked contraction axis declines
+    if ok is None:
+        return None
+    d = ok[1]
     if not rhs_leaves:
         return None
     rgrid = rhs_leaves[0].chunks
     if any(l.chunks != rgrid for l in rhs_leaves):
         return None
-    if any(len(c) != 1 for c in rgrid):
-        return None  # rhs must be one block (it is replicated)
-    if any(isinstance(h, float) and math.isnan(h) for c in rgrid for h in c):
+    if any(isinstance(h, float) and math.isnan(h) for c_ in rgrid for h in c_):
         return None
     if any(isinstance(l.source, np.ma.MaskedArray) for l in rhs_leaves):
         return None
-    return "matmul", root, _unwrap(lhs), lhs_leaves, 0, (_unwrap(rhs), rhs_leaves)
+    layout = (lpos, rpos, rhs_vec)
+    if d == 1 - lpos:
+        # free axis chunked: rows lane, rhs replicated whole
+        kind = "matmul"
+    elif d == lpos and len(ok[0][d]) > 1:
+        # contraction axis chunked: per-device partial GEMMs + one psum
+        kind = "matmul_k"
+    else:
+        return None
+    return kind, root, _unwrap(lhs), lhs_leaves, d, (_unwrap(rhs), rhs_leaves, layout)
 
 
 def _plan(root):
@@ -204,6 +355,10 @@ def _plan(root):
             mm = _plan_matmul(inner)
             if mm is None:
                 return None
+            if mm[0] == "matmul_k":
+                # the GEMM output is replicated post-psum: ANY lane
+                # reduce (nan kinds and prod included) applies locally
+                return "matmul_k", inner, mm[2], mm[3], mm[4], mm[5] + (root,)
             if root.kind.startswith("nan"):
                 return None  # composed GEMM reduces stay plain-kind
             axes = tuple(root.axes)
@@ -213,7 +368,7 @@ def _plan(root):
                     return None
                 if root.kind == "prod":
                     return None  # no sign-safe cross-device prod collective
-            return "matmul", inner, mm[2], mm[3], 0, mm[5] + (root,)
+            return "matmul", inner, mm[2], mm[3], mm[4], mm[5] + (root,)
         terminal, kind = root, "reduce"  # split on d below, once known
         elem_root = _unwrap(root.array)
     elif isinstance(root, CumReduction):
@@ -230,7 +385,9 @@ def _plan(root):
         return None
     ok = _leaf_grid_ok(leaves)
     if ok is None:
-        return None
+        # a TWO-axis chunk grid rides its own lane (flattened block grid
+        # + 2-D validity mask); anything else declines
+        return _plan_grid2(kind, terminal, elem_root, leaves)
     grid, d = ok
 
     if kind == "reduce":
@@ -274,6 +431,8 @@ def try_execute_shard(root, mesh):
     plan = _plan(root)
     if plan is None:
         return None
+    if plan[0].startswith("g2_"):
+        return _execute_grid2(plan, mesh, np.dtype(_unwrap(root).dtype))
     kind, terminal, elem_root, leaves, d, aux = plan
 
     import jax
@@ -331,27 +490,35 @@ def try_execute_shard(root, mesh):
         )
         return val, mask
 
-    if kind == "matmul":
-        # weights-stationary GEMM: rhs (one block, possibly an elemwise
-        # tree) is replicated; each device contracts its own row blocks
-        # on its MXU.  Padding rows multiply to garbage that _unstack
-        # drops; the compiled HLO contains NO collective (pinned by
-        # tests/test_shardlane.py) where GSPMD's pad-to-regular lowering
-        # of the uneven row dim is not collective-free.
-        rhs_root, rhs_leaves = aux[0], aux[1]
-        post = aux[2] if len(aux) == 3 else None  # composed terminal Reduction
-        rhs_repl = NamedSharding(mesh, P())
-        rhs_args = []
-        for leaf in rhs_leaves:
-            ((_, src),) = list(leaf._leaf_buffers())
-            rhs_args.append(jax.device_put(np.asarray(src), rhs_repl))
-        rhs_vec = len(terminal.input_labels[1]) == 1
+    if kind in ("matmul", "matmul_k"):
+        rhs_root, rhs_leaves, layout = aux[0], aux[1], aux[2]
+        post = aux[3] if len(aux) == 4 else None  # composed terminal Reduction
+        lpos, rpos, rhs_vec = layout
         kwargs = dict(terminal.kwargs or ())
         from dask_array_tpu import config
 
         precision = kwargs.get("precision") or config.get(
             "tpu.matmul-precision", "highest"
         )
+        lhs_spec = "b" + ("hj" if lpos == 1 else "jh")
+
+    if kind == "matmul":
+        # weights-stationary GEMM: rhs (possibly an elemwise tree) is
+        # replicated WHOLE (its declared chunk grid is irrelevant); each
+        # device contracts its own row blocks on its MXU.  Padding rows
+        # multiply to garbage that _unstack drops; the compiled HLO
+        # contains NO collective (pinned by tests/test_shardlane.py)
+        # where GSPMD's pad-to-regular lowering of the uneven row dim is
+        # not collective-free.
+        rhs_repl = NamedSharding(mesh, P())
+        rhs_args = []
+        for leaf in rhs_leaves:
+            ((_, src),) = list(leaf._leaf_buffers())
+            rhs_args.append(jax.device_put(np.asarray(src), rhs_repl))
+        if rhs_vec:
+            spec = f"{lhs_spec},j->bh"
+        else:
+            spec = f"{lhs_spec},{'jk' if rpos == 0 else 'kj'}->bhk"
         if post is not None:
             p_axes = tuple(post.axes)
             p_nd = post.array.ndim
@@ -363,12 +530,11 @@ def try_execute_shard(root, mesh):
 
         def body(fn_sizes, *fn_args):
             lhs_args = fn_args[: len(leaves)]
-            val, mask = local(lhs_args, fn_sizes)
+            val, _ = local(lhs_args, fn_sizes)
             renv = {}
             for leaf, arr in zip(rhs_leaves, fn_args[len(leaves):]):
                 renv[leaf._name] = arr
             rhs = _eval_elem(rhs_root, renv)
-            spec = "bhj,j->bh" if rhs_vec else "bhj,jk->bhk"
             mm = jnp.einsum(spec, val, rhs, precision=precision)
             if post is None:
                 return mm
@@ -385,7 +551,11 @@ def try_execute_shard(root, mesh):
                 return out
             # the sharded row axis folds in: mask the padded GEMM rows to
             # the identity, reduce locally, combine with one collective
-            mask2 = mask.reshape(mask.shape[:2] + (1,) * (mm.ndim - 2))
+            # (rows sit at block axis 0 of mm whatever the lhs layout)
+            rmask = (
+                jnp.arange(hmax, dtype=jnp.int32)[None, :] < fn_sizes[:, None]
+            )
+            mask2 = rmask.reshape(rmask.shape + (1,) * (mm.ndim - 2))
             ident = jnp.asarray(_reduce_ident(post.kind, mm.dtype), mm.dtype)
             masked = jnp.where(mask2, mm, ident)
             red_axes = None if p_full else (0, 1)
@@ -415,6 +585,82 @@ def try_execute_shard(root, mesh):
             return _unstack(out, heights, out_dtype)
         return out.astype(out_dtype) if out.dtype != out_dtype else out
 
+    if kind == "matmul_k":
+        # contraction axis chunked — the classic tensor-parallel GEMM:
+        # both operands restack along the shared contraction profile
+        # (the rhs from its DENSE host buffer, whatever its declared
+        # grid), each device contracts its own blocks on its MXU, and
+        # the partials combine with exactly ONE psum; the output is
+        # replicated.  Padded contraction entries are zeroed on BOTH
+        # sides after the elemwise trees run (a tree can turn the zero
+        # fill into NaN or non-zero garbage, and NaN*0 = NaN).
+        rhs_nd = 1 if rhs_vec else 2
+        rblock = [None] * rhs_nd
+        ((_, rsrc0),) = list(rhs_leaves[0]._leaf_buffers())
+        rshape = np.asarray(rsrc0).shape
+        for ax in range(rhs_nd):
+            rblock[ax] = hmax if ax == rpos else int(rshape[ax])
+        rblock = tuple(rblock)
+        rhs_stacked = []
+        for leaf in rhs_leaves:
+            ((_, src),) = list(leaf._leaf_buffers())
+            src = np.asarray(src)
+            buf = np.zeros((kpad,) + rblock, dtype=src.dtype)
+            pos = 0
+            for i, h in enumerate(heights):
+                sel = (i,) + (slice(None),) * rpos + (slice(0, h),)
+                srcsel = (slice(None),) * rpos + (slice(pos, pos + h),)
+                buf[sel] = src[srcsel]
+                pos += h
+            rhs_stacked.append(buf)
+        rhs_args = [jax.device_put(b, sh) for b in rhs_stacked]
+        rhs_spec = "b" + ("j" if rhs_vec else ("jk" if rpos == 0 else "kj"))
+        spec = f"{lhs_spec},{rhs_spec}->" + ("h" if rhs_vec else "hk")
+
+        def body(fn_sizes, *fn_args):
+            lhs_args = fn_args[: len(leaves)]
+            val, mask = local(lhs_args, fn_sizes)
+            renv = {}
+            for leaf, arr in zip(rhs_leaves, fn_args[len(leaves):]):
+                renv[leaf._name] = arr
+            rhs = _eval_elem(rhs_root, renv)
+            val = jnp.where(mask, val, jnp.zeros((), val.dtype))
+            rmask = (
+                jnp.arange(hmax, dtype=jnp.int32)[None, :] < fn_sizes[:, None]
+            ).reshape(
+                (fn_sizes.shape[0],) + (1,) * rpos + (hmax,)
+                + (1,) * (rhs_nd - rpos - 1)
+            )
+            rhs = jnp.where(rmask, rhs, jnp.zeros((), rhs.dtype))
+            part = jnp.einsum(spec, val, rhs, precision=precision)
+            mm = jax.lax.psum(part, axes)
+            if post is None:
+                return mm
+            # mm is the TRUE replicated output: any reduce applies locally
+            op = {"sum": jnp.sum, "mean": jnp.mean, "prod": jnp.prod,
+                  "min": jnp.min, "max": jnp.max,
+                  "nansum": jnp.nansum, "nanmean": jnp.nanmean,
+                  "nanprod": jnp.nanprod,
+                  "nanmin": jnp.nanmin, "nanmax": jnp.nanmax}[post.kind]
+            p_acc = np.dtype(post.dtype)
+            kw = {"dtype": p_acc} if (
+                post.kind in ("sum", "mean", "prod", "nansum", "nanmean",
+                              "nanprod") and p_acc.kind in "fc"
+            ) else {}
+            return op(mm, axis=tuple(post.axes), **kw)
+
+        fn = jax.jit(
+            jax.shard_map(
+                body,
+                mesh=mesh,
+                in_specs=(P(axes),) + (P(axes),) * (len(dev_args) + len(rhs_args)),
+                out_specs=P(),
+            )
+        )
+        out = fn(dev_sizes, *dev_args, *rhs_args)
+        ENGAGED["count"] += 1
+        return out.astype(out_dtype) if out.dtype != out_dtype else out
+
     if kind == "reduce_local":
         rkind = terminal.kind
         acc_dtype = np.dtype(terminal.dtype)
@@ -425,19 +671,7 @@ def try_execute_shard(root, mesh):
 
         def body(fn_sizes, *fn_args):
             val, _ = local(fn_args, fn_sizes)
-            op = {"sum": jnp.sum, "mean": jnp.sum, "prod": jnp.prod,
-                  "min": jnp.min, "max": jnp.max,
-                  "nansum": jnp.nansum, "nanmean": jnp.nanmean,
-                  "nanprod": jnp.nanprod,
-                  "nanmin": jnp.nanmin, "nanmax": jnp.nanmax}[rkind]
-            kw = {}
-            if rkind in ("sum", "mean", "prod", "nansum", "nanmean",
-                         "nanprod") and acc_dtype.kind in "fc":
-                kw["dtype"] = acc_dtype
-            out = op(val, axis=red_axes, **kw)
-            if rkind == "mean":
-                out = out / jnp.asarray(count, out.dtype)
-            return out
+            return _local_reduce(val, rkind, acc_dtype, red_axes, count)
 
         fn = jax.jit(
             jax.shard_map(
@@ -467,45 +701,9 @@ def try_execute_shard(root, mesh):
         def body(fn_sizes, *fn_args):
             val, mask = local(fn_args, fn_sizes)
             # nan kinds on non-float data ARE the plain kinds (numpy: no
-            # NaN to skip), so the nan machinery engages on floats only
-            nan_kind = rkind.startswith("nan") and np.dtype(val.dtype).kind in "fc"
-            base = rkind[3:] if rkind.startswith("nan") else rkind
+            # NaN to skip) — _masked_combine engages nan logic on floats
             red_axes = None if full else (0, d + 1)
-            acc_kw = {"dtype": acc_dtype} if acc_dtype.kind in "fc" else {}
-            if base in ("sum", "mean"):
-                zero = jnp.zeros((), val.dtype)
-                if nan_kind:
-                    real = mask & ~jnp.isnan(val)
-                    part = jnp.sum(jnp.where(real, val, zero), axis=red_axes, **acc_kw)
-                else:
-                    part = jnp.sum(jnp.where(mask, val, zero), axis=red_axes, **acc_kw)
-                tot = jax.lax.psum(part, axes)
-                if rkind == "nanmean" and nan_kind:
-                    # data-dependent denominator: psum the non-NaN count
-                    # (an all-NaN slice divides 0/0 -> NaN, numpy's value)
-                    cnt = jax.lax.psum(
-                        jnp.sum(real, axis=red_axes, dtype=jnp.int32), axes
-                    )
-                    tot = tot / cnt.astype(tot.dtype)
-                elif rkind in ("mean", "nanmean"):
-                    tot = tot / jnp.asarray(count, tot.dtype)
-                return tot
-            # min/max: mask padding to the dtype identity; for nan kinds a
-            # device whose shard is all NaN+padding must not poison the
-            # pmin/pmax, so NaN locals swap to the identity and an
-            # any-real-value vote restores NaN iff NO device had one
-            pop = jax.lax.pmin if base == "min" else jax.lax.pmax
-            ident = jnp.asarray(_reduce_ident(base, np.dtype(val.dtype)), val.dtype)
-            if nan_kind:
-                v = jnp.where(mask & ~jnp.isnan(val), val, ident)
-                part = (jnp.min if base == "min" else jnp.max)(v, axis=red_axes)
-                has = jnp.any(mask & ~jnp.isnan(val), axis=red_axes)
-                tot = pop(part, axes)
-                any_has = jax.lax.pmax(has.astype(jnp.int32), axes)
-                return jnp.where(any_has > 0, tot, jnp.asarray(jnp.nan, tot.dtype))
-            v = jnp.where(mask, val, ident)
-            part = (jnp.min if base == "min" else jnp.max)(v, axis=red_axes)
-            return pop(part, axes)
+            return _masked_combine(val, mask, rkind, acc_dtype, red_axes, axes, count)
 
         fn = jax.jit(
             jax.shard_map(
@@ -620,4 +818,169 @@ def _unstack(stacked, heights, out_dtype, axis=0):
     pre = (slice(None),) * axis
     parts = [stacked[(i,) + pre + (slice(0, h),)] for i, h in enumerate(heights)]
     out = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=axis)
+    return out.astype(out_dtype) if out.dtype != out_dtype else out
+
+
+def _execute_grid2(plan, mesh, out_dtype):
+    """Execute a 2-D-chunk-grid plan: the k1*k2 block grid flattens
+    row-major onto the leading stacked axis (sharded over every mesh
+    axis), each block padded to (hmax1, hmax2) along its two chunked
+    axes with a 2-D validity mask."""
+    kind, terminal, elem_root, leaves, dims, _ = plan
+
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    d1, d2 = dims
+    axes = tuple(mesh.axis_names)
+    ndev = int(np.prod(list(mesh.shape.values())))
+    grid = leaves[0].chunks
+    h1 = tuple(int(h) for h in grid[d1])
+    h2 = tuple(int(h) for h in grid[d2])
+    k1, k2 = len(h1), len(h2)
+    k = k1 * k2
+    kpad = -(-k // ndev) * ndev
+    hm1, hm2 = max(h1), max(h2)
+    nd = len(grid)
+    block_shape = tuple(
+        hm1 if ax == d1 else hm2 if ax == d2 else int(sum(c))
+        for ax, c in enumerate(grid)
+    )
+    off1 = np.concatenate([[0], np.cumsum(h1)]).astype(int)
+    off2 = np.concatenate([[0], np.cumsum(h2)]).astype(int)
+
+    stacked = []
+    for leaf in leaves:
+        ((_, src),) = list(leaf._leaf_buffers())
+        src = np.asarray(src)
+        buf = np.zeros((kpad,) + block_shape, dtype=src.dtype)
+        for i1 in range(k1):
+            for i2 in range(k2):
+                sel = [slice(None)] * nd
+                sel[d1] = slice(0, h1[i1])
+                sel[d2] = slice(0, h2[i2])
+                ssel = [slice(None)] * nd
+                ssel[d1] = slice(off1[i1], off1[i1 + 1])
+                ssel[d2] = slice(off2[i2], off2[i2 + 1])
+                buf[(i1 * k2 + i2, *sel)] = src[tuple(ssel)]
+        stacked.append(buf)
+    s1 = np.zeros((kpad,), np.int32)
+    s2 = np.zeros((kpad,), np.int32)
+    for i1 in range(k1):
+        for i2 in range(k2):
+            s1[i1 * k2 + i2] = h1[i1]
+            s2[i1 * k2 + i2] = h2[i2]
+
+    sh = NamedSharding(mesh, P(axes))
+    dev_args = [jax.device_put(b, sh) for b in stacked]
+    dev_s1 = jax.device_put(s1, sh)
+    dev_s2 = jax.device_put(s2, sh)
+
+    def local(fn_args, fs1, fs2):
+        env = {}
+        for leaf, arr in zip(leaves, fn_args):
+            env[leaf._name] = arr
+        val = _eval_elem(elem_root, env)
+        m1 = (
+            jnp.arange(hm1, dtype=jnp.int32)[None, :] < fs1[:, None]
+        ).reshape((fs1.shape[0],) + (1,) * d1 + (hm1,) + (1,) * (nd - d1 - 1))
+        m2 = (
+            jnp.arange(hm2, dtype=jnp.int32)[None, :] < fs2[:, None]
+        ).reshape((fs2.shape[0],) + (1,) * d2 + (hm2,) + (1,) * (nd - d2 - 1))
+        return val, m1 & m2
+
+    def run(body, out_spec):
+        fn = jax.jit(
+            jax.shard_map(
+                body,
+                mesh=mesh,
+                in_specs=(P(axes), P(axes)) + (P(axes),) * len(dev_args),
+                out_specs=out_spec,
+            )
+        )
+        out = fn(dev_s1, dev_s2, *dev_args)
+        ENGAGED["count"] += 1
+        return out
+
+    if kind == "g2_reduce":
+        rkind = terminal.kind
+        acc_dtype = np.dtype(terminal.dtype)
+        full = len(terminal.axes) == terminal.array.ndim
+        red_axes = None if full else (0, d1 + 1, d2 + 1)
+        rest = math.prod(
+            int(sum(c)) for ax, c in enumerate(grid) if ax not in dims
+        )
+        count = sum(h1) * sum(h2) * (rest if full else 1)
+
+        def body(fs1, fs2, *fn_args):
+            val, mask = local(fn_args, fs1, fs2)
+            return _masked_combine(
+                val, mask, rkind, acc_dtype, red_axes, axes, count
+            )
+
+        out = run(body, P())
+        return out.astype(out_dtype) if out.dtype != out_dtype else out
+
+    if kind == "g2_reduce_local":
+        rkind = terminal.kind
+        acc_dtype = np.dtype(terminal.dtype)
+        red_axes = tuple(ax + 1 for ax in terminal.axes)
+        count = math.prod(int(sum(grid[ax])) for ax in terminal.axes)
+
+        def body(fs1, fs2, *fn_args):
+            val, _ = local(fn_args, fs1, fs2)
+            return _local_reduce(val, rkind, acc_dtype, red_axes, count)
+
+        out = run(body, P(axes))
+        # the chunked axes' positions among the surviving axes
+        a1 = d1 - sum(1 for ax in terminal.axes if ax < d1)
+        a2 = d2 - sum(1 for ax in terminal.axes if ax < d2)
+        return _unstack2(out, h1, h2, out_dtype, a1, a2)
+
+    if kind == "g2_cumulative_local":
+        ckind = terminal.kind
+        scan_ax = terminal.axis + 1
+        cdtype = np.dtype(terminal.dtype)
+
+        def body(fs1, fs2, *fn_args):
+            val, _ = local(fn_args, fs1, fs2)
+            val = val.astype(cdtype if cdtype.kind != "M" else val.dtype)
+            return (
+                jnp.cumsum(val, axis=scan_ax)
+                if ckind == "cumsum"
+                else jnp.cumprod(val, axis=scan_ax)
+            )
+
+        out = run(body, P(axes))
+        return _unstack2(out, h1, h2, out_dtype, d1, d2)
+
+    # g2_elemwise
+    def body(fs1, fs2, *fn_args):
+        val, _ = local(fn_args, fs1, fs2)
+        return val
+
+    out = run(body, P(axes))
+    return _unstack2(out, h1, h2, out_dtype, d1, d2)
+
+
+def _unstack2(stacked, h1, h2, out_dtype, a1, a2):
+    """(k1*k2, *block_shape) stacked blocks -> dense: trim each block to
+    its true extents at axes ``a1``/``a2``, concatenate columns then
+    rows (row-major flattening order)."""
+    import jax.numpy as jnp
+
+    k2 = len(h2)
+    rows = []
+    for i1, H1 in enumerate(h1):
+        parts = []
+        for i2, H2 in enumerate(h2):
+            sel = [slice(None)] * (stacked.ndim - 1)
+            sel[a1] = slice(0, H1)
+            sel[a2] = slice(0, H2)
+            parts.append(stacked[(i1 * k2 + i2, *sel)])
+        rows.append(
+            parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=a2)
+        )
+    out = rows[0] if len(rows) == 1 else jnp.concatenate(rows, axis=a1)
     return out.astype(out_dtype) if out.dtype != out_dtype else out

@@ -171,15 +171,17 @@ def test_lane_on_2d_mesh(mesh2x4, irregular):
 
 def test_lane_declines_cleanly(mesh8, irregular):
     # outside the prototype surface the lane declines and the GSPMD lane
-    # answers — values still correct (a CHUNKED rhs cannot be replicated
-    # whole, so the matmul branch declines)
+    # answers — values still correct (keepdims reductions are out of
+    # scope; note a strided slice would NOT decline — slice pushdown
+    # folds it into the leaf before the lane looks)
     src, x = irregular
-    w = da.from_array(np.ones((6, 4)), chunks=(3, 2))
     with use_mesh(mesh8), config.set({"tpu.execution-lane": "shard-map"}):
         before = ENGAGED["count"]
-        out = (x @ w).compute()
+        out = (x * 2).sum(axis=0, keepdims=True).compute()
         assert ENGAGED["count"] == before
-    np.testing.assert_allclose(np.asarray(out), src @ np.ones((6, 4)), rtol=1e-10)
+    np.testing.assert_allclose(
+        np.asarray(out), (src * 2).sum(axis=0, keepdims=True), rtol=1e-10
+    )
 
 
 def test_default_lane_unchanged(mesh8, irregular):
@@ -284,14 +286,16 @@ def test_matmul_hlo_has_no_collective(mesh8):
         assert coll not in hlo, coll
 
 
-def test_matmul_declines_transposed_contraction(mesh8, irregular):
-    # 'ji,jk->ik' contracts the SHARDED axis — out of scope, GSPMD answers
+def test_matmul_k_transposed_lhs_contraction(mesh8, irregular):
+    # 'ji,jk->ik' contracts the SHARDED axis — since round 4 this is the
+    # contraction-sharded lane (per-device partial GEMMs + one psum), not
+    # a decline
     src, x = irregular
     w = np.random.default_rng(17).standard_normal((sum(_HEIGHTS), 3))
     with use_mesh(mesh8), config.set({"tpu.execution-lane": "shard-map"}):
-        before = ENGAGED["count"]
-        out = da.tensordot(x, w, axes=((0,), (0,))).compute()
-        assert ENGAGED["count"] == before
+        out = _engaged(
+            lambda: da.tensordot(x, w, axes=((0,), (0,))).compute()
+        )
     np.testing.assert_allclose(
         np.asarray(out), np.tensordot(src, w, axes=((0,), (0,))), rtol=1e-10
     )
@@ -370,10 +374,10 @@ def test_midaxis_3d_grid(mesh8):
     np.testing.assert_allclose(np.asarray(out4), np.cumsum(src, axis=1), rtol=1e-10)
 
 
-def test_two_chunked_axes_decline(mesh8):
-    # more than one chunked axis stays out of scope — GSPMD answers
-    src = np.random.default_rng(23).standard_normal((10, 10))
-    x = da.from_array(src, chunks=((3, 7), (4, 6)))
+def test_three_chunked_axes_decline(mesh8):
+    # more than TWO chunked axes stays out of scope — GSPMD answers
+    src = np.random.default_rng(23).standard_normal((10, 10, 8))
+    x = da.from_array(src, chunks=((3, 7), (4, 6), (5, 3)))
     with use_mesh(mesh8), config.set({"tpu.execution-lane": "shard-map"}):
         before = ENGAGED["count"]
         out = (x + 1).compute()
@@ -573,3 +577,307 @@ def test_nanmax_device_poisoning(mesh8):
     with use_mesh(mesh8), config.set({"tpu.execution-lane": "shard-map"}):
         out = _engaged(lambda: da.nanmax(x, axis=0).compute())
     np.testing.assert_allclose(np.asarray(out), np.nanmax(src, axis=0), rtol=1e-12)
+
+
+# ---- contraction-sharded matmul (tensor-parallel GEMM + one psum) ----
+
+@pytest.fixture
+def irregular_k():
+    # the CONTRACTION axis chunked irregularly (the classic TP split)
+    src = np.random.default_rng(61).standard_normal((5, sum(_HEIGHTS)))
+    x = da.from_array(src, chunks=(5, _HEIGHTS))
+    return src, x
+
+
+def test_matmul_k_values(mesh8, irregular_k):
+    src, x = irregular_k
+    w = np.random.default_rng(62).standard_normal((sum(_HEIGHTS), 3))
+    with use_mesh(mesh8), config.set({"tpu.execution-lane": "shard-map"}):
+        out = _engaged(lambda: (x @ w).compute())
+    np.testing.assert_allclose(np.asarray(out), src @ w, rtol=1e-9)
+
+
+def test_matvec_k_values(mesh8, irregular_k):
+    src, x = irregular_k
+    v = np.random.default_rng(63).standard_normal((sum(_HEIGHTS),))
+    with use_mesh(mesh8), config.set({"tpu.execution-lane": "shard-map"}):
+        out = _engaged(lambda: (x @ v).compute())
+    np.testing.assert_allclose(np.asarray(out), src @ v, rtol=1e-9)
+
+
+def test_matmul_k_rhs_chunk_grid_irrelevant(mesh8, irregular_k):
+    # the rhs's own declared grid differs from the contraction profile —
+    # blocks are restacked from the dense host buffer, so it engages
+    src, x = irregular_k
+    w_src = np.random.default_rng(64).standard_normal((sum(_HEIGHTS), 3))
+    w = da.from_array(w_src, chunks=(40, 3))
+    with use_mesh(mesh8), config.set({"tpu.execution-lane": "shard-map"}):
+        out = _engaged(lambda: (x @ w).compute())
+    np.testing.assert_allclose(np.asarray(out), src @ w_src, rtol=1e-9)
+
+
+def test_matmul_k_elemwise_both_sides(mesh8, irregular_k):
+    src, x = irregular_k
+    w_src = np.random.default_rng(65).standard_normal((sum(_HEIGHTS), 4))
+    w = da.from_array(w_src, chunks=(_HEIGHTS, 4))
+    with use_mesh(mesh8), config.set({"tpu.execution-lane": "shard-map"}):
+        out = _engaged(lambda: ((x * 2 + 1) @ (w - 0.5)).compute())
+    np.testing.assert_allclose(
+        np.asarray(out), (src * 2 + 1) @ (w_src - 0.5), rtol=1e-9
+    )
+
+
+def test_matmul_k_padding_nan_guard(mesh8, irregular_k):
+    # elemwise trees can turn the zero padding into NaN (0/0) on BOTH
+    # operands; the lane must zero padded contraction entries after the
+    # trees run or NaN*0 poisons the psum
+    src, x = irregular_k
+    w_src = np.abs(np.random.default_rng(66).standard_normal((sum(_HEIGHTS), 3))) + 0.5
+    w = da.from_array(w_src, chunks=(_HEIGHTS, 3))
+    with use_mesh(mesh8), config.set({"tpu.execution-lane": "shard-map"}):
+        out = _engaged(lambda: ((x / x) @ (w / w)).compute())
+    np.testing.assert_allclose(
+        np.asarray(out), (src / src) @ (w_src / w_src), rtol=1e-9
+    )
+
+
+def test_matmul_k_transposed_rhs_contraction(mesh8, irregular_k):
+    # 'ab,cb->ac': the rhs contraction label at position 1
+    src, x = irregular_k
+    w = np.random.default_rng(67).standard_normal((3, sum(_HEIGHTS)))
+    with use_mesh(mesh8), config.set({"tpu.execution-lane": "shard-map"}):
+        out = _engaged(
+            lambda: da.tensordot(x, w, axes=((1,), (1,))).compute()
+        )
+    np.testing.assert_allclose(
+        np.asarray(out), np.tensordot(src, w, axes=((1,), (1,))), rtol=1e-9
+    )
+
+
+@pytest.mark.parametrize("red,axis", [
+    ("sum", None), ("mean", None), ("max", 0), ("min", 1),
+    ("prod", 0), ("nansum", None), ("nanmean", 1),
+])
+def test_matmul_k_then_reduction(mesh8, irregular_k, red, axis):
+    # the GEMM output is replicated post-psum, so ANY lane reduce (prod
+    # and nan kinds included) composes locally in the same program
+    src, x = irregular_k
+    w = np.random.default_rng(68).standard_normal((sum(_HEIGHTS), 3)) * 0.3
+    with use_mesh(mesh8), config.set({"tpu.execution-lane": "shard-map"}):
+        out = _engaged(lambda: getattr(da, red)(x @ w, axis=axis).compute())
+    want = getattr(np, red)(src @ w, axis=axis)
+    np.testing.assert_allclose(np.asarray(out), want, rtol=1e-7, atol=1e-12)
+
+
+def test_matmul_k_integer_exact(mesh8):
+    heights = (7, 3, 11, 5, 9, 4)
+    rng = np.random.default_rng(69)
+    src = rng.integers(-50, 50, size=(4, sum(heights))).astype(np.int32)
+    w = rng.integers(-50, 50, size=(sum(heights), 3)).astype(np.int32)
+    x = da.from_array(src, chunks=(4, heights))
+    with use_mesh(mesh8), config.set({"tpu.execution-lane": "shard-map"}):
+        out = _engaged(lambda: (x @ w).compute())
+    np.testing.assert_array_equal(np.asarray(out), src @ w)
+
+
+def test_matmul_k_on_2d_mesh(mesh2x4, irregular_k):
+    src, x = irregular_k
+    w = np.random.default_rng(70).standard_normal((sum(_HEIGHTS), 5))
+    with use_mesh(mesh2x4), config.set({"tpu.execution-lane": "shard-map"}):
+        out = _engaged(lambda: (x @ w).compute())
+    np.testing.assert_allclose(np.asarray(out), src @ w, rtol=1e-9)
+
+
+def test_matmul_k_hlo_single_allreduce(mesh8):
+    # standalone replica of the lane's contraction-sharded program: the
+    # compiled HLO holds exactly ONE all-reduce and zero all-gathers
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    heights = _HEIGHTS
+    hmax = max(heights)
+    kpad = 16
+    src = np.random.default_rng(71).standard_normal((5, sum(heights)))
+    w = np.random.default_rng(72).standard_normal((sum(heights), 3))
+    lbuf = np.zeros((kpad, 5, hmax), dtype=src.dtype)
+    rbuf = np.zeros((kpad, hmax, 3), dtype=w.dtype)
+    pos = 0
+    for i, h in enumerate(heights):
+        lbuf[i, :, :h] = src[:, pos:pos + h]
+        rbuf[i, :h] = w[pos:pos + h]
+        pos += h
+
+    def body(v, r):
+        return jax.lax.psum(
+            jnp.einsum("bhj,bjk->hk", v, r, precision="highest"), ("d",)
+        )
+
+    fn = jax.jit(jax.shard_map(
+        body, mesh=mesh8, in_specs=(P("d"), P("d")), out_specs=P()
+    ))
+    sh = NamedSharding(mesh8, P("d"))
+    args = (jax.device_put(lbuf, sh), jax.device_put(rbuf, sh))
+    hlo = fn.lower(*args).compile().as_text()
+    assert "all-gather" not in hlo
+    assert hlo.count("all-reduce-start") + hlo.count("all-reduce(") <= 2
+    assert "all-reduce" in hlo
+    np.testing.assert_allclose(np.asarray(fn(*args)), src @ w, rtol=1e-9)
+
+
+def test_matmul_rows_chunked_rhs_replicates(mesh8, irregular):
+    # rows lane: a multi-block rhs replicates WHOLE (declared grid
+    # irrelevant) instead of declining
+    src, x = irregular
+    w_src = np.random.default_rng(73).standard_normal((6, 5))
+    w = da.from_array(w_src, chunks=(3, 2))
+    with use_mesh(mesh8), config.set({"tpu.execution-lane": "shard-map"}):
+        out = _engaged(lambda: (x @ w).compute())
+    np.testing.assert_allclose(np.asarray(out), src @ w_src, rtol=1e-10)
+
+
+def test_matmul_k_both_axes_chunked_declines(mesh8):
+    # lhs chunked along BOTH axes stays out of scope — GSPMD answers
+    src = np.random.default_rng(74).standard_normal((10, 12))
+    w = np.random.default_rng(75).standard_normal((12, 3))
+    x = da.from_array(src, chunks=((3, 7), (5, 7)))
+    with use_mesh(mesh8), config.set({"tpu.execution-lane": "shard-map"}):
+        before = ENGAGED["count"]
+        out = (x @ w).compute()
+        assert ENGAGED["count"] == before
+    np.testing.assert_allclose(np.asarray(out), src @ w, rtol=1e-10)
+
+
+# ---- 2-D chunk grids (flattened block grid + 2-D validity mask) ----
+
+_H2A = (9, 4, 13, 6)   # irregular rows (sum 32)
+_H2B = (7, 11, 3, 5, 8)  # irregular cols (sum 34)
+
+
+@pytest.fixture
+def grid2d():
+    src = np.random.default_rng(81).standard_normal((sum(_H2A), sum(_H2B)))
+    x = da.from_array(src, chunks=(_H2A, _H2B))
+    return src, x
+
+
+def test_grid2_elemwise_values(mesh8, grid2d):
+    src, x = grid2d
+    with use_mesh(mesh8), config.set({"tpu.execution-lane": "shard-map"}):
+        out = _engaged(lambda: (x * 2 + 1).compute())
+    np.testing.assert_allclose(np.asarray(out), src * 2 + 1, rtol=1e-12)
+
+
+def test_grid2_two_leaf_elemwise(mesh8, grid2d):
+    src, x = grid2d
+    src2 = np.random.default_rng(82).standard_normal(src.shape)
+    y = da.from_array(src2, chunks=(_H2A, _H2B))
+    with use_mesh(mesh8), config.set({"tpu.execution-lane": "shard-map"}):
+        out = _engaged(lambda: (x - y * 3).compute())
+    np.testing.assert_allclose(np.asarray(out), src - src2 * 3, rtol=1e-12)
+
+
+@pytest.mark.parametrize("red", ["sum", "mean", "min", "max"])
+def test_grid2_full_reduction(mesh8, grid2d, red):
+    src, x = grid2d
+    with use_mesh(mesh8), config.set({"tpu.execution-lane": "shard-map"}):
+        out = _engaged(lambda: getattr(x + 0.5, red)().compute())
+    np.testing.assert_allclose(
+        float(out), getattr(np, red)(src + 0.5), rtol=1e-10
+    )
+
+
+@pytest.mark.parametrize("red", ["nansum", "nanmean", "nanmin", "nanmax"])
+def test_grid2_nan_full_reduction(mesh8, red):
+    src = np.random.default_rng(83).standard_normal((sum(_H2A), sum(_H2B)))
+    src[::5, ::3] = np.nan
+    x = da.from_array(src, chunks=(_H2A, _H2B))
+    with use_mesh(mesh8), config.set({"tpu.execution-lane": "shard-map"}):
+        out = _engaged(lambda: getattr(da, red)(x).compute())
+    np.testing.assert_allclose(float(out), getattr(np, red)(src), rtol=1e-10)
+
+
+def test_grid2_pair_axes_reduction_3d(mesh8):
+    # reduce over BOTH chunked axes of a 3-D array: the unchunked axis
+    # survives, replicated after one psum
+    src = np.random.default_rng(84).standard_normal((sum(_H2A), 5, sum(_H2B)))
+    x = da.from_array(src, chunks=(_H2A, 5, _H2B))
+    with use_mesh(mesh8), config.set({"tpu.execution-lane": "shard-map"}):
+        out = _engaged(lambda: x.sum(axis=(0, 2)).compute())
+        out2 = _engaged(lambda: x.mean(axis=(0, 2)).compute())
+    np.testing.assert_allclose(np.asarray(out), src.sum(axis=(0, 2)), rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(out2), src.mean(axis=(0, 2)), rtol=1e-10)
+
+
+@pytest.mark.parametrize("red", ["sum", "mean", "prod", "nanmax"])
+def test_grid2_local_axis_reduction_3d(mesh8, red):
+    # reduce over the UNCHUNKED middle axis only: block-local, no
+    # collective; the 2-D output grid reassembles
+    src = np.random.default_rng(85).standard_normal((sum(_H2A), 4, sum(_H2B)))
+    x = da.from_array(src, chunks=(_H2A, 4, _H2B))
+    with use_mesh(mesh8), config.set({"tpu.execution-lane": "shard-map"}):
+        out = _engaged(lambda: getattr(da, red)(x * 0.5, axis=1).compute())
+    np.testing.assert_allclose(
+        np.asarray(out), getattr(np, red)(src * 0.5, axis=1), rtol=1e-10
+    )
+
+
+def test_grid2_local_cumsum_3d(mesh8):
+    # scan along the unchunked axis: pure block-local, no collective
+    src = np.random.default_rng(86).standard_normal((sum(_H2A), 6, sum(_H2B)))
+    x = da.from_array(src, chunks=(_H2A, 6, _H2B))
+    with use_mesh(mesh8), config.set({"tpu.execution-lane": "shard-map"}):
+        out = _engaged(lambda: da.cumsum(x, axis=1).compute())
+    np.testing.assert_allclose(np.asarray(out), np.cumsum(src, axis=1), rtol=1e-10)
+
+
+def test_grid2_straddling_reduction_declines(mesh8, grid2d):
+    # reducing over exactly ONE chunked axis needs grid-patterned
+    # cross-device combines — out of scope, GSPMD answers
+    src, x = grid2d
+    with use_mesh(mesh8), config.set({"tpu.execution-lane": "shard-map"}):
+        before = ENGAGED["count"]
+        out = x.sum(axis=0).compute()
+        assert ENGAGED["count"] == before
+    np.testing.assert_allclose(np.asarray(out), src.sum(axis=0), rtol=1e-10)
+
+
+def test_grid2_prod_declines(mesh8, grid2d):
+    # no sign-safe cross-device prod collective
+    src, x = grid2d
+    with use_mesh(mesh8), config.set({"tpu.execution-lane": "shard-map"}):
+        before = ENGAGED["count"]
+        out = (da.absolute(x) + 0.5).prod().compute()
+        assert ENGAGED["count"] == before
+    np.testing.assert_allclose(
+        float(out), np.prod(np.abs(src) + 0.5), rtol=3e-7
+    )
+
+
+def test_grid2_chunked_scan_declines(mesh8, grid2d):
+    # a cumulative scan ALONG a chunked axis of a 2-D grid is out of scope
+    src, x = grid2d
+    with use_mesh(mesh8), config.set({"tpu.execution-lane": "shard-map"}):
+        before = ENGAGED["count"]
+        out = da.cumsum(x, axis=0).compute()
+        assert ENGAGED["count"] == before
+    np.testing.assert_allclose(np.asarray(out), np.cumsum(src, axis=0), rtol=1e-10)
+
+
+def test_grid2_on_2d_mesh(mesh2x4, grid2d):
+    src, x = grid2d
+    with use_mesh(mesh2x4), config.set({"tpu.execution-lane": "shard-map"}):
+        out = _engaged(lambda: (x + 1).compute())
+        out2 = _engaged(lambda: (x + 1).sum().compute())
+    np.testing.assert_allclose(np.asarray(out), src + 1, rtol=1e-12)
+    np.testing.assert_allclose(float(out2), (src + 1).sum(), rtol=1e-10)
+
+
+def test_grid2_integer_minmax(mesh8):
+    rng = np.random.default_rng(87)
+    src = rng.integers(-1000, 1000, size=(sum(_H2A), sum(_H2B))).astype(np.int32)
+    x = da.from_array(src, chunks=(_H2A, _H2B))
+    with use_mesh(mesh8), config.set({"tpu.execution-lane": "shard-map"}):
+        out = _engaged(lambda: x.min().compute())
+        out2 = _engaged(lambda: x.max().compute())
+    assert int(out) == src.min() and int(out2) == src.max()
