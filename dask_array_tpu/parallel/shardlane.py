@@ -158,8 +158,21 @@ def _local_reduce(val, rkind, acc_dtype, red_axes, count):
     return out
 
 
-def _walk_elem(node, leaves, seen):
-    """Walk an elemwise tree down to FromArray leaves; False = decline."""
+def _walk_elem(node, leaves, seen, reds=None, consts=None):
+    """Walk an elemwise tree down to FromArray leaves; False = decline.
+
+    With ``reds``/``consts`` lists supplied the walk also admits:
+
+    * INNER ``Reduction`` nodes (collected into ``reds``) whose own
+      subtree is an elemwise tree over the same leaves — their results
+      are replicated inside the shard_map body (one collective each)
+      and broadcast back into the outer tree.  This is what makes
+      ``x.var()``, ``x.std()`` and ``(x - x.mean()) / x.std()`` ONE
+      lane program.  Axis/shape gates run later, once the grid is known.
+    * 0-d subtrees of any other kind (collected into ``consts``) —
+      evaluated host-side through the regular executor at plan time
+      (e.g. the one-pass variance's ``x[0, 0]`` shift element).
+    """
     from dask_array_tpu._expr import ArrayExpr
     from dask_array_tpu.ops._from_array import FromArray
 
@@ -169,12 +182,39 @@ def _walk_elem(node, leaves, seen):
             seen.add(node._name)
             leaves.append(node)
         return True
-    if type(node).__name__ != "Elemwise":
-        return False
-    for a in node.args:
-        if isinstance(a, ArrayExpr) and not _walk_elem(a, leaves, seen):
-            return False
-    return True
+    if type(node).__name__ == "Elemwise":
+        for a in node.args:
+            if isinstance(a, ArrayExpr) and not _walk_elem(
+                a, leaves, seen, reds, consts
+            ):
+                return False
+        return True
+    if reds is not None:
+        from dask_array_tpu.ops.reductions import Reduction
+
+        if (
+            isinstance(node, Reduction)
+            and node.kind in _REDUCE_IDENT
+            and node.kind != "prod"
+        ):
+            # scratch collections: a failed subtree gate must not leave
+            # stray leaves behind when the node salvages as a 0-d const
+            sub_leaves, sub_consts, sub_seen = [], [], set(seen)
+            if _walk_elem(node.array, sub_leaves, sub_seen, None, sub_consts):
+                # sub_seen started from seen, so these are all new
+                seen.update(sub_seen)
+                leaves.extend(sub_leaves)
+                consts.extend(sub_consts)
+                if node._name not in seen:
+                    seen.add(node._name)
+                    reds.append(node)
+                return True
+    if consts is not None and node.shape == ():
+        if node._name not in seen:
+            seen.add(node._name)
+            consts.append(node)
+        return True
+    return False
 
 
 def _leaf_grid_ok2(leaves):
@@ -197,7 +237,7 @@ def _leaf_grid_ok2(leaves):
     return grid, tuple(chunked)
 
 
-def _plan_grid2(kind, terminal, elem_root, leaves):
+def _plan_grid2(kind, terminal, elem_root, leaves, reds=(), consts=()):
     """The 2-D-chunk-grid lane: blocks of a two-axis grid flatten
     row-major onto the sharded block axis with a 2-D validity mask.
     Scope: elemwise; reductions over BOTH chunked axes (with or without
@@ -209,22 +249,29 @@ def _plan_grid2(kind, terminal, elem_root, leaves):
     if ok is None:
         return None
     grid, dims = ok
+    leaf_shape = tuple(int(sum(c)) for c in grid)
+    for r in reds:
+        # inner reductions must reduce BOTH chunked axes (replicated
+        # result) over a leaf-shaped subtree
+        if not set(dims) <= set(r.axes) or tuple(r.array.shape) != leaf_shape:
+            return None
+    aux = (tuple(reds), tuple(consts))
     if kind == "elemwise":
-        return "g2_elemwise", None, elem_root, leaves, dims, None
+        return "g2_elemwise", None, elem_root, leaves, dims, aux
     if kind in ("reduce", "reduce_local"):
         axes = tuple(terminal.axes)
         nd = terminal.array.ndim
         covered = set(dims) <= set(axes)
         disjoint = not (set(dims) & set(axes))
         if disjoint and axes:
-            return "g2_reduce_local", terminal, elem_root, leaves, dims, None
+            return "g2_reduce_local", terminal, elem_root, leaves, dims, aux
         if covered and (axes == tuple(range(nd)) or set(axes) == set(dims)):
             if terminal.kind not in _REDUCE_IDENT or terminal.kind == "prod":
                 return None  # no sign-safe cross-device prod collective
-            return "g2_reduce", terminal, elem_root, leaves, dims, None
+            return "g2_reduce", terminal, elem_root, leaves, dims, aux
         return None
     if kind in ("cumulative", "cumulative_local") and terminal.axis not in dims:
-        return "g2_cumulative_local", terminal, elem_root, leaves, dims, None
+        return "g2_cumulative_local", terminal, elem_root, leaves, dims, aux
     return None
 
 
@@ -295,11 +342,13 @@ def _plan_matmul(root):
     else:
         return None
     lhs, rhs = root.arrays
-    lhs_leaves, rhs_leaves = [], []
-    if not _walk_elem(lhs, lhs_leaves, set()):
+    lhs_leaves, rhs_leaves, consts = [], [], []
+    if not _walk_elem(lhs, lhs_leaves, set(), None, consts):
         return None
-    if not _walk_elem(rhs, rhs_leaves, set()):
+    if not _walk_elem(rhs, rhs_leaves, set(), None, consts):
         return None
+    # the two walks use separate seen sets: dedupe shared 0-d constants
+    consts = list({c._name: c for c in consts}.values())
     ok = _leaf_grid_ok(lhs_leaves)
     if ok is None:
         return None
@@ -322,7 +371,9 @@ def _plan_matmul(root):
         kind = "matmul_k"
     else:
         return None
-    return kind, root, _unwrap(lhs), lhs_leaves, d, (_unwrap(rhs), rhs_leaves, layout)
+    return kind, root, _unwrap(lhs), lhs_leaves, d, (
+        _unwrap(rhs), rhs_leaves, layout, tuple(consts),
+    )
 
 
 def _plan(root):
@@ -379,16 +430,24 @@ def _plan(root):
     else:
         elem_root = root
 
-    # walk the elemwise tree down to FromArray leaves
-    leaves = []
-    if not _walk_elem(elem_root, leaves, set()):
+    # walk the tree down to FromArray leaves, collecting INNER reductions
+    # (replicated inside the body) and 0-d host constants along the way
+    leaves, reds, consts = [], [], []
+    if not _walk_elem(elem_root, leaves, set(), reds, consts):
         return None
     ok = _leaf_grid_ok(leaves)
     if ok is None:
         # a TWO-axis chunk grid rides its own lane (flattened block grid
         # + 2-D validity mask); anything else declines
-        return _plan_grid2(kind, terminal, elem_root, leaves)
+        return _plan_grid2(kind, terminal, elem_root, leaves, reds, consts)
     grid, d = ok
+    leaf_shape = tuple(int(sum(c)) for c in grid)
+    for r in reds:
+        # an inner reduction's result must be REPLICATED (the sharded
+        # axis reduced away) and its subtree leaf-shaped, so the result
+        # broadcasts back into the outer tree with numpy's trailing rules
+        if d not in tuple(r.axes) or tuple(r.array.shape) != leaf_shape:
+            return None
 
     if kind == "reduce":
         axes = tuple(terminal.axes)
@@ -407,7 +466,7 @@ def _plan(root):
         # block-local work, no collective at all
         kind = "cumulative_local"
 
-    return kind, terminal, elem_root, leaves, d, None
+    return kind, terminal, elem_root, leaves, d, (tuple(reds), tuple(consts))
 
 
 def _eval_elem(node, env):
@@ -424,6 +483,22 @@ def _eval_elem(node, env):
     out = node.func(*args, **node._kwargs_dict)
     env[node._name] = out
     return out
+
+
+def _const_env(consts):
+    """Evaluate 0-d subtrees host-side through the regular executor
+    (re-entrant but safe: a 0-d root always declines this lane) and
+    return ``{name: jnp scalar}`` to seed evaluation environments."""
+    if not consts:
+        return {}
+    import jax.numpy as jnp
+
+    from dask_array_tpu._collection import new_collection
+
+    return {
+        node._name: jnp.asarray(np.asarray(new_collection(node).compute()))
+        for node in consts
+    }
 
 
 def try_execute_shard(root, mesh):
@@ -476,11 +551,16 @@ def try_execute_shard(root, mesh):
     n_true = sum(heights)
     out_dtype = np.dtype(_unwrap(root).dtype)
 
+    if kind in ("matmul", "matmul_k"):
+        reds, cenv = (), _const_env(aux[3])
+    else:
+        reds, cenv = aux[0], _const_env(aux[1])
+    # true elements folded per output element of each inner reduction
+    rcounts = {
+        r._name: math.prod(int(sum(grid[ax])) for ax in r.axes) for r in reds
+    }
+
     def local(fn_args, fn_sizes):
-        env = {}
-        for leaf, arr in zip(leaves, fn_args):
-            env[leaf._name] = arr
-        val = _eval_elem(elem_root, env)
         # padding validity mask: (k_loc, 1..., hmax at stacked axis d, ...1)
         mask = (
             jnp.arange(hmax, dtype=jnp.int32)[None, :]
@@ -488,11 +568,26 @@ def try_execute_shard(root, mesh):
         ).reshape(
             (fn_sizes.shape[0],) + (1,) * d + (hmax,) + (1,) * (nd - d - 1)
         )
+        env = dict(cenv)
+        for leaf, arr in zip(leaves, fn_args):
+            env[leaf._name] = arr
+        for r in reds:
+            # inner reductions reduce the sharded axis away: their
+            # REPLICATED results broadcast back into the outer tree
+            # (numpy trailing rules hold — rest axes are never padded)
+            sub = _eval_elem(_unwrap(r.array), env)
+            rv = _masked_combine(
+                sub, mask, r.kind, np.dtype(r.dtype),
+                (0,) + tuple(ax + 1 for ax in r.axes), axes,
+                rcounts[r._name],
+            )
+            env[r._name] = rv.reshape(tuple(int(s) for s in r.shape))
+        val = _eval_elem(elem_root, env)
         return val, mask
 
     if kind in ("matmul", "matmul_k"):
         rhs_root, rhs_leaves, layout = aux[0], aux[1], aux[2]
-        post = aux[3] if len(aux) == 4 else None  # composed terminal Reduction
+        post = aux[4] if len(aux) == 5 else None  # composed terminal Reduction
         lpos, rpos, rhs_vec = layout
         kwargs = dict(terminal.kwargs or ())
         from dask_array_tpu import config
@@ -531,7 +626,7 @@ def try_execute_shard(root, mesh):
         def body(fn_sizes, *fn_args):
             lhs_args = fn_args[: len(leaves)]
             val, _ = local(lhs_args, fn_sizes)
-            renv = {}
+            renv = dict(cenv)
             for leaf, arr in zip(rhs_leaves, fn_args[len(leaves):]):
                 renv[leaf._name] = arr
             rhs = _eval_elem(rhs_root, renv)
@@ -620,7 +715,7 @@ def try_execute_shard(root, mesh):
         def body(fn_sizes, *fn_args):
             lhs_args = fn_args[: len(leaves)]
             val, mask = local(lhs_args, fn_sizes)
-            renv = {}
+            renv = dict(cenv)
             for leaf, arr in zip(rhs_leaves, fn_args[len(leaves):]):
                 renv[leaf._name] = arr
             rhs = _eval_elem(rhs_root, renv)
@@ -792,7 +887,13 @@ def try_execute_shard(root, mesh):
         ENGAGED["count"] += 1
         return _unstack(stacked_out, heights, out_dtype, d)
 
-    # pure elemwise: compute stacked, reassemble
+    # elemwise terminal: a leaf-shaped root computes stacked and
+    # reassembles; a smaller root shape means the tree collapsed to
+    # inner-reduction/constant combinations — REPLICATED output (this is
+    # how x.var(), x.std() and mean-of-tree pipelines leave the lane)
+    leaf_shape = tuple(int(sum(c)) for c in grid)
+    replicated = tuple(int(s) for s in elem_root.shape) != leaf_shape
+
     def body(fn_sizes, *fn_args):
         val, _ = local(fn_args, fn_sizes)
         return val
@@ -802,12 +903,14 @@ def try_execute_shard(root, mesh):
             body,
             mesh=mesh,
             in_specs=(P(axes),) + (P(axes),) * len(dev_args),
-            out_specs=P(axes),
+            out_specs=P() if replicated else P(axes),
         )
     )
-    stacked_out = fn(dev_sizes, *dev_args)
+    out = fn(dev_sizes, *dev_args)
     ENGAGED["count"] += 1
-    return _unstack(stacked_out, heights, out_dtype, d)
+    if replicated:
+        return out.astype(out_dtype) if out.dtype != out_dtype else out
+    return _unstack(out, heights, out_dtype, d)
 
 
 def _unstack(stacked, heights, out_dtype, axis=0):
@@ -826,7 +929,7 @@ def _execute_grid2(plan, mesh, out_dtype):
     row-major onto the leading stacked axis (sharded over every mesh
     axis), each block padded to (hmax1, hmax2) along its two chunked
     axes with a 2-D validity mask."""
-    kind, terminal, elem_root, leaves, dims, _ = plan
+    kind, terminal, elem_root, leaves, dims, aux = plan
 
     import jax
     import jax.numpy as jnp
@@ -877,18 +980,33 @@ def _execute_grid2(plan, mesh, out_dtype):
     dev_s1 = jax.device_put(s1, sh)
     dev_s2 = jax.device_put(s2, sh)
 
+    reds, cenv = aux[0], _const_env(aux[1])
+    rcounts = {
+        r._name: math.prod(int(sum(grid[ax])) for ax in r.axes) for r in reds
+    }
+
     def local(fn_args, fs1, fs2):
-        env = {}
-        for leaf, arr in zip(leaves, fn_args):
-            env[leaf._name] = arr
-        val = _eval_elem(elem_root, env)
         m1 = (
             jnp.arange(hm1, dtype=jnp.int32)[None, :] < fs1[:, None]
         ).reshape((fs1.shape[0],) + (1,) * d1 + (hm1,) + (1,) * (nd - d1 - 1))
         m2 = (
             jnp.arange(hm2, dtype=jnp.int32)[None, :] < fs2[:, None]
         ).reshape((fs2.shape[0],) + (1,) * d2 + (hm2,) + (1,) * (nd - d2 - 1))
-        return val, m1 & m2
+        mask = m1 & m2
+        env = dict(cenv)
+        for leaf, arr in zip(leaves, fn_args):
+            env[leaf._name] = arr
+        for r in reds:
+            # inner reductions cover BOTH chunked axes: replicated results
+            sub = _eval_elem(_unwrap(r.array), env)
+            rv = _masked_combine(
+                sub, mask, r.kind, np.dtype(r.dtype),
+                (0,) + tuple(ax + 1 for ax in r.axes), axes,
+                rcounts[r._name],
+            )
+            env[r._name] = rv.reshape(tuple(int(s) for s in r.shape))
+        val = _eval_elem(elem_root, env)
+        return val, mask
 
     def run(body, out_spec):
         fn = jax.jit(
@@ -955,12 +1073,18 @@ def _execute_grid2(plan, mesh, out_dtype):
         out = run(body, P(axes))
         return _unstack2(out, h1, h2, out_dtype, d1, d2)
 
-    # g2_elemwise
+    # g2_elemwise: a sub-leaf-shaped root collapsed to inner-reduction/
+    # constant combinations — replicated output
+    leaf_shape = tuple(int(sum(c)) for c in grid)
+    replicated = tuple(int(s) for s in elem_root.shape) != leaf_shape
+
     def body(fs1, fs2, *fn_args):
         val, _ = local(fn_args, fs1, fs2)
         return val
 
-    out = run(body, P(axes))
+    out = run(body, P() if replicated else P(axes))
+    if replicated:
+        return out.astype(out_dtype) if out.dtype != out_dtype else out
     return _unstack2(out, h1, h2, out_dtype, d1, d2)
 
 

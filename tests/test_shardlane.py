@@ -881,3 +881,122 @@ def test_grid2_integer_minmax(mesh8):
         out = _engaged(lambda: x.min().compute())
         out2 = _engaged(lambda: x.max().compute())
     assert int(out) == src.min() and int(out2) == src.max()
+
+
+# ---- inner reductions: elemwise trees OVER reductions (var/std/norm) ----
+
+def test_var_std_in_lane(mesh8, irregular):
+    src, x = irregular
+    with use_mesh(mesh8), config.set({"tpu.execution-lane": "shard-map"}):
+        v = _engaged(lambda: x.var().compute())
+        s = _engaged(lambda: x.std().compute())
+        vd = _engaged(lambda: x.var(ddof=1).compute())
+    np.testing.assert_allclose(float(v), src.var(), rtol=1e-10)
+    np.testing.assert_allclose(float(s), src.std(), rtol=1e-10)
+    np.testing.assert_allclose(float(vd), src.var(ddof=1), rtol=1e-10)
+
+
+def test_var_over_sharded_axis(mesh8, irregular):
+    # axis=0 reduces the sharded dim away: replicated (m,) result
+    src, x = irregular
+    with use_mesh(mesh8), config.set({"tpu.execution-lane": "shard-map"}):
+        out = _engaged(lambda: x.var(axis=0).compute())
+        out2 = _engaged(lambda: x.std(axis=0).compute())
+    np.testing.assert_allclose(np.asarray(out), src.var(axis=0), rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(out2), src.std(axis=0), rtol=1e-9)
+
+
+def test_var_unsharded_axis_declines(mesh8, irregular):
+    # axis=1 keeps the sharded dim in the inner sums — out of scope
+    src, x = irregular
+    with use_mesh(mesh8), config.set({"tpu.execution-lane": "shard-map"}):
+        before = ENGAGED["count"]
+        out = x.var(axis=1).compute()
+        assert ENGAGED["count"] == before
+    np.testing.assert_allclose(np.asarray(out), src.var(axis=1), rtol=1e-9)
+
+
+def test_normalization_pipeline_one_program(mesh8, irregular):
+    # (x - mean) / std: three inner reductions broadcast back into the
+    # stacked elemwise tree — ONE lane program
+    src, x = irregular
+    with use_mesh(mesh8), config.set({"tpu.execution-lane": "shard-map"}):
+        out = _engaged(lambda: ((x - x.mean()) / x.std()).compute())
+    np.testing.assert_allclose(
+        np.asarray(out), (src - src.mean()) / src.std(), rtol=1e-9
+    )
+
+
+def test_mean_center_columns(mesh8, irregular):
+    # per-column centering: the inner mean(axis=0) result ((m,)-shaped,
+    # replicated) broadcasts onto the stacked rows
+    src, x = irregular
+    with use_mesh(mesh8), config.set({"tpu.execution-lane": "shard-map"}):
+        out = _engaged(lambda: (x - x.mean(axis=0)).compute())
+    np.testing.assert_allclose(
+        np.asarray(out), src - src.mean(axis=0), rtol=1e-9
+    )
+
+
+def test_scalar_broadcast_sum_over_tree(mesh8, irregular):
+    # terminal reduction OVER a tree with an inner reduction
+    src, x = irregular
+    with use_mesh(mesh8), config.set({"tpu.execution-lane": "shard-map"}):
+        out = _engaged(lambda: ((x - x.mean()) ** 2).sum().compute())
+    np.testing.assert_allclose(
+        float(out), ((src - src.mean()) ** 2).sum(), rtol=1e-9
+    )
+
+
+def test_nan_inner_reduction(mesh8, irregular_nan):
+    src, x = irregular_nan
+    with use_mesh(mesh8), config.set({"tpu.execution-lane": "shard-map"}):
+        out = _engaged(lambda: (x - da.nanmean(x)).compute())
+    np.testing.assert_allclose(
+        np.asarray(out), src - np.nanmean(src), rtol=1e-9
+    )
+
+
+def test_grid2_var_std(mesh8, grid2d):
+    # inner reductions on a 2-D chunk grid (both axes reduced away)
+    src, x = grid2d
+    with use_mesh(mesh8), config.set({"tpu.execution-lane": "shard-map"}):
+        v = _engaged(lambda: x.var().compute())
+        nrm = _engaged(lambda: ((x - x.mean()) / x.std()).compute())
+    np.testing.assert_allclose(float(v), src.var(), rtol=1e-10)
+    np.testing.assert_allclose(
+        np.asarray(nrm), (src - src.mean()) / src.std(), rtol=1e-9
+    )
+
+
+def test_grid2_inner_red_partial_axes_declines(mesh8, grid2d):
+    # an inner reduction covering only ONE chunked axis declines
+    src, x = grid2d
+    with use_mesh(mesh8), config.set({"tpu.execution-lane": "shard-map"}):
+        before = ENGAGED["count"]
+        out = (x - x.mean(axis=0)).compute()
+        assert ENGAGED["count"] == before
+    np.testing.assert_allclose(
+        np.asarray(out), src - src.mean(axis=0), rtol=1e-9
+    )
+
+
+def test_inner_red_integer_data(mesh8):
+    heights = (7, 3, 11, 5)
+    rng = np.random.default_rng(91)
+    src = rng.integers(-100, 100, size=(sum(heights), 4)).astype(np.int32)
+    x = da.from_array(src, chunks=(heights, 4))
+    with use_mesh(mesh8), config.set({"tpu.execution-lane": "shard-map"}):
+        out = _engaged(lambda: (x - x.min()).compute())
+    np.testing.assert_array_equal(np.asarray(out), src - src.min())
+
+
+def test_matvec_with_const_scale(mesh8, irregular):
+    # a 0-d subtree (x[0, 0]) rides the matmul operands as a host const
+    src, x = irregular
+    w = np.random.default_rng(92).standard_normal((6, 3))
+    with use_mesh(mesh8), config.set({"tpu.execution-lane": "shard-map"}):
+        out = _engaged(lambda: ((x * x[0, 0]) @ w).compute())
+    np.testing.assert_allclose(
+        np.asarray(out), (src * src[0, 0]) @ w, rtol=1e-9
+    )
