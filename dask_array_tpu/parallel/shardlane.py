@@ -65,6 +65,9 @@ _REDUCE_IDENT = {
     "nanmean": 0.0,
     "nanmin": np.inf,
     "nanmax": -np.inf,
+    # truth reductions: padding fills falsy/truthy, combine is pmax/pmin
+    "any": False,
+    "all": True,
 }
 
 #: kinds the lane can execute at all (nanprod joins only block-locally)
@@ -108,6 +111,14 @@ def _masked_combine(val, mask, rkind, acc_dtype, red_axes, mesh_axes, count):
     nan_kind = rkind.startswith("nan") and np.dtype(val.dtype).kind in "fc"
     base = rkind[3:] if rkind.startswith("nan") else rkind
     acc_kw = {"dtype": acc_dtype} if acc_dtype.kind in "fc" else {}
+    if base in ("any", "all"):
+        # padding fills falsy (any) / truthy (all); the tiny bool partials
+        # combine with pmax/pmin over an int32 cast
+        fill = jnp.asarray(base == "all").astype(val.dtype)
+        v = jnp.where(mask, val, fill)
+        part = (jnp.any if base == "any" else jnp.all)(v, axis=red_axes)
+        comb = jax.lax.pmax if base == "any" else jax.lax.pmin
+        return comb(part.astype(jnp.int32), mesh_axes).astype(bool)
     if base in ("sum", "mean"):
         zero = jnp.zeros((), val.dtype)
         if nan_kind:
@@ -145,6 +156,7 @@ def _local_reduce(val, rkind, acc_dtype, red_axes, count):
 
     op = {"sum": jnp.sum, "mean": jnp.sum, "prod": jnp.prod,
           "min": jnp.min, "max": jnp.max,
+          "any": jnp.any, "all": jnp.all,
           "nansum": jnp.nansum, "nanmean": jnp.nanmean,
           "nanprod": jnp.nanprod,
           "nanmin": jnp.nanmin, "nanmax": jnp.nanmax}[rkind]
@@ -387,7 +399,11 @@ def _plan(root):
     leaves).
     """
     from dask_array_tpu.ops.linalg import Einsum
-    from dask_array_tpu.ops.reductions import CumReduction, Reduction
+    from dask_array_tpu.ops.reductions import (
+        ArgReduction,
+        CumReduction,
+        Reduction,
+    )
 
     root = _unwrap(root)
     terminal = None
@@ -407,11 +423,13 @@ def _plan(root):
             if mm is None:
                 return None
             if mm[0] == "matmul_k":
+                if root.kind in ("any", "all"):
+                    return None  # truth kinds stay off the GEMM compose
                 # the GEMM output is replicated post-psum: ANY lane
                 # reduce (nan kinds and prod included) applies locally
                 return "matmul_k", inner, mm[2], mm[3], mm[4], mm[5] + (root,)
-            if root.kind.startswith("nan"):
-                return None  # composed GEMM reduces stay plain-kind
+            if root.kind not in ("sum", "mean", "prod", "min", "max"):
+                return None  # composed GEMM reduces stay plain numeric kinds
             axes = tuple(root.axes)
             nd = root.array.ndim
             if 0 in axes:
@@ -426,6 +444,19 @@ def _plan(root):
         if root.kind not in ("cumsum", "cumprod"):
             return None
         terminal, kind = root, "cumulative"
+        elem_root = _unwrap(root.array)
+    elif isinstance(root, ArgReduction):
+        # first-occurrence semantics via a global-index vote (nanarg
+        # kinds stay out: their all-NaN raise happens at host fetch,
+        # which this lane's direct result would bypass); complex dtypes
+        # have no jnp extremum compare
+        if (
+            root.keepdims
+            or root.kind not in ("argmin", "argmax")
+            or np.dtype(root.array.dtype).kind == "c"
+        ):
+            return None
+        terminal, kind = root, "argreduce"
         elem_root = _unwrap(root.array)
     else:
         elem_root = root
@@ -465,6 +496,9 @@ def _plan(root):
         # an unsharded scan axis never crosses a block boundary: pure
         # block-local work, no collective at all
         kind = "cumulative_local"
+    elif kind == "argreduce" and terminal.axis is not None and terminal.axis != d:
+        # indices along an unsharded axis are block-local positions
+        kind = "argreduce_local"
 
     return kind, terminal, elem_root, leaves, d, (tuple(reds), tuple(consts))
 
@@ -886,6 +920,103 @@ def try_execute_shard(root, mesh):
         stacked_out = fn(dev_sizes, *dev_args)
         ENGAGED["count"] += 1
         return _unstack(stacked_out, heights, out_dtype, d)
+
+    if kind == "argreduce_local":
+        arg_ax = terminal.axis + 1
+
+        def body(fn_sizes, *fn_args):
+            val, _ = local(fn_args, fn_sizes)
+            return (
+                jnp.argmin if terminal.kind == "argmin" else jnp.argmax
+            )(val, axis=arg_ax)
+
+        fn = jax.jit(
+            jax.shard_map(
+                body,
+                mesh=mesh,
+                in_specs=(P(axes),) + (P(axes),) * len(dev_args),
+                out_specs=P(axes),
+            )
+        )
+        stacked_out = fn(dev_sizes, *dev_args)
+        ENGAGED["count"] += 1
+        out_d = d - (1 if terminal.axis < d else 0)
+        return _unstack(stacked_out, heights, out_dtype, out_d)
+
+    if kind == "argreduce":
+        # arg-extremum over the sharded axis (or full flatten): devices
+        # vote with the GLOBAL index of their first local extremum —
+        # exact numpy first-occurrence semantics without relying on
+        # collective NaN propagation (a valid NaN anywhere wins, as in
+        # numpy's plain arg-reductions)
+        is_min = terminal.kind == "argmin"
+        full = terminal.axis is None
+        offsets = np.zeros((kpad,), np.int64)
+        if k:
+            offsets[:k] = np.concatenate([[0], np.cumsum(heights[:-1])])
+        dev_offsets = jax.device_put(offsets, sh)
+        if full:
+            true_shape = tuple(int(sum(c)) for c in grid)
+            strides = np.ones(nd, np.int64)
+            for i in range(nd - 2, -1, -1):
+                strides[i] = strides[i + 1] * true_shape[i + 1]
+            n_out = int(np.prod(true_shape))
+        else:
+            n_out = n_true
+        red_axes = None if full else (0, d + 1)
+
+        def body(fn_sizes, fn_offsets, *fn_args):
+            val, mask = local(fn_args, fn_sizes)
+            fdt = np.dtype(val.dtype)
+            if fdt.kind == "b":
+                val = val.astype(jnp.int32)
+                fdt = np.dtype(np.int32)
+            ident = jnp.asarray(
+                _reduce_ident("min" if is_min else "max", fdt), val.dtype
+            )
+            v = jnp.where(mask, val, ident)
+            local_ext = (jnp.min if is_min else jnp.max)(v, axis=red_axes)
+            glob_ext = (jax.lax.pmin if is_min else jax.lax.pmax)(
+                local_ext, axes
+            )
+            row_idx = fn_offsets[:, None] + jnp.arange(hmax, dtype=jnp.int64)
+            row_map = row_idx.reshape(
+                (row_idx.shape[0],) + (1,) * d + (hmax,) + (1,) * (nd - d - 1)
+            )
+            if full:
+                idx_map = row_map * int(strides[d])
+                for axx in range(nd):
+                    if axx == d:
+                        continue
+                    idx_map = idx_map + (
+                        jnp.arange(block_shape[axx], dtype=jnp.int64) * int(strides[axx])
+                    ).reshape((1,) + (1,) * axx + (block_shape[axx],) + (1,) * (nd - axx - 1))
+            else:
+                idx_map = row_map
+            geb = glob_ext if full else jnp.expand_dims(glob_ext, (0, d + 1))
+            eq = (v == geb) & mask
+            if fdt.kind in "fc":
+                nan_mask = jnp.isnan(v) & mask
+                has_nan = jax.lax.pmax(
+                    jnp.any(nan_mask, axis=red_axes).astype(jnp.int32), axes
+                )
+                hn = has_nan if full else jnp.expand_dims(has_nan, (0, d + 1))
+                eq = jnp.where(hn.astype(bool), nan_mask, eq)
+            big = jnp.asarray(n_out, jnp.int64)
+            cand = jnp.min(jnp.where(eq, idx_map, big), axis=red_axes)
+            return jax.lax.pmin(cand, axes)
+
+        fn = jax.jit(
+            jax.shard_map(
+                body,
+                mesh=mesh,
+                in_specs=(P(axes), P(axes)) + (P(axes),) * len(dev_args),
+                out_specs=P(),
+            )
+        )
+        out = fn(dev_sizes, dev_offsets, *dev_args)
+        ENGAGED["count"] += 1
+        return out.astype(out_dtype) if out.dtype != out_dtype else out
 
     # elemwise terminal: a leaf-shaped root computes stacked and
     # reassembles; a smaller root shape means the tree collapsed to

@@ -1000,3 +1000,92 @@ def test_matvec_with_const_scale(mesh8, irregular):
     np.testing.assert_allclose(
         np.asarray(out), (src * src[0, 0]) @ w, rtol=1e-9
     )
+
+
+# ---- any/all and arg reductions ----
+
+def test_any_all_in_lane(mesh8, irregular):
+    src, x = irregular
+    with use_mesh(mesh8), config.set({"tpu.execution-lane": "shard-map"}):
+        a1 = _engaged(lambda: (x > 3).any().compute())
+        a2 = _engaged(lambda: (x < 3).all().compute())
+        a3 = _engaged(lambda: (x > 2).any(axis=0).compute())
+        a4 = _engaged(lambda: (x < 3).all(axis=1).compute())
+    assert bool(a1) == (src > 3).any()
+    assert bool(a2) == (src < 3).all()
+    np.testing.assert_array_equal(np.asarray(a3), (src > 2).any(axis=0))
+    np.testing.assert_array_equal(np.asarray(a4), (src < 3).all(axis=1))
+
+
+def test_grid2_any_all(mesh8, grid2d):
+    src, x = grid2d
+    with use_mesh(mesh8), config.set({"tpu.execution-lane": "shard-map"}):
+        a1 = _engaged(lambda: (x > 2.5).any().compute())
+        a2 = _engaged(lambda: (da.absolute(x) < 10).all().compute())
+    assert bool(a1) == (src > 2.5).any()
+    assert bool(a2) == (np.abs(src) < 10).all()
+
+
+@pytest.mark.parametrize("kind,axis", [
+    ("argmax", 0), ("argmin", 0), ("argmax", None), ("argmin", None),
+    ("argmax", 1), ("argmin", 1),
+])
+def test_arg_reductions_in_lane(mesh8, irregular, kind, axis):
+    src, x = irregular
+    with use_mesh(mesh8), config.set({"tpu.execution-lane": "shard-map"}):
+        out = _engaged(lambda: getattr(x, kind)(axis=axis).compute())
+    np.testing.assert_array_equal(
+        np.asarray(out), getattr(np, kind)(src, axis=axis)
+    )
+
+
+def test_arg_reduction_nan_wins(mesh8):
+    # numpy's PLAIN arg-reductions treat NaN as the extremum: the first
+    # valid NaN's GLOBAL index wins the vote, whatever device holds it
+    src = np.random.default_rng(95).standard_normal((sum(_HEIGHTS), 6))
+    src[40, 2] = np.nan
+    src[90, 2] = np.nan
+    x = da.from_array(src, chunks=(_HEIGHTS, 6))
+    with use_mesh(mesh8), config.set({"tpu.execution-lane": "shard-map"}):
+        out = _engaged(lambda: x.argmax(axis=0).compute())
+        out2 = _engaged(lambda: x.argmin().compute())
+    np.testing.assert_array_equal(np.asarray(out), src.argmax(axis=0))
+    assert int(out2) == src.argmin()
+
+
+def test_arg_reduction_tie_first_occurrence(mesh8):
+    # ties resolve to the FIRST occurrence in global order even when the
+    # later tie lives on an earlier device slot
+    src = np.zeros((sum(_HEIGHTS), 6))
+    src[77, 3] = 5.0
+    src[30, 3] = 5.0
+    x = da.from_array(src, chunks=(_HEIGHTS, 6))
+    with use_mesh(mesh8), config.set({"tpu.execution-lane": "shard-map"}):
+        out = _engaged(lambda: x.argmax().compute())
+        out2 = _engaged(lambda: x.argmax(axis=0).compute())
+    assert int(out) == src.argmax()
+    np.testing.assert_array_equal(np.asarray(out2), src.argmax(axis=0))
+
+
+def test_arg_reduction_bool_and_int(mesh8):
+    rng = np.random.default_rng(96)
+    srcb = rng.standard_normal((sum(_HEIGHTS), 4)) > 0.5
+    srci = rng.integers(-100, 100, size=(sum(_HEIGHTS), 4)).astype(np.int32)
+    xb = da.from_array(srcb, chunks=(_HEIGHTS, 4))
+    xi = da.from_array(srci, chunks=(_HEIGHTS, 4))
+    with use_mesh(mesh8), config.set({"tpu.execution-lane": "shard-map"}):
+        ob = _engaged(lambda: xb.argmax(axis=0).compute())
+        oi = _engaged(lambda: xi.argmin(axis=0).compute())
+    np.testing.assert_array_equal(np.asarray(ob), srcb.argmax(axis=0))
+    np.testing.assert_array_equal(np.asarray(oi), srci.argmin(axis=0))
+
+
+def test_nanarg_declines(mesh8, irregular):
+    # nanarg kinds stay out: their all-NaN raise happens at host fetch,
+    # which the lane's direct result would bypass
+    src, x = irregular
+    with use_mesh(mesh8), config.set({"tpu.execution-lane": "shard-map"}):
+        before = ENGAGED["count"]
+        out = da.nanargmax(x, axis=0).compute()
+        assert ENGAGED["count"] == before
+    np.testing.assert_array_equal(np.asarray(out), np.nanargmax(src, axis=0))
