@@ -445,6 +445,11 @@ def _plan(root):
             return None
         terminal, kind = root, "cumulative"
         elem_root = _unwrap(root.array)
+    elif type(root).__name__ == "TrimInternal":
+        plan = _plan_stencil(root)
+        if plan is not None:
+            return plan
+        return None
     elif isinstance(root, ArgReduction):
         # first-occurrence semantics via a global-index vote (nanarg
         # kinds stay out: their all-NaN raise happens at host fetch,
