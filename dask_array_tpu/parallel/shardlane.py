@@ -20,12 +20,17 @@ owns whole blocks and runs per-block logic:
     ``ndev * rest`` elements, not the array
     (reference: ``CumReductionBlelloch``,
     ``/root/reference/dask_array/reductions/_cumulative.py:267``),
-  * 2-D matmul/matvec terminals run on the MXU in one of two forms:
+  * 2-D matmul/matvec terminals run on the MXU in one of three forms:
     free (row) axis chunked — the rhs replicates whole and the compiled
-    HLO holds NO collective; or CONTRACTION axis chunked (the classic
+    HLO holds NO collective; CONTRACTION axis chunked (the classic
     tensor-parallel split) — both operands restack along the shared
     contraction profile, each device contracts its own blocks, and the
-    partials combine with exactly ONE ``psum``.
+    partials combine with exactly ONE ``psum``; or COLUMN-parallel — a
+    single-block lhs against a rhs chunked along its free axis swaps
+    operand roles, so the weights shard by columns, the lhs replicates,
+    and the HLO again holds no collective (the Megatron column split).
+    A rhs chunked along its contraction axis swaps into matmul_k the
+    same way.
 
 Engage with config ``tpu.execution-lane = "shard-map"`` (default
 ``"auto"`` keeps the GSPMD lane).  Scope (a prototype, declines
@@ -253,10 +258,9 @@ def _plan_grid2(kind, terminal, elem_root, leaves, reds=(), consts=()):
     """The 2-D-chunk-grid lane: blocks of a two-axis grid flatten
     row-major onto the sharded block axis with a 2-D validity mask.
     Scope: elemwise; reductions over BOTH chunked axes (with or without
-    the rest — one collective) or over NEITHER (block-local); cumulative
-    scans along unchunked axes.  A reduction straddling exactly one
-    chunked axis would need grid-patterned cross-device combines —
-    GSPMD answers."""
+    the rest — one collective), over NEITHER (block-local), or
+    STRADDLING exactly one chunked axis (grouped one-hot combine + one
+    output-sized collective); cumulative scans along unchunked axes."""
     ok = _leaf_grid_ok2(leaves)
     if ok is None:
         return None
@@ -281,6 +285,20 @@ def _plan_grid2(kind, terminal, elem_root, leaves, reds=(), consts=()):
             if terminal.kind not in _REDUCE_IDENT or terminal.kind == "prod":
                 return None  # no sign-safe cross-device prod collective
             return "g2_reduce", terminal, elem_root, leaves, dims, aux
+        if len(set(dims) & set(axes)) == 1:
+            # STRADDLING reduce: exactly one chunked axis folds away while
+            # the other survives — devices combine grid-patterned partials
+            # by a one-hot grouped reduce + ONE collective of output size
+            rk = terminal.kind
+            base = rk[3:] if rk.startswith("nan") else rk
+            dt = np.dtype(terminal.array.dtype)
+            if rk not in _REDUCE_IDENT or base == "prod":
+                return None  # no sign-safe cross-device prod collective
+            if rk in ("nanmin", "nanmax") and dt.kind in "fc":
+                return None  # grouped NaN-restoration vote not built
+            if base in ("min", "max") and dt.kind == "c":
+                return None  # no jnp extremum compare on complex
+            return "g2_reduce_straddle", terminal, elem_root, leaves, dims, aux
         return None
     if kind in ("cumulative", "cumulative_local") and terminal.axis not in dims:
         return "g2_cumulative_local", terminal, elem_root, leaves, dims, aux
@@ -361,6 +379,26 @@ def _plan_matmul(root):
         return None
     # the two walks use separate seen sets: dedupe shared 0-d constants
     consts = list({c._name: c for c in consts}.values())
+    swapped = False
+    if not rhs_vec and lhs_leaves and rhs_leaves:
+        rgrid0 = rhs_leaves[0].chunks
+        lhs_unchunked = all(
+            len(c) == 1 for l in lhs_leaves for c in l.chunks
+        )
+        rhs_one_chunked = sum(len(c) != 1 for c in rgrid0) == 1 and all(
+            l.chunks == rgrid0 for l in rhs_leaves
+        )
+        if lhs_unchunked and rhs_one_chunked:
+            # the CHUNKED operand drives the lane: a single-block lhs
+            # against a chunked matrix rhs swaps roles, so the rhs's free
+            # axis becomes the COLUMN-parallel split (weights sharded by
+            # columns, lhs replicated, zero collectives, output chunked
+            # along columns — the classic Megatron column split) and its
+            # contraction axis becomes the tensor-parallel matmul_k
+            lhs, rhs = rhs, lhs
+            lhs_leaves, rhs_leaves = rhs_leaves, lhs_leaves
+            lpos, rpos = rpos, lpos
+            swapped = True
     ok = _leaf_grid_ok(lhs_leaves)
     if ok is None:
         return None
@@ -374,7 +412,7 @@ def _plan_matmul(root):
         return None
     if any(isinstance(l.source, np.ma.MaskedArray) for l in rhs_leaves):
         return None
-    layout = (lpos, rpos, rhs_vec)
+    layout = (lpos, rpos, rhs_vec, swapped)
     if d == 1 - lpos:
         # free axis chunked: rows lane, rhs replicated whole
         kind = "matmul"
@@ -428,6 +466,11 @@ def _plan(root):
                 # the GEMM output is replicated post-psum: ANY lane
                 # reduce (nan kinds and prod included) applies locally
                 return "matmul_k", inner, mm[2], mm[3], mm[4], mm[5] + (root,)
+            if mm[5][2][3]:
+                # swapped (column-parallel) rows lane: the sharded output
+                # axis is 1 and the compose logic below assumes rows —
+                # GSPMD answers the composed form
+                return None
             if root.kind not in ("sum", "mean", "prod", "min", "max"):
                 return None  # composed GEMM reduces stay plain numeric kinds
             axes = tuple(root.axes)
@@ -627,7 +670,7 @@ def try_execute_shard(root, mesh):
     if kind in ("matmul", "matmul_k"):
         rhs_root, rhs_leaves, layout = aux[0], aux[1], aux[2]
         post = aux[4] if len(aux) == 5 else None  # composed terminal Reduction
-        lpos, rpos, rhs_vec = layout
+        lpos, rpos, rhs_vec, swapped = layout
         kwargs = dict(terminal.kwargs or ())
         from dask_array_tpu import config
 
@@ -652,7 +695,11 @@ def try_execute_shard(root, mesh):
         if rhs_vec:
             spec = f"{lhs_spec},j->bh"
         else:
-            spec = f"{lhs_spec},{'jk' if rpos == 0 else 'kj'}->bhk"
+            # swapped (column-parallel): per-device blocks keep the TRUE
+            # output orientation (rows, col-block) so unstacking only
+            # concatenates along the column axis
+            out_lab = "bkh" if swapped else "bhk"
+            spec = f"{lhs_spec},{'jk' if rpos == 0 else 'kj'}->{out_lab}"
         if post is not None:
             p_axes = tuple(post.axes)
             p_nd = post.array.ndim
@@ -716,7 +763,7 @@ def try_execute_shard(root, mesh):
         out = fn(dev_sizes, *dev_args, *rhs_args)
         ENGAGED["count"] += 1
         if out_sharded:
-            return _unstack(out, heights, out_dtype)
+            return _unstack(out, heights, out_dtype, 1 if swapped else 0)
         return out.astype(out_dtype) if out.dtype != out_dtype else out
 
     if kind == "matmul_k":
@@ -749,7 +796,11 @@ def try_execute_shard(root, mesh):
             rhs_stacked.append(buf)
         rhs_args = [jax.device_put(b, sh) for b in rhs_stacked]
         rhs_spec = "b" + ("j" if rhs_vec else ("jk" if rpos == 0 else "kj"))
-        spec = f"{lhs_spec},{rhs_spec}->" + ("h" if rhs_vec else "hk")
+        # swapped (rhs-driven contraction split) emits the TRUE output
+        # orientation directly — the replicated result needs no transpose
+        spec = f"{lhs_spec},{rhs_spec}->" + (
+            "h" if rhs_vec else ("kh" if swapped else "hk")
+        )
 
         def body(fn_sizes, *fn_args):
             lhs_args = fn_args[: len(leaves)]
@@ -1175,6 +1226,76 @@ def _execute_grid2(plan, mesh, out_dtype):
 
         out = run(body, P())
         return out.astype(out_dtype) if out.dtype != out_dtype else out
+
+    if kind == "g2_reduce_straddle":
+        # reduce over exactly ONE chunked axis (plus any unchunked axes):
+        # block partials are grouped by their KEPT-axis block index with a
+        # one-hot reduce (blocks of other groups contribute the identity),
+        # then ONE collective of output size combines across devices.
+        # The kept axis stays padded per block and trims at unstack.
+        rkind = terminal.kind
+        acc_dtype = np.dtype(terminal.dtype)
+        axes_r = tuple(terminal.axes)
+        dr = d1 if d1 in axes_r else d2  # the reduced-away chunked axis
+        dk = d2 if dr == d1 else d1      # the surviving chunked axis
+        kk, h_keep = (k1, h1) if dk == d1 else (k2, h2)
+        red_axes = tuple(ax + 1 for ax in axes_r)
+        count = math.prod(int(sum(grid[ax])) for ax in axes_r)
+        nan_kind = rkind.startswith("nan") and np.dtype(
+            terminal.array.dtype
+        ).kind in "fc"
+        base = rkind[3:] if rkind.startswith("nan") else rkind
+        blk = kpad // ndev
+        # dk's position among the surviving within-block axes
+        a_keep = dk - sum(1 for ax in axes_r if ax < dk)
+
+        def body(fs1, fs2, *fn_args):
+            val, mask = local(fn_args, fs1, fs2)
+            me = jax.lax.axis_index(axes)
+            gid = me * blk + jnp.arange(blk, dtype=jnp.int32)
+            slot = gid // k2 if dk == d1 else gid % k2
+            onehot = slot[:, None] == jnp.arange(kk, dtype=jnp.int32)[None, :]
+
+            def group(part, ident, op):
+                oh = onehot.reshape(onehot.shape + (1,) * (part.ndim - 1))
+                return op(jnp.where(oh, part[:, None], ident), axis=0)
+
+            if base in ("any", "all"):
+                fill = jnp.asarray(base == "all").astype(val.dtype)
+                v = jnp.where(mask, val, fill)
+                op = jnp.any if base == "any" else jnp.all
+                part = op(v, axis=red_axes)
+                loc = group(part, base == "all", op)
+                comb = jax.lax.pmax if base == "any" else jax.lax.pmin
+                return comb(loc.astype(jnp.int32), axes).astype(bool)
+            acc_kw = {"dtype": acc_dtype} if (
+                base in ("sum", "mean") and acc_dtype.kind in "fc"
+            ) else {}
+            if base in ("sum", "mean"):
+                zero = jnp.zeros((), val.dtype)
+                real = mask & ~jnp.isnan(val) if nan_kind else mask
+                part = jnp.sum(
+                    jnp.where(real, val, zero), axis=red_axes, **acc_kw
+                )
+                loc = group(part, jnp.zeros((), part.dtype), jnp.sum)
+                tot = jax.lax.psum(loc, axes)
+                if rkind == "nanmean" and nan_kind:
+                    cnt_p = jnp.sum(real, axis=red_axes, dtype=jnp.int32)
+                    cnt = jax.lax.psum(group(cnt_p, 0, jnp.sum), axes)
+                    tot = tot / cnt.astype(tot.dtype)
+                elif base == "mean":
+                    tot = tot / jnp.asarray(count, tot.dtype)
+                return tot
+            ident = jnp.asarray(
+                _reduce_ident(base, np.dtype(val.dtype)), val.dtype
+            )
+            op = jnp.min if base == "min" else jnp.max
+            part = op(jnp.where(mask, val, ident), axis=red_axes)
+            loc = group(part, ident, op)
+            return (jax.lax.pmin if base == "min" else jax.lax.pmax)(loc, axes)
+
+        out = run(body, P())
+        return _unstack(out, h_keep, out_dtype, a_keep)
 
     if kind == "g2_reduce_local":
         rkind = terminal.kind

@@ -748,6 +748,142 @@ def test_matmul_k_both_axes_chunked_declines(mesh8):
     np.testing.assert_allclose(np.asarray(out), src @ w, rtol=1e-10)
 
 
+# ---- column-parallel matmul (rhs free axis chunked, lhs replicated) ----
+
+_WCOLS = (7, 11, 3, 5, 8, 2, 1)  # irregular column blocks (sum 37)
+
+
+def test_matmul_cols_values(mesh8):
+    # the Megatron column split: weights sharded by columns, the
+    # single-block lhs replicated, per-device MXU GEMMs, ZERO collectives;
+    # output chunked along columns
+    rng = np.random.default_rng(90)
+    src = rng.standard_normal((12, 6))
+    wsrc = rng.standard_normal((6, sum(_WCOLS)))
+    x = da.from_array(src)
+    w = da.from_array(wsrc, chunks=(6, _WCOLS))
+    with use_mesh(mesh8), config.set({"tpu.execution-lane": "shard-map"}):
+        out = _engaged(lambda: (x @ w).compute())
+    np.testing.assert_allclose(np.asarray(out), src @ wsrc, rtol=1e-10)
+
+
+def test_matmul_cols_transposed_rhs(mesh8):
+    # 'ij,kj->ik' with the rhs chunked along its FREE axis 0
+    rng = np.random.default_rng(91)
+    src = rng.standard_normal((12, 6))
+    wsrc = rng.standard_normal((sum(_WCOLS), 6))
+    x = da.from_array(src)
+    w = da.from_array(wsrc, chunks=(_WCOLS, 6))
+    with use_mesh(mesh8), config.set({"tpu.execution-lane": "shard-map"}):
+        out = _engaged(
+            lambda: da.tensordot(x, w, axes=((1,), (1,))).compute()
+        )
+    np.testing.assert_allclose(np.asarray(out), src @ wsrc.T, rtol=1e-10)
+
+
+def test_matmul_cols_elemwise_both_sides(mesh8):
+    rng = np.random.default_rng(92)
+    src = rng.standard_normal((12, 6))
+    wsrc = rng.standard_normal((6, sum(_WCOLS)))
+    x = da.from_array(src)
+    w = da.from_array(wsrc, chunks=(6, _WCOLS))
+    with use_mesh(mesh8), config.set({"tpu.execution-lane": "shard-map"}):
+        out = _engaged(lambda: ((x * 2 + 1) @ (w - 0.5)).compute())
+    np.testing.assert_allclose(
+        np.asarray(out), (src * 2 + 1) @ (wsrc - 0.5), rtol=1e-10
+    )
+
+
+def test_matmul_k_rhs_contraction_chunked(mesh8):
+    # single-block lhs against a rhs chunked along the CONTRACTION axis:
+    # the swap turns it into the tensor-parallel matmul_k (one psum)
+    rng = np.random.default_rng(93)
+    src = rng.standard_normal((12, 6))
+    wsrc = rng.standard_normal((6, 9))
+    x = da.from_array(src)
+    w = da.from_array(wsrc, chunks=((2, 3, 1), 9))
+    with use_mesh(mesh8), config.set({"tpu.execution-lane": "shard-map"}):
+        out = _engaged(lambda: (x @ w).compute())
+    np.testing.assert_allclose(np.asarray(out), src @ wsrc, rtol=1e-10)
+
+
+def test_matmul_k_rhs_chunked_then_reduction(mesh8):
+    # the swapped matmul_k output is replicated in TRUE orientation, so
+    # composed reductions still apply locally
+    rng = np.random.default_rng(94)
+    src = rng.standard_normal((12, 6))
+    wsrc = rng.standard_normal((6, 9))
+    x = da.from_array(src)
+    w = da.from_array(wsrc, chunks=((2, 3, 1), 9))
+    with use_mesh(mesh8), config.set({"tpu.execution-lane": "shard-map"}):
+        out = _engaged(lambda: (x @ w).sum(axis=1).compute())
+    np.testing.assert_allclose(
+        np.asarray(out), (src @ wsrc).sum(axis=1), rtol=1e-10
+    )
+
+
+def test_matmul_cols_composed_reduction_declines(mesh8):
+    # the compose logic assumes a row-sharded output; the column split
+    # declines it and GSPMD answers
+    rng = np.random.default_rng(95)
+    src = rng.standard_normal((12, 6))
+    wsrc = rng.standard_normal((6, sum(_WCOLS)))
+    x = da.from_array(src)
+    w = da.from_array(wsrc, chunks=(6, _WCOLS))
+    with use_mesh(mesh8), config.set({"tpu.execution-lane": "shard-map"}):
+        before = ENGAGED["count"]
+        out = (x @ w).sum(axis=0).compute()
+        assert ENGAGED["count"] == before
+    np.testing.assert_allclose(
+        np.asarray(out), (src @ wsrc).sum(axis=0), rtol=1e-10
+    )
+
+
+def test_matmul_cols_on_2d_mesh(mesh2x4):
+    rng = np.random.default_rng(96)
+    src = rng.standard_normal((12, 6))
+    wsrc = rng.standard_normal((6, sum(_WCOLS)))
+    x = da.from_array(src)
+    w = da.from_array(wsrc, chunks=(6, _WCOLS))
+    with use_mesh(mesh2x4), config.set({"tpu.execution-lane": "shard-map"}):
+        out = _engaged(lambda: (x @ w).compute())
+    np.testing.assert_allclose(np.asarray(out), src @ wsrc, rtol=1e-10)
+
+
+def test_matmul_cols_hlo_has_no_collective(mesh8):
+    # like the rows lane, the column split is collective-free: each
+    # device holds its own column blocks and the whole replicated lhs
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    cols = _WCOLS
+    cmax = max(cols)
+    kpad = 8
+    rng = np.random.default_rng(97)
+    src = rng.standard_normal((12, 6))
+    wsrc = rng.standard_normal((6, sum(cols)))
+    buf = np.zeros((kpad, 6, cmax), dtype=wsrc.dtype)
+    pos = 0
+    for i, c in enumerate(cols):
+        buf[i, :, :c] = wsrc[:, pos:pos + c]
+        pos += c
+
+    def body(w, l):
+        return jnp.einsum("bjh,kj->bkh", w, l, precision="highest")
+
+    fn = jax.jit(jax.shard_map(
+        body, mesh=mesh8, in_specs=(P("d"), P()), out_specs=P("d")
+    ))
+    args = (
+        jax.device_put(buf, NamedSharding(mesh8, P("d"))),
+        jax.device_put(src, NamedSharding(mesh8, P())),
+    )
+    hlo = fn.lower(*args).compile().as_text()
+    for coll in ("all-gather", "all-reduce", "all-to-all", "collective-permute"):
+        assert coll not in hlo, coll
+
+
 # ---- 2-D chunk grids (flattened block grid + 2-D validity mask) ----
 
 _H2A = (9, 4, 13, 6)   # irregular rows (sum 32)
@@ -831,15 +967,104 @@ def test_grid2_local_cumsum_3d(mesh8):
     np.testing.assert_allclose(np.asarray(out), np.cumsum(src, axis=1), rtol=1e-10)
 
 
-def test_grid2_straddling_reduction_declines(mesh8, grid2d):
-    # reducing over exactly ONE chunked axis needs grid-patterned
-    # cross-device combines — out of scope, GSPMD answers
+@pytest.mark.parametrize("red", ["sum", "mean", "min", "max"])
+@pytest.mark.parametrize("axis", [0, 1])
+def test_grid2_straddling_reduction(mesh8, grid2d, red, axis):
+    # reducing over exactly ONE chunked axis: block partials group by
+    # their kept-axis block index (one-hot reduce) and combine with ONE
+    # collective of output size — no all-gather of the data
+    src, x = grid2d
+    with use_mesh(mesh8), config.set({"tpu.execution-lane": "shard-map"}):
+        out = _engaged(lambda: getattr(x, red)(axis=axis).compute())
+    want = getattr(np, red)(src, axis=axis)
+    np.testing.assert_allclose(np.asarray(out), want, rtol=1e-10)
+
+
+def test_grid2_straddle_elemwise_tree(mesh8, grid2d):
+    src, x = grid2d
+    with use_mesh(mesh8), config.set({"tpu.execution-lane": "shard-map"}):
+        out = _engaged(lambda: (x * 2 + 1).sum(axis=1).compute())
+    np.testing.assert_allclose(
+        np.asarray(out), (src * 2 + 1).sum(axis=1), rtol=1e-10
+    )
+
+
+@pytest.mark.parametrize("red", ["nansum", "nanmean"])
+@pytest.mark.parametrize("axis", [0, 1])
+def test_grid2_straddle_nan_kinds(mesh8, red, axis):
+    src = np.random.default_rng(83).standard_normal((sum(_H2A), sum(_H2B)))
+    src[::5, ::3] = np.nan
+    x = da.from_array(src, chunks=(_H2A, _H2B))
+    with use_mesh(mesh8), config.set({"tpu.execution-lane": "shard-map"}):
+        out = _engaged(lambda: getattr(da, red)(x, axis=axis).compute())
+    want = getattr(np, red)(src, axis=axis)
+    np.testing.assert_allclose(np.asarray(out), want, rtol=1e-10)
+
+
+def test_grid2_straddle_nanmin_float_declines(mesh8):
+    # the grouped NaN-restoration vote is not built: nanmin/nanmax on
+    # float data decline this sub-lane (values still correct via GSPMD)
+    src = np.random.default_rng(84).standard_normal((sum(_H2A), sum(_H2B)))
+    src[::7, ::2] = np.nan
+    x = da.from_array(src, chunks=(_H2A, _H2B))
+    with use_mesh(mesh8), config.set({"tpu.execution-lane": "shard-map"}):
+        before = ENGAGED["count"]
+        out = da.nanmin(x, axis=0).compute()
+        assert ENGAGED["count"] == before
+    np.testing.assert_allclose(np.asarray(out), np.nanmin(src, axis=0))
+
+
+def test_grid2_straddle_any_all(mesh8, grid2d):
+    src, x = grid2d
+    with use_mesh(mesh8), config.set({"tpu.execution-lane": "shard-map"}):
+        out = _engaged(lambda: (x > 0.5).any(axis=0).compute())
+    np.testing.assert_array_equal(np.asarray(out), (src > 0.5).any(axis=0))
+    with use_mesh(mesh8), config.set({"tpu.execution-lane": "shard-map"}):
+        out = _engaged(lambda: (x < 3.0).all(axis=1).compute())
+    np.testing.assert_array_equal(np.asarray(out), (src < 3.0).all(axis=1))
+
+
+def test_grid2_straddle_3d_mixed_axes(mesh8):
+    # chunked at (0, 2); reducing (1, 2) folds chunked axis 2 plus the
+    # unchunked middle axis while chunked axis 0 survives
+    src = np.random.default_rng(85).standard_normal((12, 5, 14))
+    x = da.from_array(src, chunks=((3, 7, 2), 5, (6, 4, 4)))
+    with use_mesh(mesh8), config.set({"tpu.execution-lane": "shard-map"}):
+        out = _engaged(lambda: x.sum(axis=(1, 2)).compute())
+    np.testing.assert_allclose(np.asarray(out), src.sum(axis=(1, 2)), rtol=1e-10)
+    with use_mesh(mesh8), config.set({"tpu.execution-lane": "shard-map"}):
+        out = _engaged(lambda: x.max(axis=0).compute())
+    np.testing.assert_allclose(np.asarray(out), src.max(axis=0), rtol=1e-10)
+
+
+def test_grid2_straddle_integer_exact(mesh8):
+    src = np.random.default_rng(86).integers(
+        -50, 50, size=(sum(_H2A), sum(_H2B))
+    ).astype(np.int32)
+    x = da.from_array(src, chunks=(_H2A, _H2B))
+    for red in ("min", "max", "sum"):
+        with use_mesh(mesh8), config.set({"tpu.execution-lane": "shard-map"}):
+            out = _engaged(lambda: getattr(x, red)(axis=0).compute())
+        np.testing.assert_array_equal(
+            np.asarray(out), getattr(np, red)(src, axis=0)
+        )
+
+
+def test_grid2_straddle_on_2d_mesh(mesh2x4, grid2d):
+    src, x = grid2d
+    with use_mesh(mesh2x4), config.set({"tpu.execution-lane": "shard-map"}):
+        out = _engaged(lambda: x.mean(axis=1).compute())
+    np.testing.assert_allclose(np.asarray(out), src.mean(axis=1), rtol=1e-10)
+
+
+def test_grid2_straddle_prod_declines(mesh8, grid2d):
+    # no sign-safe cross-device prod collective — GSPMD answers
     src, x = grid2d
     with use_mesh(mesh8), config.set({"tpu.execution-lane": "shard-map"}):
         before = ENGAGED["count"]
-        out = x.sum(axis=0).compute()
+        out = x.prod(axis=0).compute()
         assert ENGAGED["count"] == before
-    np.testing.assert_allclose(np.asarray(out), src.sum(axis=0), rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(out), src.prod(axis=0), rtol=1e-10)
 
 
 def test_grid2_prod_declines(mesh8, grid2d):
