@@ -260,7 +260,9 @@ def _plan_grid2(kind, terminal, elem_root, leaves, reds=(), consts=()):
     Scope: elemwise; reductions over BOTH chunked axes (with or without
     the rest — one collective), over NEITHER (block-local), or
     STRADDLING exactly one chunked axis (grouped one-hot combine + one
-    output-sized collective); cumulative scans along unchunked axes."""
+    output-sized collective); cumulative scans along unchunked axes
+    (block-local) or along a CHUNKED axis (Blelloch two-phase over block
+    groups: local scans + one totals all-gather + local carry apply)."""
     ok = _leaf_grid_ok2(leaves)
     if ok is None:
         return None
@@ -300,8 +302,13 @@ def _plan_grid2(kind, terminal, elem_root, leaves, reds=(), consts=()):
                 return None  # no jnp extremum compare on complex
             return "g2_reduce_straddle", terminal, elem_root, leaves, dims, aux
         return None
-    if kind in ("cumulative", "cumulative_local") and terminal.axis not in dims:
-        return "g2_cumulative_local", terminal, elem_root, leaves, dims, aux
+    if kind in ("cumulative", "cumulative_local"):
+        if terminal.axis not in dims:
+            return "g2_cumulative_local", terminal, elem_root, leaves, dims, aux
+        # scan ALONG a chunked axis: the two-phase Blelloch schedule over
+        # block groups — local scans, one all-gather of per-block totals,
+        # a within-group exclusive combine, local carry apply
+        return "g2_cumulative", terminal, elem_root, leaves, dims, aux
     return None
 
 
@@ -1312,6 +1319,65 @@ def _execute_grid2(plan, mesh, out_dtype):
         a1 = d1 - sum(1 for ax in terminal.axes if ax < d1)
         a2 = d2 - sum(1 for ax in terminal.axes if ax < d2)
         return _unstack2(out, h1, h2, out_dtype, a1, a2)
+
+    if kind == "g2_cumulative":
+        # scan along one CHUNKED axis — the Blelloch two-phase schedule
+        # generalized to block groups: each block scans locally (padding
+        # masked to the identity so block totals are true totals), ONE
+        # all-gather exchanges per-block totals, and each block applies
+        # the combined totals of its group predecessors as a carry.  The
+        # cross-device traffic is kpad tiny total-slabs, not the array.
+        ckind = terminal.kind
+        ident = 0.0 if ckind == "cumsum" else 1.0
+        cdtype = np.dtype(terminal.dtype)
+        ds = terminal.axis              # the chunked scan axis
+        scan_ax = ds + 1
+        blk = kpad // ndev
+        # group = the block's index along the OTHER chunked axis; order =
+        # its position along the scan axis (gid flattens row-major i1*k2+i2)
+        gids = np.arange(kpad)
+        if ds == d2:
+            grp, order = gids // k2, gids % k2
+        else:
+            grp, order = gids % k2, gids // k2
+        # pred[j, i]: block j's total folds into block i's carry
+        pred = (grp[:, None] == grp[None, :]) & (order[:, None] < order[None, :])
+
+        def body(fs1, fs2, *fn_args):
+            val, mask = local(fn_args, fs1, fs2)
+            val = jnp.where(mask, val, jnp.asarray(ident, val.dtype)).astype(
+                cdtype if cdtype.kind != "M" else val.dtype
+            )
+            scan = (
+                jnp.cumsum(val, axis=scan_ax)
+                if ckind == "cumsum"
+                else jnp.cumprod(val, axis=scan_ax)
+            )
+            total = jax.lax.index_in_dim(
+                scan, scan.shape[scan_ax] - 1, axis=scan_ax, keepdims=False
+            )  # (blk, *trest) — true block totals (padding was identity)
+            totals = jax.lax.all_gather(total, axes, tiled=False)
+            totals = totals.reshape((kpad,) + total.shape[1:])
+            me = jax.lax.axis_index(axes)
+            gid = me * blk + jnp.arange(blk, dtype=jnp.int32)
+            pj = jnp.asarray(pred)  # (kpad, kpad) bool
+            mine = pj[:, gid]       # (kpad, blk): j contributes to my block i
+            mexp = mine.reshape(mine.shape + (1,) * (totals.ndim - 1))
+            if ckind == "cumsum":
+                carry = jnp.sum(
+                    jnp.where(mexp, totals[:, None], jnp.zeros((), totals.dtype)),
+                    axis=0,
+                )
+            else:
+                carry = jnp.prod(
+                    jnp.where(mexp, totals[:, None], jnp.ones((), totals.dtype)),
+                    axis=0,
+                )
+            carry = jnp.expand_dims(carry, scan_ax)
+            return scan + carry if ckind == "cumsum" else scan * carry
+
+        out = run(body, P(axes))
+        return _unstack2(out, h1, h2, out_dtype, d1, d2)
 
     if kind == "g2_cumulative_local":
         ckind = terminal.kind

@@ -1079,14 +1079,43 @@ def test_grid2_prod_declines(mesh8, grid2d):
     )
 
 
-def test_grid2_chunked_scan_declines(mesh8, grid2d):
-    # a cumulative scan ALONG a chunked axis of a 2-D grid is out of scope
+@pytest.mark.parametrize("kind", ["cumsum", "cumprod"])
+@pytest.mark.parametrize("axis", [0, 1])
+def test_grid2_chunked_scan_blelloch(mesh8, grid2d, kind, axis):
+    # a scan ALONG a chunked axis of a 2-D grid runs the Blelloch
+    # two-phase schedule over block GROUPS: local scans, one all-gather
+    # of per-block totals, a within-group exclusive combine, local carry
     src, x = grid2d
     with use_mesh(mesh8), config.set({"tpu.execution-lane": "shard-map"}):
-        before = ENGAGED["count"]
-        out = da.cumsum(x, axis=0).compute()
-        assert ENGAGED["count"] == before
-    np.testing.assert_allclose(np.asarray(out), np.cumsum(src, axis=0), rtol=1e-10)
+        out = _engaged(lambda: getattr(da, kind)(x, axis=axis).compute())
+    np.testing.assert_allclose(
+        np.asarray(out), getattr(np, kind)(src, axis=axis), rtol=1e-9
+    )
+
+
+def test_grid2_chunked_scan_tree_2d_mesh(mesh2x4, grid2d):
+    src, x = grid2d
+    with use_mesh(mesh2x4), config.set({"tpu.execution-lane": "shard-map"}):
+        out = _engaged(lambda: da.cumsum(x * 2 + 1, axis=1).compute())
+    np.testing.assert_allclose(
+        np.asarray(out), np.cumsum(src * 2 + 1, axis=1), rtol=1e-9
+    )
+
+
+def test_grid2_chunked_scan_3d(mesh8):
+    src = np.random.default_rng(87).standard_normal((12, 5, 14))
+    x = da.from_array(src, chunks=((3, 7, 2), 5, (6, 4, 4)))
+    with use_mesh(mesh8), config.set({"tpu.execution-lane": "shard-map"}):
+        out = _engaged(lambda: da.cumsum(x, axis=2).compute())
+    np.testing.assert_allclose(np.asarray(out), np.cumsum(src, axis=2), rtol=1e-9)
+
+
+def test_grid2_chunked_scan_integer_exact(mesh8):
+    src = np.random.default_rng(88).integers(-9, 9, size=(sum(_H2A), sum(_H2B)))
+    x = da.from_array(src, chunks=(_H2A, _H2B))
+    with use_mesh(mesh8), config.set({"tpu.execution-lane": "shard-map"}):
+        out = _engaged(lambda: da.cumsum(x, axis=0).compute())
+    np.testing.assert_array_equal(np.asarray(out), np.cumsum(src, axis=0))
 
 
 def test_grid2_on_2d_mesh(mesh2x4, grid2d):
