@@ -309,6 +309,15 @@ def _plan_grid2(kind, terminal, elem_root, leaves, reds=(), consts=()):
         # block groups — local scans, one all-gather of per-block totals,
         # a within-group exclusive combine, local carry apply
         return "g2_cumulative", terminal, elem_root, leaves, dims, aux
+    if kind in ("argreduce", "argreduce_local"):
+        if terminal.axis is None:
+            # full flatten: the 1-D lane's global-index vote with 2-D
+            # block origins
+            return "g2_argreduce", terminal, elem_root, leaves, dims, aux
+        if terminal.axis not in dims:
+            # positions along an unchunked axis are block-local truths
+            return "g2_argreduce_local", terminal, elem_root, leaves, dims, aux
+        return None  # arg-extremum ALONG a chunked axis: grouped vote not built
     return None
 
 
