@@ -1342,15 +1342,16 @@ def _execute_grid2(plan, mesh, out_dtype):
         ds = terminal.axis              # the chunked scan axis
         scan_ax = ds + 1
         blk = kpad // ndev
-        # group = the block's index along the OTHER chunked axis; order =
-        # its position along the scan axis (gid flattens row-major i1*k2+i2)
-        gids = np.arange(kpad)
-        if ds == d2:
-            grp, order = gids // k2, gids % k2
-        else:
-            grp, order = gids % k2, gids // k2
-        # pred[j, i]: block j's total folds into block i's carry
-        pred = (grp[:, None] == grp[None, :]) & (order[:, None] < order[None, :])
+        scan_is_d2 = ds == d2
+
+        def _grp_order(gid):
+            # group = the block's index along the OTHER chunked axis;
+            # order = its position along the scan axis (gid flattens
+            # row-major i1*k2+i2) — computed in-trace from iota so no
+            # O(blocks^2) constant bakes into the HLO (HTTP 413 guard)
+            if scan_is_d2:
+                return gid // k2, gid % k2
+            return gid % k2, gid // k2
 
         def body(fs1, fs2, *fn_args):
             val, mask = local(fn_args, fs1, fs2)
@@ -1369,8 +1370,12 @@ def _execute_grid2(plan, mesh, out_dtype):
             totals = totals.reshape((kpad,) + total.shape[1:])
             me = jax.lax.axis_index(axes)
             gid = me * blk + jnp.arange(blk, dtype=jnp.int32)
-            pj = jnp.asarray(pred)  # (kpad, kpad) bool
-            mine = pj[:, gid]       # (kpad, blk): j contributes to my block i
+            grp_i, order_i = _grp_order(gid)
+            grp_j, order_j = _grp_order(jnp.arange(kpad, dtype=jnp.int32))
+            # mine[j, i]: block j's total folds into my block i's carry
+            mine = (grp_j[:, None] == grp_i[None, :]) & (
+                order_j[:, None] < order_i[None, :]
+            )
             mexp = mine.reshape(mine.shape + (1,) * (totals.ndim - 1))
             if ckind == "cumsum":
                 carry = jnp.sum(
@@ -1405,8 +1410,101 @@ def _execute_grid2(plan, mesh, out_dtype):
         out = run(body, P(axes))
         return _unstack2(out, h1, h2, out_dtype, d1, d2)
 
+    if kind == "g2_argreduce":
+        # full-flatten arg-extremum on the 2-D grid: devices vote with the
+        # GLOBAL flattened index of their first local extremum (exact numpy
+        # first-occurrence semantics; a valid NaN anywhere wins, as in
+        # numpy's plain arg-reductions) — one pmin/pmax + one pmin
+        is_min = terminal.kind == "argmin"
+        true_shape = tuple(int(sum(c)) for c in grid)
+        strides = np.ones(nd, np.int64)
+        for i in range(nd - 2, -1, -1):
+            strides[i] = strides[i + 1] * true_shape[i + 1]
+        n_out = int(np.prod(true_shape))
+        fo1 = np.zeros((kpad,), np.int64)
+        fo2 = np.zeros((kpad,), np.int64)
+        for i1 in range(k1):
+            for i2 in range(k2):
+                fo1[i1 * k2 + i2] = off1[i1]
+                fo2[i1 * k2 + i2] = off2[i2]
+        dev_o1 = jax.device_put(fo1, sh)
+        dev_o2 = jax.device_put(fo2, sh)
+
+        def body(fs1, fs2, fo1_, fo2_, *fn_args):
+            val, mask = local(fn_args, fs1, fs2)
+            fdt = np.dtype(val.dtype)
+            if fdt.kind == "b":
+                val = val.astype(jnp.int32)
+                fdt = np.dtype(np.int32)
+            ident = jnp.asarray(
+                _reduce_ident("min" if is_min else "max", fdt), val.dtype
+            )
+            v = jnp.where(mask, val, ident)
+            local_ext = (jnp.min if is_min else jnp.max)(v)
+            glob_ext = (jax.lax.pmin if is_min else jax.lax.pmax)(
+                local_ext, axes
+            )
+            r1 = fo1_[:, None] + jnp.arange(hm1, dtype=jnp.int64)
+            idx_map = r1.reshape(
+                (r1.shape[0],) + (1,) * d1 + (hm1,) + (1,) * (nd - d1 - 1)
+            ) * int(strides[d1])
+            r2 = fo2_[:, None] + jnp.arange(hm2, dtype=jnp.int64)
+            idx_map = idx_map + r2.reshape(
+                (r2.shape[0],) + (1,) * d2 + (hm2,) + (1,) * (nd - d2 - 1)
+            ) * int(strides[d2])
+            for axx in range(nd):
+                if axx in (d1, d2):
+                    continue
+                idx_map = idx_map + (
+                    jnp.arange(block_shape[axx], dtype=jnp.int64)
+                    * int(strides[axx])
+                ).reshape(
+                    (1,) + (1,) * axx + (block_shape[axx],)
+                    + (1,) * (nd - axx - 1)
+                )
+            eq = (v == glob_ext) & mask
+            if fdt.kind in "fc":
+                nan_mask = jnp.isnan(v) & mask
+                has_nan = jax.lax.pmax(
+                    jnp.any(nan_mask).astype(jnp.int32), axes
+                )
+                eq = jnp.where(has_nan.astype(bool), nan_mask, eq)
+            big = jnp.asarray(n_out, jnp.int64)
+            cand = jnp.min(jnp.where(eq, idx_map, big))
+            return jax.lax.pmin(cand, axes)
+
+        fn = jax.jit(
+            jax.shard_map(
+                body,
+                mesh=mesh,
+                in_specs=(P(axes),) * 4 + (P(axes),) * len(dev_args),
+                out_specs=P(),
+            )
+        )
+        out = fn(dev_s1, dev_s2, dev_o1, dev_o2, *dev_args)
+        ENGAGED["count"] += 1
+        return out.astype(out_dtype) if out.dtype != out_dtype else out
+
+    if kind == "g2_argreduce_local":
+        # arg-extremum along an UNCHUNKED axis: positions are block-local
+        # truths (the reduced axis is whole in every block); the padded
+        # rows/cols of the two chunked axes trim away at unstack
+        arg_ax = terminal.axis + 1
+
+        def body(fs1, fs2, *fn_args):
+            val, _ = local(fn_args, fs1, fs2)
+            return (
+                jnp.argmin if terminal.kind == "argmin" else jnp.argmax
+            )(val, axis=arg_ax)
+
+        out = run(body, P(axes))
+        a1 = d1 - (1 if terminal.axis < d1 else 0)
+        a2 = d2 - (1 if terminal.axis < d2 else 0)
+        return _unstack2(out, h1, h2, out_dtype, a1, a2)
+
     # g2_elemwise: a sub-leaf-shaped root collapsed to inner-reduction/
     # constant combinations — replicated output
+    assert kind == "g2_elemwise", f"unhandled grid2 plan kind: {kind}"
     leaf_shape = tuple(int(sum(c)) for c in grid)
     replicated = tuple(int(s) for s in elem_root.shape) != leaf_shape
 
