@@ -41,10 +41,18 @@ def optimize_expr(expr: ArrayExpr, fuse: bool = True) -> ArrayExpr:
 
 
 def compute_expr(expr: ArrayExpr, optimize: bool = True):
-    """Optimize + execute; returns the dense on-device jax.Array."""
+    """Optimize + execute; returns the dense on-device jax.Array — or a
+    HOST numpy array when the out-of-core streaming lane answered (its
+    result may itself exceed device memory)."""
     from dask_array_tpu._executor import check_masked_ops
 
     check_masked_ops(expr)  # logical tree: MapBlocks still distinct
+    if optimize:
+        from dask_array_tpu._streaming import maybe_stream
+
+        streamed = maybe_stream(expr)
+        if streamed is not None:
+            return streamed
     lowered = optimize_expr(expr) if optimize else expr
     return execute(lowered)
 

@@ -64,9 +64,20 @@ _PAD_MODE = {"reflect": "symmetric", "periodic": "wrap", "nearest": "edge"}
 
 
 class Overlap(ArrayExpr):
-    """Each block grows by its halo (ghost cells from neighbors/boundary)."""
+    """Each block grows by its halo (ghost cells from neighbors/boundary).
 
-    _parameters = ("array", "depth", "boundary")  # both: tuple of per-axis entries
+    ``margin`` (per-axis ``(mlo, mhi)``) marks extra source rows at the
+    array's ends that serve as HALO ONLY — they belong to no block's body
+    and suppress boundary handling at their edge.  A block-aligned slice
+    of an overlap pipeline pushes down by converting the cut's neighbor
+    rows into margins (the slice-through-overlap rewrite; reference
+    optimizer family ``tests/test_slice_through_overlap.py``).
+    ``body_chunks`` then carries the body grid, since the sliced child's
+    own chunk layout no longer encodes it.
+    """
+
+    _parameters = ("array", "depth", "boundary", "margin", "body_chunks")
+    _defaults = {"margin": None, "body_chunks": None}
 
     @functools.cached_property
     def _depth_map(self):
@@ -77,16 +88,31 @@ class Overlap(ArrayExpr):
         return {ax: b for ax, b in enumerate(self.boundary)}
 
     @functools.cached_property
+    def _margins(self):
+        m = self.operand("margin")
+        if m is None:
+            return tuple((0, 0) for _ in self.depth)
+        return tuple(tuple(x) for x in m)
+
+    @functools.cached_property
+    def _body_grid(self):
+        b = self.operand("body_chunks")
+        if b is None:
+            return self.array.chunks
+        return tuple(tuple(x) for x in b)
+
+    @functools.cached_property
     def chunks(self):
         out = []
-        for ax, c in enumerate(self.array.chunks):
+        for ax, c in enumerate(self._body_grid):
             lo, hi = self.depth[ax]
             bd = self.boundary[ax]
+            mlo, mhi = self._margins[ax]
             axis = []
             n = len(c)
             for i, size in enumerate(c):
-                add_lo = lo if (i > 0 or bd != "none") else 0
-                add_hi = hi if (i < n - 1 or bd != "none") else 0
+                add_lo = lo if (i > 0 or bd != "none" or mlo) else 0
+                add_hi = hi if (i < n - 1 or bd != "none" or mhi) else 0
                 axis.append(size + add_lo + add_hi)
             out.append(tuple(axis))
         return tuple(out)
@@ -99,13 +125,16 @@ class Overlap(ArrayExpr):
         """Halo bytes moved between blocks (parity: `_overlap.py:92`)."""
         itemsize = self.dtype.itemsize
         total = 0
-        for ax, c in enumerate(self.array.chunks):
+        grid = self._body_grid
+        for ax, c in enumerate(grid):
             lo, hi = self.depth[ax]
+            mlo, mhi = self._margins[ax]
             other = 1
-            for ax2, c2 in enumerate(self.array.chunks):
+            for ax2, c2 in enumerate(grid):
                 if ax2 != ax:
                     other *= sum(c2)
-            total += (lo + hi) * max(0, len(c) - 1) * other * itemsize
+            cuts = max(0, len(c) - 1) + bool(mlo) + bool(mhi)
+            total += (lo + hi) * cuts * other * itemsize
         return (total, total)
 
     def _build(self, ctx):
@@ -113,43 +142,146 @@ class Overlap(ArrayExpr):
         view = ctx.build(self.array)
         dense = view.dense()
 
-        # boundary-extend the dense array per axis
+        # boundary-extend the dense array per axis (sides with a margin
+        # already carry their halo rows in the data: no pad there)
         offsets = []
         for ax in range(dense.ndim):
             lo, hi = self.depth[ax]
             bd = self.boundary[ax]
-            if bd == "none" or (lo == 0 and hi == 0):
-                offsets.append(0)
+            mlo, mhi = self._margins[ax]
+            plo = lo if (bd != "none" and not mlo) else 0
+            phi = hi if (bd != "none" and not mhi) else 0
+            if plo == 0 and phi == 0:
+                offsets.append(mlo)
                 continue
             pw = [(0, 0)] * dense.ndim
-            pw[ax] = (lo, hi)
+            pw[ax] = (plo, phi)
             if bd in _PAD_MODE:
                 dense = jnp.pad(dense, pw, mode=_PAD_MODE[bd])
             else:
                 dense = jnp.pad(dense, pw, mode="constant", constant_values=bd)
-            offsets.append(lo)
+            offsets.append(mlo + plo)
 
-        bounds = [cached_cumsum(c, initial_zero=True) for c in self.array.chunks]
+        grid = self._body_grid
+        bounds = [cached_cumsum(c, initial_zero=True) for c in grid]
         blocks = {}
-        n_ax = [len(c) for c in self.array.chunks]
+        n_ax = [len(c) for c in grid]
         for idx in iter_block_indices(tuple(n_ax)):
             sl = []
             for ax, i in enumerate(idx):
                 lo, hi = self.depth[ax]
                 bd = self.boundary[ax]
+                mlo, mhi = self._margins[ax]
                 start = bounds[ax][i] + offsets[ax]
                 stop = bounds[ax][i + 1] + offsets[ax]
-                take_lo = lo if (i > 0 or bd != "none") else 0
-                take_hi = hi if (i < n_ax[ax] - 1 or bd != "none") else 0
+                take_lo = lo if (i > 0 or bd != "none" or mlo) else 0
+                take_hi = hi if (i < n_ax[ax] - 1 or bd != "none" or mhi) else 0
                 sl.append(slice(start - take_lo, stop + take_hi))
             blocks[tuple(idx)] = dense[tuple(sl)]
         return BlockView(self.chunks, blocks=blocks)
 
+    def _accept_slice(self, index):
+        """Push a basic slice below the halo machinery.
+
+        Non-halo axes commute; a halo axis accepts whole-OUTPUT-block
+        slices: the cut's neighbor rows join the pushed slice as margins,
+        so panel programs read only their rows + halo (the reference's
+        slice-through-overlap family, block-aligned case)."""
+        from dask_array_tpu._slicing import Slice, is_basic_index, sliced_blockdim
+
+        if not is_basic_index(index):
+            return None
+        body = self._body_grid
+        out_chunks = self.chunks
+        inner, outer, new_margin, new_body = [], [], [], []
+        changed = False
+        for ax, ind in enumerate(index):
+            lo, hi = self.depth[ax]
+            bd = self.boundary[ax]
+            mlo, mhi = self._margins[ax]
+            c = body[ax]
+            n = len(c)
+
+            def keep(ind=ind, c=c, mlo=mlo, mhi=mhi):
+                # this axis stays outside (applied after the overlap)
+                inner.append(slice(None))
+                outer.append(ind)
+                new_margin.append((mlo, mhi))
+                new_body.append(c)
+
+            if ind == slice(None):
+                keep()
+                continue
+            if isinstance(ind, Integral):
+                keep()  # rank-changing: keep the int outside
+                continue
+            if not (lo or hi):
+                nc, _ = sliced_blockdim(c, ind)
+                inner.append(ind)
+                outer.append(slice(None))
+                new_margin.append((0, 0))
+                new_body.append(tuple(nc))
+                changed = True
+                continue
+            dim = int(sum(out_chunks[ax]))
+            start, stop, step = ind.indices(dim)
+            if step != 1 or stop <= start:
+                keep()
+                continue
+            ob = np.cumsum((0,) + tuple(int(x) for x in out_chunks[ax]))
+            i0 = int(np.searchsorted(ob, start))
+            i1 = int(np.searchsorted(ob, stop))
+            if ob[i0] != start or ob[i1] != stop or i1 <= i0:
+                keep()  # not whole output blocks
+                continue
+            if i0 == 0 and i1 == n:
+                keep(slice(None))
+                continue
+            if bd == "periodic" and (i0 == 0 or i1 == n):
+                # a true-edge panel's wrap halo comes from the OTHER end of
+                # the array: a contiguous leaf region cannot supply it
+                keep()
+                continue
+            bb = np.cumsum((0,) + tuple(int(x) for x in c))
+            a_in = 0 if i0 == 0 else mlo + int(bb[i0]) - lo
+            b_in = (
+                mlo + int(bb[n]) + mhi if i1 == n else mlo + int(bb[i1]) + hi
+            )
+            inner.append(slice(int(a_in), int(b_in), 1))
+            outer.append(slice(None))
+            new_margin.append((lo if i0 > 0 else mlo, hi if i1 < n else mhi))
+            new_body.append(tuple(c[i0:i1]))
+            changed = True
+        if not changed:
+            return None
+        pushed = Overlap(
+            Slice(self.array, tuple(inner)),
+            self.depth,
+            self.boundary,
+            tuple(new_margin),
+            tuple(new_body),
+        )
+        if all(o == slice(None) for o in outer):
+            return pushed
+        return Slice(pushed, tuple(outer))
+
 
 class TrimInternal(ArrayExpr):
-    """Shave halos back off every block (parity: ``trim_internal``)."""
+    """Shave halos back off every block (parity: ``trim_internal``).
 
-    _parameters = ("array", "depth", "boundary")
+    ``margin`` (per-axis ``(mlo, mhi)``) marks edge blocks that carry
+    halos despite being first/last — the trace a block-aligned slice
+    leaves when it cuts an overlap pipeline mid-array."""
+
+    _parameters = ("array", "depth", "boundary", "margin")
+    _defaults = {"margin": None}
+
+    @functools.cached_property
+    def _margins(self):
+        m = self.operand("margin")
+        if m is None:
+            return tuple((0, 0) for _ in self.depth)
+        return tuple(tuple(x) for x in m)
 
     @functools.cached_property
     def chunks(self):
@@ -157,11 +289,12 @@ class TrimInternal(ArrayExpr):
         for ax, c in enumerate(self.array.chunks):
             lo, hi = self.depth[ax]
             bd = self.boundary[ax]
+            mlo, mhi = self._margins[ax]
             axis = []
             n = len(c)
             for i, size in enumerate(c):
-                cut_lo = lo if (i > 0 or bd != "none") else 0
-                cut_hi = hi if (i < n - 1 or bd != "none") else 0
+                cut_lo = lo if (i > 0 or bd != "none" or mlo) else 0
+                cut_hi = hi if (i < n - 1 or bd != "none" or mhi) else 0
                 axis.append(size - cut_lo - cut_hi)
             out.append(tuple(axis))
         return tuple(out)
@@ -180,11 +313,81 @@ class TrimInternal(ArrayExpr):
             for ax, i in enumerate(idx):
                 lo, hi = self.depth[ax]
                 bd = self.boundary[ax]
-                cut_lo = lo if (i > 0 or bd != "none") else 0
-                cut_hi = hi if (i < n_ax[ax] - 1 or bd != "none") else 0
+                mlo, mhi = self._margins[ax]
+                cut_lo = lo if (i > 0 or bd != "none" or mlo) else 0
+                cut_hi = hi if (i < n_ax[ax] - 1 or bd != "none" or mhi) else 0
                 sl.append(slice(cut_lo, b.shape[ax] - cut_hi))
             blocks[tuple(idx)] = b[tuple(sl)]
         return BlockView(self.chunks, blocks=blocks)
+
+    def _accept_slice(self, index):
+        """Non-halo axes commute; a halo axis accepts whole-OUTPUT-block
+        slices, converting them to whole overlapped blocks of the child
+        with margins marking the halos the new edge blocks carry."""
+        from dask_array_tpu._slicing import Slice, is_basic_index
+
+        if not is_basic_index(index):
+            return None
+        out_chunks = self.chunks
+        ov_chunks = self.array.chunks
+        inner, outer, new_margin = [], [], []
+        changed = False
+        for ax, ind in enumerate(index):
+            lo, hi = self.depth[ax]
+            bd = self.boundary[ax]
+            mlo, mhi = self._margins[ax]
+            n = len(out_chunks[ax])
+
+            def keep(ind=ind, mlo=mlo, mhi=mhi):
+                inner.append(slice(None))
+                outer.append(ind)
+                new_margin.append((mlo, mhi))
+
+            if ind == slice(None):
+                keep()
+                continue
+            if isinstance(ind, Integral):
+                keep()  # rank-changing: keep the int outside
+                continue
+            if not (lo or hi):
+                inner.append(ind)
+                outer.append(slice(None))
+                new_margin.append((0, 0))
+                changed = True
+                continue
+            dim = int(sum(out_chunks[ax]))
+            start, stop, step = ind.indices(dim)
+            if step != 1 or stop <= start:
+                keep()
+                continue
+            ob = np.cumsum((0,) + tuple(int(x) for x in out_chunks[ax]))
+            i0 = int(np.searchsorted(ob, start))
+            i1 = int(np.searchsorted(ob, stop))
+            if ob[i0] != start or ob[i1] != stop or i1 <= i0:
+                keep()  # not whole output blocks
+                continue
+            if i0 == 0 and i1 == n:
+                keep(slice(None))
+                continue
+            if bd == "periodic" and (i0 == 0 or i1 == n):
+                keep()  # wrap halo needs the array's other end (see Overlap)
+                continue
+            ovb = np.cumsum((0,) + tuple(int(x) for x in ov_chunks[ax]))
+            inner.append(slice(int(ovb[i0]), int(ovb[i1]), 1))
+            outer.append(slice(None))
+            new_margin.append((lo if i0 > 0 else mlo, hi if i1 < n else mhi))
+            changed = True
+        if not changed:
+            return None
+        pushed = TrimInternal(
+            Slice(self.array, tuple(inner)),
+            self.depth,
+            self.boundary,
+            tuple(new_margin),
+        )
+        if all(o == slice(None) for o in outer):
+            return pushed
+        return Slice(pushed, tuple(outer))
 
 
 class ShardStencil(ArrayExpr):
@@ -862,24 +1065,6 @@ def push(array, n=None, axis=-1):
     return new_collection(Push(array.expr, int(n) if n is not None else None, axis))
 
 
-# slice pushdown for overlap: slices on axes WITHOUT halo commute
-def _overlap_accept_slice(self, index):
-    from numbers import Integral
-
-    from dask_array_tpu._slicing import Slice, is_basic_index
-
-    if not is_basic_index(index):
-        return None
-    for ax, ind in enumerate(index):
-        if ind == slice(None):
-            continue
-        lo, hi = self.depth[ax]
-        if lo or hi or isinstance(ind, Integral):
-            return None  # halo axis (or rank-changing): keep the slice outside
-    if all(i == slice(None) for i in index):
-        return None
-    return type(self)(Slice(self.array, tuple(index)), self.depth, self.boundary)
-
-
-Overlap._accept_slice = _overlap_accept_slice
-TrimInternal._accept_slice = _overlap_accept_slice
+# slice pushdown for overlap pipelines lives on the classes themselves:
+# Overlap._accept_slice / TrimInternal._accept_slice (non-halo axes commute;
+# halo axes accept whole-output-block slices via the margin rewrite)
