@@ -215,8 +215,17 @@ def _probe_axis(expr, d, budget, mode, reducer=None):
         out_per_row = int(expr.nbytes) * h / max(int(expr.shape[d]), 1)
     else:
         out_per_row = 0
+    # the pipeline keeps up to depth+1 panels' inputs live on device
+    # (dispatched-but-unfinished programs pin their argument buffers); a
+    # budget too tight for the configured depth degrades to synchronous
+    # streaming (depth 0) before declining
     denom = max(per + out_per_row, 1)
-    rows = int((budget * 0.8 - fixed) // denom)
+    depth = _depth()
+    while True:
+        rows = int((budget * 0.8 / (depth + 1) - fixed) // denom)
+        if rows >= 1 or depth == 0:
+            break
+        depth -= 1
     if rows < 1:
         if mode != "force":
             return None  # even one chunk row cannot be bounded
@@ -225,7 +234,7 @@ def _probe_axis(expr, d, budget, mode, reducer=None):
         if mode != "force":
             return None  # fits in one panel: the normal lane is better
         rows = max(1, (k + 1) // 2)  # force: at least two panels
-    return rows, heights, p1
+    return rows, heights, p1, depth
 
 
 def _pin_resident(expr, probe_opt, budget):
@@ -306,7 +315,9 @@ def _keys_bounded(exprs):
 
 
 def _depth():
-    return max(int(config.get("tpu.stream-depth", 2)), 0)
+    # 1 = classic double buffering: ship/compute the next panel while
+    # fetching the previous one
+    return max(int(config.get("tpu.stream-depth", 1)), 0)
 
 
 # ---------------------------------------------------------------------------
@@ -327,7 +338,7 @@ def _map_stream(expr, budget, mode):
         plan = _probe_axis(expr, d, budget, mode)
         if plan is None:
             continue
-        rows, heights, probe = plan
+        rows, heights, probe, depth = plan
         pinned = _pin_resident(expr, probe, budget)
         ranges = _panel_ranges(heights, rows)
         coll = new_collection(pinned)
@@ -338,7 +349,6 @@ def _map_stream(expr, budget, mode):
             continue  # would recompile per panel: decline this axis
 
         STREAMED["count"] += 1
-        depth = _depth()
         shape = tuple(int(s) for s in expr.shape)
         out = None
         inflight = []
@@ -411,7 +421,7 @@ def _reduce_stream_axis(expr, d, budget, mode, mean_kind):
     plan = _probe_axis(expr, d, budget, mode, reducer=reducer)
     if plan is None:
         return None
-    rows, heights, _probe = plan
+    rows, heights, _probe, depth = plan
     ranges = _panel_ranges(heights, rows)
     nd = arr.ndim
     acoll = new_collection(arr)
@@ -433,7 +443,6 @@ def _reduce_stream_axis(expr, d, budget, mode, mean_kind):
         return None
 
     STREAMED["count"] += 1
-    depth = _depth()
     comb = _COMBINE["nansum" if kind == "nanmean" else ("sum" if kind == "mean" else kind)]
     acc = None
     cnt_acc = None
