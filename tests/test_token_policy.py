@@ -2,11 +2,20 @@
 
 VERDICT r3 #6 "content-stable leaf tokens by default": arrays above the
 64 KiB content-hash limit now default to the process-stable SAMPLE digest
-(head+tail+strided blake2b + a full-coverage u64 wrap-sum, ~98 ms/GB
-measured), so plan/executable caches survive process boundaries for plain
-``from_array`` leaves without opt-in.  ``tokenize.big-arrays`` selects
-``content`` (full blake2b, exact, 0.45 GB/s) or ``identity`` (per-object
-uuid, O(1), process-local — the pre-r4 default).
+(head+tail+strided blake2b + a position-salted full-coverage class-sum
+digest, ~210 ms/GB measured), so plan/executable caches survive process
+boundaries for plain ``from_array`` leaves without opt-in.
+``tokenize.big-arrays`` selects ``content`` (full blake2b, exact,
+0.45 GB/s) or ``identity`` (per-object uuid, O(1), process-local — the
+pre-r4 default).
+
+VERDICT r4 #7: the r4 plain wrap-sum was permutation-invariant (swap two
+interior words → same sum, divergence #8's collision window).  The default
+digest now takes two coprime residue-class sum passes
+(``_CLASS_PRIMES = (99991, 99989)``): a swap of unequal words survives both
+only at spacings that are multiples of K1*K2 ≈ 80 GB — beyond any leaf this
+125 GB host can hold.  The adversarial cases below pin it under the DEFAULT
+policy (no config override).
 """
 
 from __future__ import annotations
@@ -52,6 +61,65 @@ def test_sample_full_coverage_interior_edit(big):
     mid = big.copy()
     mid[50001] += 1
     assert tokenize(mid) != tokenize(big)
+
+
+def test_sample_permutation_swap_detected(big):
+    # r4 divergence #8: the plain wrap-sum missed swaps of un-sampled
+    # interior elements.  The position-salted class sums catch ANY swap of
+    # two unequal words (spacing < K1*K2 words), under the DEFAULT policy.
+    t = tokenize(big)
+    for i, j in [(50001, 50003), (31337, 77777), (1001, 99001)]:
+        swapped = big.copy()
+        swapped[i], swapped[j] = big[j], big[i]
+        assert swapped[i] != swapped[j]
+        assert tokenize(swapped) != t, (i, j)
+
+
+def test_sample_permutation_at_class_width(big):
+    # swap at spacing EXACTLY K1 words (same residue class mod K1): the
+    # second coprime pass (K2) must catch it.  big is float64 so element
+    # index == word index.
+    from dask_array_tpu.utils._tokenize import _CLASS_PRIMES
+
+    k1 = _CLASS_PRIMES[0]
+    assert big.size > k1
+    swapped = big.copy()
+    swapped[0], swapped[k1] = big[k1], big[0]
+    assert tokenize(swapped) != tokenize(big)
+
+
+def test_sample_compensating_edit_detected():
+    # +d at i, -d at j preserves a plain u64 wrap-sum exactly; position
+    # salting re-keys it (the two positions sit in different residue
+    # classes, so at least one class sum moves)
+    ints = np.arange(100000, dtype=np.int64)
+    t = tokenize(ints)
+    comp = ints.copy()
+    comp[40001] += 7
+    comp[90001] -= 7  # plain wrap-sum unchanged
+    assert tokenize(comp) != t
+
+
+def test_sample_interior_shuffle_detected(big):
+    shuf = big.copy()
+    seg = shuf[60000:60500]
+    np.random.default_rng(7).shuffle(seg)
+    assert not np.array_equal(shuf, big)
+    assert tokenize(shuf) != tokenize(big)
+
+
+def test_sample_word_tail_exact():
+    # arrays whose word count is not a multiple of K: the < K-word tail is
+    # hashed exactly, so tail-region edits and swaps still re-key
+    n = 99991 + 137  # one full K1 row + a 137-word tail
+    ints = np.arange(n, dtype=np.int64)
+    t = tokenize(ints)
+    tail_edit = ints.copy()
+    tail_edit[n - 5] += 1
+    assert tokenize(tail_edit) != t
+    tail_swap = ints.copy()
+    tail_swap[n - 5], tail_swap[n - 2] = ints[n - 2], ints[n - 5]
+    assert tokenize(tail_swap) != t
 
 
 def test_sample_policy_noncontiguous():
