@@ -442,6 +442,14 @@ def _plan_matmul(root):
     )
 
 
+def _plan_stencil(root):
+    """Halo stencils (``TrimInternal`` over map_blocks-over-``Overlap``)
+    in-lane: planned by the in-lane stencil pass; ``None`` declines to the
+    GSPMD/trace lanes.  (Referenced before it existed — a ``TrimInternal``
+    root used to NameError out of the lane instead of declining.)"""
+    return None
+
+
 def _plan(root):
     """Validate the subtree and return an execution plan, or None.
 
@@ -505,10 +513,7 @@ def _plan(root):
         terminal, kind = root, "cumulative"
         elem_root = _unwrap(root.array)
     elif type(root).__name__ == "TrimInternal":
-        plan = _plan_stencil(root)
-        if plan is not None:
-            return plan
-        return None
+        return _plan_stencil(root)
     elif isinstance(root, ArgReduction):
         # first-occurrence semantics via a global-index vote (nanarg
         # kinds stay out: their all-NaN raise happens at host fetch,

@@ -1427,3 +1427,14 @@ def test_grid2_cumsum_no_quadratic_constant(mesh8, grid2d):
     np.testing.assert_allclose(
         np.asarray(out), np.cumsum(src, axis=0), rtol=1e-10
     )
+
+
+def test_trim_internal_root_declines_not_crashes(mesh8, irregular):
+    # a TrimInternal root (the map_overlap pipeline) used to NameError out
+    # of the lane (`_plan_stencil` referenced before it existed); it must
+    # decline (or engage) and compute the right values either way
+    src, x = irregular
+    y = da.map_overlap(lambda b: b * 2, x, depth=1, boundary="reflect")
+    with use_mesh(mesh8), config.set({"tpu.execution-lane": "shard-map"}):
+        out = y.compute()
+    np.testing.assert_allclose(np.asarray(out), src * 2, rtol=1e-12)
