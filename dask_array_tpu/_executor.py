@@ -711,7 +711,7 @@ def execute(root: ArrayExpr, mode: str | None = None, want_view: bool = False):
         and mode is None
         and not config.get("tpu.donate-leaves", False)
         and config.get("tpu.jit", True)
-        and config.get("tpu.execution-lane", "auto") == "auto"
+        and config.get("tpu.execution-lane", "auto") in ("auto", "gspmd")
     ):
         leaf_pairs_c, compiled = hit
         args = _device_put_leaves(leaf_pairs_c, mesh, donate=False)
@@ -726,13 +726,27 @@ def execute(root: ArrayExpr, mode: str | None = None, want_view: bool = False):
             # and surfaces contract errors as _build's ValueError)
             _ex_fastpath.pop(fp_key, None)
 
-    if mesh is not None and config.get("tpu.execution-lane", "auto") == "shard-map":
-        # per-block shard_map lane (prototype): irregular grids become
-        # first-class on the mesh — blocks stacked and sharded whole, no
-        # pad-to-regular GSPMD constraints (parallel/shardlane.py)
+    lane = config.get("tpu.execution-lane", "auto")
+    if (
+        mesh is not None
+        and lane in ("auto", "shard-map")
+        and (lane == "shard-map" or (mode is None and config.get("tpu.jit", True)))
+    ):
+        # per-block shard_map lane: irregular grids are first-class on the
+        # mesh — blocks stacked and sharded whole, no pad-to-regular GSPMD
+        # constraints (parallel/shardlane.py).  Under "auto" it engages by
+        # itself for matching IRREGULAR-grid programs (lane="gspmd" turns
+        # it off entirely); "shard-map" forces it wherever the plan
+        # matches.  Auto engagement degrades on ANY lane failure — a
+        # program that executed before the promotion must keep executing.
         from dask_array_tpu.parallel.shardlane import try_execute_shard
 
-        res = try_execute_shard(root, mesh)
+        try:
+            res = try_execute_shard(root, mesh, auto=(lane == "auto"))
+        except Exception:
+            if lane == "shard-map":
+                raise
+            res = None
         if res is not None:
             return BlockView(root.chunks, dense=res) if want_view else res
 

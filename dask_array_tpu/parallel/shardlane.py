@@ -604,10 +604,32 @@ def _const_env(consts):
     }
 
 
-def try_execute_shard(root, mesh):
-    """Execute ``root`` through the shard_map lane; None = declined."""
+def _auto_worthwhile(plan):
+    """Under ``tpu.execution-lane="auto"`` the lane engages only where it
+    beats GSPMD: an IRREGULAR chunked axis (uneven block heights), which
+    GSPMD answers with pad-to-regular constraints (inserting pad and
+    all-gather traffic the lane avoids).  Regular grids keep the default
+    one-XLA-program lane — its layout solver already maps them cleanly."""
+    kind, leaves = plan[0], plan[3]
+    grid = leaves[0].chunks
+    if kind.startswith("g2_"):
+        d1, d2 = plan[4]
+        return len(set(grid[d1])) > 1 or len(set(grid[d2])) > 1
+    return len(set(grid[plan[4]])) > 1
+
+
+def try_execute_shard(root, mesh, auto=False):
+    """Execute ``root`` through the shard_map lane; None = declined.
+
+    ``auto=True`` is the default-lane promotion (VERDICT r4 #3): engage
+    without the config override, but only for irregular grids (see
+    :func:`_auto_worthwhile`) — the lane is the framework's first-class
+    answer to irregularity, not a replacement for GSPMD on regular grids.
+    """
     plan = _plan(root)
     if plan is None:
+        return None
+    if auto and not _auto_worthwhile(plan):
         return None
     if plan[0].startswith("g2_"):
         return _execute_grid2(plan, mesh, np.dtype(_unwrap(root).dtype))

@@ -184,13 +184,13 @@ def test_lane_declines_cleanly(mesh8, irregular):
     )
 
 
-def test_default_lane_unchanged(mesh8, irregular):
-    # default config ("auto") never routes through the lane
+def test_default_lane_engages_irregular(mesh8, irregular):
+    # default config ("auto") routes matching IRREGULAR-grid programs
+    # through the lane by itself (the r5 promotion; lane="gspmd" is the
+    # opt-out) — values identical to the GSPMD answer
     src, x = irregular
     with use_mesh(mesh8):
-        before = ENGAGED["count"]
-        out = (x * 2).compute()
-        assert ENGAGED["count"] == before
+        out = _engaged(lambda: (x * 2).compute())
     np.testing.assert_allclose(np.asarray(out), src * 2, rtol=1e-12)
 
 
@@ -1438,3 +1438,102 @@ def test_trim_internal_root_declines_not_crashes(mesh8, irregular):
     with use_mesh(mesh8), config.set({"tpu.execution-lane": "shard-map"}):
         out = y.compute()
     np.testing.assert_allclose(np.asarray(out), src * 2, rtol=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# auto engagement (VERDICT r4 #3): under the DEFAULT lane="auto" a mesh
+# routes matching IRREGULAR-grid programs through the shard lane by itself
+# ---------------------------------------------------------------------------
+
+
+def test_auto_engages_irregular_without_override(mesh8, irregular):
+    src, x = irregular
+    with use_mesh(mesh8):  # no config override — default lane is "auto"
+        out = _engaged(lambda: (x * 2 + 1).sum().compute())
+    assert float(out) == pytest.approx(float((src * 2 + 1).sum()), rel=1e-10)
+
+
+def test_auto_engages_irregular_matmul(mesh8, irregular):
+    src, x = irregular
+    w = np.random.default_rng(7).standard_normal((6, 3))
+    with use_mesh(mesh8):
+        out = _engaged(lambda: (x @ w).compute())
+    np.testing.assert_allclose(np.asarray(out), src @ w, rtol=1e-10)
+
+
+def test_auto_engages_irregular_scan(mesh8, irregular):
+    src, x = irregular
+    with use_mesh(mesh8):
+        out = _engaged(lambda: da.cumsum(x, axis=0).compute())
+    np.testing.assert_allclose(np.asarray(out), np.cumsum(src, axis=0), rtol=1e-10)
+
+
+def test_auto_engages_irregular_grid2(mesh8, grid2d):
+    src, x = grid2d
+    with use_mesh(mesh8):
+        out = _engaged(lambda: ((x - x.mean()) / x.std()).compute())
+    np.testing.assert_allclose(
+        np.asarray(out), (src - src.mean()) / src.std(), rtol=1e-8
+    )
+
+
+def test_auto_skips_regular_grid(mesh8):
+    # a REGULAR grid keeps the default GSPMD one-program lane: its layout
+    # solver already maps even grids cleanly, and the lane's stack/unstack
+    # round-trip would only add overhead
+    src = np.random.default_rng(8).standard_normal((128, 6))
+    x = da.from_array(src, chunks=(32, 6))
+    with use_mesh(mesh8):
+        before = ENGAGED["count"]
+        out = (x + 1).sum().compute()
+        assert ENGAGED["count"] == before, "lane engaged on a regular grid"
+    assert float(out) == pytest.approx(float((src + 1).sum()), rel=1e-10)
+
+
+def test_gspmd_value_turns_lane_off(mesh8, irregular):
+    src, x = irregular
+    with use_mesh(mesh8), config.set({"tpu.execution-lane": "gspmd"}):
+        before = ENGAGED["count"]
+        out = (x + 1).sum().compute()
+        assert ENGAGED["count"] == before, "lane engaged under lane=gspmd"
+    assert float(out) == pytest.approx(float((src + 1).sum()), rel=1e-10)
+
+
+def test_forced_lane_still_engages_regular(mesh8):
+    # explicit "shard-map" keeps forcing the lane wherever the plan
+    # matches, regular grids included (the pre-promotion contract)
+    src = np.random.default_rng(9).standard_normal((128, 6))
+    x = da.from_array(src, chunks=(32, 6))
+    with use_mesh(mesh8), config.set({"tpu.execution-lane": "shard-map"}):
+        out = _engaged(lambda: (x + 1).sum().compute())
+    assert float(out) == pytest.approx(float((src + 1).sum()), rel=1e-10)
+
+
+def test_auto_skips_eager_lane(mesh8, irregular):
+    # the eager differential lane (tpu.jit=False) must stay pure per-value
+    # execution: auto engagement would reroute it through a compiled path
+    src, x = irregular
+    with use_mesh(mesh8), config.set({"tpu.jit": False}):
+        before = ENGAGED["count"]
+        out = (x + 1).sum().compute()
+        assert ENGAGED["count"] == before, "lane engaged in the eager lane"
+    assert float(out) == pytest.approx(float((src + 1).sum()), rel=1e-10)
+
+
+def test_auto_degrades_on_lane_failure(mesh8, irregular, monkeypatch):
+    # degrade-never-fail: any lane blowup under "auto" falls through to
+    # the default lanes (a program that executed before the promotion must
+    # keep executing); explicit "shard-map" still surfaces the error
+    import dask_array_tpu.parallel.shardlane as SL
+
+    def boom(root, mesh, auto=False):
+        raise RuntimeError("synthetic lane failure")
+
+    monkeypatch.setattr(SL, "try_execute_shard", boom)
+    src, x = irregular
+    with use_mesh(mesh8):
+        out = (x + 1).sum().compute()
+    assert float(out) == pytest.approx(float((src + 1).sum()), rel=1e-10)
+    with use_mesh(mesh8), config.set({"tpu.execution-lane": "shard-map"}):
+        with pytest.raises(RuntimeError, match="synthetic lane failure"):
+            (x * 3).sum().compute()
