@@ -488,10 +488,16 @@ class ShardStencil(ArrayExpr):
 
             spec = plan_layout(self.array.shape, self.array.chunks, mesh)
             # a sharded halo axis needs shards at least as deep as the halo
+            # (a NESTED entry like ("dcn", "x") shards over the group
+            # product — multislice meshes ride the same ring schedule,
+            # crossing DCN only at the n_slices - 1 slice-boundary pairs)
             for ax, name in enumerate(spec):
                 lo, hi = self.depth[ax]
                 if name is not None and (lo or hi):
-                    if self.array.shape[ax] // mesh.shape[name] < max(lo, hi):
+                    n = 1
+                    for nm in (name,) if isinstance(name, str) else name:
+                        n *= mesh.shape[nm]
+                    if self.array.shape[ax] // n < max(lo, hi):
                         spec = None
                         break
         else:
@@ -524,15 +530,21 @@ class ShardStencil(ArrayExpr):
                     else:
                         shard = jnp.pad(shard, pw, mode="constant", constant_values=bd)
                     continue
-                n = mesh.shape[name]
+                names = (name,) if isinstance(name, str) else tuple(name)
+                n = 1
+                for nm in names:
+                    n *= mesh.shape[nm]
                 wrap = bd == "periodic"
                 size = shard.shape[ax]
                 parts = []
-                idx = lax.axis_index(name)
+                # linearised position over the (possibly nested) group
+                idx = lax.axis_index(names[0])
+                for nm in names[1:]:
+                    idx = idx * mesh.shape[nm] + lax.axis_index(nm)
                 if lo:
                     tail = lax.slice_in_dim(shard, size - lo, size, axis=ax)
                     fwd = [(i, (i + 1) % n) for i in range(n if wrap else n - 1)]
-                    from_left = lax.ppermute(tail, name, fwd)
+                    from_left = lax.ppermute(tail, names, fwd)
                     if not wrap:
                         fill = self._edge_fill(shard, ax, lo, bd, "lo")
                         from_left = jnp.where(idx == 0, fill, from_left)
@@ -541,7 +553,7 @@ class ShardStencil(ArrayExpr):
                 if hi:
                     head = lax.slice_in_dim(shard, 0, hi, axis=ax)
                     bwd = [(i, (i - 1) % n) for i in range(n) if wrap or i > 0]
-                    from_right = lax.ppermute(head, name, bwd)
+                    from_right = lax.ppermute(head, names, bwd)
                     if not wrap:
                         fill = self._edge_fill(shard, ax, hi, bd, "hi")
                         from_right = jnp.where(idx == n - 1, fill, from_right)

@@ -210,6 +210,16 @@ def test_halo_exchange_nested_group_wrap(mesh_dcn2x4, rng):
     )
 
 
+def _permute_pairs(hlo):
+    """Every collective-permute (source, target) pair in the HLO text."""
+    pairs = []
+    for m in re.finditer(r"source_target_pairs=\{((?:\{\d+,\d+\},?)+)\}", hlo):
+        pairs += [
+            (int(s), int(t)) for s, t in re.findall(r"\{(\d+),(\d+)\}", m.group(1))
+        ]
+    return pairs
+
+
 def test_halo_exchange_dcn_crossings_minimal(mesh_dcn2x4, rng):
     # of the 7 forward ring pairs only ONE crosses the slice boundary
     # (device 3 -> 4); assert from the compiled collective-permute pairs
@@ -224,12 +234,58 @@ def test_halo_exchange_dcn_crossings_minimal(mesh_dcn2x4, rng):
         return halo_exchange(v, mesh_dcn2x4, ("dcn", "x"), axis=0, depth=1)
 
     hlo = run.lower(xs).compile().as_text()
-    pairs = []
-    for m in re.finditer(r"source_target_pairs=\{([^}]*)\}", hlo):
-        pairs += re.findall(r"\{(\d+),(\d+)\}", "{" + m.group(1) + "}")
+    pairs = _permute_pairs(hlo)
     assert pairs, "expected collective-permute pairs"
-    crossings = sum(1 for s, t in pairs if int(s) // 4 != int(t) // 4)
+    crossings = sum(1 for s, t in pairs if s // 4 != t // 4)
     assert crossings <= 2, (crossings, pairs)  # one fwd + one bwd boundary pair
+
+
+def _stencil(b):
+    import jax.numpy as jnp
+
+    return b + jnp.roll(b, 1, axis=0) + jnp.roll(b, -1, axis=0)
+
+
+@pytest.mark.parametrize("bd", ["periodic", "reflect", "nearest", 0.0])
+def test_shard_stencil_nested_group_values(mesh_dcn2x4, rng, bd):
+    # ShardStencil over a NESTED ("dcn", "x") sharded axis: the ring
+    # schedule runs over the linearised group (r5: this KeyError'd before)
+    src = rng.standard_normal((64, 16))
+    x = da.from_array(src, chunks=(8, 16))
+    with use_mesh(mesh_dcn2x4), config.set({"tpu.overlap-method": "shard"}):
+        y = x.map_overlap(_stencil, depth={0: 1}, boundary={0: bd})
+        from dask_array_tpu.ops._overlap import ShardStencil
+
+        assert isinstance(y.expr, ShardStencil)
+        got = np.asarray(y.compute())
+    mode = {"periodic": "wrap", "reflect": "symmetric", "nearest": "edge"}.get(bd)
+    if mode is None:
+        p = np.pad(src, ((1, 1), (0, 0)), constant_values=bd)
+    else:
+        p = np.pad(src, ((1, 1), (0, 0)), mode=mode)
+    want = (p + np.roll(p, 1, axis=0) + np.roll(p, -1, axis=0))[1:-1]
+    np.testing.assert_allclose(got, want, rtol=1e-12)
+
+
+def test_shard_stencil_dcn_crossings_minimal(mesh_dcn2x4, rng):
+    # the halo over the nested group must cross DCN only at the slice
+    # boundary: 2 crossings non-wrap (3<->4), 4 with the periodic wrap
+    # pair (7<->0) — and never gather
+    src = rng.standard_normal((64, 16))
+    x = da.from_array(src, chunks=(8, 16))
+    with use_mesh(mesh_dcn2x4), config.set({"tpu.overlap-method": "shard"}):
+        hlo_r = compiled_hlo(
+            x.map_overlap(_stencil, depth={0: 1}, boundary={0: "reflect"})
+        )
+        hlo_p = compiled_hlo(
+            x.map_overlap(_stencil, depth={0: 1}, boundary={0: "periodic"})
+        )
+    for hlo, max_cross in ((hlo_r, 2), (hlo_p, 4)):
+        assert "all-gather" not in hlo
+        pairs = _permute_pairs(hlo)
+        assert pairs, "expected collective-permute pairs"
+        crossings = sum(1 for s, t in pairs if s // 4 != t // 4)
+        assert crossings <= max_cross, (crossings, pairs)
 
 
 def test_multislice_end_to_end_pipeline(mesh_dcn2x4, rng):
