@@ -81,6 +81,10 @@ def run(label, build):
 
 
 if __name__ == "__main__":
+    # warm the import-time machinery (jnp ufunc dispatch, meta inference)
+    # once so the rows measure the optimizer, not the first jax import
+    # (~1.7 s one-time, measured)
+    deep_elemwise_chain(2).expr.optimize()
     run("deep_chain_200", deep_elemwise_chain)
     run("wide_tree_128", wide_sum_tree)
     run("wide_loader_stack_500", wide_loader_stack)

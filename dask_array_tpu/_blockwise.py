@@ -754,14 +754,30 @@ def optimize_blockwise_fusion(root: ArrayExpr) -> ArrayExpr:
 
     dependents = collect_dependents(root)
 
-    # find group roots: fusable nodes none of whose dependents would fuse them
+    # Precompute, once per node, everything fuses_into_parent consults:
+    # whether it can absorb children (fusable Blockwise), its arg-name set,
+    # and its numblocks.  The naive form rebuilt the parent's arg-name set
+    # on EVERY edge probe, which dominated optimizer wall time on wide DAGs
+    # (bench/bench_optimize.py wide_tree row).
+    nodes = list(root.walk())
+    absorbers: dict = {}  # name -> (arg_name_set, numblocks)
+    for n in nodes:
+        if isinstance(n, Blockwise) and n._fusable:
+            absorbers[n._name] = (
+                frozenset(a._name for a, _ in n.array_args),
+                n.numblocks,
+            )
+
     def fuses_into_parent(node, parent):
-        return is_fusable(parent) and isinstance(parent, Blockwise) and node._name in {
-            a._name for a, _ in parent.array_args
-        } and node.numblocks == parent.numblocks
+        info = absorbers.get(parent._name)
+        return (
+            info is not None
+            and node._name in info[0]
+            and node.numblocks == info[1]
+        )
 
     groups = []  # (root_node, member_names)
-    for node in root.walk():
+    for node in nodes:
         if not (isinstance(node, Blockwise) and node._fusable):
             continue
         deps = dependents.get(node._name, ())

@@ -39,6 +39,13 @@ from dask_array_tpu.utils._tokenize import tokenize
 _trace_hook = None  # callable(rule, before, after, phase) | None
 
 
+@functools.lru_cache(maxsize=None)
+def _param_index(cls) -> dict:
+    """name -> operand position for a concrete expr class (operand access
+    is the optimizer's innermost loop; tuple.index per access adds up)."""
+    return {name: i for i, name in enumerate(cls._parameters)}
+
+
 def _record_rewrite(rule: str, before, after, phase: str) -> None:
     if _trace_hook is not None and after is not None and after._name != before._name:
         _trace_hook(rule, before, after, phase)
@@ -106,12 +113,12 @@ class ArrayExpr:
     # -- operand access -----------------------------------------------------
 
     def operand(self, name):
-        return self.operands[type(self)._parameters.index(name)]
+        return self.operands[_param_index(type(self))[name]]
 
     def __getattr__(self, name):
-        params = type(self)._parameters
-        if name in params:
-            return self.operands[params.index(name)]
+        idx = _param_index(type(self)).get(name)
+        if idx is not None:
+            return self.operands[idx]
         raise AttributeError(
             f"{type(self).__name__!r} object has no attribute {name!r}"
         )
@@ -185,7 +192,11 @@ class ArrayExpr:
         m = self._meta
         return m.dtype if hasattr(m, "dtype") else np.dtype(type(m))
 
-    @property
+    # shape/numblocks are pure functions of the (cached) chunks on an
+    # immutable node; caching them keeps the optimizer's hot loops (fusion
+    # grouping, layout planning) O(1) per access instead of re-walking the
+    # chunk tuples (bench/bench_optimize.py wide rows)
+    @functools.cached_property
     def shape(self):
         return tuple(
             int(sum(c)) if not any(isinstance(x, float) and math.isnan(x) for x in c) else float("nan")
@@ -196,7 +207,7 @@ class ArrayExpr:
     def ndim(self):
         return len(self.chunks)
 
-    @property
+    @functools.cached_property
     def numblocks(self):
         return grid_shape(self.chunks)
 

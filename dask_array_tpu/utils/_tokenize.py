@@ -253,6 +253,31 @@ def _normalize(obj, out: list) -> None:
             out.append(f"idobj:{_identity_token(obj)}")
 
 
+_code_digests: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
+
+def _code_digest(code) -> bytes:
+    """Digest of a code object's STATIC identity (bytecode + consts +
+    names).  Code objects are immutable, so caching is exact; the caller
+    still normalizes closure cells and defaults fresh on every call (those
+    CAN mutate between tokenizations).  Tokenizing the same kernel across
+    many expression nodes is the optimizer's measured hot loop
+    (bench/bench_optimize.py loader row)."""
+    hit = _code_digests.get(code)
+    if hit is not None:
+        return hit
+    h = hashlib.blake2b(digest_size=16)
+    h.update(code.co_code)
+    h.update(repr(code.co_consts).encode())
+    # co_names is load-bearing: LOAD_ATTR/LOAD_GLOBAL reference names
+    # by index, so `jnp.frexp(v)[0]` and `jnp.modf(v)[0]` share
+    # co_code and differ ONLY here
+    h.update(repr(code.co_names).encode())
+    out = h.digest()
+    _code_digests[code] = out
+    return out
+
+
 def _normalize_callable(fn) -> str:
     try:
         if isinstance(fn, np.ufunc):
@@ -291,12 +316,7 @@ def _normalize_callable(fn) -> str:
                     except Exception:
                         cells.append(_identity_token(cell))
             h = hashlib.blake2b(digest_size=16)
-            h.update(code.co_code)
-            h.update(repr(code.co_consts).encode())
-            # co_names is load-bearing: LOAD_ATTR/LOAD_GLOBAL reference names
-            # by index, so `jnp.frexp(v)[0]` and `jnp.modf(v)[0]` share
-            # co_code and differ ONLY here
-            h.update(repr(code.co_names).encode())
+            h.update(_code_digest(code))
             h.update("\x00".join(cells).encode())
             # defaults distinguish otherwise-identical wrappers (fn(*a, _i=0))
             defaults: list = []
