@@ -175,7 +175,7 @@ def _local_reduce(val, rkind, acc_dtype, red_axes, count):
     return out
 
 
-def _walk_elem(node, leaves, seen, reds=None, consts=None):
+def _walk_elem(node, leaves, seen, reds=None, consts=None, scans=None):
     """Walk an elemwise tree down to FromArray leaves; False = decline.
 
     With ``reds``/``consts`` lists supplied the walk also admits:
@@ -189,6 +189,16 @@ def _walk_elem(node, leaves, seen, reds=None, consts=None):
     * 0-d subtrees of any other kind (collected into ``consts``) —
       evaluated host-side through the regular executor at plan time
       (e.g. the one-pass variance's ``x[0, 0]`` shift element).
+
+    With a ``scans`` list supplied (the r5 multi-terminal widening) the
+    walk also admits INNER ``CumReduction`` nodes: a scan preserves
+    shape, so its result stays BLOCK-ALIGNED with the stacked leaves and
+    feeds the outer tree in place — no broadcast, no extra collective
+    beyond the scan's own Blelloch phase.  ``cumsum(x)*2+1``,
+    ``(x - cumsum(x)).sum()`` and scan-of-scan pipelines become ONE lane
+    program.  Scan subtrees may hold inner reds/consts (evaluated
+    first); reduction subtrees stay scan-free, keeping the evaluation
+    order acyclic (reds -> scans innermost-first -> outer tree).
     """
     from dask_array_tpu._expr import ArrayExpr
     from dask_array_tpu.ops._from_array import FromArray
@@ -202,10 +212,37 @@ def _walk_elem(node, leaves, seen, reds=None, consts=None):
     if type(node).__name__ == "Elemwise":
         for a in node.args:
             if isinstance(a, ArrayExpr) and not _walk_elem(
-                a, leaves, seen, reds, consts
+                a, leaves, seen, reds, consts, scans
             ):
                 return False
         return True
+    if scans is not None:
+        from dask_array_tpu.ops.reductions import CumReduction
+
+        if (
+            isinstance(node, CumReduction)
+            and node.kind in ("cumsum", "cumprod")
+            and np.dtype(node.dtype).kind not in "Mm"
+        ):
+            if node._name in seen:
+                return True
+            sub_leaves, sub_reds, sub_consts = [], [], []
+            sub_seen = set(seen)
+            if _walk_elem(
+                node.array, sub_leaves, sub_seen, sub_reds, sub_consts,
+                scans,
+            ):
+                seen.update(sub_seen)
+                leaves.extend(sub_leaves)
+                if reds is None and sub_reds:
+                    return False  # caller forbids inner reductions
+                if reds is not None:
+                    reds.extend(sub_reds)
+                consts.extend(sub_consts)
+                seen.add(node._name)
+                scans.append(node)
+                return True
+            return False
     if reds is not None:
         from dask_array_tpu.ops.reductions import Reduction
 
@@ -442,6 +479,46 @@ def _plan_matmul(root):
     )
 
 
+def _plan_matmul_post(root):
+    """Elemwise tree OVER one matmul (``f(x @ w)`` — the GEMM-then-
+    activation pattern): the Einsum plans as usual and the outer tree
+    applies per-device to the stacked (rows lane) or replicated
+    (matmul_k) GEMM output.  Scope: the outer tree's only array operand
+    is the ONE Einsum subtree (plus scalars / 0-d consts) — other leaves
+    would need restacking by the OUTPUT grid.  Returns the matmul plan
+    with aux extended to ``(..., None, post_elem_root)``."""
+    from dask_array_tpu._expr import ArrayExpr
+    from dask_array_tpu.ops.linalg import Einsum
+
+    mms, consts = [], []
+
+    def walk(node):
+        node = _unwrap(node)
+        if isinstance(node, Einsum):
+            if all(m._name != node._name for m in mms):
+                mms.append(node)
+            return True
+        if type(node).__name__ == "Elemwise":
+            return all(
+                walk(a) for a in node.args if isinstance(a, ArrayExpr)
+            )
+        if node.shape == ():
+            consts.append(node)
+            return True
+        return False
+
+    if not walk(root) or len(mms) != 1:
+        return None
+    mm = _plan_matmul(mms[0])
+    if mm is None:
+        return None
+    kind, terminal, lhs_root, lhs_leaves, d, aux = mm
+    merged = list({c._name: c for c in list(aux[3]) + consts}.values())
+    return kind, terminal, lhs_root, lhs_leaves, d, (
+        aux[0], aux[1], aux[2], tuple(merged), None, _unwrap(root),
+    )
+
+
 def _plan_stencil(root):
     """Halo stencils (``TrimInternal`` over map_blocks-over-``Overlap``)
     in-lane: planned by the in-lane stencil pass; ``None`` declines to the
@@ -531,12 +608,19 @@ def _plan(root):
         elem_root = root
 
     # walk the tree down to FromArray leaves, collecting INNER reductions
-    # (replicated inside the body) and 0-d host constants along the way
-    leaves, reds, consts = [], [], []
-    if not _walk_elem(elem_root, leaves, set(), reds, consts):
+    # (replicated inside the body), INNER scans (block-aligned in place),
+    # and 0-d host constants along the way
+    leaves, reds, consts, scans = [], [], [], []
+    if not _walk_elem(elem_root, leaves, set(), reds, consts, scans):
+        if kind == "elemwise":
+            # an Einsum inside the tree fails the elemwise walk; the
+            # GEMM-then-activation pattern rides the matmul lanes
+            return _plan_matmul_post(elem_root)
         return None
     ok = _leaf_grid_ok(leaves)
     if ok is None:
+        if scans:
+            return None  # inner scans on 2-D grids: not built yet
         # a TWO-axis chunk grid rides its own lane (flattened block grid
         # + 2-D validity mask); anything else declines
         return _plan_grid2(kind, terminal, elem_root, leaves, reds, consts)
@@ -547,6 +631,12 @@ def _plan(root):
         # axis reduced away) and its subtree leaf-shaped, so the result
         # broadcasts back into the outer tree with numpy's trailing rules
         if d not in tuple(r.axes) or tuple(r.array.shape) != leaf_shape:
+            return None
+    for s in scans:
+        # an inner scan's subtree must be leaf-shaped so its result stays
+        # block-aligned with the stacked leaves (a scan preserves shape);
+        # axis=None (flattening) scans leave the lane
+        if s.axis is None or tuple(s.array.shape) != leaf_shape:
             return None
 
     if kind == "reduce":
@@ -569,7 +659,50 @@ def _plan(root):
         # indices along an unsharded axis are block-local positions
         kind = "argreduce_local"
 
-    return kind, terminal, elem_root, leaves, d, (tuple(reds), tuple(consts))
+    return kind, terminal, elem_root, leaves, d, (
+        tuple(reds), tuple(consts), tuple(scans),
+    )
+
+
+def _scan_stacked(val, mask, ckind, cdtype, d, hmax, rest, axes, ndev):
+    """Two-phase Blelloch scan of stacked blocks ALONG the sharded axis.
+
+    Phase 1: padding masked to the scan identity, local blocks flattened
+    into one contiguous scan per device.  Phase 2: ONE tiny all-gather of
+    per-device totals, an exclusive combine, a local carry apply.  Shared
+    by the terminal ``cumulative`` kind and INNER scans inside elemwise
+    trees (the r5 multi-terminal widening) — cross-device traffic is
+    ``ndev * rest`` elements either way, never the array.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    ident = 0.0 if ckind == "cumsum" else 1.0
+    val = jnp.where(mask, val, jnp.asarray(ident, val.dtype)).astype(
+        cdtype if cdtype.kind != "M" else val.dtype
+    )
+    k_loc = val.shape[0]
+    # bring the stacked scan axis next to the block axis so local
+    # blocks flatten into one contiguous scan (identity when d==0)
+    flat = jnp.moveaxis(val, d + 1, 1).reshape((k_loc * hmax,) + rest)
+    scan = jnp.cumsum(flat, axis=0) if ckind == "cumsum" else jnp.cumprod(flat, axis=0)
+    total = scan[-1]
+    # Blelloch phase 2: ONE tiny all-gather of per-device totals,
+    # exclusive-scan them, apply the carry locally
+    totals = jax.lax.all_gather(total, axes, tiled=False)
+    totals = totals.reshape((ndev,) + rest)
+    me = jax.lax.axis_index(axes)
+    if ckind == "cumsum":
+        carry_all = jnp.cumsum(totals, axis=0) - totals  # exclusive
+        scan = scan + carry_all[me]
+    else:
+        # exclusive cumprod (division would be unsafe with zeros)
+        ex = jnp.concatenate(
+            [jnp.ones((1,) + rest, totals.dtype),
+             jnp.cumprod(totals[:-1], axis=0)], axis=0
+        )
+        scan = scan * ex[me]
+    return jnp.moveaxis(scan.reshape((k_loc, hmax) + rest), 1, d + 1)
 
 
 def _eval_elem(node, env):
@@ -677,9 +810,10 @@ def try_execute_shard(root, mesh, auto=False):
     out_dtype = np.dtype(_unwrap(root).dtype)
 
     if kind in ("matmul", "matmul_k"):
-        reds, cenv = (), _const_env(aux[3])
+        reds, scans, cenv = (), (), _const_env(aux[3])
     else:
         reds, cenv = aux[0], _const_env(aux[1])
+        scans = aux[2] if len(aux) > 2 else ()
     # true elements folded per output element of each inner reduction
     rcounts = {
         r._name: math.prod(int(sum(grid[ax])) for ax in r.axes) for r in reds
@@ -707,12 +841,35 @@ def try_execute_shard(root, mesh, auto=False):
                 rcounts[r._name],
             )
             env[r._name] = rv.reshape(tuple(int(s) for s in r.shape))
+        for s in scans:
+            # inner scans stay BLOCK-ALIGNED: along the sharded axis they
+            # run the two-phase Blelloch schedule, along any other axis
+            # they're pure block-local work.  The walk appends post-order
+            # (innermost first), so each env entry exists before any
+            # outer subtree reads it.
+            sub = _eval_elem(_unwrap(s.array), env)
+            sdt = np.dtype(s.dtype)
+            if s.axis == d:
+                sv = _scan_stacked(
+                    sub, mask, s.kind, sdt, d, hmax, rest, axes, ndev
+                )
+            else:
+                sv = sub.astype(sdt if sdt.kind != "M" else sub.dtype)
+                sv = (
+                    jnp.cumsum(sv, axis=s.axis + 1)
+                    if s.kind == "cumsum"
+                    else jnp.cumprod(sv, axis=s.axis + 1)
+                )
+            env[s._name] = sv
         val = _eval_elem(elem_root, env)
         return val, mask
 
     if kind in ("matmul", "matmul_k"):
         rhs_root, rhs_leaves, layout = aux[0], aux[1], aux[2]
-        post = aux[4] if len(aux) == 5 else None  # composed terminal Reduction
+        post = aux[4] if len(aux) >= 5 else None  # composed terminal Reduction
+        # composed POST-ELEMWISE tree over the GEMM output (f(x @ w)):
+        # applies per-device on the stacked/replicated result in-body
+        post_elem = aux[5] if len(aux) >= 6 else None
         lpos, rpos, rhs_vec, swapped = layout
         kwargs = dict(terminal.kwargs or ())
         from dask_array_tpu import config
@@ -760,6 +917,10 @@ def try_execute_shard(root, mesh, auto=False):
                 renv[leaf._name] = arr
             rhs = _eval_elem(rhs_root, renv)
             mm = jnp.einsum(spec, val, rhs, precision=precision)
+            if post_elem is not None:
+                penv = dict(cenv)
+                penv[terminal._name] = mm
+                return _eval_elem(post_elem, penv)
             if post is None:
                 return mm
             op = {"sum": jnp.sum, "mean": jnp.sum, "prod": jnp.prod,
@@ -862,6 +1023,10 @@ def try_execute_shard(root, mesh, auto=False):
             rhs = jnp.where(rmask, rhs, jnp.zeros((), rhs.dtype))
             part = jnp.einsum(spec, val, rhs, precision=precision)
             mm = jax.lax.psum(part, axes)
+            if post_elem is not None:
+                penv = dict(cenv)
+                penv[terminal._name] = mm
+                return _eval_elem(post_elem, penv)
             if post is None:
                 return mm
             # mm is the TRUE replicated output: any reduce applies locally
@@ -947,37 +1112,12 @@ def try_execute_shard(root, mesh, auto=False):
 
     if kind == "cumulative":
         ckind = terminal.kind
-        ident = 0.0 if ckind == "cumsum" else 1.0
         cdtype = np.dtype(terminal.dtype)
 
         def body(fn_sizes, *fn_args):
             val, mask = local(fn_args, fn_sizes)
-            val = jnp.where(mask, val, jnp.asarray(ident, val.dtype)).astype(
-                cdtype if cdtype.kind != "M" else val.dtype
-            )
-            k_loc = val.shape[0]
-            # bring the stacked scan axis next to the block axis so local
-            # blocks flatten into one contiguous scan (identity when d==0)
-            flat = jnp.moveaxis(val, d + 1, 1).reshape((k_loc * hmax,) + rest)
-            scan = jnp.cumsum(flat, axis=0) if ckind == "cumsum" else jnp.cumprod(flat, axis=0)
-            total = scan[-1]
-            # Blelloch phase 2: ONE tiny all-gather of per-device totals,
-            # exclusive-scan them, apply the carry locally
-            totals = jax.lax.all_gather(total, axes, tiled=False)
-            totals = totals.reshape((ndev,) + rest)
-            me = jax.lax.axis_index(axes)
-            if ckind == "cumsum":
-                carry_all = jnp.cumsum(totals, axis=0) - totals  # exclusive
-                scan = scan + carry_all[me]
-            else:
-                # exclusive cumprod (division would be unsafe with zeros)
-                ex = jnp.concatenate(
-                    [jnp.ones((1,) + rest, totals.dtype),
-                     jnp.cumprod(totals[:-1], axis=0)], axis=0
-                )
-                scan = scan * ex[me]
-            return jnp.moveaxis(
-                scan.reshape((k_loc, hmax) + rest), 1, d + 1
+            return _scan_stacked(
+                val, mask, ckind, cdtype, d, hmax, rest, axes, ndev
             )
 
         fn = jax.jit(

@@ -1537,3 +1537,236 @@ def test_auto_degrades_on_lane_failure(mesh8, irregular, monkeypatch):
     with use_mesh(mesh8), config.set({"tpu.execution-lane": "shard-map"}):
         with pytest.raises(RuntimeError, match="synthetic lane failure"):
             (x * 3).sum().compute()
+
+
+# ---------------------------------------------------------------------------
+# inner scans (r5 multi-terminal widening): CumReduction nodes INSIDE
+# elemwise trees stay block-aligned — elemwise-after-scan, scan-of-scan,
+# reduce-of-scan and mixed pipelines are each ONE lane program
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "name,build,want_fn",
+    [
+        (
+            "elemwise-over-scan",
+            lambda x: da.cumsum(x, axis=0) * 2 + 1,
+            lambda s: np.cumsum(s, 0) * 2 + 1,
+        ),
+        (
+            "elemwise-after-scan-sum",
+            lambda x: (x - da.cumsum(x, axis=0)).sum(),
+            lambda s: (s - np.cumsum(s, 0)).sum(),
+        ),
+        (
+            "scan-of-scan",
+            lambda x: da.cumsum(da.cumsum(x, axis=0), axis=1),
+            lambda s: np.cumsum(np.cumsum(s, 0), 1),
+        ),
+        (
+            "reduce-of-scan",
+            lambda x: da.cumsum(x, axis=0).sum(axis=0),
+            lambda s: np.cumsum(s, 0).sum(0),
+        ),
+        (
+            "inner-scan-in-tree",
+            lambda x: (x * da.cumsum(x, axis=0)).mean(axis=0),
+            lambda s: (s * np.cumsum(s, 0)).mean(0),
+        ),
+        (
+            "scan-with-inner-red",
+            lambda x: da.cumsum(x - x.mean(), axis=0),
+            lambda s: np.cumsum(s - s.mean(), 0),
+        ),
+        (
+            "cumprod-inner",
+            lambda x: (da.cumprod(x * 0.1, axis=0) + 1).sum(),
+            lambda s: (np.cumprod(s * 0.1, 0) + 1).sum(),
+        ),
+        (
+            "local-axis-inner-scan",
+            lambda x: da.cumsum(x, axis=1) * 2,
+            lambda s: np.cumsum(s, 1) * 2,
+        ),
+        (
+            "argmax-of-scan",
+            lambda x: da.cumsum(x, axis=0).argmax(),
+            lambda s: np.cumsum(s, 0).argmax(),
+        ),
+        (
+            "scan-minus-scan",
+            lambda x: da.cumsum(x, axis=0) - da.cumsum(x, axis=1),
+            lambda s: np.cumsum(s, 0) - np.cumsum(s, 1),
+        ),
+    ],
+)
+def test_inner_scan_pipelines(mesh8, irregular, name, build, want_fn):
+    src, x = irregular
+    with use_mesh(mesh8):  # default lane="auto": irregular grids engage
+        out = _engaged(lambda: build(x).compute())
+    np.testing.assert_allclose(
+        np.asarray(out), want_fn(src), rtol=1e-9, atol=1e-9
+    )
+
+
+def test_inner_scan_int_dtype(mesh8):
+    heights = (5, 9, 3)
+    src = np.arange(17 * 4, dtype=np.int64).reshape(17, 4) % 13
+    x = da.from_array(src, chunks=(heights, 4))
+    with use_mesh(mesh8):
+        out = _engaged(lambda: (da.cumsum(x, axis=0) + x).compute())
+    np.testing.assert_array_equal(np.asarray(out), np.cumsum(src, 0) + src)
+
+
+def test_inner_scan_one_totals_allgather_only(mesh8, irregular, monkeypatch):
+    # the Blelloch pin, widened to inner scans: the only all-gather in the
+    # program is the tiny per-device TOTALS exchange (shape == rest), never
+    # the array
+    import jax
+
+    calls = []
+    orig = jax.lax.all_gather
+
+    def spy(operand, *a, **k):
+        calls.append(tuple(operand.shape))
+        return orig(operand, *a, **k)
+
+    monkeypatch.setattr(jax.lax, "all_gather", spy)
+    src, x = irregular
+    with use_mesh(mesh8):
+        out = _engaged(lambda: (x - da.cumsum(x, axis=0)).sum().compute())
+    assert float(out) == pytest.approx(
+        float((src - np.cumsum(src, 0)).sum()), rel=1e-9
+    )
+    assert calls == [(6,)], calls  # one gather, rest-shaped totals
+
+
+def test_inner_scan_shared_subexpression(mesh8, irregular):
+    # the SAME scan node referenced twice evaluates once (env-memoized)
+    src, x = irregular
+    c = da.cumsum(x, axis=0)
+    with use_mesh(mesh8):
+        out = _engaged(lambda: (c + c * 0.5).compute())
+    np.testing.assert_allclose(
+        np.asarray(out), np.cumsum(src, 0) * 1.5, rtol=1e-9
+    )
+
+
+def test_inner_scan_grid2_declines(mesh8, grid2d):
+    # inner scans on 2-D chunk grids are not built: the program must still
+    # answer correctly through the default lanes
+    src, x = grid2d
+    with use_mesh(mesh8):
+        before = ENGAGED["count"]
+        out = (da.cumsum(x, axis=0) + 1).compute()
+        assert ENGAGED["count"] == before
+    np.testing.assert_allclose(np.asarray(out), np.cumsum(src, 0) + 1, rtol=1e-9)
+
+
+def test_inner_scan_eager_lane_parity(mesh8, irregular):
+    # the eager differential lane answers the same pipelines per-value
+    src, x = irregular
+    with config.set({"tpu.jit": False}):
+        out = (x - da.cumsum(x, axis=0)).sum().compute()
+    assert float(out) == pytest.approx(
+        float((src - np.cumsum(src, 0)).sum()), rel=1e-9
+    )
+
+
+# ---------------------------------------------------------------------------
+# post-elemwise over matmul (r5): f(x @ w) — the GEMM-then-activation
+# pattern rides the matmul lanes, outer tree applied per-device in-body
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture
+def w6x3():
+    return np.random.default_rng(11).standard_normal((6, 3))
+
+
+def test_post_elem_rows_lane(mesh8, irregular, w6x3):
+    src, x = irregular
+    with use_mesh(mesh8):
+        out = _engaged(lambda: (x @ w6x3 + 1.0).compute())
+    np.testing.assert_allclose(np.asarray(out), src @ w6x3 + 1.0, rtol=1e-9)
+
+
+def test_post_elem_activation(mesh8, irregular, w6x3):
+    src, x = irregular
+    with use_mesh(mesh8):
+        out = _engaged(lambda: da.tanh(2.0 * (x @ w6x3)).compute())
+    np.testing.assert_allclose(
+        np.asarray(out), np.tanh(2.0 * (src @ w6x3)), rtol=1e-9, atol=1e-12
+    )
+
+
+def test_post_elem_contraction_lane(mesh8):
+    src = np.random.default_rng(12).standard_normal((23, 6))
+    w = np.random.default_rng(13).standard_normal((6, 3))
+    xk = da.from_array(src, chunks=(23, (4, 2)))  # contraction-chunked
+    with use_mesh(mesh8):
+        out = _engaged(lambda: ((xk @ w) * 0.5 + 2.0).compute())
+    np.testing.assert_allclose(
+        np.asarray(out), (src @ w) * 0.5 + 2.0, rtol=1e-9
+    )
+
+
+def test_post_elem_shared_gemm(mesh8, irregular, w6x3):
+    # the same Einsum referenced twice contracts once (env-memoized)
+    src, x = irregular
+    mm = x @ w6x3
+    with use_mesh(mesh8):
+        out = _engaged(lambda: (mm + mm * 0.5).compute())
+    np.testing.assert_allclose(
+        np.asarray(out), (src @ w6x3) * 1.5, rtol=1e-9
+    )
+
+
+def test_post_elem_two_gemms_decline(mesh8, irregular, w6x3):
+    # TWO distinct Einsums in one tree stay out of the lane; the default
+    # lanes still answer correctly
+    src, x = irregular
+    w2 = np.random.default_rng(14).standard_normal((6, 3))
+    with use_mesh(mesh8):
+        before = ENGAGED["count"]
+        out = ((x @ w6x3) + (x @ w2)).compute()
+        assert ENGAGED["count"] == before
+    np.testing.assert_allclose(
+        np.asarray(out), src @ w6x3 + src @ w2, rtol=1e-9
+    )
+
+
+def test_post_elem_other_leaf_declines(mesh8, irregular, w6x3):
+    # an extra array leaf in the outer tree (needs restacking by the
+    # OUTPUT grid) declines; values still correct via the default lanes
+    src, x = irregular
+    other = np.random.default_rng(15).standard_normal((sum(_HEIGHTS), 3))
+    y = da.from_array(other, chunks=(_HEIGHTS, 3))
+    with use_mesh(mesh8):
+        before = ENGAGED["count"]
+        out = ((x @ w6x3) + y).compute()
+        assert ENGAGED["count"] == before
+    np.testing.assert_allclose(
+        np.asarray(out), src @ w6x3 + other, rtol=1e-9
+    )
+
+
+def test_post_elem_rows_hlo_no_collective(mesh8, irregular, w6x3, monkeypatch):
+    # the rows lane's zero-collective contract survives the post tree:
+    # no all_gather is ever traced for f(x @ w)
+    import jax
+
+    calls = []
+    orig = jax.lax.all_gather
+
+    def spy(operand, *a, **k):
+        calls.append(tuple(operand.shape))
+        return orig(operand, *a, **k)
+
+    monkeypatch.setattr(jax.lax, "all_gather", spy)
+    src, x = irregular
+    with use_mesh(mesh8):
+        out = _engaged(lambda: (x @ w6x3 + 1.0).compute())
+    np.testing.assert_allclose(np.asarray(out), src @ w6x3 + 1.0, rtol=1e-9)
+    assert calls == [], calls
