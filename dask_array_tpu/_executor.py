@@ -356,6 +356,7 @@ _TRACE_CONFIG_KEYS = (
     "tpu.matmul-precision",
     "tpu.qr-method",
     "tpu.qr-gram",
+    "tpu.gram-precision",
     "tpu.svd-method",
     "tpu.prng-impl",
     "tpu.random-precision",

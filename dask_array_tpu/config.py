@@ -50,6 +50,12 @@ _global: dict[str, Any] = {
     # intermittently crashes the axon client after RNG-bearing programs and
     # eigh is the faster TPU kernel anyway) | "jacobi" (jnp.linalg.svd)
     "tpu.svd-method": "eigh",
+    # precision of the BIG (n x n via m-deep) Gram products inside
+    # CholeskyQR passes: "highest" (six bf16 passes, the f32 default) |
+    # "high" (three passes, ~2x the MXU rate).  The tall A @ R^-1 legs are
+    # stream-bound and keep "highest" regardless (bench/README.md
+    # "tsqr_svd roofline", round-5 gram-precision record)
+    "tpu.gram-precision": "highest",
     # map_overlap execution: "auto" = per-block halos (GSPMD inserts the
     # collective-permutes); "shard" = one shard_map stencil with an explicit
     # minimal ppermute ring per sharded halo axis (assumes the map_overlap

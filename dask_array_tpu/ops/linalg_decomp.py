@@ -117,7 +117,10 @@ class TSQR(ArrayExpr):
 
         from dask_array_tpu import config
 
-        g = jnp.matmul(a.conj().T, a, precision="highest")
+        g = jnp.matmul(
+            a.conj().T, a,
+            precision=config.get("tpu.gram-precision", "highest"),
+        )
         g = (g + g.conj().T) / 2
         n = a.shape[1]
         if config.get("tpu.qr-gram", "shifted") == "eigh-clamp":

@@ -521,10 +521,68 @@ def _plan_matmul_post(root):
 
 def _plan_stencil(root):
     """Halo stencils (``TrimInternal`` over map_blocks-over-``Overlap``)
-    in-lane: planned by the in-lane stencil pass; ``None`` declines to the
-    GSPMD/trace lanes.  (Referenced before it existed — a ``TrimInternal``
-    root used to NameError out of the lane instead of declining.)"""
-    return None
+    in-lane (r5): blocks stay stacked on the mesh while each block's halo
+    rows arrive from its NEIGHBOR blocks — same-device slots by a shifted
+    take, device-boundary slots by ONE ppermute of the per-device edge
+    bands (plus two static wrap ppermutes for periodic) — then ``func``
+    applies per-block and the halos trim away.  GSPMD's lowering of the
+    per-block halo pipeline on an irregular grid pads and gathers; the
+    reference's analog is the ghost-cell task layer
+    (``/root/reference/dask_array/_overlap.py:70``).
+
+    Scope: one array argument (an elemwise tree over one irregular
+    1-chunked-axis grid), depth along the chunked axis ``d`` rides the
+    ring (depth on unchunked axes is global-boundary padding, handled
+    block-locally), boundary per axis in reflect/nearest/periodic/
+    constant, symmetric halos, no block_id/block_info injection, no
+    margins, ``func`` vmappable over blocks.  ``None`` declines.
+    """
+    from dask_array_tpu.ops._map_blocks import MapBlocks, MapBlocksInfo
+    from dask_array_tpu.ops._overlap import Overlap
+
+    mb = _unwrap(root.array)
+    if type(mb) is not MapBlocks or isinstance(mb, MapBlocksInfo):
+        return None
+    if mb._kwargs_dict.get("__inject_block_id__") or type(mb)._inject_block_id:
+        return None
+    if mb.new_axes or mb.adjust_chunks:
+        return None
+    if root.margin is not None:
+        return None
+    ov_args = mb.array_args
+    if len(ov_args) != 1:
+        return None
+    ov = _unwrap(ov_args[0][0])
+    if type(ov) is not Overlap or ov.body_chunks is not None:
+        return None
+    if tuple(ov.depth) != tuple(root.depth) or tuple(ov.boundary) != tuple(
+        root.boundary
+    ):
+        return None
+    depth = tuple(tuple(p) for p in ov.depth)
+    boundary = tuple(ov.boundary)
+    for (lo, hi), bd in zip(depth, boundary):
+        if (lo or hi) and (bd == "none" or lo != hi):
+            return None  # 'none' shrinks edge blocks; asymmetric is 'none'-only
+        if not (
+            bd in ("reflect", "nearest", "periodic", "none")
+            or isinstance(bd, (int, float, np.number))
+        ):
+            return None
+    leaves, consts = [], []
+    if not _walk_elem(ov.array, leaves, set(), None, consts):
+        return None
+    ok = _leaf_grid_ok(leaves)
+    if ok is None:
+        return None
+    grid, d = ok
+    lo_d, hi_d = depth[d]
+    # halos along the chunked axis must fit every donating block
+    if (lo_d or hi_d) and min(grid[d]) < max(lo_d, hi_d):
+        return None
+    return "stencil", root, _unwrap(ov.array), leaves, d, (
+        mb, depth, boundary, tuple(consts),
+    )
 
 
 def _plan(root):
@@ -809,7 +867,7 @@ def try_execute_shard(root, mesh, auto=False):
     n_true = sum(heights)
     out_dtype = np.dtype(_unwrap(root).dtype)
 
-    if kind in ("matmul", "matmul_k"):
+    if kind in ("matmul", "matmul_k", "stencil"):
         reds, scans, cenv = (), (), _const_env(aux[3])
     else:
         reds, cenv = aux[0], _const_env(aux[1])
@@ -863,6 +921,143 @@ def try_execute_shard(root, mesh, auto=False):
             env[s._name] = sv
         val = _eval_elem(elem_root, env)
         return val, mask
+
+    if kind == "stencil":
+        # map_overlap in-lane: halo rows from neighbor blocks — shifted
+        # takes for same-device slots, ONE ppermute per direction for the
+        # device-boundary edge bands (the minimal ICI schedule on the
+        # stacked layout), then func per block and trim
+        mb, depth, boundary = aux[0], aux[1], aux[2]
+        func = mb.operand("func")
+        fkw = {
+            k_: v_ for k_, v_ in mb._kwargs_dict.items()
+            if not k_.startswith("__inject")
+        }
+        lo_d, hi_d = depth[d]
+        bd_d = boundary[d]
+        wrap = bd_d == "periodic"
+        k_loc = kpad // ndev
+        T = lo_d + hmax + hi_d
+        mode_map = {"reflect": "symmetric", "nearest": "edge", "periodic": "wrap"}
+
+        def body(fn_sizes, *fn_args):
+            env = dict(cenv)
+            for leaf, arr in zip(leaves, fn_args):
+                env[leaf._name] = arr
+            val = _eval_elem(elem_root, env)
+            v = jnp.moveaxis(val, d + 1, 1)  # (k_loc, hmax, *trailing)
+            trail = (1,) * (v.ndim - 2)
+            if lo_d or hi_d:
+                me = jax.lax.axis_index(axes)
+                gids = me * k_loc + jnp.arange(k_loc, dtype=jnp.int32)
+                # per-block VALID tails (last lo_d true rows) and heads;
+                # padding rows never donate (indices come from fn_sizes)
+                t_idx = jnp.clip(
+                    fn_sizes[:, None]
+                    - lo_d
+                    + jnp.arange(lo_d, dtype=jnp.int32)[None, :],
+                    0,
+                    hmax - 1,
+                )
+                tails = jnp.take_along_axis(
+                    v, t_idx.reshape((k_loc, lo_d) + trail), axis=1
+                )
+                heads = v[:, :hi_d]
+                fwd = [(i, i + 1) for i in range(ndev - 1)]
+                bwd = [(i + 1, i) for i in range(ndev - 1)]
+                from_left_dev = jax.lax.ppermute(tails[-1], axes, fwd)
+                from_right_dev = jax.lax.ppermute(heads[0], axes, bwd)
+                left = jnp.concatenate([from_left_dev[None], tails[:-1]], axis=0)
+                right = jnp.concatenate([heads[1:], from_right_dev[None]], axis=0)
+                sel_first = (gids == 0).reshape((k_loc,) + (1,) * (v.ndim - 1))
+                sel_last = (gids == k - 1).reshape((k_loc,) + (1,) * (v.ndim - 1))
+                if wrap:
+                    # periodic wrap: block 0's left is block k-1's tail and
+                    # vice versa — two static pairs between the devices
+                    # holding the global edge blocks
+                    dev_last, slot_last = (k - 1) // k_loc, (k - 1) % k_loc
+                    wl = jax.lax.ppermute(tails[slot_last], axes, [(dev_last, 0)])
+                    wr = jax.lax.ppermute(heads[0], axes, [(0, dev_last)])
+                    left = jnp.where(sel_first, wl[None], left)
+                    right = jnp.where(sel_last, wr[None], right)
+                else:
+                    if bd_d == "reflect":
+                        lfill = jnp.flip(v[:, :lo_d], axis=1)
+                        rfill = jnp.flip(tails, axis=1)
+                    elif bd_d == "nearest":
+                        lfill = jnp.repeat(v[:, :1], lo_d, axis=1)
+                        last_idx = jnp.clip(fn_sizes[:, None] - 1, 0, hmax - 1)
+                        rfill = jnp.repeat(
+                            jnp.take_along_axis(
+                                v, last_idx.reshape((k_loc, 1) + trail), axis=1
+                            ),
+                            hi_d,
+                            axis=1,
+                        )
+                    else:  # constant fill value
+                        lfill = jnp.full(v[:, :lo_d].shape, bd_d, v.dtype)
+                        rfill = jnp.full(v[:, :hi_d].shape, bd_d, v.dtype)
+                    left = jnp.where(sel_first, lfill, left)
+                    right = jnp.where(sel_last, rfill, right)
+                # per-block gather [left | valid rows | right] from the
+                # concatenated buffer; rows past lo+h+hi are junk the
+                # locality contract never reads back into valid outputs
+                buf = jnp.concatenate([v, left, right], axis=1)
+                t = jnp.arange(T, dtype=jnp.int32)[None, :]
+                h = fn_sizes[:, None]
+                row = jnp.where(
+                    t < lo_d,
+                    hmax + t,
+                    jnp.where(
+                        t < lo_d + h,
+                        t - lo_d,
+                        hmax + lo_d + jnp.clip(t - lo_d - h, 0, hi_d - 1),
+                    ),
+                )
+                vin = jnp.take_along_axis(
+                    buf, row.reshape((k_loc, T) + trail), axis=1
+                )
+            else:
+                vin = v
+            vin = jnp.moveaxis(vin, 1, d + 1)
+            # depth on unchunked axes is global-boundary padding: the
+            # whole axis lives in every block, so it's block-local work
+            for ax in range(nd):
+                if ax == d:
+                    continue
+                lo_a, hi_a = depth[ax]
+                if not (lo_a or hi_a):
+                    continue
+                bd_a = boundary[ax]
+                w = [(0, 0)] * vin.ndim
+                w[ax + 1] = (lo_a, hi_a)
+                if bd_a in mode_map:
+                    vin = jnp.pad(vin, w, mode=mode_map[bd_a])
+                else:
+                    vin = jnp.pad(vin, w, constant_values=bd_a)
+            out = jax.vmap(lambda b: func(b, **fkw))(vin)
+            sl = [slice(None)]
+            for ax in range(nd):
+                lo_a, hi_a = depth[ax]
+                if ax == d:
+                    sl.append(slice(lo_d, lo_d + hmax))
+                elif lo_a or hi_a:
+                    sl.append(slice(lo_a, lo_a + block_shape[ax]))
+                else:
+                    sl.append(slice(None))
+            return out[tuple(sl)]
+
+        fn = jax.jit(
+            jax.shard_map(
+                body,
+                mesh=mesh,
+                in_specs=(P(axes),) + (P(axes),) * len(dev_args),
+                out_specs=P(axes),
+            )
+        )
+        stacked_out = fn(dev_sizes, *dev_args)
+        ENGAGED["count"] += 1
+        return _unstack(stacked_out, heights, out_dtype, d)
 
     if kind in ("matmul", "matmul_k"):
         rhs_root, rhs_leaves, layout = aux[0], aux[1], aux[2]

@@ -1770,3 +1770,153 @@ def test_post_elem_rows_hlo_no_collective(mesh8, irregular, w6x3, monkeypatch):
         out = _engaged(lambda: (x @ w6x3 + 1.0).compute())
     np.testing.assert_allclose(np.asarray(out), src @ w6x3 + 1.0, rtol=1e-9)
     assert calls == [], calls
+
+
+# ---------------------------------------------------------------------------
+# in-lane halo stencils (r5): TrimInternal-over-map_blocks-over-Overlap
+# runs stacked on the mesh — neighbor halos by shifted takes + ONE edge-band
+# ppermute per direction, boundary fills per kind, func per block, trim
+# ---------------------------------------------------------------------------
+
+
+def _edge3(b):
+    import jax.numpy as jnp
+
+    return b + jnp.roll(b, 1, 0) + jnp.roll(b, -1, 0)
+
+
+def _np_edge3(a, bd, depth=1):
+    mode = {"periodic": "wrap", "reflect": "symmetric", "nearest": "edge"}.get(bd)
+    if mode is None:
+        p = np.pad(a, ((depth, depth), (0, 0)), constant_values=bd)
+    else:
+        p = np.pad(a, ((depth, depth), (0, 0)), mode=mode)
+    return (p + np.roll(p, 1, 0) + np.roll(p, -1, 0))[depth:-depth]
+
+
+@pytest.mark.parametrize("bd", ["periodic", "reflect", "nearest", 0.0, 2.5])
+def test_stencil_in_lane_boundaries(mesh8, irregular, bd):
+    src, x = irregular
+    with use_mesh(mesh8):
+        out = _engaged(
+            lambda: x.map_overlap(_edge3, depth={0: 1}, boundary={0: bd}).compute()
+        )
+    np.testing.assert_allclose(np.asarray(out), _np_edge3(src, bd), rtol=1e-9)
+
+
+def test_stencil_in_lane_2d_depth(mesh8, irregular):
+    # chunked axis rides the ring; the unchunked axis is global-boundary
+    # padding, handled block-locally
+    import jax.numpy as jnp
+
+    def lap(b):
+        return (
+            jnp.roll(b, 1, 0) + jnp.roll(b, -1, 0)
+            + jnp.roll(b, 1, 1) + jnp.roll(b, -1, 1) - 4 * b
+        )
+
+    src, x = irregular
+    with use_mesh(mesh8):
+        out = _engaged(
+            lambda: x.map_overlap(lap, depth=1, boundary="reflect").compute()
+        )
+    p = np.pad(src, 1, mode="symmetric")
+    want = p[:-2, 1:-1] + p[2:, 1:-1] + p[1:-1, :-2] + p[1:-1, 2:] - 4 * src
+    np.testing.assert_allclose(np.asarray(out), want, rtol=1e-9)
+
+
+def test_stencil_in_lane_depth2_periodic(mesh8, irregular):
+    import jax.numpy as jnp
+
+    def f5(b):
+        return b + jnp.roll(b, 2, 0) + jnp.roll(b, -2, 0)
+
+    src, x = irregular
+    with use_mesh(mesh8):
+        out = _engaged(
+            lambda: x.map_overlap(
+                f5, depth={0: 2}, boundary={0: "periodic"}
+            ).compute()
+        )
+    p = np.pad(src, ((2, 2), (0, 0)), mode="wrap")
+    want = (p + np.roll(p, 2, 0) + np.roll(p, -2, 0))[2:-2]
+    np.testing.assert_allclose(np.asarray(out), want, rtol=1e-9)
+
+
+def test_stencil_in_lane_elemwise_producer(mesh8, irregular):
+    # an elemwise tree UNDER the overlap stays in the same program
+    src, x = irregular
+    with use_mesh(mesh8):
+        out = _engaged(
+            lambda: (x * 2 + 1).map_overlap(
+                _edge3, depth={0: 1}, boundary={0: "reflect"}
+            ).compute()
+        )
+    np.testing.assert_allclose(
+        np.asarray(out), _np_edge3(src * 2 + 1, "reflect"), rtol=1e-9
+    )
+
+
+def test_stencil_edge_band_ppermute_only(mesh8, irregular, monkeypatch):
+    # the traffic pin: the only collectives are the edge-band ppermutes —
+    # each operand is (depth, trailing)-shaped, never a block or the array
+    import jax
+
+    calls = []
+    orig_pp = jax.lax.ppermute
+    orig_ag = jax.lax.all_gather
+
+    def spy_pp(operand, *a, **k):
+        calls.append(("ppermute", tuple(operand.shape)))
+        return orig_pp(operand, *a, **k)
+
+    def spy_ag(operand, *a, **k):
+        calls.append(("all_gather", tuple(operand.shape)))
+        return orig_ag(operand, *a, **k)
+
+    monkeypatch.setattr(jax.lax, "ppermute", spy_pp)
+    monkeypatch.setattr(jax.lax, "all_gather", spy_ag)
+    src, x = irregular
+    with use_mesh(mesh8):
+        out = _engaged(
+            lambda: x.map_overlap(
+                _edge3, depth={0: 1}, boundary={0: "reflect"}
+            ).compute()
+        )
+    np.testing.assert_allclose(np.asarray(out), _np_edge3(src, "reflect"), rtol=1e-9)
+    assert calls == [("ppermute", (1, 6)), ("ppermute", (1, 6))], calls
+
+
+def test_stencil_block_id_declines(mesh8, irregular):
+    # block_id injection reads global coordinates the stacked layout
+    # renumbers — stays out of the lane, values still correct
+    src, x = irregular
+
+    def f(b, block_id=None):
+        return b + block_id[0]
+
+    y = x.map_overlap(f, depth={0: 1}, boundary={0: "reflect"}, dtype=src.dtype)
+    with use_mesh(mesh8):
+        before = ENGAGED["count"]
+        out = y.compute()
+        assert ENGAGED["count"] == before, "lane engaged on block_id func"
+    blocks = [np.full((h,), i) for i, h in enumerate(_HEIGHTS)]
+    want = _np_edge3(src, "reflect") * 0 + src + np.concatenate(blocks)[:, None]
+    # (the func ignores halos: b + block_id over the padded block, trimmed)
+    np.testing.assert_allclose(np.asarray(out), want, rtol=1e-9)
+
+
+def test_stencil_small_block_declines(mesh8):
+    # a donating block smaller than the halo can't fill the edge band from
+    # valid rows alone: decline (upstream overlap() may rechunk; if the
+    # grid arrives with a too-small block the lane stays out)
+    src = np.random.default_rng(20).standard_normal((10, 3))
+    x = da.from_array(src, chunks=((4, 1, 5), 3))
+    with use_mesh(mesh8):
+        before = ENGAGED["count"]
+        out = x.map_overlap(
+            _edge3, depth={0: 2}, boundary={0: "reflect"}
+        ).compute()
+    np.testing.assert_allclose(
+        np.asarray(out), _np_edge3(src, "reflect", depth=2), rtol=1e-9
+    )
