@@ -228,21 +228,21 @@ def _walk_elem(node, leaves, seen, reds=None, consts=None, scans=None):
                 return True
             sub_leaves, sub_reds, sub_consts = [], [], []
             sub_seen = set(seen)
-            if _walk_elem(
+            if not _walk_elem(
                 node.array, sub_leaves, sub_seen, sub_reds, sub_consts,
                 scans,
             ):
-                seen.update(sub_seen)
-                leaves.extend(sub_leaves)
-                if reds is None and sub_reds:
-                    return False  # caller forbids inner reductions
-                if reds is not None:
-                    reds.extend(sub_reds)
-                consts.extend(sub_consts)
-                seen.add(node._name)
-                scans.append(node)
-                return True
-            return False
+                return False
+            if reds is None and sub_reds:
+                return False  # caller forbids inner reductions
+            seen.update(sub_seen)
+            leaves.extend(sub_leaves)
+            if reds is not None:
+                reds.extend(sub_reds)
+            consts.extend(sub_consts)
+            seen.add(node._name)
+            scans.append(node)
+            return True
     if reds is not None:
         from dask_array_tpu.ops.reductions import Reduction
 
@@ -291,7 +291,7 @@ def _leaf_grid_ok2(leaves):
     return grid, tuple(chunked)
 
 
-def _plan_grid2(kind, terminal, elem_root, leaves, reds=(), consts=()):
+def _plan_grid2(kind, terminal, elem_root, leaves, reds=(), consts=(), scans=()):
     """The 2-D-chunk-grid lane: blocks of a two-axis grid flatten
     row-major onto the sharded block axis with a 2-D validity mask.
     Scope: elemwise; reductions over BOTH chunked axes (with or without
@@ -310,7 +310,14 @@ def _plan_grid2(kind, terminal, elem_root, leaves, reds=(), consts=()):
         # result) over a leaf-shaped subtree
         if not set(dims) <= set(r.axes) or tuple(r.array.shape) != leaf_shape:
             return None
-    aux = (tuple(reds), tuple(consts))
+    for s in scans:
+        # inner scans on the 2-D grid: block-local (along UNCHUNKED axes)
+        # only — padding along the chunked dims is orthogonal to the scan,
+        # so garbage stays in padded slots.  In-lane Blelloch along a
+        # chunked axis of a 2-D grid is terminal-only (g2_cumulative).
+        if s.axis is None or s.axis in dims or tuple(s.array.shape) != leaf_shape:
+            return None
+    aux = (tuple(reds), tuple(consts), tuple(scans))
     if kind == "elemwise":
         return "g2_elemwise", None, elem_root, leaves, dims, aux
     if kind in ("reduce", "reduce_local"):
@@ -677,11 +684,11 @@ def _plan(root):
         return None
     ok = _leaf_grid_ok(leaves)
     if ok is None:
-        if scans:
-            return None  # inner scans on 2-D grids: not built yet
         # a TWO-axis chunk grid rides its own lane (flattened block grid
         # + 2-D validity mask); anything else declines
-        return _plan_grid2(kind, terminal, elem_root, leaves, reds, consts)
+        return _plan_grid2(
+            kind, terminal, elem_root, leaves, reds, consts, scans
+        )
     grid, d = ok
     leaf_shape = tuple(int(sum(c)) for c in grid)
     for r in reds:
@@ -1546,6 +1553,7 @@ def _execute_grid2(plan, mesh, out_dtype):
     dev_s2 = jax.device_put(s2, sh)
 
     reds, cenv = aux[0], _const_env(aux[1])
+    scans = aux[2] if len(aux) > 2 else ()
     rcounts = {
         r._name: math.prod(int(sum(grid[ax])) for ax in r.axes) for r in reds
     }
@@ -1570,6 +1578,18 @@ def _execute_grid2(plan, mesh, out_dtype):
                 rcounts[r._name],
             )
             env[r._name] = rv.reshape(tuple(int(s) for s in r.shape))
+        for s in scans:
+            # block-local scans along unchunked axes (post-order: inner
+            # entries exist before any outer subtree reads them); padding
+            # along the chunked dims is orthogonal, garbage stays padded
+            sub = _eval_elem(_unwrap(s.array), env)
+            sdt = np.dtype(s.dtype)
+            sv = sub.astype(sdt if sdt.kind != "M" else sub.dtype)
+            env[s._name] = (
+                jnp.cumsum(sv, axis=s.axis + 1)
+                if s.kind == "cumsum"
+                else jnp.cumprod(sv, axis=s.axis + 1)
+            )
         val = _eval_elem(elem_root, env)
         return val, mask
 

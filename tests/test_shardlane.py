@@ -1920,3 +1920,76 @@ def test_stencil_small_block_declines(mesh8):
     np.testing.assert_allclose(
         np.asarray(out), _np_edge3(src, "reflect", depth=2), rtol=1e-9
     )
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_stencil_fuzz_differential(mesh8, seed):
+    # randomized grids x depths x boundaries vs numpy: the stencil lane's
+    # neighbor/wrap/boundary index arithmetic across uneven block layouts
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(100 + seed)
+    nblocks = int(rng.integers(2, 14))
+    heights = tuple(int(h) for h in rng.integers(3, 9, nblocks))
+    cols = int(rng.integers(1, 5))
+    depth = int(rng.integers(1, 3))
+    bd = ["periodic", "reflect", "nearest", 1.5][int(rng.integers(0, 4))]
+    src = rng.standard_normal((sum(heights), cols))
+    x = da.from_array(src, chunks=(heights, cols))
+
+    def f(b, dd=depth):
+        return b + jnp.roll(b, dd, 0) + jnp.roll(b, -dd, 0)
+
+    with use_mesh(mesh8):
+        out = _engaged(
+            lambda: x.map_overlap(f, depth={0: depth}, boundary={0: bd}).compute()
+        )
+    mode = {"periodic": "wrap", "reflect": "symmetric", "nearest": "edge"}.get(bd)
+    if mode is None:
+        p = np.pad(src, ((depth, depth), (0, 0)), constant_values=bd)
+    else:
+        p = np.pad(src, ((depth, depth), (0, 0)), mode=mode)
+    want = (p + np.roll(p, depth, 0) + np.roll(p, -depth, 0))[depth:-depth]
+    np.testing.assert_allclose(np.asarray(out), want, rtol=1e-9, atol=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# g2 inner scans (r5): block-local scans along UNCHUNKED axes of 2-D grids
+# ride the lane inside elemwise trees; chunked-axis inner scans decline
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture
+def grid2_3d():
+    src = np.random.default_rng(31).standard_normal((13, 9, 4))
+    x = da.from_array(src, chunks=((5, 3, 5), (4, 2, 3), 4))
+    return src, x
+
+
+def test_g2_inner_scan_local_axis(mesh8, grid2_3d):
+    src, x = grid2_3d
+    with use_mesh(mesh8):
+        out = _engaged(lambda: (da.cumsum(x, axis=2) * 2 + x).compute())
+    np.testing.assert_allclose(
+        np.asarray(out), np.cumsum(src, 2) * 2 + src, rtol=1e-9
+    )
+
+
+def test_g2_inner_scan_then_reduce(mesh8, grid2_3d):
+    src, x = grid2_3d
+    with use_mesh(mesh8):
+        out = _engaged(lambda: (x - da.cumsum(x, axis=2)).sum().compute())
+    assert float(out) == pytest.approx(
+        float((src - np.cumsum(src, 2)).sum()), rel=1e-9
+    )
+
+
+def test_g2_inner_scan_chunked_axis_declines(mesh8, grid2_3d):
+    # Blelloch-inside-a-tree on 2-D grids is terminal-only: declines to
+    # the default lanes with correct values
+    src, x = grid2_3d
+    with use_mesh(mesh8):
+        before = ENGAGED["count"]
+        out = (da.cumsum(x, axis=0) + 1).compute()
+        assert ENGAGED["count"] == before
+    np.testing.assert_allclose(np.asarray(out), np.cumsum(src, 0) + 1, rtol=1e-9)
