@@ -293,9 +293,12 @@ def compute(*collections, **kwargs):
             check_masked_ops(c.expr)
         lowered = [optimize_expr(c.expr) for _, c in arrays]
         denses = execute_many(lowered)
+        from dask_array_tpu._dispatch import is_duck_chunk as _is_duck
+
         for (i, c), dense in zip(arrays, denses):
-            if isinstance(dense, _np.ma.MaskedArray):
-                out[i] = dense  # masked host lane: np.asarray would drop the mask
+            if isinstance(dense, _np.ma.MaskedArray) or _is_duck(dense):
+                # masked/duck host lane: np.asarray would drop the type
+                out[i] = dense
                 continue
             arr = _np.asarray(dense)
             dt = c.dtype

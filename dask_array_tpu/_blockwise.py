@@ -165,6 +165,34 @@ def masked_host_kernel(fn):
     return ma_fn if ma_fn is not None else np_fn
 
 
+def _contains_duck(args) -> bool:
+    from dask_array_tpu._dispatch import is_duck_chunk
+
+    for a in args:
+        if is_duck_chunk(a):
+            return True
+        if isinstance(a, (list, tuple)) and _contains_duck(a):
+            return True
+    return False
+
+
+def duck_host_kernel(fn):
+    """The numpy-API counterpart of a traced kernel, for duck host blocks.
+
+    jnp kernels coerce operands with ``np.asarray`` (dropping the duck
+    type); the numpy function of the same name dispatches through the
+    registered type's ``__array_ufunc__``/``__array_function__`` (NEP-13/
+    NEP-18) and preserves it.  Kernels without a numpy counterpart keep the
+    jnp implementation — correct values, possibly a plain-array block
+    (documented divergence; the masked lane raises instead because a
+    dropped MASK silently changes VALUES, a dropped wrapper does not)."""
+    mod = getattr(fn, "__module__", "") or ""
+    if not mod.startswith("jax"):
+        return fn
+    np_fn = getattr(np, getattr(fn, "__name__", ""), None)
+    return np_fn if np_fn is not None else fn
+
+
 class Blockwise(ArrayExpr):
     """Apply ``func`` block-wise following an index pattern.
 
@@ -456,6 +484,13 @@ class Blockwise(ArrayExpr):
             parts = [rec(pos + 1, prefix + (c,)) for c in coords_per_pos[pos]]
             if len(parts) == 1:
                 return parts[0]
+            if isinstance(parts[0], np.ma.MaskedArray):
+                return np.ma.concatenate(parts, axis=pos)
+            from dask_array_tpu._dispatch import is_duck_chunk
+
+            if is_duck_chunk(parts[0]):
+                # duck host lane: np.concatenate dispatches NEP-18
+                return np.concatenate(parts, axis=pos)
             return jnp.concatenate(parts, axis=pos)
 
         return rec(0, ())
@@ -502,6 +537,13 @@ class Blockwise(ArrayExpr):
                     f"{getattr(self.func, '__name__', self.func)!r} has no "
                     "mask-preserving host kernel; call x.filled(...) first"
                 )
+            with np.errstate(all="ignore"):
+                return fn(*_to_host(args), **kwargs)
+        if _contains_duck(args):
+            # duck host lane: numpy-API kernels dispatch through the
+            # registered type's __array_ufunc__/__array_function__ so the
+            # block type survives (register_chunk_type)
+            fn = duck_host_kernel(self.func)
             with np.errstate(all="ignore"):
                 return fn(*_to_host(args), **kwargs)
         return self.func(*args, **kwargs)

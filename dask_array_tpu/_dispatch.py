@@ -96,18 +96,50 @@ def lookup_array_function(func):
 # chunk-type registry (duck arrays usable as blocks)
 # ---------------------------------------------------------------------------
 
-_HANDLED_CHUNK_TYPES: list[type] = [np.ndarray]
+_HANDLED_CHUNK_TYPES: list[type] = [np.ndarray, np.ma.MaskedArray]
+
+# registered types that are NOT plain-ndarray flavors: these are the duck
+# chunk types that ride the HOST lane (numpy-API kernels dispatch through
+# their __array_ufunc__/__array_function__); cached as a tuple because
+# is_duck_chunk sits on hot executor paths
+_DUCK_TYPES: tuple = ()
 
 
 def register_chunk_type(type_):
     """Register a duck-array type as a valid block type.
 
-    Parity: ``register_chunk_type`` (``_chunk_types.py:31``).  Note: on the
-    TPU execution path blocks are jax.Arrays; registered host chunk types
-    participate through the eager path.
+    Parity: ``register_chunk_type`` (``_chunk_types.py:31``).  On the TPU
+    execution path blocks are jax.Arrays; registered duck chunk types ride
+    the HOST lane: their blocks are kept as-is (never ``np.asarray``-ed)
+    and kernels run through the numpy API, which dispatches through the
+    type's ``__array_ufunc__``/``__array_function__`` — the same discipline
+    as the masked host lane.  Ops without a numpy counterpart fall back to
+    jnp kernels, which compute correct VALUES but may return plain arrays
+    (docs/divergences.md).
     """
+    global _DUCK_TYPES
     _HANDLED_CHUNK_TYPES.append(type_)
+    _DUCK_TYPES = tuple(
+        t
+        for t in _HANDLED_CHUNK_TYPES
+        if isinstance(t, type) and not issubclass(t, np.ndarray)
+    )
 
 
 def is_valid_chunk_type(type_):
     return any(issubclass(type_, t) for t in _HANDLED_CHUNK_TYPES)
+
+
+def is_valid_array_chunk(array):
+    """Is ``array`` of a type dask_array can wrap as a block?
+
+    Parity: ``is_valid_array_chunk`` (``_chunk_types.py:18``)."""
+    return array is None or isinstance(array, tuple(_HANDLED_CHUNK_TYPES))
+
+
+def is_duck_chunk(x) -> bool:
+    """Is ``x`` a REGISTERED duck-array block (non-ndarray flavor)?
+
+    Duck blocks execute on the host lane with numpy-API kernels so their
+    type survives end-to-end (``register_chunk_type``)."""
+    return bool(_DUCK_TYPES) and isinstance(x, _DUCK_TYPES)

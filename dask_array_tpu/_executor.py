@@ -389,8 +389,12 @@ def _materialize_buf(b):
     datetime64/timedelta64 ship as their int64 tick view (jax has no
     datetime dtypes); the logical dtype lives in expression metadata and
     is restored at ``compute_to_numpy`` (the "datetime shim")."""
+    from dask_array_tpu._dispatch import is_duck_chunk
+
     if hasattr(b, "materialize"):
         b = b.materialize()
+    if is_duck_chunk(b):
+        return b  # registered duck block: np.asarray would drop the type
     if isinstance(b, np.ndarray):
         return b.view("i8") if b.dtype.kind in "Mm" else b
     if hasattr(b, "devices"):
@@ -412,6 +416,10 @@ def _is_host_only(arr) -> bool:
     ``reductions/_common.py:675-830``, ``_dispatch.py:36,248``)."""
     if isinstance(arr, np.ma.MaskedArray):
         return True
+    from dask_array_tpu._dispatch import is_duck_chunk
+
+    if is_duck_chunk(arr):
+        return True  # registered duck block: host lane preserves the type
     from dask_array_tpu._chunks import host_only_dtype
 
     dt = getattr(arr, "dtype", None)
@@ -654,9 +662,13 @@ def execute_many(roots, mode: str | None = None):
         for k, b in union:
             b = _materialize_buf(b)
             if _is_host_only(b):
-                # structured/masked: stays host numpy (np.asarray on a
-                # masked array would drop the mask)
-                vals[k] = b if isinstance(b, np.ndarray) else np.asarray(b)
+                # structured/masked/duck: stays host (np.asarray on a
+                # masked array would drop the mask; on a registered duck
+                # block, its type)
+                from dask_array_tpu._dispatch import is_duck_chunk
+
+                keep = isinstance(b, np.ndarray) or is_duck_chunk(b)
+                vals[k] = b if keep else np.asarray(b)
             elif not hasattr(b, "dtype") or isinstance(b, np.ndarray):
                 vals[k] = jnp.asarray(np.asarray(b))
             else:
@@ -829,9 +841,13 @@ def execute(root: ArrayExpr, mode: str | None = None, want_view: bool = False):
         for k, b in leaf_pairs:
             b = _materialize_buf(b)
             if _is_host_only(b):
-                # structured/masked: stays host numpy (np.asarray on a
-                # masked array would drop the mask)
-                vals[k] = b if isinstance(b, np.ndarray) else np.asarray(b)
+                # structured/masked/duck: stays host (np.asarray on a
+                # masked array would drop the mask; on a registered duck
+                # block, its type)
+                from dask_array_tpu._dispatch import is_duck_chunk
+
+                keep = isinstance(b, np.ndarray) or is_duck_chunk(b)
+                vals[k] = b if keep else np.asarray(b)
             elif not hasattr(b, "dtype") or isinstance(b, np.ndarray):
                 vals[k] = jnp.asarray(np.asarray(b))
             else:

@@ -64,6 +64,10 @@ def compute_to_numpy(expr: ArrayExpr):
         validate(out)
     if isinstance(out, np.ma.MaskedArray):
         return out  # masked host lane: np.asarray would drop the mask
+    from dask_array_tpu._dispatch import is_duck_chunk
+
+    if is_duck_chunk(out):
+        return out  # duck host lane: compute() returns the registered type
     arr = np.asarray(out)
     dt = expr.dtype
     if getattr(dt, "kind", "") in "Mm" and arr.dtype != dt:

@@ -126,6 +126,12 @@ class Take(ArrayExpr):
             # masked host lane: numpy's take preserves the mask
             out = src.take(np.asarray(self.indices, dtype=np.int64), axis=self.axis)
             return BlockView(self.chunks, dense=out)
+        from dask_array_tpu._dispatch import is_duck_chunk
+
+        if is_duck_chunk(src):
+            # duck host lane: np.take dispatches NEP-18
+            out = np.take(src, np.asarray(self.indices, dtype=np.int64), axis=self.axis)
+            return BlockView(self.chunks, dense=out)
         idx = jnp.asarray(np.asarray(self.indices, dtype=np.int64))
         dense = jnp.take(src, idx, axis=self.axis)
         return BlockView(self.chunks, dense=dense)

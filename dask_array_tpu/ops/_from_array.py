@@ -63,8 +63,14 @@ class FromArray(ArrayExpr):
 
     @property
     def _traceable(self):
-        # masked sources have no device representation: host lane
-        return not isinstance(self.source, np.ma.MaskedArray)
+        # masked and registered duck sources have no device representation
+        # (tracing would drop the mask / the duck type): host lane
+        from dask_array_tpu._dispatch import is_duck_chunk
+
+        return not (
+            isinstance(self.source, np.ma.MaskedArray)
+            or is_duck_chunk(self.source)
+        )
 
     @property
     def chunks(self):

@@ -248,7 +248,13 @@ class ReshapeLowered(ArrayExpr):
         import jax.numpy as jnp
 
         view = ctx.build(self.array)
-        return BlockView(self.chunks_, dense=jnp.reshape(view.dense(), self.shape_))
+        dense = view.dense()
+        from dask_array_tpu._executor import _is_host_only
+
+        if _is_host_only(dense):
+            # masked/duck/structured host lane: np.reshape dispatches
+            return BlockView(self.chunks_, dense=np.reshape(dense, self.shape_))
+        return BlockView(self.chunks_, dense=jnp.reshape(dense, self.shape_))
 
 
 def reshape(x, shape, merge_chunks=True, limit=None):

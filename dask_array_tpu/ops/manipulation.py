@@ -19,8 +19,11 @@ from dask_array_tpu._slicing import Slice, is_basic_index
 
 
 def _transpose_fn(block, axes=None):
-    if isinstance(block, np.ma.MaskedArray):
-        return np.transpose(block, axes)  # masked host lane (asanyarray-based)
+    from dask_array_tpu._dispatch import is_duck_chunk
+
+    if isinstance(block, np.ma.MaskedArray) or is_duck_chunk(block):
+        # masked/duck host lane (asanyarray-based / NEP-18 dispatch)
+        return np.transpose(block, axes)
     import jax.numpy as jnp
 
     return jnp.transpose(block, axes)
@@ -61,8 +64,10 @@ class Transpose(Blockwise):
 
         view = ctx.build(self.array)
         dense = view.dense()
-        if isinstance(dense, np.ma.MaskedArray):
-            jnp = np  # masked host lane: numpy's transpose preserves the mask
+        from dask_array_tpu._dispatch import is_duck_chunk
+
+        if isinstance(dense, np.ma.MaskedArray) or is_duck_chunk(dense):
+            jnp = np  # masked/duck host lane: numpy's transpose dispatches
         dense = jnp.transpose(dense, self.axes)
         return BlockView(self.chunks, dense=dense)
 
@@ -189,8 +194,10 @@ class Squeeze(ArrayExpr):
 
         view = ctx.build(self.array)
         dense = view.dense()
-        if isinstance(dense, np.ma.MaskedArray):
-            jnp = np  # masked host lane
+        from dask_array_tpu._dispatch import is_duck_chunk
+
+        if isinstance(dense, np.ma.MaskedArray) or is_duck_chunk(dense):
+            jnp = np  # masked/duck host lane
         return BlockView(self.chunks, dense=jnp.squeeze(dense, axis=self.axes))
 
     def _accept_rechunk(self, target_chunks):

@@ -122,10 +122,16 @@ class Reduction(ArrayExpr):
             if takes_dtype and not host_only_dtype(self.dtype):
                 kwargs["dtype"] = self.dtype
             kwargs.update(dict(self.extra or ()))
+            from dask_array_tpu._dispatch import is_duck_chunk
+
             masked = isinstance(x, np.ma.MaskedArray)
+            duck = is_duck_chunk(x)
             with np.errstate(all="ignore"):
-                dense = np_fn(x if masked else np.asarray(x), **kwargs)
-            if masked and isinstance(dense, np.ma.MaskedArray):
+                dense = np_fn(x if (masked or duck) else np.asarray(x), **kwargs)
+            if (masked and isinstance(dense, np.ma.MaskedArray)) or (
+                duck and is_duck_chunk(dense)
+            ):
+                # host lane result keeps its block type (mask / duck wrapper)
                 if dense.dtype != self.dtype:
                     dense = dense.astype(self.dtype)
                 return BlockView(self.chunks, dense=dense)
@@ -644,11 +650,13 @@ class ArgReduction(ArrayExpr):
         return np.empty((0,) * len(self.chunks), dtype=np.intp)
 
     def _build(self, ctx):
+        from dask_array_tpu._dispatch import is_duck_chunk
+
         jnp = _jnp()
         x = ctx.build(self.array).dense()
-        if isinstance(x, np.ma.MaskedArray):
-            # masked host lane: numpy's arg-reductions dispatch mask-aware
-            # (masked elements never win)
+        if isinstance(x, np.ma.MaskedArray) or is_duck_chunk(x):
+            # masked/duck host lane: numpy's arg-reductions dispatch
+            # mask-aware (masked elements never win) / through NEP-18
             jnp = np
         fn = getattr(jnp, self._DENSE[self.kind])
         if self.axis is None:
@@ -657,7 +665,8 @@ class ArgReduction(ArrayExpr):
                 dense = dense.reshape((1,) * self.array.ndim)
         else:
             dense = fn(x, axis=self.axis, keepdims=self.keepdims)
-        dense = np.asarray(dense) if jnp is np else dense
+        if jnp is np and not is_duck_chunk(dense):
+            dense = np.asarray(dense)  # duck results keep their wrapper
         if ctx.mode == "eager":
             # eager values are concrete: raise where numpy raises even for
             # in-graph consumers (the trace lane keeps jax's -1 sentinel —
@@ -820,11 +829,14 @@ class CumReduction(ArrayExpr):
         return np.empty((0,) * self.array.ndim, dtype=out.dtype)
 
     def _build(self, ctx):
+        from dask_array_tpu._dispatch import is_duck_chunk
+
         jnp = _jnp()
         x = ctx.build(self.array).dense()
-        if isinstance(x, np.ma.MaskedArray):
-            # masked host lane: np.cum* dispatch to the mask-aware
+        if isinstance(x, np.ma.MaskedArray) or is_duck_chunk(x):
+            # masked/duck host lane: np.cum* dispatch to the mask-aware
             # MaskedArray methods (masked terms contribute the identity)
+            # / through the duck type's __array_function__
             with np.errstate(all="ignore"):
                 dense = getattr(np, self.kind)(x, axis=self.axis, dtype=self.dtype)
             return BlockView(self.chunks, dense=dense)

@@ -194,6 +194,12 @@ class Concatenate(ArrayExpr):
         if any(isinstance(p, np.ma.MaskedArray) for p in parts):
             # masked host lane: np.concatenate would drop the mask
             return BlockView(self.chunks, dense=np.ma.concatenate(parts, axis=self.axis))
+        from dask_array_tpu._dispatch import is_duck_chunk
+
+        if any(is_duck_chunk(p) for p in parts):
+            # duck host lane: np.concatenate dispatches NEP-18
+            parts = [np.asarray(p) if hasattr(p, "devices") else p for p in parts]
+            return BlockView(self.chunks, dense=np.concatenate(parts, axis=self.axis))
         from dask_array_tpu._chunks import host_only_dtype
 
         if np.dtype(dtype).kind == "V" and host_only_dtype(dtype):
