@@ -311,11 +311,11 @@ def _plan_grid2(kind, terminal, elem_root, leaves, reds=(), consts=(), scans=())
         if not set(dims) <= set(r.axes) or tuple(r.array.shape) != leaf_shape:
             return None
     for s in scans:
-        # inner scans on the 2-D grid: block-local (along UNCHUNKED axes)
-        # only — padding along the chunked dims is orthogonal to the scan,
-        # so garbage stays in padded slots.  In-lane Blelloch along a
-        # chunked axis of a 2-D grid is terminal-only (g2_cumulative).
-        if s.axis is None or s.axis in dims or tuple(s.array.shape) != leaf_shape:
+        # inner scans on the 2-D grid: block-local along UNCHUNKED axes
+        # (padding is orthogonal, garbage stays padded), or the grouped
+        # two-phase Blelloch along a CHUNKED axis (the same schedule the
+        # g2_cumulative terminal runs, factored into the body)
+        if s.axis is None or tuple(s.array.shape) != leaf_shape:
             return None
     aux = (tuple(reds), tuple(consts), tuple(scans))
     if kind == "elemwise":
@@ -361,7 +361,8 @@ def _plan_grid2(kind, terminal, elem_root, leaves, reds=(), consts=(), scans=())
         if terminal.axis not in dims:
             # positions along an unchunked axis are block-local truths
             return "g2_argreduce_local", terminal, elem_root, leaves, dims, aux
-        return None  # arg-extremum ALONG a chunked axis: grouped vote not built
+        # arg-extremum ALONG one chunked axis: grouped global-index vote
+        return "g2_argreduce_straddle", terminal, elem_root, leaves, dims, aux
     return None
 
 
@@ -1557,6 +1558,62 @@ def _execute_grid2(plan, mesh, out_dtype):
     rcounts = {
         r._name: math.prod(int(sum(grid[ax])) for ax in r.axes) for r in reds
     }
+    blk_per_dev = kpad // ndev
+
+    def g2_scan(val, mask, ckind, cdtype, ds):
+        """Grouped two-phase Blelloch scan along CHUNKED axis ``ds`` —
+        shared by the g2_cumulative terminal and inner scans: each block
+        scans locally (padding masked to the identity so block totals are
+        true totals), ONE all-gather exchanges per-block totals, and each
+        block applies the combined totals of its group predecessors as a
+        carry.  The group/order masks build in-trace from iota (no
+        O(blocks²) jit constant — remote-compile HTTP 413 guard)."""
+        ident = 0.0 if ckind == "cumsum" else 1.0
+        scan_ax = ds + 1
+        scan_is_d2 = ds == d2
+        val = jnp.where(mask, val, jnp.asarray(ident, val.dtype)).astype(
+            cdtype if cdtype.kind != "M" else val.dtype
+        )
+        scan = (
+            jnp.cumsum(val, axis=scan_ax)
+            if ckind == "cumsum"
+            else jnp.cumprod(val, axis=scan_ax)
+        )
+        total = jax.lax.index_in_dim(
+            scan, scan.shape[scan_ax] - 1, axis=scan_ax, keepdims=False
+        )  # (blk, *trest) — true block totals (padding was identity)
+        totals = jax.lax.all_gather(total, axes, tiled=False)
+        totals = totals.reshape((kpad,) + total.shape[1:])
+        me = jax.lax.axis_index(axes)
+        gid = me * blk_per_dev + jnp.arange(blk_per_dev, dtype=jnp.int32)
+
+        def _grp_order(g):
+            # group = the block's index along the OTHER chunked axis;
+            # order = its position along the scan axis (gid flattens
+            # row-major i1*k2+i2)
+            if scan_is_d2:
+                return g // k2, g % k2
+            return g % k2, g // k2
+
+        grp_i, order_i = _grp_order(gid)
+        grp_j, order_j = _grp_order(jnp.arange(kpad, dtype=jnp.int32))
+        # mine[j, i]: block j's total folds into my block i's carry
+        mine = (grp_j[:, None] == grp_i[None, :]) & (
+            order_j[:, None] < order_i[None, :]
+        )
+        mexp = mine.reshape(mine.shape + (1,) * (totals.ndim - 1))
+        if ckind == "cumsum":
+            carry = jnp.sum(
+                jnp.where(mexp, totals[:, None], jnp.zeros((), totals.dtype)),
+                axis=0,
+            )
+        else:
+            carry = jnp.prod(
+                jnp.where(mexp, totals[:, None], jnp.ones((), totals.dtype)),
+                axis=0,
+            )
+        carry = jnp.expand_dims(carry, scan_ax)
+        return scan + carry if ckind == "cumsum" else scan * carry
 
     def local(fn_args, fs1, fs2):
         m1 = (
@@ -1579,11 +1636,17 @@ def _execute_grid2(plan, mesh, out_dtype):
             )
             env[r._name] = rv.reshape(tuple(int(s) for s in r.shape))
         for s in scans:
-            # block-local scans along unchunked axes (post-order: inner
-            # entries exist before any outer subtree reads them); padding
-            # along the chunked dims is orthogonal, garbage stays padded
+            # post-order: inner entries exist before any outer subtree
+            # reads them.  Unchunked axes scan block-locally (padding is
+            # orthogonal, garbage stays padded); CHUNKED axes run the
+            # grouped Blelloch schedule (padded slots of the scan axis
+            # carry the running value — harmless, they trim at unstack
+            # and the validity mask excludes them from reductions)
             sub = _eval_elem(_unwrap(s.array), env)
             sdt = np.dtype(s.dtype)
+            if s.axis in (d1, d2):
+                env[s._name] = g2_scan(sub, mask, s.kind, sdt, s.axis)
+                continue
             sv = sub.astype(sdt if sdt.kind != "M" else sub.dtype)
             env[s._name] = (
                 jnp.cumsum(sv, axis=s.axis + 1)
@@ -1712,65 +1775,16 @@ def _execute_grid2(plan, mesh, out_dtype):
         return _unstack2(out, h1, h2, out_dtype, a1, a2)
 
     if kind == "g2_cumulative":
-        # scan along one CHUNKED axis — the Blelloch two-phase schedule
-        # generalized to block groups: each block scans locally (padding
-        # masked to the identity so block totals are true totals), ONE
-        # all-gather exchanges per-block totals, and each block applies
-        # the combined totals of its group predecessors as a carry.  The
-        # cross-device traffic is kpad tiny total-slabs, not the array.
+        # scan along one CHUNKED axis — the grouped Blelloch two-phase
+        # schedule (g2_scan).  The cross-device traffic is kpad tiny
+        # total-slabs, not the array.
         ckind = terminal.kind
-        ident = 0.0 if ckind == "cumsum" else 1.0
         cdtype = np.dtype(terminal.dtype)
         ds = terminal.axis              # the chunked scan axis
-        scan_ax = ds + 1
-        blk = kpad // ndev
-        scan_is_d2 = ds == d2
-
-        def _grp_order(gid):
-            # group = the block's index along the OTHER chunked axis;
-            # order = its position along the scan axis (gid flattens
-            # row-major i1*k2+i2) — computed in-trace from iota so no
-            # O(blocks^2) constant bakes into the HLO (HTTP 413 guard)
-            if scan_is_d2:
-                return gid // k2, gid % k2
-            return gid % k2, gid // k2
 
         def body(fs1, fs2, *fn_args):
             val, mask = local(fn_args, fs1, fs2)
-            val = jnp.where(mask, val, jnp.asarray(ident, val.dtype)).astype(
-                cdtype if cdtype.kind != "M" else val.dtype
-            )
-            scan = (
-                jnp.cumsum(val, axis=scan_ax)
-                if ckind == "cumsum"
-                else jnp.cumprod(val, axis=scan_ax)
-            )
-            total = jax.lax.index_in_dim(
-                scan, scan.shape[scan_ax] - 1, axis=scan_ax, keepdims=False
-            )  # (blk, *trest) — true block totals (padding was identity)
-            totals = jax.lax.all_gather(total, axes, tiled=False)
-            totals = totals.reshape((kpad,) + total.shape[1:])
-            me = jax.lax.axis_index(axes)
-            gid = me * blk + jnp.arange(blk, dtype=jnp.int32)
-            grp_i, order_i = _grp_order(gid)
-            grp_j, order_j = _grp_order(jnp.arange(kpad, dtype=jnp.int32))
-            # mine[j, i]: block j's total folds into my block i's carry
-            mine = (grp_j[:, None] == grp_i[None, :]) & (
-                order_j[:, None] < order_i[None, :]
-            )
-            mexp = mine.reshape(mine.shape + (1,) * (totals.ndim - 1))
-            if ckind == "cumsum":
-                carry = jnp.sum(
-                    jnp.where(mexp, totals[:, None], jnp.zeros((), totals.dtype)),
-                    axis=0,
-                )
-            else:
-                carry = jnp.prod(
-                    jnp.where(mexp, totals[:, None], jnp.ones((), totals.dtype)),
-                    axis=0,
-                )
-            carry = jnp.expand_dims(carry, scan_ax)
-            return scan + carry if ckind == "cumsum" else scan * carry
+            return g2_scan(val, mask, ckind, cdtype, ds)
 
         out = run(body, P(axes))
         return _unstack2(out, h1, h2, out_dtype, d1, d2)
@@ -1866,6 +1880,84 @@ def _execute_grid2(plan, mesh, out_dtype):
         out = fn(dev_s1, dev_s2, dev_o1, dev_o2, *dev_args)
         ENGAGED["count"] += 1
         return out.astype(out_dtype) if out.dtype != out_dtype else out
+
+    if kind == "g2_argreduce_straddle":
+        # arg-extremum ALONG one chunked axis of the 2-D grid: the
+        # grouped composition of g2_reduce_straddle's one-hot combine
+        # (blocks grouped by their KEPT-axis slot) and the argreduce
+        # global-index vote — per-group extremum (one pmin/pmax), NaN
+        # presence per group (one pmax, floats only), then the min GLOBAL
+        # index along the reduced axis among group-extremum hits (one
+        # pmin).  Exact numpy first-occurrence semantics; a valid NaN
+        # anywhere in a slice wins, as in numpy's plain arg-reductions.
+        is_min = terminal.kind == "argmin"
+        dr = terminal.axis               # the reduced-away chunked axis
+        dk = d2 if dr == d1 else d1      # the surviving chunked axis
+        kk, h_keep = (k1, h1) if dk == d1 else (k2, h2)
+        red_ax = dr + 1
+        hm_r = hm1 if dr == d1 else hm2
+        n_out = int(sum(grid[dr]))       # index range along dr ("no hit")
+        blk = kpad // ndev
+        a_keep = dk - (1 if dr < dk else 0)
+        fo = np.zeros((kpad,), np.int64)
+        for i1 in range(k1):
+            for i2 in range(k2):
+                fo[i1 * k2 + i2] = off1[i1] if dr == d1 else off2[i2]
+        dev_fo = jax.device_put(fo, sh)
+
+        def body(fs1, fs2, fo_, *fn_args):
+            val, mask = local(fn_args, fs1, fs2)
+            fdt = np.dtype(val.dtype)
+            if fdt.kind == "b":
+                val = val.astype(jnp.int32)
+                fdt = np.dtype(np.int32)
+            ident = jnp.asarray(
+                _reduce_ident("min" if is_min else "max", fdt), val.dtype
+            )
+            v = jnp.where(mask, val, ident)
+            me = jax.lax.axis_index(axes)
+            gid = me * blk + jnp.arange(blk, dtype=jnp.int32)
+            slot = gid // k2 if dk == d1 else gid % k2
+            onehot = slot[:, None] == jnp.arange(kk, dtype=jnp.int32)[None, :]
+
+            def group(part, gident, op):
+                oh = onehot.reshape(onehot.shape + (1,) * (part.ndim - 1))
+                return op(jnp.where(oh, part[:, None], gident), axis=0)
+
+            op = jnp.min if is_min else jnp.max
+            part = op(v, axis=red_ax)                   # (blk, *survived)
+            loc = group(part, ident, op)                # (kk, *survived)
+            glob_ext = (jax.lax.pmin if is_min else jax.lax.pmax)(loc, axes)
+            # my group's extremum, broadcast back over the reduced axis
+            geb = jnp.expand_dims(jnp.take(glob_ext, slot, axis=0), red_ax)
+            eq = (v == geb) & mask
+            if fdt.kind in "fc":
+                nan_mask = jnp.isnan(v) & mask
+                nl = group(
+                    jnp.any(nan_mask, axis=red_ax), False, jnp.any
+                )
+                has_nan = jax.lax.pmax(nl.astype(jnp.int32), axes)
+                hn = jnp.expand_dims(jnp.take(has_nan, slot, axis=0), red_ax)
+                eq = jnp.where(hn.astype(bool), nan_mask, eq)
+            big = jnp.asarray(n_out, jnp.int64)
+            row = fo_[:, None] + jnp.arange(hm_r, dtype=jnp.int64)
+            idx_map = row.reshape(
+                (row.shape[0],) + (1,) * dr + (hm_r,) + (1,) * (nd - dr - 1)
+            )
+            cand = jnp.min(jnp.where(eq, idx_map, big), axis=red_ax)
+            return jax.lax.pmin(group(cand, big, jnp.min), axes)
+
+        fn = jax.jit(
+            jax.shard_map(
+                body,
+                mesh=mesh,
+                in_specs=(P(axes),) * 3 + (P(axes),) * len(dev_args),
+                out_specs=P(),
+            )
+        )
+        out = fn(dev_s1, dev_s2, dev_fo, *dev_args)
+        ENGAGED["count"] += 1
+        return _unstack(out, h_keep, out_dtype, a_keep)
 
     if kind == "g2_argreduce_local":
         # arg-extremum along an UNCHUNKED axis: positions are block-local

@@ -1403,16 +1403,51 @@ def test_grid2_argreduce_bool_and_int(mesh8):
     assert int(oi) == srci.argmin()
 
 
-def test_grid2_argreduce_chunked_axis_declines(mesh8, grid2d):
-    # arg-extremum ALONG a chunked axis: grouped vote not built — the plan
-    # declines (None) and GSPMD answers correctly (NOT the silent-elemwise
-    # fall-through the ADVICE flagged)
+def test_grid2_argreduce_straddle_both_axes(mesh8, grid2d):
+    # arg-extremum ALONG each chunked axis: the grouped global-index vote
+    # (g2_argreduce_straddle) — rows keep per-column winners, cols keep
+    # per-row winners
     src, x = grid2d
     with use_mesh(mesh8), config.set({"tpu.execution-lane": "shard-map"}):
-        before = ENGAGED["count"]
-        out = x.argmin(axis=0).compute()
-        assert ENGAGED["count"] == before
-    np.testing.assert_array_equal(np.asarray(out), src.argmin(axis=0))
+        o0 = _engaged(lambda: x.argmin(axis=0).compute())
+        o1 = _engaged(lambda: x.argmax(axis=1).compute())
+        om = _engaged(lambda: da.argmax(x * 2 - 1, axis=0).compute())
+    np.testing.assert_array_equal(np.asarray(o0), src.argmin(axis=0))
+    np.testing.assert_array_equal(np.asarray(o1), src.argmax(axis=1))
+    np.testing.assert_array_equal(
+        np.asarray(om), (src * 2 - 1).argmax(axis=0)
+    )
+
+
+def test_grid2_argreduce_straddle_nan_and_ties(mesh8):
+    # per-slice: a valid NaN anywhere in the reduced slice wins that
+    # output element's vote; ties resolve to the FIRST (lowest) global
+    # index along the reduced axis, across block boundaries
+    src = np.zeros((sum(_H2A), sum(_H2B)))
+    src[20, 3] = 5.0
+    src[6, 3] = 5.0   # tie in column 3: row 6 (earlier block) must win
+    src[17, 21] = np.nan  # column 21: the NaN wins argmax
+    x = da.from_array(src, chunks=(_H2A, _H2B))
+    with use_mesh(mesh8), config.set({"tpu.execution-lane": "shard-map"}):
+        out = _engaged(lambda: x.argmax(axis=0).compute())
+    np.testing.assert_array_equal(np.asarray(out), src.argmax(axis=0))
+
+
+def test_grid2_argreduce_straddle_3d_and_int(mesh8):
+    # 3-D array chunked at axes (0, 2): reduce along chunked axis 2 with
+    # the unchunked middle axis riding along; int and bool dtypes
+    rng = np.random.default_rng(101)
+    src = rng.integers(-50, 50, size=(14, 5, 12)).astype(np.int32)
+    x = da.from_array(src, chunks=((3, 7, 4), 5, (5, 3, 4)))
+    srcb = rng.standard_normal((sum(_H2A), sum(_H2B))) > 0.8
+    xb = da.from_array(srcb, chunks=(_H2A, _H2B))
+    with use_mesh(mesh8), config.set({"tpu.execution-lane": "shard-map"}):
+        o2 = _engaged(lambda: x.argmin(axis=2).compute())
+        o0 = _engaged(lambda: x.argmax(axis=0).compute())
+        ob = _engaged(lambda: xb.argmax(axis=1).compute())
+    np.testing.assert_array_equal(np.asarray(o2), src.argmin(axis=2))
+    np.testing.assert_array_equal(np.asarray(o0), src.argmax(axis=0))
+    np.testing.assert_array_equal(np.asarray(ob), srcb.argmax(axis=1))
 
 
 def test_grid2_cumsum_no_quadratic_constant(mesh8, grid2d):
@@ -1653,15 +1688,47 @@ def test_inner_scan_shared_subexpression(mesh8, irregular):
     )
 
 
-def test_inner_scan_grid2_declines(mesh8, grid2d):
-    # inner scans on 2-D chunk grids are not built: the program must still
-    # answer correctly through the default lanes
+def test_inner_scan_grid2_chunked_axis(mesh8, grid2d):
+    # inner scans along a CHUNKED axis of a 2-D grid ride the lane: the
+    # grouped Blelloch schedule (g2_scan) runs inside the body
     src, x = grid2d
     with use_mesh(mesh8):
-        before = ENGAGED["count"]
-        out = (da.cumsum(x, axis=0) + 1).compute()
-        assert ENGAGED["count"] == before
-    np.testing.assert_allclose(np.asarray(out), np.cumsum(src, 0) + 1, rtol=1e-9)
+        o0 = _engaged(lambda: (da.cumsum(x, axis=0) + 1).compute())
+        o1 = _engaged(lambda: (da.cumsum(x, axis=1) * 2 - x).compute())
+    np.testing.assert_allclose(np.asarray(o0), np.cumsum(src, 0) + 1, rtol=1e-9)
+    np.testing.assert_allclose(
+        np.asarray(o1), np.cumsum(src, 1) * 2 - src, rtol=1e-9
+    )
+
+
+def test_inner_scan_grid2_composed_with_reduction(mesh8, grid2d):
+    # scan-then-reduce over BOTH chunked axes: the scan's padded slots
+    # must stay excluded by the validity mask
+    src, x = grid2d
+    with use_mesh(mesh8):
+        out = _engaged(lambda: (x - da.cumsum(x, axis=0)).sum().compute())
+        op = _engaged(
+            lambda: (da.cumprod(x * 0.01 + 1, axis=1) * 2).compute()
+        )
+    assert float(out) == pytest.approx(
+        float((src - np.cumsum(src, 0)).sum()), rel=1e-8
+    )
+    np.testing.assert_allclose(
+        np.asarray(op), np.cumprod(src * 0.01 + 1, 1) * 2, rtol=1e-9
+    )
+
+
+def test_inner_scan_grid2_scan_of_scan(mesh8, grid2d):
+    # scan-of-scan across BOTH chunked axes of the 2-D grid: two grouped
+    # Blelloch schedules compose in one program
+    src, x = grid2d
+    with use_mesh(mesh8):
+        out = _engaged(
+            lambda: da.cumsum(da.cumsum(x, axis=0), axis=1).compute()
+        )
+    np.testing.assert_allclose(
+        np.asarray(out), np.cumsum(np.cumsum(src, 0), 1), rtol=1e-8
+    )
 
 
 def test_inner_scan_eager_lane_parity(mesh8, irregular):
@@ -1984,12 +2051,10 @@ def test_g2_inner_scan_then_reduce(mesh8, grid2_3d):
     )
 
 
-def test_g2_inner_scan_chunked_axis_declines(mesh8, grid2_3d):
-    # Blelloch-inside-a-tree on 2-D grids is terminal-only: declines to
-    # the default lanes with correct values
+def test_g2_inner_scan_chunked_axis_3d(mesh8, grid2_3d):
+    # Blelloch-inside-a-tree along a CHUNKED axis of a 3-D array on a 2-D
+    # grid rides the lane (g2_scan in the body)
     src, x = grid2_3d
     with use_mesh(mesh8):
-        before = ENGAGED["count"]
-        out = (da.cumsum(x, axis=0) + 1).compute()
-        assert ENGAGED["count"] == before
+        out = _engaged(lambda: (da.cumsum(x, axis=0) + 1).compute())
     np.testing.assert_allclose(np.asarray(out), np.cumsum(src, 0) + 1, rtol=1e-9)
