@@ -491,14 +491,20 @@ def _plan_matmul_post(root):
     """Elemwise tree OVER one matmul (``f(x @ w)`` — the GEMM-then-
     activation pattern): the Einsum plans as usual and the outer tree
     applies per-device to the stacked (rows lane) or replicated
-    (matmul_k) GEMM output.  Scope: the outer tree's only array operand
-    is the ONE Einsum subtree (plus scalars / 0-d consts) — other leaves
-    would need restacking by the OUTPUT grid.  Returns the matmul plan
-    with aux extended to ``(..., None, post_elem_root)``."""
+    (matmul_k) GEMM output.  Scope: the outer tree's array operands are
+    the ONE Einsum subtree, scalars / 0-d consts, and EXTRA FromArray
+    leaves that never touch the chunked output axis (the bias-add
+    pattern ``x @ w + b``): those replicate whole into the body —
+    matmul_k's output is replicated so any broadcastable leaf binds;
+    the rows lane requires the leaf's aligned extent along the chunked
+    rows axis to be 1 or absent (anything else would need restacking by
+    the OUTPUT grid — declines).  Returns the matmul plan with aux
+    extended to ``(..., None, post_elem_root, post_leaves)``."""
     from dask_array_tpu._expr import ArrayExpr
+    from dask_array_tpu.ops._from_array import FromArray
     from dask_array_tpu.ops.linalg import Einsum
 
-    mms, consts = [], []
+    mms, consts, pleaves = [], [], []
 
     def walk(node):
         node = _unwrap(node)
@@ -513,6 +519,19 @@ def _plan_matmul_post(root):
         if node.shape == ():
             consts.append(node)
             return True
+        if (
+            isinstance(node, FromArray)
+            and np.dtype(node.dtype).kind in "fciub"
+            and not isinstance(node.source, np.ma.MaskedArray)
+            and not any(
+                isinstance(h, float) and math.isnan(h)
+                for c in node.chunks
+                for h in c
+            )
+        ):
+            if all(p._name != node._name for p in pleaves):
+                pleaves.append(node)
+            return True
         return False
 
     if not walk(root) or len(mms) != 1:
@@ -521,9 +540,22 @@ def _plan_matmul_post(root):
     if mm is None:
         return None
     kind, terminal, lhs_root, lhs_leaves, d, aux = mm
+    if pleaves:
+        out_shape = tuple(int(s) for s in mms[0].shape)
+        if kind == "matmul":
+            _, _, _, swapped = aux[2]
+            if swapped:
+                return None  # column-chunked output: restack not built
+            for p in pleaves:
+                ps = tuple(int(s) for s in p.shape)
+                if len(ps) > len(out_shape):
+                    return None
+                if len(ps) == len(out_shape) and ps and ps[0] != 1:
+                    return None  # touches the chunked rows axis
     merged = list({c._name: c for c in list(aux[3]) + consts}.values())
     return kind, terminal, lhs_root, lhs_leaves, d, (
         aux[0], aux[1], aux[2], tuple(merged), None, _unwrap(root),
+        tuple(pleaves),
     )
 
 
@@ -1073,6 +1105,9 @@ def try_execute_shard(root, mesh, auto=False):
         # composed POST-ELEMWISE tree over the GEMM output (f(x @ w)):
         # applies per-device on the stacked/replicated result in-body
         post_elem = aux[5] if len(aux) >= 6 else None
+        # extra array leaves in the post tree (x @ w + b): replicated
+        # whole — the planner guarantees they never touch a chunked axis
+        post_leaves = aux[6] if len(aux) >= 7 else ()
         lpos, rpos, rhs_vec, swapped = layout
         kwargs = dict(terminal.kwargs or ())
         from dask_array_tpu import config
@@ -1095,6 +1130,10 @@ def try_execute_shard(root, mesh, auto=False):
         for leaf in rhs_leaves:
             ((_, src),) = list(leaf._leaf_buffers())
             rhs_args.append(jax.device_put(np.asarray(src), rhs_repl))
+        pl_args = []
+        for leaf in post_leaves:
+            ((_, src),) = list(leaf._leaf_buffers())
+            pl_args.append(jax.device_put(np.asarray(src), rhs_repl))
         if rhs_vec:
             spec = f"{lhs_spec},j->bh"
         else:
@@ -1123,6 +1162,10 @@ def try_execute_shard(root, mesh, auto=False):
             if post_elem is not None:
                 penv = dict(cenv)
                 penv[terminal._name] = mm
+                for leaf, arr in zip(
+                    post_leaves, fn_args[len(leaves) + len(rhs_leaves):]
+                ):
+                    penv[leaf._name] = arr
                 return _eval_elem(post_elem, penv)
             if post is None:
                 return mm
@@ -1163,11 +1206,13 @@ def try_execute_shard(root, mesh, auto=False):
             jax.shard_map(
                 body,
                 mesh=mesh,
-                in_specs=(P(axes),) + (P(axes),) * len(dev_args) + (P(),) * len(rhs_args),
+                in_specs=(P(axes),)
+                + (P(axes),) * len(dev_args)
+                + (P(),) * (len(rhs_args) + len(pl_args)),
                 out_specs=P(axes) if out_sharded else P(),
             )
         )
-        out = fn(dev_sizes, *dev_args, *rhs_args)
+        out = fn(dev_sizes, *dev_args, *rhs_args, *pl_args)
         ENGAGED["count"] += 1
         if out_sharded:
             return _unstack(out, heights, out_dtype, 1 if swapped else 0)
@@ -1202,6 +1247,11 @@ def try_execute_shard(root, mesh, auto=False):
                 pos += h
             rhs_stacked.append(buf)
         rhs_args = [jax.device_put(b, sh) for b in rhs_stacked]
+        pl_repl = NamedSharding(mesh, P())
+        pl_args = []
+        for leaf in post_leaves:
+            ((_, psrc),) = list(leaf._leaf_buffers())
+            pl_args.append(jax.device_put(np.asarray(psrc), pl_repl))
         rhs_spec = "b" + ("j" if rhs_vec else ("jk" if rpos == 0 else "kj"))
         # swapped (rhs-driven contraction split) emits the TRUE output
         # orientation directly — the replicated result needs no transpose
@@ -1229,6 +1279,11 @@ def try_execute_shard(root, mesh, auto=False):
             if post_elem is not None:
                 penv = dict(cenv)
                 penv[terminal._name] = mm
+                for leaf, arr in zip(
+                    post_leaves,
+                    fn_args[len(leaves) + len(rhs_leaves):],
+                ):
+                    penv[leaf._name] = arr
                 return _eval_elem(post_elem, penv)
             if post is None:
                 return mm
@@ -1249,11 +1304,13 @@ def try_execute_shard(root, mesh, auto=False):
             jax.shard_map(
                 body,
                 mesh=mesh,
-                in_specs=(P(axes),) + (P(axes),) * (len(dev_args) + len(rhs_args)),
+                in_specs=(P(axes),)
+                + (P(axes),) * (len(dev_args) + len(rhs_args))
+                + (P(),) * len(pl_args),
                 out_specs=P(),
             )
         )
-        out = fn(dev_sizes, *dev_args, *rhs_args)
+        out = fn(dev_sizes, *dev_args, *rhs_args, *pl_args)
         ENGAGED["count"] += 1
         return out.astype(out_dtype) if out.dtype != out_dtype else out
 

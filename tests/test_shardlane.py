@@ -1819,6 +1819,44 @@ def test_post_elem_other_leaf_declines(mesh8, irregular, w6x3):
     )
 
 
+def test_post_elem_bias_add_rows_lane(mesh8, irregular, w6x3):
+    # the bias-add pattern: extra array leaves that never touch the
+    # chunked rows axis replicate whole into the body — (N,) and (1, N)
+    src, x = irregular
+    b = np.random.default_rng(16).standard_normal((3,))
+    b2 = np.random.default_rng(17).standard_normal((1, 3))
+    db = da.from_array(b, chunks=3)
+    db2 = da.from_array(b2, chunks=(1, 3))
+    with use_mesh(mesh8):
+        out = _engaged(lambda: da.tanh(x @ w6x3 + db).compute())
+        out2 = _engaged(lambda: ((x @ w6x3) * db2 + db).compute())
+    np.testing.assert_allclose(
+        np.asarray(out), np.tanh(src @ w6x3 + b), rtol=1e-9, atol=1e-12
+    )
+    np.testing.assert_allclose(
+        np.asarray(out2), (src @ w6x3) * b2 + b, rtol=1e-9
+    )
+
+
+def test_post_elem_bias_add_contraction_lane(mesh8):
+    # matmul_k's output is replicated: ANY broadcastable leaf binds —
+    # including one spanning the output rows
+    src = np.random.default_rng(18).standard_normal((23, 6))
+    w = np.random.default_rng(19).standard_normal((6, 3))
+    b = np.random.default_rng(20).standard_normal((3,))
+    full = np.random.default_rng(21).standard_normal((23, 3))
+    xk = da.from_array(src, chunks=(23, (4, 2)))  # contraction-chunked
+    db = da.from_array(b, chunks=3)
+    dfull = da.from_array(full, chunks=(23, 3))
+    with use_mesh(mesh8):
+        out = _engaged(lambda: (xk @ w + db).compute())
+        out2 = _engaged(lambda: ((xk @ w) - dfull).compute())
+    np.testing.assert_allclose(np.asarray(out), src @ w + b, rtol=1e-9)
+    np.testing.assert_allclose(
+        np.asarray(out2), src @ w - full, rtol=1e-9
+    )
+
+
 def test_post_elem_rows_hlo_no_collective(mesh8, irregular, w6x3, monkeypatch):
     # the rows lane's zero-collective contract survives the post tree:
     # no all_gather is ever traced for f(x @ w)
