@@ -45,9 +45,16 @@ def irregular():
 
 
 def _engaged(fn):
+    """Run ``fn`` and assert the shard lane engaged — except in the eager
+    differential lane (tpu.jit=False) under lane="auto", where auto
+    engagement is off BY DESIGN (pinned by test_auto_skips_eager_lane):
+    there the values-only check is the point of the second lane."""
     before = ENGAGED["count"]
     out = fn()
-    assert ENGAGED["count"] == before + 1, "shard lane did not engage"
+    if config.get("tpu.jit", True) or config.get(
+        "tpu.execution-lane", "auto"
+    ) == "shard-map":
+        assert ENGAGED["count"] == before + 1, "shard lane did not engage"
     return out
 
 
@@ -1654,6 +1661,10 @@ def test_inner_scan_int_dtype(mesh8):
     np.testing.assert_array_equal(np.asarray(out), np.cumsum(src, 0) + src)
 
 
+@pytest.mark.skipif(
+    __import__("os").environ.get("DA_TPU_MODE") == "eager",
+    reason="traffic pin: auto engagement (and its collectives) is trace-lane only",
+)
 def test_inner_scan_one_totals_allgather_only(mesh8, irregular, monkeypatch):
     # the Blelloch pin, widened to inner scans: the only all-gather in the
     # program is the tiny per-device TOTALS exchange (shape == rest), never
@@ -1962,6 +1973,10 @@ def test_stencil_in_lane_elemwise_producer(mesh8, irregular):
     )
 
 
+@pytest.mark.skipif(
+    __import__("os").environ.get("DA_TPU_MODE") == "eager",
+    reason="traffic pin: auto engagement (and its collectives) is trace-lane only",
+)
 def test_stencil_edge_band_ppermute_only(mesh8, irregular, monkeypatch):
     # the traffic pin: the only collectives are the edge-band ppermutes —
     # each operand is (depth, trailing)-shaped, never a block or the array
